@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, MapType, StringType}
+
+/** The reference's eight "probmethods" — aggregations of `(key, value)` lists
+  * into a single score — expressed as Spark aggregate `Column` combinators so
+  * they run as one-pass partial+final HashAggregates (no UDAFs on the hot
+  * path).
+  *
+  * Reference semantics (LD-Reborn/embeddingsearch `src/Server/Probmethods.cs:73-176`,
+  * formula docs `docs/Indexer.md:112-189`; code is the authority):
+  *
+  *   Mean          : arithmetic mean; empty -> 0
+  *   HarmonicMean  : over non-zero values, multiplied by penalty n_nz/n_total;
+  *                   all-zero -> 0
+  *   QuadraticMean : sqrt(sum(x^2)/n); empty -> NaN (reference has no guard)
+  *   GeometricMean : (prod x)^(1/n); empty -> 0; any zero -> 0
+  *   EVEWAvg       : any x==1 -> 1 (checked first); any x==0 -> 0;
+  *                   else weighted avg with w = 1/(x(1-x))
+  *   HVEWAvg       : any x==1 -> 1; else weighted avg with w = 1/(1-x)
+  *   LVEWAvg       : any x==0 -> 0; else n / sum(1/x) (weighted harmonic mean)
+  *   DictionaryWeightedAverage : sum(w_k * x)/sum(w_k), w_k from a JSON
+  *                   parameter map keyed by `key`; missing key -> weight 1
+  *
+  * Parameterized methods are encoded in the method-name string as
+  * `"Name:{json}"` — split on the FIRST colon only (`Probmethods.cs:55-59`).
+  */
+object ProbMethods {
+
+  val Names: Seq[String] = Seq("Mean", "HarmonicMean", "QuadraticMean",
+    "GeometricMean", "EVEWAvg", "HVEWAvg", "LVEWAvg", "DictionaryWeightedAverage")
+
+  private def d(c: Column): Column = c.cast(DoubleType)
+
+  /** Arithmetic mean. Empty group cannot occur under groupBy; the global-agg
+    * empty case is handled with coalesce to match `empty -> 0`.
+    */
+  def mean(x: Column): Column = coalesce(avg(d(x)), lit(0.0))
+
+  /** Harmonic mean over non-zero values × (n_nonzero / n_total); all-zero -> 0. */
+  def harmonicMean(x: Column): Column = {
+    val xd    = d(x)
+    val nNz   = sum(when(xd =!= 0.0, 1.0).otherwise(0.0))
+    val nzSum = sum(when(xd =!= 0.0, lit(1.0) / xd).otherwise(0.0))
+    val nT    = count(lit(1)).cast(DoubleType)
+    when(nNz === 0.0, 0.0).otherwise(nNz / nzSum * (nNz / nT))
+  }
+
+  /** Root mean square. Empty -> NaN preserved (0/0). */
+  def quadraticMean(x: Column): Column = {
+    val xd = d(x)
+    sqrt(coalesce(sum(xd * xd), lit(0.0)) / count(lit(1)).cast(DoubleType))
+  }
+
+  /** Geometric mean for non-negative inputs via exp(mean(ln x)) with a
+    * zero-guard. NOTE: for bit-faithful parity with the reference's running
+    * float product (underflow included, `Probmethods.cs:105-114`) use
+    * [[graft.functions.GeometricMeanAgg]]; this Column form is the
+    * SQL-expressible variant used by the oracle-checked queries.
+    */
+  def geometricMean(x: Column): Column = {
+    val xd = d(x)
+    when(count(lit(1)) === 0, 0.0)
+      .when(min(xd) === 0.0, 0.0)
+      .otherwise(exp(avg(log(xd))))
+  }
+
+  /** Extreme-values-emphasis weighted average; w = 1/(x(1-x)). */
+  def evewAvg(x: Column): Column = {
+    val xd = d(x)
+    when(max(xd) === 1.0, 1.0)
+      .when(min(xd) === 0.0, 0.0)
+      .otherwise(sum(xd / (xd * (lit(1.0) - xd))) / sum(lit(1.0) / (xd * (lit(1.0) - xd))))
+  }
+
+  /** High-value-emphasis weighted average; w = 1/(1-x). */
+  def hvewAvg(x: Column): Column = {
+    val xd = d(x)
+    when(max(xd) === 1.0, 1.0)
+      .otherwise(sum(xd / (lit(1.0) - xd)) / sum(lit(1.0) / (lit(1.0) - xd)))
+  }
+
+  /** Low-value-emphasis weighted average: n / sum(1/x); any zero -> 0. */
+  def lvewAvg(x: Column): Column = {
+    val xd = d(x)
+    when(min(xd) === 0.0, 0.0)
+      .otherwise(count(lit(1)).cast(DoubleType) / sum(lit(1.0) / xd))
+  }
+
+  /** Dictionary-weighted average with a static weights map (the common case:
+    * the method parameter is a plan-time constant).
+    */
+  def dictionaryWeightedAverage(key: Column, x: Column, weights: Map[String, Double]): Column = {
+    val w =
+      if (weights.isEmpty) lit(1.0)
+      else {
+        val entries = weights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq
+        coalesce(element_at(map(entries: _*), key), lit(1.0))
+      }
+    sum(w * d(x)) / sum(w)
+  }
+
+  /** Dictionary-weighted average with per-row JSON weights (data-driven
+    * parameter column, e.g. carried on each datapoint row).
+    */
+  def dictionaryWeightedAverageJson(key: Column, x: Column, weightsJson: Column): Column = {
+    val w = coalesce(
+      element_at(from_json(weightsJson, MapType(StringType, DoubleType)), key),
+      lit(1.0))
+    sum(w * d(x)) / sum(w)
+  }
+
+  /** Split `"Name:{json}"` on the FIRST colon (reference `Probmethods.cs:55-59`).
+    * Returns (methodName, jsonParameter) — parameter is "" when absent.
+    */
+  def parseName(spec: String): (String, String) = {
+    val i = spec.indexOf(':')
+    if (i < 0) (spec, "") else (spec.substring(0, i), spec.substring(i + 1))
+  }
+
+  /** String-dispatched aggregation, mirroring the reference registry
+    * (`Probmethods.cs:31-41,49-71`). `spec` may carry a `:{json}` parameter.
+    * `key` is the level key (model URI at level 1, datapoint name at level 2).
+    */
+  def forSpec(spec: String, key: Column, x: Column): Column = {
+    val (name, param) = parseName(spec)
+    name match {
+      case "Mean"          => mean(x)
+      case "HarmonicMean"  => harmonicMean(x)
+      case "QuadraticMean" => quadraticMean(x)
+      case "GeometricMean" => geometricMean(x)
+      case "EVEWAvg"       => evewAvg(x)
+      case "HVEWAvg"       => hvewAvg(x)
+      case "LVEWAvg"       => lvewAvg(x)
+      case "DictionaryWeightedAverage" =>
+        dictionaryWeightedAverage(key, x, parseWeights(param))
+      case other => throw new IllegalArgumentException(s"Unknown probmethod: $other")
+    }
+  }
+
+  /** Data-driven dispatch: the method name is a per-group COLUMN (each
+    * datapoint/entity may declare its own probmethod —
+    * `Searchdomain.cs:249-257`). All eight aggregate shapes are computed in
+    * the same single pass (they are all sums/counts/mins/maxes) and the
+    * method column selects among them. `methodName` / `methodParam` must be
+    * constant within each group (enforced by taking `first(...)`).
+    */
+  def forMethodCol(methodCol: Column, paramCol: Column, key: Column, x: Column): Column = {
+    val m = first(methodCol)
+    when(m === "Mean", mean(x))
+      .when(m === "HarmonicMean", harmonicMean(x))
+      .when(m === "QuadraticMean", quadraticMean(x))
+      .when(m === "GeometricMean", geometricMean(x))
+      .when(m === "EVEWAvg", evewAvg(x))
+      .when(m === "HVEWAvg", hvewAvg(x))
+      .when(m === "LVEWAvg", lvewAvg(x))
+      .when(m === "DictionaryWeightedAverage",
+        dictionaryWeightedAverageJson(key, x, paramCol))
+  }
+
+  /** Minimal JSON object parser for `{"key": number, ...}` weight maps — the
+    * only JSON shape the reference accepts here (`Probmethods.cs:161`).
+    */
+  def parseWeights(json: String): Map[String, Double] = {
+    val t = json.trim
+    if (t.isEmpty || t == "{}") Map.empty
+    else {
+      // "key"<ws>:<ws>number — keys may contain colons (model URIs do).
+      val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+      entry.findAllMatchIn(t).map { m =>
+        val k = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        k -> m.group(2).toDouble
+      }.toMap
+    }
+  }
+}

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, portable content hashing, shingling, MinHash, SimHash,
+  * language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * All are pure Catalyst expressions (no UDFs) so they stay inside
+  * whole-stage codegen and — critically for the correctness harness — are
+  * reproducible in ANSI SQL on any engine (the DuckDB oracle evaluates the
+  * same md5-based hashes).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Portable 32-bit non-negative hash: first 8 hex chars of md5 as a long.
+    * Chosen over murmur3 `hash()` because md5 is identically computable in
+    * every SQL dialect (the oracle must reproduce it bit-for-bit).
+    */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Content hash exactly as the reference stores it: base64(SHA-256(text)),
+    * 44 chars (`src/Server/Helper/SearchdomainHelper.cs:455-458`). Spark's
+    * sha2 returns hex, hence the unhex round-trip.
+    */
+  def contentHash(text: Column): Column =
+    base64(unhex(sha2(text, 256)))
+
+  /** k-word shingles joined by a single space. Documents shorter than k
+    * tokens yield an empty array.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** One MinHash value: min over shingles of hash32(seed:shingle). Empty
+    * shingle set -> null.
+    */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => hash32(concat(lit(s"$seed:"), s))))
+
+  /** Full MinHash signature of `numHashes` values. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(seed => minhash(shingleCol, seed)): _*)
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `rows = numHashes/bands` values each, each band reduced to a single
+    * string key "bandIdx:v1,v2,...". Docs sharing any band key are
+    * candidate near-duplicates (classic MinHash-LSH banding).
+    */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(",",
+        lit(s"$b") +: (0 until rows).map(r => element_at(signature, b * rows + r + 1).cast("string")): _*)
+    }: _*)
+
+  /** 32-bit SimHash over a token array (weight 1 per token occurrence):
+    * bit i of the result is set iff sum over tokens of ±1 (per token-hash
+    * bit i) is positive.
+    */
+  /** shiftright with a Column shift amount (the Scala functions API only
+    * exposes an Int overload).
+    */
+  private def shr(x: Column, i: Column): Column = call_function("shiftright", x, i)
+  private def shl(x: Column, i: Column): Column = call_function("shiftleft", x, i)
+
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => hash32(t))
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (c, i) => c + when(shr(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(31)),
+        (c, i) => when(c > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhash values (population count of XOR). */
+  def hammingDistance(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, i) => acc + shr(x, i).bitwiseAND(1))
+  }
+
+  /** Stopword-marker counts per language — a deterministic n-gram-style
+    * language-ID heuristic. Returns the arg-max language with fixed
+    * precedence order for ties.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Heuristic language-ID: greatest marker count wins; ties and all-zero
+    * fall through in declaration order, defaulting to "und".
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    val counts = langMarkers.map { case (lang, ms) => lang -> markerCount(t, ms) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
+      when(c === best && c > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring feature columns (length / punctuation / stopword
+    * ratios), usable for filter thresholds on a 100 TB corpus.
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0)
+      .otherwise(aggregate(t, lit(0.0), (acc, x) => acc + length(x).cast("double")) /
+        size(t).cast("double"))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+    val t = tokens(lower(text))
+    when(size(t) === 0, 0.0)
+      .otherwise(markerCount(t, stop).cast("double") / size(t).cast("double"))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with healthy
+    * stopword presence and low punctuation density.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    round((lenScore + stopScore + punctPenalty) / 3.0, 6)
+  }
+
+  /** Position-sensitive document fingerprint: sum over tokens of
+    * hash32(token) * (1-based position), mod 2^31 (kept non-negative and
+    * portable to the SQL oracle — unlike a sequential rolling hash this is
+    * a single associative aggregate, so it parallelizes).
+    */
+  def fingerprint(toks: Column): Column =
+    pmod(
+      aggregate(
+        zip_with(toks, sequence(lit(1), size(toks)), (t, i) => hash32(t) * i.cast("long")),
+        lit(0L), (acc, x) => acc + x),
+      lit(2147483647L))
+}
