@@ -1,0 +1,692 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ProbMethods => PM, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.Dedup
+import graft.search.SearchEngine
+
+/** The driver-facing query registry: every implemented operator from
+  * SURVEY.md §2 is registered here as a (Spark pipeline, DuckDB oracle SQL)
+  * pair. Column names and rounding are kept identical on both sides — the
+  * driver sorts columns by name and hash-compares values. All floating
+  * outputs are rounded to 6 decimals (2 for big money sums) so engine
+  * summation-order differences (~1 ulp) cannot flip the hash.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ====================== oracle SQL fragment helpers ======================
+  // DuckDB dialect. Kept in one place so the Spark expression and the SQL
+  // stay mechanically in sync.
+
+  /** Sum over i of f(a[i], b[i]) — mirrors zip_with+aggregate in double. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def sqlArraySum(a: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)))"
+  private def sqlCos01(a: String, b: String): String =
+    s"((${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})) + 1.0) / 2.0)"
+  private def sqlEuclid01(a: String, b: String): String =
+    s"(1.0 / (1.0 + sqrt(list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))))"
+  private def sqlManhattan01(a: String, b: String): String =
+    s"(1.0 / (1.0 + list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> abs(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))))"
+  private def sqlPearson(a: String, b: String): String = {
+    val n = s"CAST(len($a) AS DOUBLE)"
+    val s1 = sqlArraySum(a); val s2 = sqlArraySum(b)
+    val q1 = sqlDot(a, a); val q2 = sqlDot(b, b); val p = sqlDot(a, b)
+    s"(CASE WHEN sqrt(($q1 - $s1 * $s1 / $n) * ($q2 - $s2 * $s2 / $n)) = 0 THEN 0.0 " +
+      s"ELSE ($p - $s1 * $s2 / $n) / sqrt(($q1 - $s1 * $s1 / $n) * ($q2 - $s2 * $s2 / $n)) END)"
+  }
+
+  private def sqlHash32(s: String): String =
+    s"CAST(concat('0x', substr(md5($s), 1, 8)) AS BIGINT)"
+  private def sqlContentHash(s: String): String =
+    s"to_base64(unhex(sha256($s)))"
+  private def sqlTokens(s: String): String =
+    s"list_filter(string_split_regex($s, '\\s+'), x -> len(x) > 0)"
+
+  // probmethod aggregate fragments over a per-row SQL expression x
+  private def sqlPmMean(x: String) = s"avg($x)"
+  private def sqlPmHarmonic(x: String) =
+    s"(CASE WHEN count(*) FILTER (WHERE ($x) <> 0) = 0 THEN 0.0 " +
+      s"ELSE (CAST(count(*) FILTER (WHERE ($x) <> 0) AS DOUBLE) / sum(CASE WHEN ($x) <> 0 THEN 1.0/($x) ELSE 0.0 END)) " +
+      s"* (CAST(count(*) FILTER (WHERE ($x) <> 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)) END)"
+  private def sqlPmQuadratic(x: String) =
+    s"sqrt(sum(($x) * ($x)) / CAST(count(*) AS DOUBLE))"
+  private def sqlPmGeometric(x: String) =
+    s"(CASE WHEN min(abs($x)) = 0 THEN 0.0 " +
+      s"WHEN mod(sum(CASE WHEN ($x) < 0 THEN 1 ELSE 0 END), 2) = 1 THEN CAST('NaN' AS DOUBLE) " +
+      s"ELSE exp(avg(ln(abs($x)))) END)"
+  private def sqlPmEvew(x: String) =
+    s"(CASE WHEN max($x) = 1 THEN 1.0 WHEN min($x) = 0 THEN 0.0 " +
+      s"ELSE sum(($x)/(($x)*(1.0-($x)))) / sum(1.0/(($x)*(1.0-($x)))) END)"
+  private def sqlPmHvew(x: String) =
+    s"(CASE WHEN max($x) = 1 THEN 1.0 " +
+      s"ELSE sum(($x)/(1.0-($x))) / sum(1.0/(1.0-($x))) END)"
+  private def sqlPmLvew(x: String) =
+    s"(CASE WHEN min($x) = 0 THEN 0.0 " +
+      s"ELSE CAST(count(*) AS DOUBLE) / sum(1.0/($x)) END)"
+
+  // =========================== query registry =============================
+  // (name, spark pipeline, Some(oracle sql) | None)
+  type Q = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  private val xShift = "l_discount + 0.005" // strictly inside (0,1): no 0/1 guards fire
+  private def xShiftCol: Column = col("l_discount") + 0.005
+
+  private lazy val relational: Seq[Q] = Seq(
+    // §2.4 SQL-side stats aggs + P1 pushdown: TPC-H-Q1-style pricing summary.
+    ("q01_pricing_summary", (s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= DATE '1999-12-31'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // J2/J3 analogue: 3-way FK join with broadcastable dims.
+    ("q02_join_region_nation", (s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("num_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS num_customers,
+        round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // O1/O2: top-N via TakeOrderedAndProject (orderBy desc + limit).
+    ("q03_topn_orders", (s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // U1: distinct set listing.
+    ("q04_distinct_priorities", (s: SparkSession, d: String) =>
+      t(s, d, "orders").select("o_orderpriority").distinct().orderBy("o_orderpriority"),
+      Some("SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority")),
+
+    // P6/U4/J7: anti-join (customers with no large order).
+    ("q05_antijoin_customers", (s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
+    // semi-join: parts that appear in lineitem.
+    ("q06_semijoin_parts", (s: SparkSession, d: String) =>
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n_active_parts")),
+      Some("""SELECT count(*) AS n_active_parts FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""")),
+
+    // O4 window: per-user top-3 most recent events (LRU-style recency rank).
+    ("q07_window_recent_events", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), asc("event_id"))
+      t(s, d, "events")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+        .orderBy("user_id", "rnk")
+    },
+      Some("""SELECT user_id, event_id, rnk FROM (
+        SELECT user_id, event_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS BIGINT) AS rnk
+        FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""")),
+
+    // J5: CDC/upsert diff via full-outer join + sha-style change detection.
+    ("q08_upsert_diff", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      val old = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val nw = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      old.join(nw, Seq("o_orderkey"), "full_outer")
+        .withColumn("bucket",
+          when(col("old_price").isNull, "created")
+            .when(col("new_price").isNull, "deleted")
+            .when(col("old_price") =!= col("new_price"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("new_price"), lit(0.0))), 2).as("new_total"))
+        .orderBy("bucket")
+    },
+      Some("""WITH old AS (
+          SELECT o_orderkey, o_totalprice AS old_price FROM orders WHERE o_orderkey % 3 <> 0),
+        nw AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS new_price
+          FROM orders WHERE o_orderkey % 5 <> 0),
+        j AS (SELECT
+            CASE WHEN old_price IS NULL THEN 'created'
+                 WHEN new_price IS NULL THEN 'deleted'
+                 WHEN old_price <> new_price THEN 'changed'
+                 ELSE 'unchanged' END AS bucket, new_price
+          FROM old FULL OUTER JOIN nw USING (o_orderkey))
+        SELECT bucket, count(*) AS n,
+          round(sum(coalesce(new_price, 0.0)), 2) AS new_total
+        FROM j GROUP BY bucket ORDER BY bucket""")),
+
+    // U3: set difference in both directions (parts seen only at high /
+    // only at low order quantity).
+    ("q09_setdiff_partkeys", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      val hi = li.filter(col("l_quantity") >= 45).select(col("l_partkey").as("k")).distinct()
+      val lo = li.filter(col("l_quantity") <= 5).select(col("l_partkey").as("k")).distinct()
+      hi.except(lo).withColumn("direction", lit("hi_only"))
+        .unionByName(lo.except(hi).withColumn("direction", lit("lo_only")))
+        .select("direction", "k").orderBy("direction", "k")
+    },
+      Some("""SELECT 'hi_only' AS direction, k FROM (
+          SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity >= 45
+          EXCEPT SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity <= 5)
+        UNION ALL
+        SELECT 'lo_only' AS direction, k FROM (
+          SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity <= 5
+          EXCEPT SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity >= 45)
+        ORDER BY direction, k""")),
+
+    // C5: size-estimation stats (count + byte sums per group).
+    ("q10_stats_documents", (s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // §2.9 JSON scalar path: get_json_object over the events props column.
+    ("q11_json_props", (s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // P5: regex allow/deny filter.
+    ("q12_regex_filter", (s: SparkSession, d: String) =>
+      t(s, d, "part")
+        .filter(regexp_like(col("p_name"), lit("a")) &&
+          !regexp_like(col("p_brand"), lit("4$")))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n FROM part
+        WHERE regexp_matches(p_name, 'a') AND NOT regexp_matches(p_brand, '4$')
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // O4/C1: LRU capacity trim as a table transform (keep 5 most recent per user).
+    ("q13_lru_trim", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), asc("event_id"))
+      t(s, d, "events")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("retained"), round(sum(col("value")), 6).as("retained_value"))
+        .orderBy("user_id")
+    },
+      Some("""SELECT user_id, count(*) AS retained,
+        round(sum(value), 6) AS retained_value
+        FROM (SELECT user_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rnk
+          FROM events) WHERE rnk <= 5
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // P8/C3: cache-miss anti-join ((user,type) pairs not seen in the first chunk).
+    ("q14_cache_miss", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val needed = ev.select("user_id", "event_type").distinct()
+      val cached = ev.filter(col("event_id") <= 2000).select("user_id", "event_type").distinct()
+      needed.join(cached, Seq("user_id", "event_type"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("misses"))
+        .orderBy("event_type")
+    },
+      Some("""WITH needed AS (SELECT DISTINCT user_id, event_type FROM events),
+        cached AS (SELECT DISTINCT user_id, event_type FROM events WHERE event_id <= 2000)
+        SELECT event_type, count(*) AS misses FROM (
+          SELECT * FROM needed EXCEPT SELECT * FROM cached)
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // P3/P4: entity listing projection without the heavy vector column.
+    ("q15_projection", (s: SparkSession, d: String) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim
+        FROM embeddings ORDER BY vec_id""")),
+
+    // U2/P7: dedup-before-embed cardinality.
+    ("q16_distinct_texts", (s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .agg(count(lit(1)).as("n_texts"), countDistinct(col("text")).as("n_distinct")),
+      Some("SELECT count(*) AS n_texts, count(DISTINCT text) AS n_distinct FROM documents"))
+  )
+
+  // ---- probmethods (§2.4): each method as a grouped aggregation with a
+  // DuckDB-reproducible formula; x kept strictly in (0,1) where the method's
+  // 0/1 guards would otherwise collapse every group.
+  private lazy val probmethods: Seq[Q] = {
+    def grouped(name: String, sparkAgg: Column, sqlAgg: String): Q =
+      (name, (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(round(sparkAgg, 6).as("score"))
+          .orderBy("l_returnflag", "l_linestatus"),
+        Some(s"""SELECT l_returnflag, l_linestatus, round($sqlAgg, 6) AS score
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus"""))
+
+    Seq(
+      grouped("q20_pm_mean", PM.mean(col("l_discount")), sqlPmMean("l_discount")),
+      grouped("q21_pm_harmonic", PM.harmonicMean(col("l_discount")), sqlPmHarmonic("l_discount")),
+      grouped("q22_pm_quadratic", PM.quadraticMean(col("l_discount")), sqlPmQuadratic("l_discount")),
+      grouped("q23_pm_geometric", PM.geometricMean(xShiftCol), sqlPmGeometric(xShift)),
+      grouped("q24_pm_evew", PM.evewAvg(xShiftCol), sqlPmEvew(xShift)),
+      grouped("q25_pm_hvew", PM.hvewAvg(xShiftCol), sqlPmHvew(xShift)),
+      grouped("q26_pm_lvew", PM.lvewAvg(xShiftCol), sqlPmLvew(xShift)),
+      // DictionaryWeightedAverage: weight keyed by l_linestatus; 'F' is
+      // missing from the map -> weight 1 (the reference's missing-key rule).
+      ("q27_pm_dwa", (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(PM.dictionaryWeightedAverage(
+            col("l_linestatus"), col("l_discount"), Map("O" -> 2.0)), 6).as("score"))
+          .orderBy("l_returnflag"),
+        Some("""SELECT l_returnflag,
+          round(sum((coalesce(CASE WHEN l_linestatus = 'O' THEN 2.0 END, 1.0)) * l_discount)
+            / sum(coalesce(CASE WHEN l_linestatus = 'O' THEN 2.0 END, 1.0)), 6) AS score
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      // §2.11 data-driven dispatch: the method NAME is a per-group column.
+      ("q28_pm_dispatch", (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .withColumn("method",
+            when(col("l_returnflag") === "A", "Mean")
+              .when(col("l_returnflag") === "N", "HarmonicMean")
+              .otherwise("QuadraticMean"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(round(PM.forMethodCol(col("method"), lit(null).cast("string"),
+            col("l_linestatus"), col("l_discount")), 6).as("score"))
+          .orderBy("l_returnflag", "l_linestatus"),
+        Some(s"""SELECT l_returnflag, l_linestatus,
+          round(CASE WHEN l_returnflag = 'A' THEN ${sqlPmMean("l_discount")}
+                WHEN l_returnflag = 'N' THEN ${sqlPmHarmonic("l_discount")}
+                ELSE ${sqlPmQuadratic("l_discount")} END, 6) AS score
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus"""))
+    )
+  }
+
+  // ---- §2.3 similarity + vector search: scored over adjacent-id pairs so
+  // the oracle can reproduce every value with DuckDB list lambdas.
+  private lazy val vector: Seq[Q] = {
+    def simPairs(name: String, sparkSim: (Column, Column) => Column, sqlSim: String): Q =
+      (name, (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+          .select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            round(sparkSim(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+          .orderBy("vec_a")
+      },
+        Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round($sqlSim, 6) AS sim
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          ORDER BY vec_a"""))
+
+    val A = "a.embedding"; val B = "b.embedding"
+    Seq(
+      simPairs("q30_sim_cosine", VF.cosine01, sqlCos01(A, B)),
+      simPairs("q31_sim_euclidian", VF.euclidian01, sqlEuclid01(A, B)),
+      simPairs("q32_sim_manhattan", VF.manhattan01, sqlManhattan01(A, B)),
+      simPairs("q33_sim_pearson", VF.pearson, sqlPearson(A, B)),
+
+      // Batch top-k similarity join (beyond-reference: many queries × corpus
+      // in one scan; queries broadcast, per-query window ranking).
+      ("q34_sim_topk", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        SearchEngine.topKJoin(e.filter(col("vec_id") < 10), e, 5)
+          .orderBy("query_id", "rnk")
+      },
+        Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+          scored AS (SELECT q.query_id, e.vec_id,
+            round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim
+            FROM embeddings e CROSS JOIN q),
+          ranked AS (SELECT query_id, vec_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk, sim
+            FROM scored)
+          SELECT query_id, vec_id, rnk, sim FROM ranked WHERE rnk <= 5
+          ORDER BY query_id, rnk""")),
+
+      // The core search shape (§2.3): broadcast 1-query scoring join, then
+      // TWO data-driven aggregation levels (method chosen per group), then
+      // top-k — the reference's Searchdomain.Search re-expressed on the
+      // synthetic embeddings table (entity=label, datapoint=vec_id%7).
+      ("q35_search_twolevel", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("sim", VF.cosine01(col("embedding"), col("qe")))
+          .withColumn("dp", pmod(col("vec_id"), lit(7L)))
+          .withColumn("dp_method",
+            when(pmod(col("dp"), lit(3L)) === 0, "Mean")
+              .when(pmod(col("dp"), lit(3L)) === 1, "QuadraticMean")
+              .otherwise("LVEWAvg"))
+        val l1 = scored.groupBy(col("label"), col("dp"))
+          .agg(PM.forMethodCol(col("dp_method"), lit(null).cast("string"),
+            col("dp").cast("string"), col("sim")).as("dp_score"))
+        val l2 = l1
+          .withColumn("ent_method",
+            when(pmod(col("label"), lit(2)) === 0, "Mean").otherwise("HarmonicMean"))
+          .groupBy("label")
+          .agg(PM.forMethodCol(col("ent_method"), lit(null).cast("string"),
+            col("dp").cast("string"), col("dp_score")).as("score"))
+        l2.select(col("label"), round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), asc("label"))
+          .limit(5)
+      },
+        Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          scored AS (SELECT e.label, e.vec_id % 7 AS dp,
+            ${sqlCos01("e.embedding", "q.qe")} AS sim
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+          l1 AS (SELECT label, dp,
+            CASE WHEN dp % 3 = 0 THEN ${sqlPmMean("sim")}
+                 WHEN dp % 3 = 1 THEN ${sqlPmQuadratic("sim")}
+                 ELSE ${sqlPmLvew("sim")} END AS dp_score
+            FROM scored GROUP BY label, dp),
+          l2 AS (SELECT label,
+            CASE WHEN label % 2 = 0 THEN ${sqlPmMean("dp_score")}
+                 ELSE ${sqlPmHarmonic("dp_score")} END AS score
+            FROM l1 GROUP BY label)
+          SELECT label, round(score, 6) AS score FROM l2
+          ORDER BY score DESC, label LIMIT 5""")),
+
+      // Embedding near-dup via sign-LSH buckets + exact cosine verify: the
+      // corpus is the table plus a scaled copy (cosine-invariant, so each
+      // original pairs with its copy at sim 1.0).
+      ("q36_embed_neardup", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("vec"), x => x * 1.001).as("vec")))
+        Dedup.embeddingNearDup(corpus, "vec_id", "vec", 12, 0.999)
+          .orderBy("vec_a", "vec_b")
+      },
+        Some {
+          val bucket = (1 to 12).map(i =>
+            s"(CASE WHEN vec[$i] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+          s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          corpus AS (SELECT vec_id, vec FROM base
+            UNION ALL SELECT vec_id + 10000, list_transform(vec, x -> x * 1.001) FROM base),
+          keyed AS (SELECT vec_id, vec, $bucket AS bucket FROM corpus),
+          pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(${sqlCos01("a.vec", "b.vec")}, 6) AS sim
+            FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.999
+          ORDER BY vec_a, vec_b"""
+        })
+    )
+  }
+  // ---- §2.9 + LLM-pipeline text analysis & dedup over `documents`.
+  private lazy val textual: Seq[Q] = {
+    val toks = sqlTokens("text")
+    val toksLower = sqlTokens("lower(text)")
+
+    Seq(
+      // Content hashing exactly as the reference stores it (base64(sha256)),
+      // plus the portable 32-bit md5-prefix hash.
+      ("q40_text_hashes", (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TF.contentHash(col("text")).as("content_hash"),
+            TF.hash32(col("text")).as("h32"))
+          .orderBy("doc_id"),
+        Some(s"""SELECT doc_id, ${sqlContentHash("text")} AS content_hash,
+          ${sqlHash32("text")} AS h32 FROM documents ORDER BY doc_id""")),
+
+      // Token statistics + associative fingerprint + simhash per doc.
+      ("q41_text_stats", (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            round(TF.meanTokenLength(col("text")), 6).as("mean_tok_len"),
+            TF.fingerprint(col("toks")).as("fingerprint"),
+            TF.simhash(col("toks")).as("simhash"))
+          .orderBy("doc_id"),
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          tokrows AS (SELECT doc_id, ${sqlHash32("t.tok")} AS h
+            FROM tok, unnest(toks) AS t(tok)),
+          counters AS (SELECT doc_id, b.b,
+            sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+            FROM tokrows CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+            GROUP BY doc_id, b.b),
+          sims AS (SELECT doc_id,
+            CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM counters GROUP BY doc_id)
+          SELECT tok.doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> CAST(len(x) AS DOUBLE))) / CAST(len(toks) AS DOUBLE) END, 6) AS mean_tok_len,
+            CAST(list_sum(list_transform(range(1, len(toks)+1), i -> ${sqlHash32("toks[i]")} * i)) % 2147483647 AS BIGINT) AS fingerprint,
+            sims.simhash
+          FROM tok JOIN sims ON tok.doc_id = sims.doc_id
+          ORDER BY tok.doc_id""")),
+
+      // Heuristic language-ID (marker-token arg-max with precedence order).
+      ("q42_lang_id", (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+        Some {
+          val counts = TF.langMarkers.map { case (lang, ms) =>
+            val inList = ms.map(m => s"'$m'").mkString(", ")
+            lang -> s"len(list_filter(tl, x -> x IN ($inList)))"
+          }
+          val cols = counts.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")
+          val best = counts.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+          val caseArms = counts.map { case (l, _) =>
+            s"WHEN c_$l = best AND c_$l > 0 THEN '$l'"
+          }.mkString(" ")
+          s"""WITH tok AS (SELECT doc_id, $toksLower AS tl FROM documents),
+          c AS (SELECT doc_id, $cols FROM tok),
+          b AS (SELECT *, $best AS best FROM c)
+          SELECT doc_id, CASE $caseArms ELSE 'und' END AS lang_pred FROM b
+          ORDER BY doc_id"""
+        }),
+
+      // Composite quality score (length / stopword / punctuation).
+      ("q43_quality", (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+        Some {
+          val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+            .map(m => s"'$m'").mkString(", ")
+          s"""WITH f AS (SELECT doc_id,
+            CAST(len($toks) AS DOUBLE) AS n,
+            CASE WHEN len($toksLower) = 0 THEN 0.0
+              ELSE CAST(len(list_filter($toksLower, x -> x IN ($stop))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END AS stop_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio
+            FROM documents)
+          SELECT doc_id, round((least(n / 100.0, 1.0) + least(stop_ratio * 5.0, 1.0)
+            + greatest(1.0 - punct_ratio * 5.0, 0.0)) / 3.0, 6) AS quality
+          FROM f ORDER BY doc_id"""
+        }),
+
+      // Exact dedup pipeline over the corpus + a duplicated copy: one keeper
+      // per distinct content, duplicate count (groupBy on the 44-char hash,
+      // never the text — the 100 TB-safe shape).
+      ("q44_dedup_exact", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Dedup.exact(corpus, "doc_id", "text").orderBy("keeper")
+      },
+        Some(s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 10000, text FROM documents)
+        SELECT ${sqlContentHash("text")} AS content_hash,
+          min(doc_id) AS keeper, count(*) - 1 AS dup_count
+        FROM corpus GROUP BY content_hash ORDER BY keeper""")),
+
+      // MinHash-LSH near-dup pipeline over the corpus + a perturbed copy
+      // (one appended token): banding -> candidate equi-join -> Jaccard
+      // verify. Never all-pairs.
+      ("q45_dedup_minhash", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        Dedup.minhashLsh(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+        Some {
+          val numHashes = 12; val bands = 4; val rows = 3
+          val sigExprs = (0 until numHashes).map { k =>
+            val mult = 2L * k + 3L; val add = k * 2654435761L
+            s"list_min(list_transform(hashes, h -> (h * $mult + $add) % 4294967296))"
+          }
+          val sig = sigExprs.mkString("[", ", ", "]")
+          val bandExprs = (0 until bands).map { b =>
+            val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)").mkString(", ")
+            s"concat_ws(',', '$b', $vals)"
+          }.mkString("[", ", ", "]")
+          s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents),
+          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+          sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok),
+          hs AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS hashes
+            FROM sh WHERE len(shingles) > 0),
+          sg AS (SELECT doc_id, hashes, $sig AS sig FROM hs),
+          bands AS (SELECT doc_id, unnest($bandExprs) AS band FROM sg),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          verified AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+              / CAST(len(list_distinct(ha.hashes || hb.hashes)) AS DOUBLE) AS jaccard
+            FROM cand c
+            JOIN hs ha ON ha.doc_id = c.doc_a
+            JOIN hs hb ON hb.doc_id = c.doc_b)
+          SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
+          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+        }),
+
+      // SimHash near-dup: bucket by top bits (bucketed join, not all-pairs),
+      // Hamming-verify within buckets.
+      ("q46_dedup_simhash", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        Dedup.simhashPairs(corpus, "doc_id", "text", bucketShift = 24, maxHamming = 10)
+          .orderBy("doc_a", "doc_b")
+      },
+        Some(s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents),
+        tok AS (SELECT doc_id, $toks AS toks FROM corpus WHERE len($toks) > 0),
+        tokrows AS (SELECT doc_id, ${sqlHash32("t.tok")} AS h
+          FROM tok, unnest(toks) AS t(tok)),
+        counters AS (SELECT doc_id, b.b,
+          sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          FROM tokrows CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+          GROUP BY doc_id, b.b),
+        sims AS (SELECT doc_id,
+          CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+          FROM counters GROUP BY doc_id),
+        keyed AS (SELECT doc_id, simhash, simhash >> 24 AS bucket FROM sims)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        ORDER BY doc_a, doc_b""")),
+
+      // S1/S3 analogue: corpus -> datapoint assembly (title = first 8
+      // tokens, body = full text), summarized per datapoint name.
+      ("q50_domain_assembly", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val title = concat_ws(" ", slice(TF.tokens(col("text")), 1, 8))
+        docs.select(col("doc_id"),
+          explode(array(
+            struct(lit("title").as("name"), title.as("dp_text")),
+            struct(lit("body").as("name"), col("text").as("dp_text")))).as("dp"))
+          .select(col("doc_id"), col("dp.name").as("name"), col("dp.dp_text").as("dp_text"))
+          .groupBy("name")
+          .agg(count(lit(1)).as("n"),
+            sum(size(TF.tokens(col("dp_text"))).cast("long")).as("total_tokens"))
+          .orderBy("name")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks, text FROM documents),
+        dp AS (
+          SELECT doc_id, 'title' AS name, array_to_string(toks[1:8], ' ') AS dp_text FROM tok
+          UNION ALL SELECT doc_id, 'body', text FROM tok)
+        SELECT name, count(*) AS n,
+          CAST(sum(len(${sqlTokens("dp_text")})) AS BIGINT) AS total_tokens
+        FROM dp GROUP BY name ORDER BY name""")),
+
+      // Full engine flagship (no SQL oracle — the stub embedder is not
+      // SQL-expressible; verified instead by EngineSpec against a
+      // straight-line Scala oracle).
+      ("q60_search_documents", (s: SparkSession, d: String) => {
+        val domain = SearchEngine.buildDomain(s, t(s, d, "documents"),
+          Seq("stub:alpha", "stub:beta"), dim = 32)
+        val q = SearchEngine.queryEmbeddings(s, domain, "spark shuffle join window", 32)
+        SearchEngine.search(domain, q, 10)
+      }, None)
+    )
+  }
+
+  lazy val all: Seq[Q] = relational ++ probmethods ++ vector ++ textual
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, f, _) => n -> f }.toMap
+  lazy val oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

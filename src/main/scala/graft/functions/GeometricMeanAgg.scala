@@ -21,7 +21,7 @@ object GeometricMeanAgg extends Aggregator[Float, (Float, Long), Float] {
     (b1._1 * b2._1, b1._2 + b2._2)
   def finish(r: (Float, Long)): Float =
     if (r._2 == 0) 0.0f
-    else math.pow(r._1.toDouble, 1.0 / r._2.toLong).toFloat
+    else math.pow(r._1.toDouble, (1.0f / r._2).toDouble).toFloat
   def bufferEncoder: Encoder[(Float, Long)] = Encoders.tuple(Encoders.scalaFloat, Encoders.scalaLong)
   def outputEncoder: Encoder[Float] = Encoders.scalaFloat
 }

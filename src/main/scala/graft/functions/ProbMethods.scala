@@ -54,17 +54,22 @@ object ProbMethods {
     sqrt(coalesce(sum(xd * xd), lit(0.0)) / count(lit(1)).cast(DoubleType))
   }
 
-  /** Geometric mean for non-negative inputs via exp(mean(ln x)) with a
-    * zero-guard. NOTE: for bit-faithful parity with the reference's running
-    * float product (underflow included, `Probmethods.cs:105-114`) use
-    * [[graft.functions.GeometricMeanAgg]]; this Column form is the
-    * SQL-expressible variant used by the oracle-checked queries.
+  /** Geometric mean via exp(mean(ln |x|)) with sign handling that mirrors
+    * the reference's `pow(product, 1/n)` (`Probmethods.cs:105-114`): any
+    * zero -> 0; an odd count of negatives makes the product negative and
+    * `Math.Pow` returns NaN; an even count yields the positive product.
+    * NOTE: for bit-faithful parity with the reference's running float
+    * product (underflow included) use [[graft.functions.GeometricMeanAgg]];
+    * this Column form is the SQL-expressible variant used by the
+    * oracle-checked queries.
     */
   def geometricMean(x: Column): Column = {
     val xd = d(x)
+    val negParity = pmod(sum(when(xd < 0.0, 1L).otherwise(0L)), lit(2L))
     when(count(lit(1)) === 0, 0.0)
-      .when(min(xd) === 0.0, 0.0)
-      .otherwise(exp(avg(log(xd))))
+      .when(min(abs(xd)) === 0.0, 0.0)
+      .when(negParity === 1L, Double.NaN)
+      .otherwise(exp(avg(log(abs(xd)))))
   }
 
   /** Extreme-values-emphasis weighted average; w = 1/(x(1-x)). */
@@ -158,6 +163,7 @@ object ProbMethods {
       .when(m === "LVEWAvg", lvewAvg(x))
       .when(m === "DictionaryWeightedAverage",
         dictionaryWeightedAverageJson(key, x, paramCol))
+      .otherwise(raise_error(concat(lit("Unknown probmethod: "), m)).cast(DoubleType))
   }
 
   /** Minimal JSON object parser for `{"key": number, ...}` weight maps — the

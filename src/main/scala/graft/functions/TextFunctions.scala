@@ -41,26 +41,40 @@ object TextFunctions {
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
 
-  /** One MinHash value: min over shingles of hash32(seed:shingle). Empty
-    * shingle set -> null.
+  /** Base hash per shingle — computed ONCE per shingle; the k minhash
+    * functions are derived from it with cheap affine mixes (standard
+    * one-hash-many-permutations trick). At 100 TB this turns
+    * numHashes × shingles md5 calls per doc into shingles md5 calls.
     */
-  def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, s => hash32(concat(lit(s"$seed:"), s))))
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => hash32(s))
 
-  /** Full MinHash signature of `numHashes` values. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(seed => minhash(shingleCol, seed)): _*)
+  /** k-th minhash permutation over pre-computed base hashes:
+    * h_k = (h·(2k+3) + k·2654435761) mod 2^32 — odd multiplier, stays in
+    * long range (h < 2^32, multiplier < 2^7), portable to any SQL engine.
+    * Empty shingle set -> null.
+    */
+  def minhashFromHashes(hashes: Column, seed: Int): Column =
+    array_min(transform(hashes,
+      h => pmod(h * lit(2L * seed + 3L) + lit(seed * 2654435761L), lit(4294967296L))))
+
+  /** Full MinHash signature of `numHashes` values from base hashes. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(seed => minhashFromHashes(hashes, seed)): _*)
 
   /** LSH band keys: the signature split into `bands` bands of
     * `rows = numHashes/bands` values each, each band reduced to a single
     * string key "bandIdx:v1,v2,...". Docs sharing any band key are
     * candidate near-duplicates (classic MinHash-LSH banding).
+    * Docs with no shingles (shorter than k tokens) get NO band keys —
+    * otherwise every short doc would collide into one "null" bucket.
     */
   def lshBands(signature: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      concat_ws(",",
-        lit(s"$b") +: (0 until rows).map(r => element_at(signature, b * rows + r + 1).cast("string")): _*)
-    }: _*)
+    when(element_at(signature, 1).isNull, array().cast("array<string>"))
+      .otherwise(array((0 until bands).map { b =>
+        concat_ws(",",
+          lit(s"$b") +: (0 until rows).map(r => element_at(signature, b * rows + r + 1).cast("string")): _*)
+      }: _*))
 
   /** 32-bit SimHash over a token array (weight 1 per token occurrence):
     * bit i of the result is set iff sum over tokens of ±1 (per token-hash

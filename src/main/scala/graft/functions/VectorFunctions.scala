@@ -91,4 +91,5 @@ object VectorFunctions {
       .when(method === "Euclidian", euclidian01(a, b))
       .when(method === "Manhattan", manhattan01(a, b))
       .when(method === "Pearson", pearson(a, b))
+      .otherwise(raise_error(concat(lit("Unknown similarity method: "), method)).cast("double"))
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication pipelines for large-scale training-data curation — the
+  * scale-critical property of every pipeline here is that candidate
+  * generation is a BUCKETED equi-join (band key / hash-prefix / sign-LSH
+  * key), never an all-pairs cross join, so the shuffle volume is
+  * O(candidates), not O(n^2).
+  *
+  * The expression primitives live in [[graft.functions.TextFunctions]]; this
+  * module wires them into end-to-end DataFrame transforms.
+  */
+object Dedup {
+
+  /** Exact dedup by full-content hash: one row per distinct content with the
+    * minimum id as the canonical keeper and the duplicate count.
+    * A single hash-partitioned groupBy — at 100 TB this is the cheapest
+    * possible shape (map-side partial agg on a 44-char key, never the text).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", contentHash(col(textCol)))
+      .groupBy("content_hash")
+      .agg(
+        min(col(idCol)).as("keeper"),
+        (count(lit(1)) - 1L).as("dup_count"))
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * docs --tokens--> k-shingles --md5 once per shingle--> base hashes
+    * --affine mixes--> signature --banding--> exploded band keys
+    * --equi-join on band key--> candidate pairs --Jaccard verify--> pairs.
+    *
+    * Returns (doc_a, doc_b, jaccard) for verified pairs with
+    * jaccard >= threshold. Docs shorter than `shingleK` tokens produce no
+    * band keys and therefore no candidates (cannot be near-dup'd by this
+    * method; handle them with [[exact]]).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must be divisible by bands")
+
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks"), shingleK))
+      // md5 once per shingle; the numHashes permutations are cheap mixes
+      .withColumn("hashes", array_distinct(shingleHashes(col("sh"))))
+      .select("doc_id", "hashes")
+
+    val banded = hashed
+      .withColumn("sig", minhashSignature(col("hashes"), numHashes))
+      .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
+      .select("doc_id", "band")
+
+    // Candidate pairs: equi-join on band key (bucketed, never all-pairs).
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // Verify with exact Jaccard over the distinct shingle-hash sets.
+    cand
+      .join(hashed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hashes", "ha"), "doc_a")
+      .join(hashed.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hashes", "hb"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 32-bit simhash per doc, bucketed by the
+    * top `32 - bucketShift` bits (docs in different buckets are never
+    * compared — at scale this is the difference between a shuffle join and
+    * an impossible cross join), then Hamming-verified within buckets.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketShift: Int = 24,
+      maxHamming: Int = 8): DataFrame = {
+    val sims = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("simhash", simhash(col("toks")))
+      .withColumn("bucket", shiftright(col("simhash"), bucketShift))
+      .select("doc_id", "simhash", "bucket")
+
+    sims.as("a")
+      .join(sims.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", hammingDistance(col("a.simhash"), col("b.simhash")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+
+  /** Embedding near-duplicate pairs via sign-LSH (random-hyperplane family,
+    * axis-aligned planes): bucket key = sign bits of the first `signBits`
+    * dimensions; candidates share a bucket; verify with exact cosine.
+    * `embs` must carry (`id`, `vec` array<double>). Returns
+    * (vec_a, vec_b, sim) with cosine01 >= minCos01.
+    */
+  def embeddingNearDup(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      signBits: Int = 12,
+      minCos01: Double = 0.999): DataFrame = {
+    import graft.functions.VectorFunctions
+    val bucket: Column = (1 to signBits).map { i =>
+      when(element_at(col("vec"), i) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", bucket)
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(VectorFunctions.cosine01(col("a.vec"), col("b.vec")), 6))
+      .filter(col("sim") >= minCos01)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("sim"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Domain, StubEmbedder}
+import graft.functions.{ProbMethods, TextFunctions, VectorFunctions}
+
+/** The core semantic-search engine re-expressed Spark-first.
+  *
+  * Reference shape (LD-Reborn/embeddingsearch `src/Server/Searchdomain.cs:183-258`):
+  * a query is scored against every entity — per-model similarity (level 0),
+  * per-datapoint aggregation across models (level 1, method chosen by the
+  * DATAPOINT), per-entity aggregation across datapoints (level 2, method
+  * chosen by the ENTITY), global sort desc, top-N.
+  *
+  * Spark mapping: broadcast the (model, query_vec) rows (M rows — always
+  * tiny), BroadcastHashJoin against the embeddings table, two data-driven
+  * HashAggregates, then `orderBy(desc).limit(n)` which Spark plans as
+  * TakeOrderedAndProject (no global sort shuffle). The only wide exchange is
+  * the level-1 groupBy keyed by (entity_id, datapoint name); level 2 groups
+  * by a prefix of the same key, so with partial aggregation the second
+  * shuffle moves one row per (entity, datapoint) — negligible.
+  */
+object SearchEngine {
+
+  /** Index a document corpus into the §1.3 domain tables (S1/S3 analogue of
+    * the reference Indexer's file-corpus script,
+    * `src/Indexer/Scripts/example.py:52-66`): each document becomes an
+    * entity with a `title` datapoint (first 8 tokens) and a `body`
+    * datapoint (full text). Texts are deduplicated before the embed stage
+    * (P7/U2, `SearchdomainHelper.cs:88-94`) so inference cost is
+    * O(distinct texts), not O(datapoints).
+    */
+  def buildDomain(
+      spark: SparkSession,
+      docs: DataFrame,
+      models: Seq[String],
+      dim: Int,
+      domainName: String = "docs"): Domain = {
+    val entities = docs.select(
+      lit(domainName).as("searchdomain"),
+      col("doc_id").as("entity_id"),
+      concat(lit("doc_"), col("doc_id")).as("name"),
+      lit("Mean").as("probmethod"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("attributes"))
+
+    val title = concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8))
+    val datapoints = docs.select(
+      col("doc_id").as("entity_id"),
+      explode(array(
+        struct(lit("title").as("name"), title.as("text")),
+        struct(lit("body").as("name"), col("text").as("text")))).as("dp"))
+      .select(
+        lit(domainName).as("searchdomain"),
+        col("entity_id"),
+        (col("entity_id") * 2 + when(col("dp.name") === "title", 0).otherwise(1))
+          .cast("long").as("datapoint_id"),
+        col("dp.name").as("name"),
+        lit("Mean").as("probmethod"),
+        // vary the similarity method per datapoint to exercise dispatch
+        element_at(
+          array(lit("Cosine"), lit("Euclidian"), lit("Manhattan"), lit("Cosine")),
+          (pmod(col("entity_id"), lit(4)) + 1).cast("int")).as("similaritymethod"),
+        TextFunctions.contentHash(col("dp.text")).as("hash"),
+        col("dp.text").as("text"))
+
+    val embedCol = StubEmbedder.embedColumn(spark, dim)
+    // P7/U2: embed each distinct (model, text) once, then join back.
+    val distinctTexts = datapoints.select(col("text")).distinct()
+      .crossJoin(spark.createDataFrame(models.map(Tuple1(_))).toDF("model"))
+      .withColumn("embedding", embedCol(col("model"), col("text")))
+    val embeddings = datapoints
+      .join(distinctTexts, "text")
+      .select(
+        col("searchdomain"), col("entity_id"), col("datapoint_id"),
+        col("model"), col("embedding"))
+
+    Domain(entities, datapoints.drop("text"), embeddings)
+  }
+
+  /** Embed a query string under every model in use (U1 distinct models —
+    * `Searchdomain.cs:260-282`) and return the broadcastable
+    * (model, query_vec) frame (`GetQueryEmbeddings`, `Searchdomain.cs:212-235`).
+    */
+  def queryEmbeddings(spark: SparkSession, domain: Domain, query: String, dim: Int): DataFrame = {
+    val embedCol = StubEmbedder.embedColumn(spark, dim)
+    domain.embeddings.select(col("model")).distinct()
+      .withColumn("query_vec", embedCol(col("model"), lit(query)))
+  }
+
+  /** The search pipeline. `qEmb` has (model, query_vec) — always broadcast.
+    * Returns (name, score) top-N descending.
+    */
+  def search(domain: Domain, qEmb: DataFrame, topN: Int): DataFrame = {
+    val scored = domain.embeddings
+      .join(broadcast(qEmb), "model") // J1: BroadcastHashJoin, M query rows
+      .join(domain.datapoints.select(
+        col("datapoint_id"), col("name").as("dp_name"),
+        col("probmethod").as("dp_probmethod"),
+        col("similaritymethod")), "datapoint_id")
+      .withColumn("sim",
+        VectorFunctions.similarityCol(col("similaritymethod"), col("embedding"), col("query_vec")))
+
+    // Level 1: across models, method chosen by the datapoint.
+    val dpScores = scored
+      .groupBy(col("entity_id"), col("dp_name"))
+      .agg(
+        ProbMethods.forMethodCol(
+          col("dp_probmethod"), lit(null).cast("string"), col("model"), col("sim"))
+          .as("dp_score"))
+
+    // Level 2: across datapoints, method chosen by the entity.
+    val entScores = dpScores
+      .join(domain.entities.select(
+        col("entity_id"), col("name"), col("probmethod").as("ent_probmethod")), "entity_id")
+      .groupBy(col("entity_id"), col("name"))
+      .agg(
+        ProbMethods.forMethodCol(
+          col("ent_probmethod"), lit(null).cast("string"), col("dp_name"), col("dp_score"))
+          .as("score"))
+
+    // O1/O2: TakeOrderedAndProject, never a global sort.
+    entScores
+      .select(col("name"), col("score"))
+      .orderBy(desc("score"), asc("name"))
+      .limit(topN)
+  }
+
+  /** Batch top-k similarity join — the beyond-reference capability: MANY
+    * queries × corpus in one job (the reference only does 1×N,
+    * `Searchdomain.cs:193-197`). Queries are broadcast; ranking is a
+    * per-query window (row_number), so the corpus is scanned once total,
+    * not once per query.
+    */
+  def topKJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")))
+      .withColumn("sim",
+        round(VectorFunctions.cosine01(col("c.embedding"), col("q.embedding")), 6))
+    val w = Window.partitionBy(col("q.vec_id")).orderBy(desc("sim"), asc("c.vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("vec_id"),
+        col("rnk"), col("sim"))
+  }
+}

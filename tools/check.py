@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: load each Verify output
+parquet, run the registered oracle SQL in DuckDB against the same testdata
+tables, and compare rows/schema/values (exact after the queries' own
+rounding). Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = sorted(got.columns)
+            got_rows = sorted(
+                tuple(norm(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {', '.join(got_cols)} FROM '{out_dir}/{name}/*.parquet'").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_df = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})")
+            exp_rows = sorted(tuple(norm(v) for v in row) for row in exp_df.fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} vs {exp_cols}")
+            n_fail += 1
+        elif len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows {len(got_rows)} vs {len(exp_rows)}")
+            n_fail += 1
+        elif got_rows != exp_rows:
+            bad = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
