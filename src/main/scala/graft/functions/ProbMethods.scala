@@ -48,10 +48,12 @@ object ProbMethods {
     when(nNz === 0.0, 0.0).otherwise(nNz / nzSum * (nNz / nT))
   }
 
-  /** Root mean square. Empty -> NaN preserved (0/0). */
+  /** Root mean square. Empty -> NaN preserved (the reference computes 0/0
+    * in float with no guard — unlike Mean). */
   def quadraticMean(x: Column): Column = {
     val xd = d(x)
-    sqrt(coalesce(sum(xd * xd), lit(0.0)) / count(lit(1)).cast(DoubleType))
+    when(count(lit(1)) === 0, Double.NaN)
+      .otherwise(sqrt(coalesce(sum(xd * xd), lit(0.0)) / count(lit(1)).cast(DoubleType)))
   }
 
   /** Geometric mean via exp(mean(ln |x|)) with sign handling that mirrors

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again extra"), // near dup
+    (4L, "completely different content about database query optimization topics"),
+    (5L, "xy")) // shorter than shingle k
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content and counts dups") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(1L) == 1L) // keeper 1 has exactly one duplicate (doc 2)
+    assert(got(3L) == 0L && got(4L) == 0L && got(5L) == 0L)
+    assert(!got.contains(2L))
+  }
+
+  test("minhash LSH finds exact and near dups, skips short docs, no false pairs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleK = 3, numHashes = 12,
+      bands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> jaccard 1
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // distinct content
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // no shingles -> no bands
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", bucketShift = 24, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs(1L -> 2L) == 0L)
+  }
+
+  test("embedding near-dup: scale-invariant cosine pairs via sign-LSH buckets") {
+    val e = Seq(
+      (1L, Seq(0.5, -0.25, 0.75, -0.1)),
+      (2L, Seq(0.5005, -0.2502, 0.7507, -0.1001)), // ~same direction
+      (3L, Seq(-0.5, 0.25, -0.75, 0.1))) // opposite: different bucket
+      .toDF("vec_id", "vec")
+    val pairs = Dedup.embeddingNearDup(e, "vec_id", "vec", signBits = 4, minCos01 = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
