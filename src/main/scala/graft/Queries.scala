@@ -518,7 +518,10 @@ object Queries {
       // Heuristic language-ID (marker-token arg-max with precedence order).
       ("q42_lang_id", (s: SparkSession, d: String) =>
         t(s, d, "documents")
-          .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+          // materialize the token array once; the convenience langId form
+          // would tokenize ~11x per row inside the marker when-chain
+          .withColumn("tl", TF.tokens(lower(col("text"))))
+          .select(col("doc_id"), TF.langIdFromTokens(col("tl")).as("lang_pred"))
           .orderBy("doc_id"),
         Some {
           val counts = TF.langMarkers.map { case (lang, ms) =>

@@ -124,10 +124,19 @@ object TextFunctions {
 
   /** Heuristic language-ID: greatest marker count wins; ties and all-zero
     * fall through in declaration order, defaulting to "und".
+    *
+    * Prefer [[langIdFromTokens]] over a pre-materialized lowercase token
+    * column in pipelines: this convenience form embeds the tokenize
+    * expression once per marker count (~11 copies), which Catalyst cannot
+    * de-duplicate inside a when-chain of non-codegen HOFs.
     */
-  def langId(text: Column): Column = {
-    val t = tokens(lower(text))
-    val counts = langMarkers.map { case (lang, ms) => lang -> markerCount(t, ms) }
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  /** Language-ID over an already-tokenized lowercase token array column —
+    * materialize it with `withColumn` so the split runs once per row.
+    */
+  def langIdFromTokens(toksLower: Column): Column = {
+    val counts = langMarkers.map { case (lang, ms) => lang -> markerCount(toksLower, ms) }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
       when(c === best && c > 0, lang).otherwise(acc)
