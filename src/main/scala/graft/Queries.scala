@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ProbMethods => PM, TextFunctions => TF, VectorFunctions => VF}
-import graft.ops.Dedup
+import graft.ops.{CacheOps, Dedup, Upsert}
 import graft.search.SearchEngine
 
 /** The driver-facing query registry: every implemented operator from
@@ -299,7 +299,216 @@ object Queries {
     ("q16_distinct_texts", (s: SparkSession, d: String) =>
       t(s, d, "documents")
         .agg(count(lit(1)).as("n_texts"), countDistinct(col("text")).as("n_distinct")),
-      Some("SELECT count(*) AS n_texts, count(DISTINCT text) AS n_distinct FROM documents"))
+      Some("SELECT count(*) AS n_texts, count(DISTINCT text) AS n_distinct FROM documents")),
+
+    // J6: attribute diff over map<string,string> columns (explode + full
+    // outer on (id, key), buckets added/deleted/updated/unchanged).
+    ("q17_attribute_diff", (s: SparkSession, d: String) => {
+      val p = t(s, d, "part")
+      val oldAttrs = p.filter(pmod(col("p_partkey"), lit(3)) =!= 0)
+        .select(col("p_partkey"),
+          map(lit("brand"), col("p_brand"), lit("type"), col("p_type"),
+            lit("pname"), col("p_name")).as("attributes"))
+      val newAttrs = p.filter(pmod(col("p_partkey"), lit(5)) =!= 0)
+        .select(col("p_partkey"),
+          map(lit("brand"), col("p_brand"),
+            lit("type"), when(pmod(col("p_partkey"), lit(7)) === 0, upper(col("p_type")))
+              .otherwise(col("p_type")),
+            lit("size"), col("p_size").cast("string")).as("attributes"))
+      Upsert.attributeDiff(oldAttrs, newAttrs, "p_partkey", "attributes")
+        .groupBy("attr_key", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("attr_key", "bucket")
+    },
+      Some("""WITH oldkv AS (
+          SELECT p_partkey AS id, 'brand' AS attr_key, p_brand AS v FROM part WHERE p_partkey % 3 <> 0
+          UNION ALL SELECT p_partkey, 'type', p_type FROM part WHERE p_partkey % 3 <> 0
+          UNION ALL SELECT p_partkey, 'pname', p_name FROM part WHERE p_partkey % 3 <> 0),
+        newkv AS (
+          SELECT p_partkey AS id, 'brand' AS attr_key, p_brand AS v FROM part WHERE p_partkey % 5 <> 0
+          UNION ALL SELECT p_partkey, 'type',
+            CASE WHEN p_partkey % 7 = 0 THEN upper(p_type) ELSE p_type END FROM part WHERE p_partkey % 5 <> 0
+          UNION ALL SELECT p_partkey, 'size', CAST(p_size AS VARCHAR) FROM part WHERE p_partkey % 5 <> 0),
+        j AS (SELECT coalesce(o.attr_key, n.attr_key) AS attr_key,
+            CASE WHEN o.v IS NULL THEN 'added' WHEN n.v IS NULL THEN 'deleted'
+                 WHEN o.v <> n.v THEN 'updated' ELSE 'unchanged' END AS bucket
+          FROM oldkv o FULL OUTER JOIN newkv n ON o.id = n.id AND o.attr_key = n.attr_key)
+        SELECT attr_key, bucket, count(*) AS n FROM j
+        GROUP BY attr_key, bucket ORDER BY attr_key, bucket""")),
+
+    // S6/J8/U3: cache<->store sync diff on (content key, model key) with the
+    // reference's MERGE buckets; value kept integral (sum of ids) so the
+    // change detection is exact.
+    ("q18_store_sync", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val cache = ev.filter(pmod(col("event_id"), lit(10)) < 8)
+        .groupBy("user_id", "event_type").agg(sum(col("event_id")).as("v"))
+      val store = ev.filter(pmod(col("event_id"), lit(10)) > 1)
+        .groupBy("user_id", "event_type").agg(sum(col("event_id")).as("v"))
+      Upsert.storeSyncDiff(cache, store, "user_id", "event_type", "v")
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+      Some("""WITH cache AS (SELECT user_id, event_type, CAST(sum(event_id) AS BIGINT) AS v
+          FROM events WHERE event_id % 10 < 8 GROUP BY user_id, event_type),
+        store AS (SELECT user_id, event_type, CAST(sum(event_id) AS BIGINT) AS v
+          FROM events WHERE event_id % 10 > 1 GROUP BY user_id, event_type),
+        j AS (SELECT CASE WHEN s.v IS NULL THEN 'model_added'
+                   WHEN c.v IS NULL THEN 'model_removed'
+                   WHEN c.v <> s.v THEN 'changed' ELSE 'unchanged' END AS bucket
+          FROM cache c FULL OUTER JOIN store s
+            ON c.user_id = s.user_id AND c.event_type = s.event_type)
+        SELECT bucket, count(*) AS n FROM j GROUP BY bucket ORDER BY bucket""")),
+
+    // J9: delete-by-entity cascade — anti-join rewrite of each dependent
+    // table (customer -> orders -> lineitem), remaining row counts.
+    ("q19_delete_cascade", (s: SparkSession, d: String) => {
+      val cust = t(s, d, "customer"); val ord = t(s, d, "orders"); val li = t(s, d, "lineitem")
+      val victims = cust.filter(col("c_mktsegment") === "BUILDING")
+      val Seq((_, custLeft), (_, ordLeft)) = Upsert.deleteCascade(
+        Seq(("customer", cust, "c_custkey"), ("orders", ord, "o_custkey")),
+        victims, "c_custkey")
+      val doomedOrders = ord.join(victims.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi").select("o_orderkey")
+      val liLeft = li.join(doomedOrders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      custLeft.agg(count(lit(1)).as("rows_left")).withColumn("table_name", lit("customer"))
+        .unionByName(liLeft.agg(count(lit(1)).as("rows_left")).withColumn("table_name", lit("lineitem")))
+        .unionByName(ordLeft.agg(count(lit(1)).as("rows_left")).withColumn("table_name", lit("orders")))
+        .select("table_name", "rows_left")
+        .orderBy("table_name")
+    },
+      Some("""WITH victims AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        doomed_orders AS (SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM victims))
+        SELECT 'customer' AS table_name, count(*) AS rows_left FROM customer
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM victims)
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM doomed_orders)
+        UNION ALL SELECT 'orders', count(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM victims)
+        ORDER BY table_name"""))
+  )
+
+  // ---- §2.8 cache semantics + §2.10 sessions as table transforms.
+  private lazy val cachesSessions: Seq[Q] = Seq(
+    // O3: sorted-insert of fresh rows into cached descending result lists
+    // (set-at-a-time re-rank of union; reference binary-insert semantics).
+    ("q29_sorted_insert", (s: SparkSession, d: String) => {
+      val ord = t(s, d, "orders")
+      val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val cached = ord
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+        .select(col("o_orderpriority").as("query"),
+          col("o_orderkey").cast("string").as("name"), col("o_totalprice").as("score"))
+      val inserts = ord.filter(col("o_orderkey") <= 20)
+        .select(col("o_orderpriority").as("query"),
+          concat(lit("ins_"), col("o_orderkey")).as("name"),
+          (col("o_totalprice") * 1.1).as("score"))
+      CacheOps.sortedInsert(cached, inserts, Seq("query"))
+        .select(col("query"), col("rank"), col("name"), round(col("score"), 2).as("score"))
+        .orderBy("query", "rank")
+    },
+      Some("""WITH ranked AS (SELECT o_orderpriority AS query, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders),
+        cached AS (SELECT query, CAST(o_orderkey AS VARCHAR) AS name, o_totalprice AS score
+          FROM ranked WHERE rn <= 8),
+        ins AS (SELECT o_orderpriority AS query, 'ins_' || o_orderkey AS name,
+          o_totalprice * 1.1 AS score FROM orders WHERE o_orderkey <= 20),
+        unioned AS (SELECT * FROM cached UNION ALL SELECT * FROM ins)
+        SELECT query, CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, name) AS BIGINT) AS rank,
+          name, round(score, 2) AS score
+        FROM unioned ORDER BY query, rank""")),
+
+    // C2: cache reconciliation — changed entities are removed from every
+    // cached list and their fresh per-query scores sorted-inserted; deleted
+    // entities are removed outright. Lists may grow past the original
+    // truncation (reference semantics).
+    ("q53_cache_reconcile", (s: SparkSession, d: String) => {
+      val ord = t(s, d, "orders")
+      val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val cache = ord
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("o_orderpriority").as("query"),
+          col("o_orderkey").cast("string").as("name"), col("o_totalprice").as("score"))
+      val queries = ord.select(col("o_orderpriority").as("query")).distinct()
+      val changes = ord.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").cast("string").as("name"),
+          (col("o_totalprice") * 1.2).as("score"))
+        .crossJoin(queries)
+      val deletes = ord.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+        .select(col("o_orderkey").cast("string").as("name"))
+      CacheOps.reconcile(cache, changes, deletes, "query")
+        .select(col("query"), col("rank"), col("name"), round(col("score"), 2).as("score"))
+        .orderBy("query", "rank")
+    },
+      Some("""WITH ranked AS (SELECT o_orderpriority AS query, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders),
+        cache AS (SELECT query, CAST(o_orderkey AS VARCHAR) AS name, o_totalprice AS score
+          FROM ranked WHERE rn <= 5),
+        changes AS (SELECT q.query, CAST(o.o_orderkey AS VARCHAR) AS name,
+            o.o_totalprice * 1.2 AS score
+          FROM orders o CROSS JOIN (SELECT DISTINCT o_orderpriority AS query FROM orders) q
+          WHERE o.o_orderkey % 97 = 0),
+        deletes AS (SELECT CAST(o_orderkey AS VARCHAR) AS name FROM orders WHERE o_orderkey % 89 = 0),
+        survivors AS (SELECT * FROM cache
+          WHERE name NOT IN (SELECT name FROM changes)
+            AND name NOT IN (SELECT name FROM deletes)),
+        unioned AS (SELECT * FROM survivors UNION ALL SELECT * FROM changes)
+        SELECT query, CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, name) AS BIGINT) AS rank,
+          name, round(score, 2) AS score
+        FROM unioned ORDER BY query, rank""")),
+
+    // C1: query-cache probe with the truncated-result quirk — a hit returns
+    // the STORED list as-is even when the request asks for more rows.
+    ("q55_query_cache", (s: SparkSession, d: String) => {
+      val ord = t(s, d, "orders")
+      val w = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val ranked = ord.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("o_orderpriority").as("query"), col("rank"),
+          col("o_orderkey").cast("string").as("name"))
+      val cache = ranked.filter(col("rank") <= 3 &&
+        col("query").isin("1-URGENT", "2-HIGH"))
+      val requests = ranked.select("query").distinct().withColumn("topn", lit(8))
+      val probed = CacheOps.probe(requests, cache, "query")
+      val hits = probed.filter(col("rank").isNotNull)
+        .select(col("query"), col("rank"), col("name"), lit("cache").as("source"))
+      val misses = probed.filter(col("rank").isNull).select("query")
+        .join(ranked.filter(col("rank") <= 8), Seq("query"))
+        .select(col("query"), col("rank"), col("name"), lit("fresh").as("source"))
+      hits.unionByName(misses).orderBy("query", "rank")
+    },
+      Some("""WITH ranked AS (SELECT o_orderpriority AS query,
+          CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+          CAST(o_orderkey AS VARCHAR) AS name FROM orders)
+        SELECT query, rank, name, 'cache' AS source FROM ranked
+          WHERE rank <= 3 AND query IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT query, rank, name, 'fresh' AS source FROM ranked
+          WHERE rank <= 8 AND query NOT IN ('1-URGENT', '2-HIGH')
+        ORDER BY query, rank""")),
+
+    // §2.10 chunked sessions: accumulate entity keys across micro-batch
+    // chunks (union), then finalize with the anti-join delete (J7).
+    ("q52_session_chunks", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val existing = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select("user_id").distinct()
+      val chunkOf = (c: Int) => ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+        pmod(col("event_id"), lit(3)) === c && pmod(col("user_id"), lit(7)) =!= 0)
+        .select("user_id")
+      val accumulated = chunkOf(0).unionByName(chunkOf(1)).unionByName(chunkOf(2))
+      Upsert.sessionFinalize(existing, accumulated, Seq("user_id"))
+        .agg(count(lit(1)).as("n_deleted"),
+          min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"))
+    },
+      Some("""WITH existing AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+        accumulated AS (SELECT DISTINCT user_id FROM events
+          WHERE event_id % 2 = 1 AND user_id % 7 <> 0),
+        doomed AS (SELECT user_id FROM existing
+          WHERE user_id NOT IN (SELECT user_id FROM accumulated))
+        SELECT count(*) AS n_deleted, min(user_id) AS min_uid, max(user_id) AS max_uid
+        FROM doomed"""))
   )
 
   // ---- probmethods (§2.4): each method as a grouped aggregation with a
@@ -686,7 +895,7 @@ object Queries {
     )
   }
 
-  lazy val all: Seq[Q] = relational ++ probmethods ++ vector ++ textual
+  lazy val all: Seq[Q] = relational ++ cachesSessions ++ probmethods ++ vector ++ textual
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
