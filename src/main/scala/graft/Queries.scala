@@ -31,9 +31,11 @@ object Queries {
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE)))"
   private def sqlCos01(a: String, b: String): String =
     s"((${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})) + 1.0) / 2.0)"
+  private def sqlL2sq(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
   private def sqlEuclid01(a: String, b: String): String =
-    s"(1.0 / (1.0 + sqrt(list_sum(list_transform(range(1, len($a)+1), " +
-      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))))"
+    s"(1.0 / (1.0 + sqrt(${sqlL2sq(a, b)})))"
   private def sqlManhattan01(a: String, b: String): String =
     s"(1.0 / (1.0 + list_sum(list_transform(range(1, len($a)+1), " +
       s"i -> abs(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))))"
@@ -651,6 +653,40 @@ object Queries {
           SELECT label, round(score, 6) AS score FROM l2
           ORDER BY score DESC, label LIMIT 5""")),
 
+      // IVF approximate nearest-neighbor search: deterministic coarse
+      // centroids (every 25th vector), nearest-centroid assignment, probe
+      // the 3 closest cells per query, exact cosine within cells.
+      ("q37_ann_ivf", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val centroids = graft.search.Ann.sampleCentroids(e, 25)
+        val assigned = graft.search.Ann.ivfAssign(e, centroids)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        graft.search.Ann.ivfSearch(assigned, centroids, queries, k = 5, nprobe = 3)
+          .orderBy("query_id", "rnk")
+      },
+        Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          assigned AS (SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          cells AS (SELECT query_id, cid, qe FROM (
+            SELECT q.query_id, c.cid, q.qe,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlL2sq("q.qe", "c.cvec")}, 6), c.cid) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 3),
+          scored AS (SELECT cells.query_id, a.vec_id,
+            round(${sqlCos01("a.embedding", "cells.qe")}, 6) AS sim
+            FROM assigned a JOIN cells ON a.cid = cells.cid),
+          ranked AS (SELECT query_id, vec_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk, sim
+            FROM scored)
+          SELECT query_id, vec_id, rnk, sim FROM ranked WHERE rnk <= 5
+          ORDER BY query_id, rnk""")),
+
       // Embedding near-dup via sign-LSH buckets + exact cosine verify: the
       // corpus is the table plus a scaled copy (cosine-invariant, so each
       // original pairs with its copy at sim 1.0).
@@ -859,6 +895,53 @@ object Queries {
         FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
         ORDER BY doc_a, doc_b""")),
+
+      // Word-n-gram Jaccard near-dup via a rare-gram inverted index (df-capped
+      // posting list join — the fourth dedup family next to exact /
+      // minhash-LSH / simhash).
+      ("q47_ngram_jaccard", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, maxDf = 4, threshold = 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+        Some(s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents),
+          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+          sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok),
+          g AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS grams
+            FROM sh WHERE len(shingles) > 0),
+          posting AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          rare AS (SELECT gram FROM posting GROUP BY gram
+            HAVING count(*) <= 4 AND count(*) >= 2),
+          rp AS (SELECT p.doc_id, p.gram FROM posting p JOIN rare r ON p.gram = r.gram),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM rp a JOIN rp b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          verified AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+              / CAST(len(list_distinct(ga.grams || gb.grams)) AS DOUBLE) AS jaccard
+            FROM cand c
+            JOIN g ga ON ga.doc_id = c.doc_a
+            JOIN g gb ON gb.doc_id = c.doc_b)
+          SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
+          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")),
+
+      // BPE-style sub-token counting (regex pre-tokenizer) next to plain
+      // whitespace counts — the per-document token-budget estimator.
+      ("q48_token_counts", (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TF.bpeTokenCount(col("text")).as("n_bpe"),
+            TF.tokenCount(col("text")).cast("long").as("n_ws"))
+          .orderBy("doc_id"),
+        Some(s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+          CAST(len($toks) AS BIGINT) AS n_ws
+          FROM documents ORDER BY doc_id""")),
 
       // S1/S3 analogue: corpus -> datapoint assembly (title = first 8
       // tokens, body = full text), summarized per datapoint name.

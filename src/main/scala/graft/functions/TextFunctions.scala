@@ -143,6 +143,17 @@ object TextFunctions {
     }
   }
 
+  /** BPE-style sub-token counting without a vocabulary: a regex pre-tokenizer
+    * in the GPT-2 family's shape — letter runs stay whole, every digit is its
+    * own token, punctuation is one token per character. Counts the
+    * pre-tokens a byte-pair encoder would start from; a cheap, pure-codegen
+    * estimator for per-document token budgets at corpus scale.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
   /** Quality-scoring feature columns (length / punctuation / stopword
     * ratios), usable for filter thresholds on a 100 TB corpus.
     */

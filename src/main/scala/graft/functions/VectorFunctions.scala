@@ -42,13 +42,16 @@ object VectorFunctions {
   def cosine01(a: Column, b: Column): Column =
     (cosineRaw(a, b) + lit(1.0)) / lit(2.0)
 
-  /** Reference Euclidian: 1/(1+dist). */
-  def euclidian01(a: Column, b: Column): Column = {
-    val dist = sqrt(aggregate(
+  /** Squared L2 distance (raw, no remap) — shared by Euclidian similarity
+    * and the IVF coarse-quantizer assignment. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
       zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, x) => acc + x))
-    lit(1.0) / (lit(1.0) + dist)
-  }
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Reference Euclidian: 1/(1+dist). */
+  def euclidian01(a: Column, b: Column): Column =
+    lit(1.0) / (lit(1.0) + sqrt(l2sq(a, b)))
 
   /** Reference Manhattan: 1/(1+dist). */
   def manhattan01(a: Column, b: Column): Column = {

@@ -124,6 +124,54 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
   }
 
+  /** Word-n-gram Jaccard near-duplicate pairs via a RARE-GRAM inverted
+    * index: candidate pairs must share at least one n-gram whose document
+    * frequency is <= `maxDf`. The df cap is the scale lever — ubiquitous
+    * n-grams ("of the", "in a") would otherwise each contribute O(df^2)
+    * candidate pairs and recreate the all-pairs join this module exists to
+    * avoid. Docs whose every n-gram is common are unpairable here (they can
+    * still be caught by [[minhashLsh]]); near-identical docs always share a
+    * rare n-gram unless the corpus is pathological.
+    *
+    * Verification is exact Jaccard over the full distinct n-gram-hash sets.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDf: Int = 10,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("gram_hashes",
+        array_distinct(shingleHashes(shingles(tokens(col("text")), n))))
+      .select("doc_id", "gram_hashes")
+
+    val posting = grams
+      .select(col("doc_id"), explode(col("gram_hashes")).as("gram"))
+    val rare = posting.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select("gram")
+    val rarePosting = posting.join(rare, "gram")
+
+    val cand = rarePosting.as("a")
+      .join(rarePosting.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gram_hashes", "ga"), "doc_a")
+      .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gram_hashes", "gb"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Embedding near-duplicate pairs via sign-LSH (random-hyperplane family,
     * axis-aligned planes): bucket key = sign bits of the first `signBits`
     * dimensions; candidates share a bucket; verify with exact cosine.

@@ -1,0 +1,79 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate nearest-neighbor search over an embedding column — the scale
+  * path beyond the reference's brute-force scan (the reference scores every
+  * entity per query, `src/Server/Searchdomain.cs:193-197`; exact 1×N stays
+  * available as [[SearchEngine.topKJoin]]).
+  *
+  * IVF (inverted-file) layout: a small set of coarse centroids partitions the
+  * corpus into cells; each vector is assigned to its nearest centroid; a
+  * query probes only the `nprobe` nearest cells. At 100 TB the corpus table
+  * is written partitioned/bucketed by `centroid_id`, so a probe reads
+  * nprobe/|C| of the data and the scoring join is a broadcast of the tiny
+  * (query × probed-cell) frame against only those partitions — no shuffle of
+  * the corpus, no full scan.
+  *
+  * Centroid selection here is deterministic sampling (every k-th vector);
+  * k-means refinement would slot in without changing either dataflow.
+  */
+object Ann {
+
+  /** Assign every corpus vector to its nearest centroid (squared-L2, the
+    * standard coarse quantizer). Centroids are broadcast — they are always
+    * tiny relative to the corpus. Distances are rounded to 6 decimals before
+    * ranking so the assignment is reproducible across engines (ties broken
+    * by centroid id).
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("centroid_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec"))))
+      .withColumn("dist2", round(VectorFunctions.l2sq(col("embedding"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** Deterministic coarse-centroid pick: every vector whose id is a multiple
+    * of `step` (sampling stand-in for k-means; same dataflow either way).
+    */
+  def sampleCentroids(corpus: DataFrame, step: Int): DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+
+  /** IVF top-k search: probe the `nprobe` nearest cells per query, score
+    * only vectors in those cells (cosine01, matching the engine's default
+    * similarity), rank per query. `queries` carries (query_id, qe).
+    */
+  def ivfSearch(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val wCell = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("centroid_id"))
+    val cells = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2", round(VectorFunctions.l2sq(col("qe"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id"))
+
+    // queries × nprobe rows — always broadcastable; the corpus side is only
+    // touched in the probed cells (partition pruning when the table is
+    // written partitioned by centroid_id).
+    val wRank = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    assigned
+      .join(broadcast(cells), "centroid_id")
+      .withColumn("sim", round(VectorFunctions.cosine01(col("embedding"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"))
+  }
+}
