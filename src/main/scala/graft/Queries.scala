@@ -731,15 +731,12 @@ object Queries {
         Some(s"""SELECT doc_id, ${sqlContentHash("text")} AS content_hash,
           ${sqlHash32("text")} AS h32 FROM documents ORDER BY doc_id""")),
 
-      // Token statistics + associative fingerprint + simhash per doc.
+      // Token statistics + associative fingerprint + simhash per doc —
+      // one posexplode + codegen HashAggregate (TextStats), not per-row
+      // interpreted HOFs. Oracle LEFT JOINs sims so zero-token documents
+      // (no token rows) keep their simhash/fingerprint 0 rows.
       ("q41_text_stats", (s: SparkSession, d: String) =>
-        t(s, d, "documents")
-          .withColumn("toks", TF.tokens(col("text")))
-          .select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_tokens"),
-            round(TF.meanTokenLength(col("text")), 6).as("mean_tok_len"),
-            TF.fingerprint(col("toks")).as("fingerprint"),
-            TF.simhash(col("toks")).as("simhash"))
+        graft.ops.TextStats.perDoc(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id"),
         Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
           tokrows AS (SELECT doc_id, ${sqlHash32("t.tok")} AS h
@@ -755,9 +752,9 @@ object Queries {
             CAST(len(toks) AS BIGINT) AS n_tokens,
             round(CASE WHEN len(toks) = 0 THEN 0.0
               ELSE list_sum(list_transform(toks, x -> CAST(len(x) AS DOUBLE))) / CAST(len(toks) AS DOUBLE) END, 6) AS mean_tok_len,
-            CAST(list_sum(list_transform(range(1, len(toks)+1), i -> ${sqlHash32("toks[i]")} * i)) % 2147483647 AS BIGINT) AS fingerprint,
-            sims.simhash
-          FROM tok JOIN sims ON tok.doc_id = sims.doc_id
+            CAST(coalesce(list_sum(list_transform(range(1, len(toks)+1), i -> ${sqlHash32("toks[i]")} * i)) % 2147483647, 0) AS BIGINT) AS fingerprint,
+            coalesce(sims.simhash, 0) AS simhash
+          FROM tok LEFT JOIN sims ON tok.doc_id = sims.doc_id
           ORDER BY tok.doc_id""")),
 
       // Heuristic language-ID (marker-token arg-max with precedence order).
@@ -836,7 +833,7 @@ object Queries {
         Some {
           val numHashes = 12; val bands = 4; val rows = 3
           val sigExprs = (0 until numHashes).map { k =>
-            val mult = 2L * k + 3L; val add = k * 2654435761L
+            val (mult, add) = TF.minhashConsts(k)
             s"list_min(list_transform(hashes, h -> (h * $mult + $add) % 4294967296))"
           }
           val sig = sigExprs.mkString("[", ", ", "]")

@@ -69,6 +69,9 @@ object ProbMethods {
     val xd = d(x)
     val negParity = pmod(sum(when(xd < 0.0, 1L).otherwise(0L)), lit(2L))
     when(count(lit(1)) === 0, 0.0)
+      // n == 1: the reference computes Math.Pow(product, 1f/1) == product,
+      // so a single negative value passes through unchanged (not NaN).
+      .when(count(lit(1)) === 1, min(xd))
       .when(min(abs(xd)) === 0.0, 0.0)
       .when(negParity === 1L, Double.NaN)
       .otherwise(exp(avg(log(abs(xd)))))

@@ -49,14 +49,31 @@ object TextFunctions {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => hash32(s))
 
+  /** Per-seed affine-permutation constants from a splitmix64 sequence:
+    * large decorrelated odd multipliers (< 2^30 so h·mult + add stays well
+    * inside signed-64 range for h < 2^32 — portable to any SQL engine's
+    * BIGINT) and 32-bit addends. Tiny sequential multipliers (3,5,7,…)
+    * would be highly correlated affine maps and silently cut LSH recall.
+    */
+  def minhashConsts(seed: Int): (Long, Long) = {
+    var z = (seed + 1).toLong * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val mult = (z & 0x3FFFFFFFL) | 1L   // odd, < 2^30
+    val add  = (z >>> 32) & 0xFFFFFFFFL // < 2^32
+    (mult, add)
+  }
+
   /** k-th minhash permutation over pre-computed base hashes:
-    * h_k = (h·(2k+3) + k·2654435761) mod 2^32 — odd multiplier, stays in
-    * long range (h < 2^32, multiplier < 2^7), portable to any SQL engine.
+    * h_k = (h·mult_k + add_k) mod 2^32 with splitmix-derived constants.
     * Empty shingle set -> null.
     */
-  def minhashFromHashes(hashes: Column, seed: Int): Column =
+  def minhashFromHashes(hashes: Column, seed: Int): Column = {
+    val (mult, add) = minhashConsts(seed)
     array_min(transform(hashes,
-      h => pmod(h * lit(2L * seed + 3L) + lit(seed * 2654435761L), lit(4294967296L))))
+      h => pmod(h * lit(mult) + lit(add), lit(4294967296L))))
+  }
 
   /** Full MinHash signature of `numHashes` values from base hashes. */
   def minhashSignature(hashes: Column, numHashes: Int): Column =

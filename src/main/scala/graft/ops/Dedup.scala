@@ -51,13 +51,19 @@ object Dedup {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must be divisible by bands")
 
-    val hashed = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // The shingle-md5 map is the expensive stage: spread it over the
+    // cluster (Par.ensure) and compute it ONCE (persist) — `hashed` is
+    // read four times below (banding twice via the self-join, verify
+    // twice). Without the persist each reader re-runs the full
+    // tokenize+md5 scan.
+    val hashed = Par.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", shingles(col("toks"), shingleK))
       // md5 once per shingle; the numHashes permutations are cheap mixes
       .withColumn("hashes", array_distinct(shingleHashes(col("sh"))))
       .select("doc_id", "hashes")
+      .persist()
 
     val banded = hashed
       .withColumn("sig", minhashSignature(col("hashes"), numHashes))
@@ -97,8 +103,8 @@ object Dedup {
     // bit-counters), not the per-row HOF: the HOF is interpreted and
     // O(tokens × 32) with array allocation per token — 10× slower measured.
     // Sums commute, so the values are identical to TextFunctions.simhash.
-    val tokRows = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val tokRows = Par.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -109,12 +115,15 @@ object Dedup {
     val simhashCol = (0 until 32).map { b =>
       when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // Both sides of the bucket self-join read `sims`; persist so the
+    // explode+aggregate runs once.
     val sims = tokRows
       .groupBy("doc_id")
       .agg(counterAggs.head, counterAggs.tail: _*)
       .withColumn("simhash", simhashCol)
       .withColumn("bucket", shiftright(col("simhash"), bucketShift))
       .select("doc_id", "simhash", "bucket")
+      .persist()
 
     sims.as("a")
       .join(sims.as("b"),
@@ -142,11 +151,16 @@ object Dedup {
       n: Int = 3,
       maxDf: Int = 10,
       threshold: Double = 0.5): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // `grams` feeds the posting list (explode → df count → rare join, with
+    // the self-join reading it twice) AND both sides of the verify join —
+    // six consumers of the md5-heavy shingle map. Parallelize + persist or
+    // every consumer re-runs the scan single-threaded on a small input.
+    val grams = Par.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
       .withColumn("gram_hashes",
         array_distinct(shingleHashes(shingles(tokens(col("text")), n))))
       .select("doc_id", "gram_hashes")
+      .persist()
 
     val posting = grams
       .select(col("doc_id"), explode(col("gram_hashes")).as("gram"))
@@ -154,7 +168,9 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
       .select("gram")
-    val rarePosting = posting.join(rare, "gram")
+    // Both sides of the candidate self-join read this; persist so the
+    // df-cap groupBy runs once.
+    val rarePosting = posting.join(rare, "gram").persist()
 
     val cand = rarePosting.as("a")
       .join(rarePosting.as("b"),
@@ -188,6 +204,8 @@ object Dedup {
     val bucket: Column = (1 to signBits).map { i =>
       when(element_at(col("vec"), i) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // No persist here: the sign-bit bucket key is trivia next to the scan,
+    // so recomputing both self-join sides beats serializing the vectors.
     val keyed = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", bucket)
     keyed.as("a")

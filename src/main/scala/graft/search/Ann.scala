@@ -32,7 +32,7 @@ object Ann {
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("centroid_id"))
-    corpus.select(col("vec_id"), col("embedding"))
+    graft.ops.Par.ensure(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec"))))
       .withColumn("dist2", round(VectorFunctions.l2sq(col("embedding"), col("cvec")), 6))
       .withColumn("rn", row_number().over(w))

@@ -103,10 +103,15 @@ object SearchEngine {
       .withColumn("sim",
         VectorFunctions.similarityCol(col("similaritymethod"), col("embedding"), col("query_vec")))
 
-    // Level 1: across models, method chosen by the datapoint.
+    // Level 1: across models, method chosen by the datapoint. Grouped by
+    // datapoint_id (NOT dp_name): the reference aggregates per datapoint
+    // OBJECT (`Searchdomain.cs:242-258`), so two same-named datapoints on
+    // one entity must stay two level-1 groups. dp_name is functionally
+    // dependent on datapoint_id and rides along via first().
     val dpScores = scored
-      .groupBy(col("entity_id"), col("dp_name"))
+      .groupBy(col("entity_id"), col("datapoint_id"))
       .agg(
+        first(col("dp_name")).as("dp_name"),
         ProbMethods.forMethodCol(
           col("dp_probmethod"), lit(null).cast("string"), col("model"), col("sim"))
           .as("dp_score"))

@@ -17,6 +17,10 @@ def norm(v):
         return round(v, 9)
     return v
 
+def row_key(row):
+    # None-safe total order: Python 3 cannot compare None with str/float.
+    return tuple((v is None, v) for v in row)
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -28,9 +32,10 @@ def main(sf_dir, out_dir):
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
             got_rows = sorted(
-                tuple(norm(v) for v in row)
-                for row in con.sql(
-                    f"SELECT {', '.join(got_cols)} FROM '{out_dir}/{name}/*.parquet'").fetchall())
+                (tuple(norm(v) for v in row)
+                 for row in con.sql(
+                    f"SELECT {', '.join(got_cols)} FROM '{out_dir}/{name}/*.parquet'").fetchall()),
+                key=row_key)
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
@@ -39,7 +44,9 @@ def main(sf_dir, out_dir):
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
             exp_df = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})")
-            exp_rows = sorted(tuple(norm(v) for v in row) for row in exp_df.fetchall())
+            exp_rows = sorted(
+                (tuple(norm(v) for v in row) for row in exp_df.fetchall()),
+                key=row_key)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {str(e)[:300]}")
             n_fail += 1
