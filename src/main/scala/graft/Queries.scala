@@ -975,7 +975,130 @@ object Queries {
     )
   }
 
-  lazy val all: Seq[Q] = relational ++ cachesSessions ++ probmethods ++ vector ++ textual
+  // ---- round-3 additions: store-LRU load, LSH-ANN, batch windowed stats,
+  // multimodal features, 3-level entity listing.
+  private lazy val extended: Seq[Q] = Seq(
+    // S2/O5/C4: embedding-store load ordered by the persisted LRU position
+    // `idx` (window row_number over recency), trimmed to StoreTopN.
+    ("q54_store_lru", (s: SparkSession, d: String) => {
+      val store = t(s, d, "embeddings").select(
+        concat(lit("k"), col("vec_id")).as("cache_key"),
+        concat(lit("m"), pmod(col("vec_id"), lit(3L))).as("model_key"),
+        TF.hash32(col("vec_id").cast("string")).as("last_access"))
+      val w = Window.orderBy(desc("last_access"), asc("cache_key"))
+      store.withColumn("idx", row_number().over(w).cast("long"))
+        .filter(col("idx") <= 300)
+        .select("idx", "cache_key", "model_key")
+        .orderBy("idx")
+    },
+      Some(s"""WITH store AS (SELECT 'k' || vec_id AS cache_key,
+          'm' || (vec_id % 3) AS model_key,
+          ${sqlHash32("CAST(vec_id AS VARCHAR)")} AS last_access FROM embeddings),
+        ranked AS (SELECT CAST(row_number() OVER (ORDER BY last_access DESC, cache_key) AS BIGINT) AS idx,
+          cache_key, model_key FROM store)
+        SELECT idx, cache_key, model_key FROM ranked WHERE idx <= 300 ORDER BY idx""")),
+
+    // LSH-bucketed ANN (the stateless-bucket family next to IVF q37):
+    // sign bits of the leading dims form the bucket; a query probes only
+    // its own bucket.
+    ("q38_ann_lsh", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      graft.search.Ann.lshSearch(e, queries, signBits = 8, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+      Some {
+        def bucket(v: String) = (1 to 8).map(i =>
+          s"(CASE WHEN $v[$i] > 0.0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH keyed AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, ${bucket("embedding")} AS bucket
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT q.query_id, k.vec_id,
+          round(${sqlCos01("k.embedding", "q.qe")}, 6) AS sim
+          FROM keyed k JOIN q ON k.bucket = q.bucket),
+        ranked AS (SELECT query_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk, sim
+          FROM scored)
+        SELECT query_id, vec_id, rnk, sim FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk"""
+      }),
+
+    // §2.10 batch analogue of the streaming windowed aggregation: tumbling
+    // 1-hour event-time windows (ns-precision integer bucketing via SQL
+    // `div` — a double division would lose low bits of the ns epoch).
+    ("q56_windowed_events", (s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .withColumn("window_id", expr("ts div 3600000000000"))
+        .groupBy("window_id", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+        .orderBy("window_id", "event_type"),
+      Some("""SELECT epoch_ns(ts) // 3600000000000 AS window_id, event_type,
+        count(*) AS n, round(sum(value), 6) AS total
+        FROM events GROUP BY window_id, event_type
+        ORDER BY window_id, event_type""")),
+
+    // Multimodal decode/feature-extract: binary content + typed metadata,
+    // batched mapPartitions stub decoder (deterministic md5-derived
+    // features, so DuckDB reproduces every value from the same bytes).
+    ("q57_multimodal_features", (s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.attachMedia(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.extractFeatures(s, media)
+        .toDF().orderBy("doc_id")
+    },
+      Some(s"""WITH m AS (SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n,
+          ${sqlHash32("text")} AS h
+        FROM documents),
+        f AS (SELECT doc_id, modality, n AS byte_len, h AS content_h32,
+          CASE WHEN modality = 'video' THEN n // 256 + 1
+               WHEN modality = 'image' THEN 1 ELSE 0 END AS n_frames,
+          CASE WHEN modality = 'image' THEN h % 640 + 16 ELSE 0 END AS width,
+          CASE WHEN modality = 'image' THEN (h // 640) % 480 + 16 ELSE 0 END AS height
+        FROM m)
+        SELECT doc_id, modality, byte_len, content_h32, width, height,
+          CAST(CASE WHEN modality = 'audio' THEN byte_len
+               WHEN modality = 'video' THEN n_frames * 40 ELSE 0 END AS BIGINT) AS duration_ms,
+          CAST(n_frames AS BIGINT) AS n_frames,
+          CAST(least(3, n_frames) AS BIGINT) AS n_sampled
+        FROM f ORDER BY doc_id""")),
+
+    // P4: entity listing with the reference's 3 verbosity levels in one
+    // frame — no embeddings / models with empty vectors / full vectors
+    // (`EntityController.cs:42-86`).
+    ("q58_entity_listing", (s: SparkSession, d: String) => {
+      val level = element_at(
+        array(lit("none"), lit("models"), lit("full")),
+        (pmod(col("vec_id"), lit(3L)) + 1).cast("int"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), level.as("level"), col("embedding"))
+        .withColumn("emb_out",
+          when(col("level") === "none", lit(null).cast("array<float>"))
+            .when(col("level") === "models", array().cast("array<float>"))
+            .otherwise(col("embedding")))
+        .select(col("vec_id"), col("level"),
+          // size(null) is -1 under the legacy flag; emit SQL-style NULL
+          when(col("emb_out").isNotNull, size(col("emb_out")).cast("long")).as("dim"),
+          coalesce(round(aggregate(col("emb_out"), lit(0.0),
+            (a, x) => a + x.cast("double")), 6), lit(0.0)).as("emb_sum"))
+        .orderBy("vec_id")
+    },
+      Some("""WITH lv AS (SELECT vec_id,
+          ['none','models','full'][CAST(vec_id % 3 AS INT) + 1] AS level, embedding
+          FROM embeddings),
+        o AS (SELECT vec_id, level,
+          CASE WHEN level = 'none' THEN NULL
+               WHEN level = 'models' THEN list_filter(embedding, x -> false)
+               ELSE embedding END AS emb_out FROM lv)
+        SELECT vec_id, level, CAST(len(emb_out) AS BIGINT) AS dim,
+          coalesce(round(list_sum(list_transform(emb_out, x -> CAST(x AS DOUBLE))), 6), 0.0) AS emb_sum
+        FROM o ORDER BY vec_id"""))
+  )
+
+  lazy val all: Seq[Q] =
+    relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++ extended
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

@@ -47,6 +47,33 @@ object Ann {
     corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
 
+  /** Sign-LSH bucketed top-k search — the second ANN family next to IVF:
+    * bucket key = sign bits of the first `signBits` dimensions
+    * (axis-aligned random-hyperplane LSH); a query scores only vectors in
+    * its own bucket. At 100 TB the corpus is written partitioned by
+    * `bucket`, queries are broadcast, and the scoring join touches one
+    * partition per query — same pruning story as IVF but with a stateless
+    * key (no centroid table to maintain). Recall is tunable via
+    * `signBits` (fewer bits → bigger buckets → higher recall/cost).
+    */
+  def lshSearch(corpus: DataFrame, queries: DataFrame, signBits: Int, k: Int): DataFrame = {
+    def bucketOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 to signBits).map { i =>
+        when(element_at(vec, i) > 0.0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val keyed = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val qKeyed = queries.select(col("query_id"), col("qe"))
+      .withColumn("bucket", bucketOf(col("qe")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    keyed
+      .join(broadcast(qKeyed), "bucket")
+      .withColumn("sim", round(VectorFunctions.cosine01(col("embedding"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"))
+  }
+
   /** IVF top-k search: probe the `nprobe` nearest cells per query, score
     * only vectors in those cells (cosine01, matching the engine's default
     * similarity), rank per query. `queries` carries (query_id, qe).

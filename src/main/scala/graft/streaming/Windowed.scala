@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Event-time windowed aggregation and streaming dedup — capabilities the
+  * reference lacks entirely (its "streaming" is trigger-driven re-indexing,
+  * SURVEY.md §2.10) but a continuously-ingesting training-data pipeline
+  * needs: per-window corpus statistics and arrival-time dedup BEFORE the
+  * expensive embed stage.
+  *
+  * Both operators are bounded-state by construction: the watermark lets
+  * Spark drop window/dedup state older than the lateness bound, so state
+  * size is O(active windows + docs inside the horizon), not O(stream).
+  */
+object Windowed {
+
+  /** Tumbling event-time window aggregation with a lateness watermark.
+    * `tsCol` must be a TIMESTAMP column; emits one row per
+    * (window, groupCol) with count and value sum.
+    */
+  def windowedStats(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valueCol: String,
+      windowDur: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col(groupCol), col("n"), col("total"))
+
+  /** Streaming exact dedup on content hash within the watermark horizon:
+    * duplicates arriving inside `lateness` of each other collapse to the
+    * first arrival (state = one 44-char hash per doc in the horizon).
+    * The P7/U2 dedup-before-embed predicate, made incremental.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String, lateness: String): DataFrame =
+    docs
+      .withColumn("content_hash", TextFunctions.contentHash(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicates("content_hash")
+}

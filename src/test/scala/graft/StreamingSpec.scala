@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{Sessions, Triggers, Windowed}
+
+/** Structured-Streaming behavior pinned with MemoryStream micro-batches:
+  * trigger parsing, file-corpus streaming ingestion, stateful chunked
+  * sessions (accumulate → complete → emit; reference
+  * `EntityController.cs:94-199`), watermarked windowed stats, and
+  * streaming dedup-before-embed.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String = {
+    val d = Files.createTempDirectory(java.nio.file.Paths.get("target"), prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("trigger specs map to the reference's four call types") {
+    assert(Triggers.forSpec("runonce") == Trigger.AvailableNow())
+    assert(Triggers.forSpec("schedule:0 0 * * *") == Trigger.AvailableNow())
+    assert(Triggers.forSpec("interval:5000") == Trigger.ProcessingTime(5000L))
+    assert(Triggers.forSpec("fileupdate") == Trigger.ProcessingTime(0L))
+    intercept[IllegalArgumentException](Triggers.forSpec("cron"))
+  }
+
+  test("fileupdate stream ingests new files as (filename, title, text) rows") {
+    val src = tmpDir("stream-src-")
+    val out = tmpDir("stream-out-")
+    val ckpt = tmpDir("stream-ckpt-")
+    Files.writeString(java.nio.file.Paths.get(src, "a.txt"), "Title A\nbody line 1\nbody line 2")
+    Files.writeString(java.nio.file.Paths.get(src, "b.txt"), "Title B only")
+
+    val q = Triggers.indexSink(
+      Triggers.fileCorpusStream(spark, src), out, ckpt, "runonce").start()
+    q.awaitTermination(60000)
+
+    val rows = spark.read.parquet(out)
+      .orderBy("filename")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("a.txt", "Title A", "body line 1\nbody line 2"),
+      ("b.txt", "Title B only", "")))
+  }
+
+  test("chunked sessions accumulate across micro-batches and emit on complete") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessions.Chunk]
+    val result = Sessions.accumulate(spark, input.toDS(), withExpiry = false)
+    val q = result.writeStream.format("memory").queryName("sess").outputMode("append").start()
+
+    // batch 1: two sessions upload partial chunks — nothing emitted
+    input.addData(
+      Sessions.Chunk("s1", "e1", complete = false),
+      Sessions.Chunk("s1", "e2", complete = false),
+      Sessions.Chunk("s2", "x1", complete = false))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() == 0)
+
+    // batch 2: s1 completes (with one more entity); s2 still open
+    input.addData(
+      Sessions.Chunk("s1", "e3", complete = false),
+      Sessions.Chunk("s1", "", complete = true))
+    q.processAllAvailable()
+    val emitted = spark.table("sess").as[Sessions.SessionSet].collect()
+    assert(emitted.toSeq == Seq(Sessions.SessionSet("s1", Seq("e1", "e2", "e3"))))
+
+    // batch 3: s2 completes alone
+    input.addData(Sessions.Chunk("s2", "x2", complete = true))
+    q.processAllAvailable()
+    val all = spark.table("sess").as[Sessions.SessionSet].collect().sortBy(_.sessionId)
+    assert(all.toSeq == Seq(
+      Sessions.SessionSet("s1", Seq("e1", "e2", "e3")),
+      Sessions.SessionSet("s2", Seq("x1", "x2"))))
+    q.stop()
+  }
+
+  test("session 60-min expiry drops half-built state (timeout branch)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val timedOut = TestGroupState.create[Set[String]](
+      Optional.of(Set("e1", "e2")), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val out = Sessions.updateSession(withExpiry = true)(
+      "s1", Iterator.empty, timedOut)
+    assert(out.isEmpty && timedOut.isRemoved)
+
+    // normal accumulate path arms the timeout clock
+    val live = TestGroupState.create[Set[String]](
+      Optional.empty[Set[String]], GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out2 = Sessions.updateSession(withExpiry = true)(
+      "s1", Iterator(Sessions.Chunk("s1", "e9", complete = false)), live)
+    assert(out2.isEmpty && live.get == Set("e9"))
+    assert(live.getTimeoutTimestampMs.isPresent)
+  }
+
+  test("watermarked tumbling window aggregates finalize when the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stats = Windowed.windowedStats(
+      input.toDF().toDF("ts", "kind", "value"),
+      "ts", "kind", "value", "10 minutes", "5 minutes")
+    val q = stats.writeStream.format("memory").queryName("winstats").outputMode("append").start()
+
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    input.addData((ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(12), "b", 5.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the 10:00-10:10 window
+    input.addData((ts(30), "c", 0.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("winstats")
+      .select(col("window_start").cast("string"), col("kind"), col("n"), col("total"))
+      .as[(String, String, Long, Double)].collect().sorted
+    assert(rows.contains(("2026-01-01 10:00:00", "a", 2L, 3.0)))
+    q.stop()
+  }
+
+  test("streaming dedup collapses same-content docs across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = Windowed.streamingDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    input.addData((t0, 1L, "hello world"), (t0, 2L, "hello world"), (t0, 3L, "other"))
+    q.processAllAvailable()
+    input.addData((t0, 4L, "hello world")) // dup in a later batch, same horizon
+    q.processAllAvailable()
+
+    val kept = spark.table("dedup").select("doc_id").as[Long].collect().sorted
+    assert(kept.length == 2 && kept.contains(3L))
+    assert(!kept.contains(4L))
+
+    // health rule (Calls.cs:179-187): healthy right after a batch,
+    // unhealthy once "now" is beyond 2x the interval since last progress
+    val lastMs = java.time.Instant.parse(q.lastProgress.timestamp).toEpochMilli
+    assert(Triggers.isHealthy(q, 60000L, lastMs + 1000L))
+    assert(!Triggers.isHealthy(q, 1000L, lastMs + 5000L))
+    q.stop()
+  }
+}
