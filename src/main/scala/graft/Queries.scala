@@ -1065,6 +1065,28 @@ object Queries {
           CAST(least(3, n_frames) AS BIGINT) AS n_sampled
         FROM f ORDER BY doc_id""")),
 
+    // §2.11 end-to-end: method SPECS carried in data as "Name:{json}"
+    // strings, split on the FIRST colon (JSON keys may contain colons),
+    // parameter JSON parsed per row, all dispatched inside one aggregate.
+    ("q59_pm_spec_dispatch", (s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .withColumn("spec",
+          when(col("l_returnflag") === "A", """DictionaryWeightedAverage:{"O": 2.0}""")
+            .when(col("l_returnflag") === "N", "Mean")
+            .otherwise("HarmonicMean"))
+        .groupBy("l_returnflag")
+        .agg(round(PM.forMethodCol(
+          PM.specNameCol(col("spec")), PM.specParamCol(col("spec")),
+          col("l_linestatus"), col("l_discount")), 6).as("score"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, round(CASE
+          WHEN l_returnflag = 'A' THEN
+            sum(coalesce(CASE WHEN l_linestatus = 'O' THEN 2.0 END, 1.0) * l_discount)
+              / sum(coalesce(CASE WHEN l_linestatus = 'O' THEN 2.0 END, 1.0))
+          WHEN l_returnflag = 'N' THEN ${sqlPmMean("l_discount")}
+          ELSE ${sqlPmHarmonic("l_discount")} END, 6) AS score
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // P4: entity listing with the reference's 3 verbosity levels in one
     // frame — no embeddings / models with empty vectors / full vectors
     // (`EntityController.cs:42-86`).

@@ -1,0 +1,178 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Domain, StubEmbedder}
+import graft.functions.TextFunctions
+import graft.ops.Upsert
+import graft.search.SearchEngine
+
+/** Batch equivalents of the reference's REST surface (SURVEY.md §2.12;
+  * controllers at `src/Server/Controllers/`) — the library face a user of
+  * the reference would call. Every method is a pure DataFrame transform
+  * over [[graft.core.Domain]] tables; nothing collects to the driver.
+  *
+  * | reference endpoint                           | here                 |
+  * |----------------------------------------------|----------------------|
+  * | `POST /Searchdomain/Query`                   | [[query]]            |
+  * | `GET /Entities` (3 verbosity levels)         | [[listEntities]]     |
+  * | `PUT /Entities` (upsert, diff-driven embed)  | [[upsertEntities]]   |
+  * | `PUT /Entities?sessionComplete=true` finalize| [[sessionFinalize]]  |
+  * | `DELETE /Entity`                             | [[deleteEntity]]     |
+  * | `PATCH /Searchdomain/Query` (result override)| [[patchQueryCache]]  |
+  * | `GET /Server/Stats`, `Database/Size`         | [[stats]]            |
+  */
+object EngineApi {
+
+  /** `POST /Searchdomain/Query?searchdomain&query&topN&returnAttributes`
+    * (`SearchdomainController.cs:158-171`): embed the query under every
+    * model in use, run the two-level scored search, optionally attach the
+    * entity attribute map (P3, applied AFTER the top-k cut so the join
+    * touches topN rows, not the corpus).
+    */
+  def query(
+      spark: SparkSession,
+      domain: Domain,
+      queryText: String,
+      topN: Int,
+      dim: Int,
+      returnAttributes: Boolean = false): DataFrame = {
+    val qEmb = SearchEngine.queryEmbeddings(spark, domain, queryText, dim)
+    val top = SearchEngine.search(domain, qEmb, topN)
+    if (!returnAttributes) top
+    else top.join(domain.entities.select(col("name"), col("attributes")), Seq("name"), "left_outer")
+      .select(col("name"), col("score"), col("attributes"))
+      .orderBy(desc("score"), asc("name"))
+  }
+
+  /** `GET /Entities?searchdomain&returnModels&returnEmbeddings`
+    * (`EntityController.cs:42-86`): the three verbosity levels — names
+    * only / models with empty vectors / full vectors. The heavy embedding
+    * column is never scanned unless asked for (column pruning reaches the
+    * parquet reader).
+    */
+  def listEntities(
+      domain: Domain,
+      returnModels: Boolean = false,
+      returnEmbeddings: Boolean = false): DataFrame = {
+    val base = domain.entities.select(col("entity_id"), col("name"), col("attributes"))
+    if (!returnModels) base
+    else {
+      val embs =
+        if (returnEmbeddings)
+          domain.embeddings.select(col("entity_id"), col("model"), col("embedding"))
+        else
+          domain.embeddings.select(col("entity_id"), col("model"),
+            array().cast("array<float>").as("embedding"))
+      base.join(
+        embs.groupBy("entity_id")
+          .agg(collect_list(struct(col("model"), col("embedding"))).as("models")),
+        Seq("entity_id"), "left_outer")
+    }
+  }
+
+  /** `PUT /Entities` (`EntityController.cs:105-161` →
+    * `SearchdomainHelper.cs:208-343`): diff-driven incremental index. The
+    * content-hash diff classifies incoming datapoints; ONLY created or
+    * text-changed datapoints are embedded (dedup-before-embed P7 applies
+    * inside the batched inference source), everything unchanged keeps its
+    * stored vectors. Returns the merged Domain.
+    *
+    * `incoming` carries (entity_id, datapoint_id, name, probmethod,
+    * similaritymethod, text); `entities` the matching entity rows.
+    */
+  def upsertEntities(
+      spark: SparkSession,
+      domain: Domain,
+      entities: DataFrame,
+      incoming: DataFrame,
+      models: Seq[String],
+      dim: Int): Domain = {
+    val hashed = incoming.withColumn("hash", TextFunctions.contentHash(col("text")))
+    val d = Upsert.diff(
+      domain.datapoints.select(col("datapoint_id"), col("hash")),
+      hashed.select(col("datapoint_id"), col("hash")),
+      Seq("datapoint_id"), "hash")
+
+    val needEmbed = hashed.join(
+      d.filter(col("bucket").isin("created", "changed")).select("datapoint_id"),
+      Seq("datapoint_id"), "left_semi")
+    val keepIds = d.filter(col("bucket") === "unchanged").select("datapoint_id")
+
+    // P7/U2 + S4: embed each distinct changed text once per model, batched.
+    val pairs = needEmbed.select(col("text")).distinct()
+      .crossJoin(spark.createDataFrame(models.map(Tuple1(_))).toDF("model"))
+    val fresh = needEmbed
+      .join(StubEmbedder.embedBatched(spark, pairs, dim), "text")
+      .select(col("searchdomain"), col("entity_id"), col("datapoint_id"),
+        col("model"), col("embedding"))
+
+    val mergedDatapoints = domain.datapoints
+      .join(keepIds, Seq("datapoint_id"), "left_semi")
+      .unionByName(
+        hashed.join(keepIds, Seq("datapoint_id"), "left_anti")
+          .select(domain.datapoints.columns.map(col).toIndexedSeq: _*))
+    val mergedEmbeddings = domain.embeddings
+      .join(keepIds, Seq("datapoint_id"), "left_semi")
+      .unionByName(fresh.select(domain.embeddings.columns.map(col).toIndexedSeq: _*))
+    val mergedEntities = domain.entities
+      .join(entities.select("entity_id"), Seq("entity_id"), "left_anti")
+      .unionByName(entities.select(domain.entities.columns.map(col).toIndexedSeq: _*))
+    Domain(mergedEntities, mergedDatapoints, mergedEmbeddings)
+  }
+
+  /** Session finalize (`EntityController.cs:163-199`): delete every entity
+    * of the domain NOT in the accumulated session set.
+    */
+  def sessionFinalize(domain: Domain, accumulatedNames: DataFrame): Domain = {
+    val doomed = Upsert.sessionFinalize(
+      domain.entities.select(col("entity_id"), col("name")),
+      accumulatedNames, Seq("name")).select("entity_id")
+    dropEntities(domain, doomed)
+  }
+
+  /** `DELETE /Entity?searchdomain&entityName` (`EntityController.cs:206-229`):
+    * FK-cascade rewrite of all three tables (J9/S7).
+    */
+  def deleteEntity(domain: Domain, entityName: String): Domain =
+    dropEntities(domain,
+      domain.entities.filter(col("name") === entityName).select("entity_id"))
+
+  private def dropEntities(domain: Domain, victims: DataFrame): Domain = {
+    val cascaded = Upsert.deleteCascade(
+      Seq(
+        ("entities", domain.entities, "entity_id"),
+        ("datapoints", domain.datapoints, "entity_id"),
+        ("embeddings", domain.embeddings, "entity_id")),
+      victims, "entity_id").toMap
+    Domain(cascaded("entities"), cascaded("datapoints"), cascaded("embeddings"))
+  }
+
+  /** `PATCH /Searchdomain/Query` (`SearchdomainController.cs:141-214`):
+    * manual override of one cached result list — the stored rows for that
+    * query are replaced wholesale by the supplied (rank, name, score) rows.
+    */
+  def patchQueryCache(cache: DataFrame, queryText: String, replacement: DataFrame): DataFrame =
+    cache.filter(col("query") =!= queryText)
+      .unionByName(replacement.withColumn("query", lit(queryText))
+        .select(cache.columns.map(col).toIndexedSeq: _*))
+
+  /** `GET /Server/Stats` + `Database/Size` (`ServerController.cs:36-119`,
+    * `DatabaseHelper.cs:291-397`): row counts and byte-size estimates per
+    * table (C5) — one aggregate per table, unioned.
+    */
+  def stats(domain: Domain): DataFrame = {
+    def one(name: String, df: DataFrame, sizeExpr: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("rows"), coalesce(sum(sizeExpr), lit(0L)).as("approx_bytes"))
+        .withColumn("table_name", lit(name))
+    one("entities", domain.entities,
+      (length(col("name")) + aggregate(map_values(col("attributes")),
+        lit(0), (a, v) => a + length(v))).cast("long"))
+      .unionByName(one("datapoints", domain.datapoints,
+        (length(col("name")) + length(col("hash"))).cast("long")))
+      .unionByName(one("embeddings", domain.embeddings,
+        (size(col("embedding")) * 4 + length(col("model"))).cast("long")))
+      .select("table_name", "rows", "approx_bytes")
+  }
+}

@@ -3,8 +3,8 @@ package graft.core
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, udf}
 
 /** Deterministic offline replacement for the reference's HTTP embedding
   * providers (LD-Reborn/embeddingsearch `src/Server/AIProvider.cs:39-133` —
@@ -50,13 +50,38 @@ final class StubEmbedder(val dim: Int) extends Embedder {
 }
 
 object StubEmbedder {
-  /** Column form for use at indexing time (the embed stage is a narrow map —
-    * deliberately off the query hot path, mirroring the reference where
-    * inference happens only at index/ingest time).
+  /** Rows per inference call — mirrors the reference's per-model batch
+    * POSTs (`AIProvider.cs:39-133`): amortizes per-call overhead, bounds
+    * request size.
     */
+  val BatchSize = 256
+
+  /** Column form for one-off scalar embedding (query vectors — M rows). */
   def embedColumn(spark: SparkSession, dim: Int): (Column, Column) => Column = {
     val embedder = new StubEmbedder(dim)
     val f = udf((model: String, text: String) => embedder.embed(model, text))
     (model, text) => f(model, text)
+  }
+
+  /** Bulk-inference source (S4): a batched `mapPartitions` over
+    * (model, text) pairs — the shape a real HTTP/GPU embedding provider
+    * needs (one call per BatchSize rows per model), and a narrow
+    * per-partition stage rather than a per-row UDF inside someone else's
+    * codegen stage. Returns (model, text, embedding).
+    */
+  def embedBatched(spark: SparkSession, pairs: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
+    val embedder = new StubEmbedder(dim)
+    pairs.select(col("model"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.groupBy(_._1).iterator.flatMap { case (model, rows) =>
+            // one provider call per (model, batch) — swap this loop body
+            // for the HTTP POST to make it a real inference source
+            rows.map { case (_, text) => (model, text, embedder.embed(model, text)) }
+          }
+        }
+      }
+      .toDF("model", "text", "embedding")
   }
 }

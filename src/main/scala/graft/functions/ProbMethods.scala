@@ -122,6 +122,22 @@ object ProbMethods {
     sum(w * d(x)) / sum(w)
   }
 
+  /** Column form of the first-colon spec split, for specs carried in DATA
+    * (each datapoint/entity row declares its own `"Name:{json}"` method
+    * string — `Probmethods.cs:55-59`). Keys inside the JSON may contain
+    * colons (model URIs do); only the first colon delimits.
+    */
+  def specNameCol(spec: Column): Column = {
+    val i = instr(spec, ":")
+    when(i === 0, spec).otherwise(spec.substr(lit(1), i - lit(1)))
+  }
+
+  def specParamCol(spec: Column): Column = {
+    val i = instr(spec, ":")
+    when(i === 0, lit(null).cast(StringType))
+      .otherwise(spec.substr(i + lit(1), length(spec) - i))
+  }
+
   /** Split `"Name:{json}"` on the FIRST colon (reference `Probmethods.cs:55-59`).
     * Returns (methodName, jsonParameter) — parameter is "" when absent.
     */

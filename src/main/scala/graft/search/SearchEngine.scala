@@ -33,21 +33,23 @@ object SearchEngine {
     * (P7/U2, `SearchdomainHelper.cs:88-94`) so inference cost is
     * O(distinct texts), not O(datapoints).
     */
-  def buildDomain(
-      spark: SparkSession,
-      docs: DataFrame,
-      models: Seq[String],
-      dim: Int,
-      domainName: String = "docs"): Domain = {
-    val entities = docs.select(
+  /** Entity rows for a document corpus (one entity per doc). */
+  def docEntities(docs: DataFrame, domainName: String = "docs"): DataFrame =
+    docs.select(
       lit(domainName).as("searchdomain"),
       col("doc_id").as("entity_id"),
       concat(lit("doc_"), col("doc_id")).as("name"),
       lit("Mean").as("probmethod"),
       map(lit("lang"), col("lang"), lit("source"), col("source")).as("attributes"))
 
+  /** Datapoint rows (title + body per doc), WITH the text column —
+    * [[buildDomain]] drops it after embedding; the upsert path
+    * ([[graft.api.EngineApi.upsertEntities]]) needs it to re-embed
+    * changed content.
+    */
+  def docDatapoints(docs: DataFrame, domainName: String = "docs"): DataFrame = {
     val title = concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8))
-    val datapoints = docs.select(
+    docs.select(
       col("doc_id").as("entity_id"),
       explode(array(
         struct(lit("title").as("name"), title.as("text")),
@@ -65,12 +67,23 @@ object SearchEngine {
           (pmod(col("entity_id"), lit(4)) + 1).cast("int")).as("similaritymethod"),
         TextFunctions.contentHash(col("dp.text")).as("hash"),
         col("dp.text").as("text"))
+  }
 
-    val embedCol = StubEmbedder.embedColumn(spark, dim)
-    // P7/U2: embed each distinct (model, text) once, then join back.
-    val distinctTexts = datapoints.select(col("text")).distinct()
+  def buildDomain(
+      spark: SparkSession,
+      docs: DataFrame,
+      models: Seq[String],
+      dim: Int,
+      domainName: String = "docs"): Domain = {
+    val entities = docEntities(docs, domainName)
+    val datapoints = docDatapoints(docs, domainName)
+
+    // P7/U2: embed each distinct (model, text) once, then join back. The
+    // embed stage is the batched mapPartitions inference source (S4), not
+    // a per-row UDF spliced into the assembly stage's codegen.
+    val pairs = datapoints.select(col("text")).distinct()
       .crossJoin(spark.createDataFrame(models.map(Tuple1(_))).toDF("model"))
-      .withColumn("embedding", embedCol(col("model"), col("text")))
+    val distinctTexts = StubEmbedder.embedBatched(spark, pairs, dim)
     val embeddings = datapoints
       .join(distinctTexts, "text")
       .select(

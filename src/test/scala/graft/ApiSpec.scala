@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.EngineApi
+import graft.search.SearchEngine
+
+/** The §2.12 API facade end-to-end on a tiny in-memory corpus: query with
+  * attributes, 3-level listing, diff-driven upsert (only changed texts
+  * re-embed), cascade delete, session finalize, stats.
+  */
+class ApiSpec extends SparkSpec {
+
+  private val dim = 16
+  private val models = Seq("stub:alpha")
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark shuffles data between stages", "en", "web"),
+      (2L, "cats sleep through the afternoon", "en", "web"),
+      (3L, "broadcast joins avoid the shuffle entirely", "en", "news"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  private lazy val domain = SearchEngine.buildDomain(spark, docs, models, dim).persisted()
+
+  test("query returns topN with optional attributes attached after the cut") {
+    val r = EngineApi.query(spark, domain, "spark shuffle", topN = 2, dim = dim,
+      returnAttributes = true).collect()
+    assert(r.length == 2)
+    assert(r.map(_.getString(0)).forall(_.startsWith("doc_")))
+    // attributes map rode along
+    assert(r.forall(row => row.getMap[String, String](2).contains("lang")))
+  }
+
+  test("listEntities: three verbosity levels") {
+    val plain = EngineApi.listEntities(domain)
+    assert(plain.columns.toSeq == Seq("entity_id", "name", "attributes"))
+
+    val withModels = EngineApi.listEntities(domain, returnModels = true).collect()
+    val modelsCol = withModels.head.getSeq[org.apache.spark.sql.Row](3)
+    assert(modelsCol.nonEmpty && modelsCol.head.getSeq[Float](1).isEmpty) // empty vectors
+
+    val full = EngineApi.listEntities(domain, returnModels = true, returnEmbeddings = true)
+      .collect()
+    assert(full.head.getSeq[org.apache.spark.sql.Row](3).head.getSeq[Float](1).size == dim)
+  }
+
+  test("upsert re-embeds only created/changed datapoints") {
+    import spark.implicits._
+    // doc 2 changes its body text; doc 4 is new; docs 1/3 untouched
+    val allDocs = docs.filter(col("doc_id") =!= 2).unionByName(Seq(
+      (2L, "dogs bark at the postman", "en", "web"),
+      (4L, "watermarks bound streaming state", "en", "docs"))
+      .toDF("doc_id", "text", "lang", "source"))
+
+    val merged = EngineApi.upsertEntities(spark, domain,
+      SearchEngine.docEntities(allDocs),
+      SearchEngine.docDatapoints(allDocs),
+      models, dim)
+
+    // 4 entities, 8 datapoints (title+body each), one embedding per dp
+    assert(merged.entities.count() == 4)
+    assert(merged.datapoints.count() == 8)
+    assert(merged.embeddings.count() == 8)
+
+    // unchanged datapoints kept their STORED vectors; changed got fresh ones
+    def vecOf(d: graft.core.Domain, dpId: Long): Seq[Float] =
+      d.embeddings.filter(col("datapoint_id") === dpId)
+        .select("embedding").as[Seq[Float]].head()
+    assert(vecOf(merged, 2L) == vecOf(domain, 2L)) // doc1 title unchanged
+    assert(vecOf(merged, 5L) != vecOf(domain, 5L)) // doc2 body re-embedded
+  }
+
+  test("deleteEntity cascades across all three tables") {
+    val after = EngineApi.deleteEntity(domain, "doc_2")
+    assert(after.entities.count() == 2)
+    assert(after.datapoints.filter(col("entity_id") === 2).count() == 0)
+    assert(after.embeddings.filter(col("entity_id") === 2).count() == 0)
+  }
+
+  test("sessionFinalize keeps only accumulated names") {
+    import spark.implicits._
+    val acc = Seq("doc_1", "doc_3").toDF("name")
+    val after = EngineApi.sessionFinalize(domain, acc)
+    assert(after.entities.select("name").as[String].collect().sorted.toSeq
+      == Seq("doc_1", "doc_3"))
+  }
+
+  test("patchQueryCache replaces one query's stored list wholesale") {
+    import spark.implicits._
+    val cache = Seq(
+      ("q1", 1L, "doc_1", 0.9), ("q1", 2L, "doc_2", 0.8),
+      ("q2", 1L, "doc_3", 0.7)).toDF("query", "rank", "name", "score")
+    val replacement = Seq((1L, "doc_9", 1.0)).toDF("rank", "name", "score")
+    val patched = EngineApi.patchQueryCache(cache, "q1", replacement)
+    assert(patched.filter(col("query") === "q1").collect().map(_.getString(2)).toSeq
+      == Seq("doc_9"))
+    assert(patched.filter(col("query") === "q2").count() == 1)
+  }
+
+  test("stats reports rows and byte estimates per table") {
+    val s = EngineApi.stats(domain).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s("entities")._1 == 3 && s("datapoints")._1 == 6 && s("embeddings")._1 == 6)
+    assert(s.values.forall(_._2 > 0))
+  }
+}
