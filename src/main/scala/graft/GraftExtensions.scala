@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Session extension registering the native similarity kernels as SQL
+  * functions, so `spark.sql("... cosine01(a, b) ...")` works next to the
+  * Column API. Enable with:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
+
+    reg("cosine01", "cosine similarity remapped to [0,1]") {
+      es => CosineSim01(es(0), es(1))
+    }
+    reg("euclidian01", "1/(1+euclidean distance)") {
+      es => EuclidianSim01(es(0), es(1))
+    }
+    reg("manhattan01", "1/(1+manhattan distance)") {
+      es => ManhattanSim01(es(0), es(1))
+    }
+    reg("pearson_sim", "pearson correlation, zero denominator -> 0") {
+      es => PearsonSim(es(0), es(1))
+    }
+    reg("l2sq", "squared L2 distance") {
+      es => L2Sq(es(0), es(1))
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions registers the native kernels into a session's function
+  * registry — SQL-addressable next to the Column API.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("kernels are callable from SQL via spark.sql.extensions") {
+    val base = spark // ensure shared SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // config("spark.sql.extensions", "graft.GraftExtensions") is the
+      // spark-submit path (static conf, read at SparkContext creation);
+      // here the context already exists, so inject programmatically.
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions()(_))
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+      val r = ext.sql(
+        """SELECT cosine01(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS c,
+          |       euclidian01(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS e,
+          |       manhattan01(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS m,
+          |       pearson_sim(array(1.0D, 1.0D), array(1.0D, 2.0D)) AS p,
+          |       l2sq(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l
+          |""".stripMargin).collect()(0)
+      assert(approx(r.getDouble(0), 1.0))
+      assert(approx(r.getDouble(1), 1.0 / 6.0))
+      assert(approx(r.getDouble(2), 1.0 / 8.0))
+      assert(r.getDouble(3) == 0.0) // constant input -> den 0 -> 0
+      assert(approx(r.getDouble(4), 25.0))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -68,4 +68,42 @@ class VectorFunctionsSpec extends SparkSpec {
   test("literal dispatch: unknown similarity name throws at plan time") {
     intercept[IllegalArgumentException](VF.similarity("Bogus", lit(null), lit(null)))
   }
+
+  test("codegen kernels are bit-identical to the HOF specification forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // double arrays AND float arrays (the parquet embedding element type)
+    val rows = (1 to 50).map { _ =>
+      (Seq.fill(33)(rnd.nextDouble() * 2 - 1), Seq.fill(33)(rnd.nextDouble() * 2 - 1))
+    }
+    val dd = rows.toDF("a", "b")
+    val ff = rows.map { case (a, b) => (a.map(_.toFloat), b.map(_.toFloat)) }.toDF("a", "b")
+    for (df <- Seq(dd, ff)) {
+      val pairsDf = df.select(
+        VF.cosine01(col("a"), col("b")).as("k_cos"),
+        VF.hof.cosine01(col("a"), col("b")).as("h_cos"),
+        VF.euclidian01(col("a"), col("b")).as("k_euc"),
+        VF.hof.euclidian01(col("a"), col("b")).as("h_euc"),
+        VF.manhattan01(col("a"), col("b")).as("k_man"),
+        VF.hof.manhattan01(col("a"), col("b")).as("h_man"),
+        VF.pearson(col("a"), col("b")).as("k_pea"),
+        VF.hof.pearson(col("a"), col("b")).as("h_pea"),
+        VF.l2sq(col("a"), col("b")).as("k_l2"),
+        VF.hof.l2sq(col("a"), col("b")).as("h_l2")).collect()
+      pairsDf.foreach { r =>
+        for (i <- 0 until 10 by 2)
+          assert(r.getDouble(i) == r.getDouble(i + 1), s"col $i bit-mismatch")
+      }
+    }
+    // null/zero edge cases match Spark division semantics
+    val edge = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),  // zero norm -> null cosine
+      (Seq(1.0, 2.0), Seq(1.0))        // mismatched lengths -> null
+    ).toDF("a", "b")
+    val e = edge.select(
+      VF.cosine01(col("a"), col("b")).as("k"),
+      VF.hof.cosine01(col("a"), col("b")).as("h")).collect()
+    assert(e(0).isNullAt(0) && e(0).isNullAt(1))
+    assert(e(1).isNullAt(0) && e(1).isNullAt(1))
+  }
 }
