@@ -39,8 +39,10 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       } finally {
         // pipelines persist() shared intermediates; drop them so later
-        // queries are measured cold and executor memory doesn't accrete
+        // queries are measured cold, and collect the garbage NOW so heavy
+        // queries don't tax their successor's measurement with GC debt
         spark.catalog.clearCache()
+        System.gc()
       }
     }
     def jstr(s: String): String =

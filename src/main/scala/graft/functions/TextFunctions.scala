@@ -116,14 +116,13 @@ object TextFunctions {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Hamming distance between two simhash values (population count of XOR). */
-  def hammingDistance(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, i) => acc + shr(x, i).bitwiseAND(1))
-  }
+  /** Hamming distance between two simhash values: codegen popcount of the
+    * XOR (`bit_count` compiles to Long.bitCount — the interpreted
+    * 32-iteration HOF fold ran per candidate PAIR and dominated the
+    * simhash verify join).
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** Stopword-marker counts per language — a deterministic n-gram-style
     * language-ID heuristic. Returns the arg-max language with fixed
