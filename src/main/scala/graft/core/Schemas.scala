@@ -42,4 +42,36 @@ object Tables {
     spark.read.parquet(s"$baseDir/entities"),
     spark.read.parquet(s"$baseDir/datapoints"),
     spark.read.parquet(s"$baseDir/embeddings"))
+
+  /** Bucketed layout for the 100 TB case: all three tables bucketed (and
+    * sorted) by `entity_id`, registered as catalog tables `<prefix>_*`.
+    * A bucketed scan reports `HashPartitioning(entity_id)`, which
+    * satisfies the clustered distribution of BOTH search aggregation
+    * levels (level 1 groups by (entity_id, datapoint_id) — a superset of
+    * the bucket key — and level 2 by entity_id) and of every
+    * entity-keyed join, so the whole scoring pipeline after the
+    * broadcast J1 join runs WITHOUT a single shuffle exchange
+    * (BucketedDomainSpec pins this on the physical plan).
+    */
+  def writeDomainBucketed(
+      domain: Domain,
+      baseDir: String,
+      tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    def one(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite")
+        .bucketBy(buckets, "entity_id")
+        .sortBy("entity_id")
+        .option("path", s"$baseDir/$name")
+        .format("parquet")
+        .saveAsTable(s"${tablePrefix}_$name")
+    one(domain.entities, "entities")
+    one(domain.datapoints, "datapoints")
+    one(domain.embeddings, "embeddings")
+  }
+
+  def readDomainBucketed(spark: SparkSession, tablePrefix: String): Domain = Domain(
+    spark.table(s"${tablePrefix}_entities"),
+    spark.table(s"${tablePrefix}_datapoints"),
+    spark.table(s"${tablePrefix}_embeddings"))
 }

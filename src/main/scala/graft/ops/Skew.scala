@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys. AQE's skew-join handles most cases
+  * at runtime; explicit salting remains the tool for EXTREME single-key
+  * skew (one entity with millions of embeddings would pin one reducer
+  * regardless of AQE's split heuristics, because AQE can only split a
+  * partition, not a key).
+  *
+  * `saltedJoin(left, right, keys, n)`: the large/skewed side gets a
+  * deterministic salt in [0, n) hashed from its whole row; the smaller
+  * side is replicated n times (one copy per salt). The join key becomes
+  * (keys..., salt), so a hot key's rows spread across n reducers. Output
+  * equals the plain equi-join exactly; cost is n× the small side's
+  * shuffle volume — choose n ≈ (hot-key rows / target partition rows).
+  */
+object Skew {
+
+  def saltedJoin(
+      skewed: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedLeft = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+    val replicatedRight = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

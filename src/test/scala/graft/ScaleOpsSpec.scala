@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Skew
+import graft.search.SearchEngine
+
+/** The two explicit 100 TB levers pinned on physical plans:
+  * bucket-co-located domain tables make the whole post-broadcast search
+  * pipeline shuffle-free, and salting spreads a hot join key across
+  * reducers without changing the result.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bucketed domain: search plan has no shuffle exchange after the broadcast") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"document number $i about topic ${i % 5} with shared words", "en", s"s$i"))
+      .toSeq.toDF("doc_id", "text", "lang", "source")
+    val domain = SearchEngine.buildDomain(spark, docs, Seq("stub:alpha"), dim = 8)
+
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "bucketed-").toString
+    Tables.writeDomainBucketed(domain, dir, "graft_test", buckets = 4)
+    try {
+      val bucketed = Tables.readDomainBucketed(spark, "graft_test")
+      val q = SearchEngine.queryEmbeddings(spark, bucketed, "topic words", 8)
+      val search = SearchEngine.search(bucketed, q, 5)
+
+      // identical results to the unbucketed pipeline
+      val plain = SearchEngine.search(domain,
+        SearchEngine.queryEmbeddings(spark, domain, "topic words", 8), 5)
+      assert(search.collect().toSeq == plain.collect().toSeq)
+
+      // and NO corpus-volume shuffle: the bucketed scan's
+      // HashPartitioning(entity_id) satisfies both aggregation levels and
+      // the entity join. The only permitted exchange is the M-row
+      // distinct-models subquery feeding a broadcast (queryEmbeddings).
+      search.collect() // finalize AQE plan
+      // AdaptiveSparkPlan.toString prints the pre-AQE "Initial Plan" too
+      // (which still contains ENSURE_REQUIREMENTS exchanges) — judge only
+      // the final executed section.
+      val plan = search.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      for (key <- Seq("entity_id", "datapoint_id", "name"))
+        assert(!plan.contains(s"Exchange hashpartitioning($key"),
+          s"unexpected $key shuffle in bucketed search plan:\n$plan")
+    } finally {
+      Seq("entities", "datapoints", "embeddings")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_test_$t"))
+    }
+  }
+
+  test("salted join: equals the plain join, spreads the hot key") {
+    import spark.implicits._
+    // one pathological key (90% of rows) + a long tail
+    val skewed = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val small = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).map(k => (k, k.length))
+      .toDF("k", "w")
+
+    val plain = skewed.join(small, "k").select("k", "v", "w")
+    val salted = Skew.saltedJoin(skewed, small, Seq("k"), salts = 8).select("k", "v", "w")
+    assert(salted.collect().sortBy(r => (r.getString(0), r.getInt(1))).toSeq
+      == plain.collect().sortBy(r => (r.getString(0), r.getInt(1))).toSeq)
+
+    // the join key really carries the salt (hot key split across hashes)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+}
