@@ -172,6 +172,16 @@ object ProbMethods {
     * the same single pass (they are all sums/counts/mins/maxes) and the
     * method column selects among them. `methodName` / `methodParam` must be
     * constant within each group (enforced by taking `first(...)`).
+    *
+    * Design note (measured, `graft.tools.BenchDispatch` @ sf0.1): on a
+    * FLAT SCAN a filter-per-method + single-agg + union plan is ~2.6×
+    * faster (0.55 s vs 1.45 s warm) because the per-row cost of 18 agg
+    * buffers (ln/abs/divisions) dominates a cheap re-scan. This one-pass
+    * form is still the right shape where it is actually used — the search
+    * aggregation levels — because the input there is the OUTPUT OF THE
+    * SCORING JOIN: a union plan would re-execute the join (or persist it)
+    * once per method, and at 100 TB re-reading the corpus loses by far
+    * more than the extra arithmetic saves.
     */
   def forMethodCol(methodCol: Column, paramCol: Column, key: Column, x: Column): Column = {
     val m = first(methodCol)
