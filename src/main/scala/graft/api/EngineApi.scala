@@ -108,13 +108,21 @@ object EngineApi {
       .select(col("searchdomain"), col("entity_id"), col("datapoint_id"),
         col("model"), col("embedding"))
 
+    // The diff has PUT semantics per UPLOADED entity only (reference
+    // `SearchdomainHelper.cs:208-343` diffs the datapoints of each entity
+    // in the payload): entities absent from the batch keep everything;
+    // within an uploaded entity, datapoints missing from the payload are
+    // the `deleted` bucket and drop out.
+    val touched = entities.select("entity_id").distinct()
     val mergedDatapoints = domain.datapoints
-      .join(keepIds, Seq("datapoint_id"), "left_semi")
+      .join(touched, Seq("entity_id"), "left_anti")
+      .unionByName(domain.datapoints.join(keepIds, Seq("datapoint_id"), "left_semi"))
       .unionByName(
         hashed.join(keepIds, Seq("datapoint_id"), "left_anti")
           .select(domain.datapoints.columns.map(col).toIndexedSeq: _*))
     val mergedEmbeddings = domain.embeddings
-      .join(keepIds, Seq("datapoint_id"), "left_semi")
+      .join(touched, Seq("entity_id"), "left_anti")
+      .unionByName(domain.embeddings.join(keepIds, Seq("datapoint_id"), "left_semi"))
       .unionByName(fresh.select(domain.embeddings.columns.map(col).toIndexedSeq: _*))
     val mergedEntities = domain.entities
       .join(entities.select("entity_id"), Seq("entity_id"), "left_anti")

@@ -47,17 +47,19 @@ class ApiSpec extends SparkSpec {
     assert(full.head.getSeq[org.apache.spark.sql.Row](3).head.getSeq[Float](1).size == dim)
   }
 
-  test("upsert re-embeds only created/changed datapoints") {
+  test("upsert re-embeds only created/changed datapoints; absent entities untouched") {
     import spark.implicits._
-    // doc 2 changes its body text; doc 4 is new; docs 1/3 untouched
-    val allDocs = docs.filter(col("doc_id") =!= 2).unionByName(Seq(
+    // INCREMENTAL batch: doc 2 changes its body text, doc 4 is new —
+    // docs 1/3 are NOT in the payload and must survive untouched
+    // (reference PUT semantics: the diff runs per uploaded entity only).
+    val batch = docs.filter(col("doc_id") === 1).unionByName(Seq(
       (2L, "dogs bark at the postman", "en", "web"),
       (4L, "watermarks bound streaming state", "en", "docs"))
       .toDF("doc_id", "text", "lang", "source"))
 
     val merged = EngineApi.upsertEntities(spark, domain,
-      SearchEngine.docEntities(allDocs),
-      SearchEngine.docDatapoints(allDocs),
+      SearchEngine.docEntities(batch),
+      SearchEngine.docDatapoints(batch),
       models, dim)
 
     // 4 entities, 8 datapoints (title+body each), one embedding per dp
@@ -65,11 +67,13 @@ class ApiSpec extends SparkSpec {
     assert(merged.datapoints.count() == 8)
     assert(merged.embeddings.count() == 8)
 
-    // unchanged datapoints kept their STORED vectors; changed got fresh ones
+    // unchanged/absent datapoints kept their STORED vectors; changed got
+    // fresh ones
     def vecOf(d: graft.core.Domain, dpId: Long): Seq[Float] =
       d.embeddings.filter(col("datapoint_id") === dpId)
         .select("embedding").as[Seq[Float]].head()
-    assert(vecOf(merged, 2L) == vecOf(domain, 2L)) // doc1 title unchanged
+    assert(vecOf(merged, 6L) == vecOf(domain, 6L)) // doc3 (absent) untouched
+    assert(vecOf(merged, 2L) == vecOf(domain, 2L)) // doc1 uploaded unchanged -> stored vector kept
     assert(vecOf(merged, 5L) != vecOf(domain, 5L)) // doc2 body re-embedded
   }
 

@@ -104,6 +104,36 @@ class StreamingSpec extends SparkSpec {
     assert(live.getTimeoutTimestampMs.isPresent)
   }
 
+  test("continuous index pipeline: file stream -> diff upsert -> versioned snapshots") {
+    import graft.streaming.IndexPipeline
+    val src = tmpDir("idx-src-")
+    val dom = tmpDir("idx-dom-")
+    val ckpt = tmpDir("idx-ckpt-")
+    val models = Seq("stub:alpha")
+
+    // round 1: two files arrive
+    Files.writeString(java.nio.file.Paths.get(src, "a.txt"), "Alpha doc\nabout spark shuffles")
+    Files.writeString(java.nio.file.Paths.get(src, "b.txt"), "Beta doc\nabout broadcast joins")
+    IndexPipeline.start(spark, src, dom, ckpt, models, dim = 8, triggerSpec = "runonce")
+      .awaitTermination(120000)
+    val d1 = IndexPipeline.readCurrentDomain(spark, dom).get
+    assert(d1.entities.count() == 2)
+    val vecsBefore = d1.embeddings.select("datapoint_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    // round 2: one NEW file arrives; checkpoint makes the old files no-ops
+    Files.writeString(java.nio.file.Paths.get(src, "c.txt"), "Gamma doc\nabout watermarks")
+    IndexPipeline.start(spark, src, dom, ckpt, models, dim = 8, triggerSpec = "runonce")
+      .awaitTermination(120000)
+    val d2 = IndexPipeline.readCurrentDomain(spark, dom).get
+    assert(d2.entities.count() == 3)
+    // previously indexed datapoints kept their stored vectors
+    val vecsAfter = d2.embeddings.select("datapoint_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecsBefore.foreach { case (dp, v) => assert(vecsAfter(dp) == v) }
+    assert(vecsAfter.size == 6) // 3 docs x (title, body)
+  }
+
   test("watermarked tumbling window aggregates finalize when the watermark passes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
