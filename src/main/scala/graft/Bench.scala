@@ -25,6 +25,12 @@ object Bench {
     // SPARK_GRAFT_ONLY=q41_text_stats,q47_ngram_jaccard
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Untimed warmup: JVM/codegen/parquet-footer startup otherwise lands
+    // on whichever query happens to run first (~3-4 s of fiction).
+    try spark.range(1L << 20).selectExpr("sum(id) s")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)

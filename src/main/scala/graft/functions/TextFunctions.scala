@@ -211,9 +211,11 @@ object TextFunctions {
     * a single associative aggregate, so it parallelizes).
     */
   def fingerprint(toks: Column): Column =
-    pmod(
+    // empty guard: sequence(1, 0) yields a DESCENDING [1,0] (not an empty
+    // array), which would zip against null tokens and null the whole sum
+    when(size(toks) === 0, 0L).otherwise(pmod(
       aggregate(
         zip_with(toks, sequence(lit(1), size(toks)), (t, i) => hash32(t) * i.cast("long")),
         lit(0L), (acc, x) => acc + x),
-      lit(2147483647L))
+      lit(2147483647L)))
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.core.StubEmbedder
+import graft.functions.{ProbMethods => PM, TextFunctions => TF}
+
+/** Property-based pinning of the scalar surfaces (ScalaCheck) plus seeded
+  * batch equivalence of the optimized Spark paths against straight-line
+  * re-derivations of the reference formulas (`docs/Indexer.md:112-189`,
+  * `Probmethods.cs:73-176`).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def holds(p: Prop, n: Int = 100): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("parseWeights inverts JSON rendering (keys may contain colons)") {
+    val keyGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(':'), Gen.const('/')))
+      .map(_.mkString)
+    val mapGen = Gen.mapOf(Gen.zip(keyGen, Gen.choose(-1e6, 1e6)))
+    holds(Prop.forAll(mapGen) { m =>
+      val json = m.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      val parsed = PM.parseWeights(json)
+      parsed.keySet == m.keySet &&
+        m.forall { case (k, v) => math.abs(parsed(k) - v) <= 1e-9 * math.max(1.0, math.abs(v)) }
+    })
+  }
+
+  test("first-colon spec split: name never contains ':', param keeps the rest verbatim") {
+    val specGen = Gen.zip(Gen.alphaStr, Gen.option(Gen.asciiPrintableStr))
+      .map { case (name, param) => (name, param, param.fold(name)(p => s"$name:$p")) }
+    holds(Prop.forAll(specGen) { case (name, param, spec) =>
+      val (n, p) = PM.parseName(spec)
+      n == name && p == param.getOrElse("")
+    })
+  }
+
+  test("stub embedder: deterministic, unit-norm, (model,text)-sensitive") {
+    val e = new StubEmbedder(24)
+    val strGen = Gen.asciiPrintableStr
+    holds(Prop.forAll(Gen.zip(strGen, strGen)) { case (m, t) =>
+      val v1 = e.embed(m, t); val v2 = e.embed(m, t)
+      val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+      v1.toSeq == v2.toSeq && math.abs(norm - 1.0) < 1e-3
+    }, n = 50)
+    // distinct inputs -> distinct vectors (SHA-256 seeded)
+    holds(Prop.forAll(Gen.zip(strGen, strGen).suchThat { case (a, b) => a != b }) {
+      case (a, b) => e.embed("m", a).toSeq != e.embed("m", b).toSeq
+    }, n = 50)
+  }
+
+  test("probmethod aggregates match straight-line formulas on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    // 40 groups, 1-25 values each, strictly inside (0,1)
+    val groups = (0 until 40).map { g =>
+      g -> Seq.fill(1 + rnd.nextInt(25))(0.001 + rnd.nextDouble() * 0.997)
+    }
+    val df = groups.flatMap { case (g, xs) => xs.map(x => (g, x)) }.toDF("g", "x")
+
+    def straight(xs: Seq[Double]): Map[String, Double] = {
+      val n = xs.size.toDouble
+      val nz = xs.filter(_ != 0.0)
+      Map(
+        "Mean" -> xs.sum / n,
+        "HarmonicMean" -> (if (nz.isEmpty) 0.0
+          else nz.size / nz.map(1.0 / _).sum * (nz.size / n)),
+        "QuadraticMean" -> math.sqrt(xs.map(x => x * x).sum / n),
+        "GeometricMean" -> (if (xs.size == 1) xs.head
+          else math.exp(xs.map(x => math.log(math.abs(x))).sum / n)),
+        "EVEWAvg" -> {
+          val w = xs.map(x => 1.0 / (x * (1.0 - x)))
+          xs.zip(w).map { case (x, wi) => x * wi }.sum / w.sum
+        },
+        "HVEWAvg" -> {
+          val w = xs.map(x => 1.0 / (1.0 - x))
+          xs.zip(w).map { case (x, wi) => x * wi }.sum / w.sum
+        },
+        "LVEWAvg" -> n / xs.map(1.0 / _).sum)
+    }
+
+    val aggs = Seq(
+      "Mean" -> PM.mean(col("x")),
+      "HarmonicMean" -> PM.harmonicMean(col("x")),
+      "QuadraticMean" -> PM.quadraticMean(col("x")),
+      "GeometricMean" -> PM.geometricMean(col("x")),
+      "EVEWAvg" -> PM.evewAvg(col("x")),
+      "HVEWAvg" -> PM.hvewAvg(col("x")),
+      "LVEWAvg" -> PM.lvewAvg(col("x")))
+    val got = df.groupBy("g")
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (nm, c) => c.as(nm) }: _*)
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    groups.foreach { case (g, xs) =>
+      val expected = straight(xs)
+      aggs.map(_._1).foreach { m =>
+        val gv = got(g).getAs[Double](m)
+        assert(approx(gv, expected(m), 1e-9), s"group $g method $m: $gv vs ${expected(m)}")
+      }
+    }
+  }
+
+  test("TextStats.perDoc equals the per-row HOF forms on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "42", "eps!")
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(12) // includes 0-token docs
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ (60L, "   ") :+ (61L, "")
+    val df = docs.toDF("doc_id", "text")
+
+    val fast = graft.ops.TextStats.perDoc(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val hof = df.select(col("doc_id"),
+        TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(TF.meanTokenLength(concat_ws(" ", col("toks"))), 6).as("mean_tok_len"),
+        TF.fingerprint(col("toks")).as("fingerprint"),
+        TF.simhash(col("toks")).as("simhash"))
+      .orderBy("doc_id").collect()
+    fast.zip(hof).foreach { case (f, h) =>
+      assert(f.getLong(1) == h.getLong(1), s"n_tokens ${f.getLong(0)}")
+      assert(approx(f.getDouble(2), h.getDouble(2)), s"mean_tok_len ${f.getLong(0)}")
+      assert(f.getLong(3) == h.getLong(3), s"fingerprint ${f.getLong(0)}")
+      assert(f.getLong(4) == h.getLong(4), s"simhash ${f.getLong(0)}")
+    }
+  }
+
+  test("LSH banding: identical docs share every band, disjoint docs share none") {
+    import spark.implicits._
+    val a = "one two three four five six seven eight nine ten"
+    val b = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val banded = df
+      .withColumn("hashes", array_distinct(
+        TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 3))))
+      .withColumn("band", explode(TF.lshBands(TF.minhashSignature(col("hashes"), 12), 4, 3)))
+      .select("doc_id", "band").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert(banded(1L) == banded(2L))          // identical -> all 4 bands equal
+    assert(banded(1L).intersect(banded(3L)).isEmpty) // disjoint shingles -> no shared band
+  }
+}
