@@ -1087,6 +1087,33 @@ object Queries {
           ELSE ${sqlPmHarmonic("l_discount")} END, 6) AS score
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Multimodal frame SAMPLING: explode each video's sampled frames
+    // (first / middle / last) as 256-byte slices of the opaque binary
+    // content, fingerprint each slice. Byte slicing on the binary column
+    // is exact; the oracle slices the (all-ASCII fixture) text at the
+    // same offsets.
+    ("q61_frame_sample", (s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.attachMedia(
+        t(s, d, "documents"), "doc_id", "text")
+        .filter(col("modality") === "video")
+        .withColumn("frames", expr("(length(content) div 256) + 1"))
+      media
+        .withColumn("frame_idx", explode(array_distinct(array(
+          lit(0L), expr("frames div 2"), col("frames") - 1))))
+        .select(col("doc_id"), col("frame_idx"),
+          TF.hash32(col("content").substr(
+            (col("frame_idx") * 256 + 1).cast("int"), lit(256))).as("frame_h32"))
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some(s"""WITH v AS (SELECT doc_id, text,
+          octet_length(encode(text)) // 256 + 1 AS frames
+          FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT doc_id, text,
+          unnest(list_distinct([0, frames // 2, frames - 1])) AS frame_idx FROM v)
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          ${sqlHash32("substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)")} AS frame_h32
+        FROM f ORDER BY doc_id, frame_idx""")),
+
     // P4: entity listing with the reference's 3 verbosity levels in one
     // frame — no embeddings / models with empty vectors / full vectors
     // (`EntityController.cs:42-86`).
