@@ -1114,6 +1114,56 @@ object Queries {
           ${sqlHash32("substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)")} AS frame_h32
         FROM f ORDER BY doc_id, frame_idx""")),
 
+    // Deterministic stratified sampling — the reproducible-corpus-sample
+    // pattern: keep a doc iff hash(text, salt) % 1000 falls under the
+    // stratum's rate (per-language rates here). Unlike rand()-based
+    // sampling this is stable across runs/engines/partitionings, and the
+    // decision is a pure per-row expression (no shuffle, no state).
+    ("q62_stratified_sample", (s: SparkSession, d: String) => {
+      val rate = when(col("lang") === "en", 800)
+        .when(col("lang") === "de", 500)
+        .otherwise(200)
+      t(s, d, "documents")
+        .filter(pmod(TF.hash32(concat(col("text"), lit("|sample-salt-r3"))), lit(1000L)) < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang")
+    },
+      Some(s"""SELECT lang, count(*) AS kept,
+        CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        FROM documents
+        WHERE ${sqlHash32("text || '|sample-salt-r3'")} % 1000 <
+          (CASE WHEN lang = 'en' THEN 800 WHEN lang = 'de' THEN 500 ELSE 200 END)
+        GROUP BY lang ORDER BY lang""")),
+
+    // Context-window sequence PACKING (training-data prep): docs fill
+    // 2048-token bins greedily in doc_id order; bin id = tokens consumed
+    // BEFORE the doc div the budget. Packed per language shard — the
+    // partitioned window is the scale shape (one global packing order
+    // would serialize the corpus through one reducer).
+    ("q63_pack_sequences", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    },
+      Some(s"""WITH t AS (SELECT lang, doc_id,
+          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT lang, n_tok,
+          sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT lang, (cum - n_tok) // 2048 AS bin,
+          count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY lang, bin ORDER BY lang, bin""")),
+
     // P4: entity listing with the reference's 3 verbosity levels in one
     // frame — no embeddings / models with empty vectors / full vectors
     // (`EntityController.cs:42-86`).
