@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.search.SearchEngine
+import graft.sources.FileCorpus
+
+/** Batch sources and the P1 searchdomain predicate: the file-corpus
+  * directory read, and partition pruning on the domain tables' partition
+  * column (the reference's `id_searchdomain` covering indexes become
+  * directory pruning at the parquet reader).
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("FileCorpus.read: first line = title, rest = text, name from path") {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "corpus-")
+    Files.writeString(dir.resolve("one.txt"), "Title One\nbody a\nbody b")
+    Files.writeString(dir.resolve("two.txt"), "Only title, no body")
+    val rows = FileCorpus.read(spark, dir.toString).orderBy("filename")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("one.txt", "Title One", "body a\nbody b"),
+      ("two.txt", "Only title, no body", "")))
+  }
+
+  test("P1: searchdomain filter prunes partitions at the parquet reader") {
+    import spark.implicits._
+    val mk = (name: String, ids: Range) => SearchEngine.buildDomain(spark,
+      ids.map(i => (i.toLong, s"text of doc $i in $name", "en", "src"))
+        .toDF("doc_id", "text", "lang", "source"),
+      Seq("stub:alpha"), dim = 4, domainName = name)
+    val a = mk("domain_a", 0 until 5)
+    val b = mk("domain_b", 100 until 110)
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "domains-").toString
+    Tables.writeDomain(graft.core.Domain(
+      a.entities.unionByName(b.entities),
+      a.datapoints.unionByName(b.datapoints),
+      a.embeddings.unionByName(b.embeddings)), dir)
+
+    val pruned = Tables.readDomain(spark, dir).embeddings
+      .filter(col("searchdomain") === "domain_a")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("(searchdomain = domain_a)") ||
+      scan.contains("searchdomain#") && scan.contains("= domain_a"), scan)
+    // only domain_a rows survive without any text-side filtering
+    assert(pruned.count() == 10) // 5 docs x 2 datapoints x 1 model
+  }
+}
