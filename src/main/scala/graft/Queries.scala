@@ -63,7 +63,10 @@ object Queries {
   private def sqlPmQuadratic(x: String) =
     s"sqrt(sum(($x) * ($x)) / CAST(count(*) AS DOUBLE))"
   private def sqlPmGeometric(x: String) =
-    s"(CASE WHEN min(abs($x)) = 0 THEN 0.0 " +
+    // count(*)=1 arm mirrors ProbMethods.geometricMean's single-element
+    // passthrough (pow(v, 1/1) == v, negatives included)
+    s"(CASE WHEN count(*) = 1 THEN CAST(min($x) AS DOUBLE) " +
+      s"WHEN min(abs($x)) = 0 THEN 0.0 " +
       s"WHEN mod(sum(CASE WHEN ($x) < 0 THEN 1 ELSE 0 END), 2) = 1 THEN CAST('NaN' AS DOUBLE) " +
       s"ELSE exp(avg(ln(abs($x)))) END)"
   private def sqlPmEvew(x: String) =
@@ -165,24 +168,21 @@ object Queries {
           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS BIGINT) AS rnk
         FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""")),
 
-    // J5: CDC/upsert diff via full-outer join + sha-style change detection.
+    // J5: CDC/upsert diff — the shared Upsert.diff operator (full-outer
+    // join + presence-marker buckets), change detection on the price
+    // standing in for the content hash.
     ("q08_upsert_diff", (s: SparkSession, d: String) => {
       val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
       val old = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
-        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
       val nw = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
         .select(col("o_orderkey"),
           when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") * 2)
-            .otherwise(col("o_totalprice")).as("new_price"))
-      old.join(nw, Seq("o_orderkey"), "full_outer")
-        .withColumn("bucket",
-          when(col("old_price").isNull, "created")
-            .when(col("new_price").isNull, "deleted")
-            .when(col("old_price") =!= col("new_price"), "changed")
-            .otherwise("unchanged"))
+            .otherwise(col("o_totalprice")).as("price"))
+      Upsert.diff(old, nw, Seq("o_orderkey"), "price")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
-          round(sum(coalesce(col("new_price"), lit(0.0))), 2).as("new_total"))
+          round(sum(coalesce(col("new_hash"), lit(0.0))), 2).as("new_total"))
         .orderBy("bucket")
     },
       Some("""WITH old AS (

@@ -13,6 +13,13 @@ import graft.functions.TextFunctions._
   *
   * The expression primitives live in [[graft.functions.TextFunctions]]; this
   * module wires them into end-to-end DataFrame transforms.
+  *
+  * Caching contract: the pipelines `persist()` their shared md5-heavy
+  * intermediates (each is read 2-6 times downstream) and deliberately do
+  * NOT unpersist — the cached blocks must outlive the returned (lazy)
+  * DataFrame. Callers that invoke these repeatedly in one long-lived
+  * session should `spark.catalog.clearCache()` between corpora (as
+  * Bench/Verify do) or the cache accretes.
   */
 object Dedup {
 

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(
       skewed: DataFrame,
       small: DataFrame,
@@ -25,6 +28,11 @@ object Skew {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit an unmatched small-side row once PER
+    // SALT COPY (salts-fold duplication) — only left-preserving types are
+    // result-identical to the plain equi-join
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     val saltedLeft = skewed.withColumn("__salt",
       pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
     val replicatedRight = small.withColumn("__salt",

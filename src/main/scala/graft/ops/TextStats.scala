@@ -35,8 +35,11 @@ object TextStats {
     val statAggs = Seq(
       count(lit(1)).as("n_toks"),
       sum(col("tlen")).as("sum_tlen"),
-      // 1-based position weight, matching TextFunctions.fingerprint
-      sum(col("h") * (col("pos") + 1L)).as("fp_raw"))
+      // 1-based position weight, matching TextFunctions.fingerprint.
+      // Decimal(38,0) accumulation: a long sum wraps around ~65k tokens
+      // (h < 2^32 times position), silently diverging from the oracle's
+      // HUGEINT-promoted list_sum; decimal matches it to 10^38.
+      sum((col("h") * (col("pos") + 1L)).cast("decimal(38,0)")).as("fp_raw"))
     val allAggs = statAggs ++ counterAggs
 
     val simhashCol = (0 until 32).map { b =>
@@ -56,7 +59,7 @@ object TextStats {
         round(when(col("n_toks").isNull, 0.0)
           .otherwise(col("sum_tlen").cast("double") / col("n_toks").cast("double")), 6)
           .as("mean_tok_len"),
-        coalesce(pmod(col("fp_raw"), lit(2147483647L)), lit(0L)).as("fingerprint"),
+        coalesce(pmod(col("fp_raw"), lit(2147483647L)).cast("long"), lit(0L)).as("fingerprint"),
         coalesce(col("sh"), lit(0L)).as("simhash"))
   }
 }

@@ -29,16 +29,21 @@ object Upsert {
     * with `old_` / `new_` prefixes.
     */
   def diff(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String], hashCol: String): DataFrame = {
+    // explicit presence markers: classifying on hash nullness would
+    // misread a legitimately-NULL hash on a present row as row absence
     val oldSide = existing.select(
       keyCols.map(col) :+ col(hashCol).as("old_hash"): _*)
+      .withColumn("__old_present", lit(true))
     val newSide = incoming.select(
       keyCols.map(col) :+ col(hashCol).as("new_hash"): _*)
+      .withColumn("__new_present", lit(true))
     oldSide.join(newSide, keyCols, "full_outer")
       .withColumn("bucket",
-        when(col("old_hash").isNull, "created")
-          .when(col("new_hash").isNull, "deleted")
-          .when(col("old_hash") =!= col("new_hash"), "changed")
+        when(col("__old_present").isNull, "created")
+          .when(col("__new_present").isNull, "deleted")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
           .otherwise("unchanged"))
+      .drop("__old_present", "__new_present")
   }
 
   /** J6: attribute diff over `map<string,string>` columns. Both sides are
@@ -47,15 +52,18 @@ object Upsert {
     * added / deleted / updated / unchanged.
     */
   def attributeDiff(oldAttrs: DataFrame, newAttrs: DataFrame, idCol: String, attrsCol: String): DataFrame = {
-    def exploded(df: DataFrame, valName: String): DataFrame =
+    def exploded(df: DataFrame, valName: String, marker: String): DataFrame =
       df.select(col(idCol), explode(col(attrsCol)).as(Seq("attr_key", valName)))
-    exploded(oldAttrs, "old_value")
-      .join(exploded(newAttrs, "new_value"), Seq(idCol, "attr_key"), "full_outer")
+        .withColumn(marker, lit(true))
+    exploded(oldAttrs, "old_value", "__old_present")
+      .join(exploded(newAttrs, "new_value", "__new_present"),
+        Seq(idCol, "attr_key"), "full_outer")
       .withColumn("bucket",
-        when(col("old_value").isNull, "added")
-          .when(col("new_value").isNull, "deleted")
-          .when(col("old_value") =!= col("new_value"), "updated")
+        when(col("__old_present").isNull, "added")
+          .when(col("__new_present").isNull, "deleted")
+          .when(!(col("old_value") <=> col("new_value")), "updated")
           .otherwise("unchanged"))
+      .drop("__old_present", "__new_present")
   }
 
   /** S6/J8: cache↔store sync diff on a two-part key (content key + model

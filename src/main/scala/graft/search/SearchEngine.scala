@@ -61,10 +61,14 @@ object SearchEngine {
           .cast("long").as("datapoint_id"),
         col("dp.name").as("name"),
         lit("Mean").as("probmethod"),
-        // vary the similarity method per datapoint to exercise dispatch
+        // vary the similarity method per DATAPOINT (keyed on datapoint_id,
+        // so title and body of one entity can carry different methods —
+        // the within-entity dispatch the reference allows)
         element_at(
           array(lit("Cosine"), lit("Euclidian"), lit("Manhattan"), lit("Cosine")),
-          (pmod(col("entity_id"), lit(4)) + 1).cast("int")).as("similaritymethod"),
+          (pmod(col("entity_id") * 2 +
+            when(col("dp.name") === "title", 0).otherwise(1), lit(4)) + 1).cast("int"))
+          .as("similaritymethod"),
         TextFunctions.contentHash(col("dp.text")).as("hash"),
         col("dp.text").as("text"))
   }

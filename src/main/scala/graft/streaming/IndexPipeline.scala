@@ -71,9 +71,15 @@ object IndexPipeline {
           val version = s"v$batchId"
           Tables.writeDomain(merged, s"$domainDir/$version")
           Files.createDirectories(Paths.get(domainDir))
-          Files.writeString(Paths.get(domainDir, "_CURRENT"), version,
+          // write-to-temp + ATOMIC_MOVE: truncate-then-write would expose
+          // an empty/partial pointer to a concurrent reader
+          val tmp = Paths.get(domainDir, s"_CURRENT.tmp$batchId")
+          Files.writeString(tmp, version,
             StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
             StandardOpenOption.WRITE)
+          Files.move(tmp, Paths.get(domainDir, "_CURRENT"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         () // foreachBatch requires (Dataset[Row], Long) => Unit
       }

@@ -40,10 +40,17 @@ object Windowed {
     * duplicates arriving inside `lateness` of each other collapse to the
     * first arrival (state = one 44-char hash per doc in the horizon).
     * The P7/U2 dedup-before-embed predicate, made incremental.
+    *
+    * `dropDuplicatesWithinWatermark` (NOT plain `dropDuplicates`): with a
+    * key that excludes the event-time column, plain dropDuplicates never
+    * evicts its state — the store grows one entry per distinct document
+    * forever. The WithinWatermark variant expires each key once the
+    * watermark passes its last-seen time, making state O(docs inside the
+    * horizon) as documented.
     */
   def streamingDedup(docs: DataFrame, tsCol: String, textCol: String, lateness: String): DataFrame =
     docs
       .withColumn("content_hash", TextFunctions.contentHash(col(textCol)))
       .withWatermark(tsCol, lateness)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 }

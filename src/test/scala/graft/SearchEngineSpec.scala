@@ -35,8 +35,8 @@ class SearchEngineSpec extends SparkSpec {
   }
   private def manhattan01(a: Array[Float], b: Array[Float]): Double =
     1.0 / (1.0 + a.indices.foldLeft(0.0)((acc, i) => acc + math.abs(a(i).toDouble - b(i).toDouble)))
-  private def simFor(entityId: Long): (Array[Float], Array[Float]) => Double =
-    Seq(cos01 _, euclid01 _, manhattan01 _, cos01 _)((entityId % 4).toInt)
+  private def simFor(datapointId: Long): (Array[Float], Array[Float]) => Double =
+    Seq(cos01 _, euclid01 _, manhattan01 _, cos01 _)((datapointId % 4).toInt)
 
   private def oracleSearch(query: String, topN: Int): Seq[(String, Double)] = {
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
@@ -44,8 +44,8 @@ class SearchEngineSpec extends SparkSpec {
     rows.map { case (id, text) =>
       val toks = text.split("\\s+").filter(_.nonEmpty)
       val dps = Seq(toks.take(8).mkString(" "), text) // title, body
-      val sim = simFor(id)
-      val dpScores = dps.map { dpText =>
+      val dpScores = dps.zipWithIndex.map { case (dpText, dpIdx) =>
+        val sim = simFor(id * 2 + dpIdx) // per-DATAPOINT method dispatch
         val perModel = models.map(m => sim(embedder.embed(m, dpText), qv(m)))
         perModel.sum / perModel.size // datapoint probmethod = Mean
       }
