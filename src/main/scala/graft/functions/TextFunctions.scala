@@ -213,13 +213,13 @@ object TextFunctions {
   def fingerprint(toks: Column): Column =
     // empty guard: sequence(1, 0) yields a DESCENDING [1,0] (not an empty
     // array), which would zip against null tokens and null the whole sum.
-    // decimal(38,0) accumulation: a long running sum wraps around ~65k
-    // tokens (h < 2^32 × position) while the oracle's list_sum promotes
-    // to 128-bit — decimal matches it.
+    // Mod-per-term BEFORE the sum: a raw long sum of h×position wraps
+    // around ~65k tokens (diverging from the oracle's 128-bit list_sum);
+    // Σ(tᵢ mod M) mod M ≡ Σtᵢ mod M stays exact in long arithmetic.
     when(size(toks) === 0, 0L).otherwise(pmod(
       aggregate(
-        zip_with(toks, sequence(lit(1), size(toks)), (t, i) => hash32(t) * i.cast("long")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
-        (acc, x) => acc + x.cast("decimal(38,0)")),
-      lit(2147483647L)).cast("long"))
+        zip_with(toks, sequence(lit(1), size(toks)),
+          (t, i) => pmod(hash32(t) * i.cast("long"), lit(2147483647L))),
+        lit(0L), (acc, x) => acc + x),
+      lit(2147483647L)))
 }

@@ -36,10 +36,11 @@ object TextStats {
       count(lit(1)).as("n_toks"),
       sum(col("tlen")).as("sum_tlen"),
       // 1-based position weight, matching TextFunctions.fingerprint.
-      // Decimal(38,0) accumulation: a long sum wraps around ~65k tokens
-      // (h < 2^32 times position), silently diverging from the oracle's
-      // HUGEINT-promoted list_sum; decimal matches it to 10^38.
-      sum((col("h") * (col("pos") + 1L)).cast("decimal(38,0)")).as("fp_raw"))
+      // Mod-per-term BEFORE the sum: a raw long sum of h×position wraps
+      // around ~65k tokens (diverging from the oracle's 128-bit
+      // list_sum), while Σ(tᵢ mod M) mod M ≡ Σtᵢ mod M stays exact in
+      // long for ~2^32 tokens — no decimal slowdown.
+      sum(pmod(col("h") * (col("pos") + 1L), lit(2147483647L))).as("fp_raw"))
     val allAggs = statAggs ++ counterAggs
 
     val simhashCol = (0 until 32).map { b =>
@@ -59,7 +60,7 @@ object TextStats {
         round(when(col("n_toks").isNull, 0.0)
           .otherwise(col("sum_tlen").cast("double") / col("n_toks").cast("double")), 6)
           .as("mean_tok_len"),
-        coalesce(pmod(col("fp_raw"), lit(2147483647L)).cast("long"), lit(0L)).as("fingerprint"),
+        coalesce(pmod(col("fp_raw"), lit(2147483647L)), lit(0L)).as("fingerprint"),
         coalesce(col("sh"), lit(0L)).as("simhash"))
   }
 }
