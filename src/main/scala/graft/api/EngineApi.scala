@@ -166,6 +166,15 @@ object EngineApi {
       .unionByName(replacement.withColumn("query", lit(queryText))
         .select(cache.columns.map(col).toIndexedSeq: _*))
 
+  /** `GET /Server/Models` with the allow/deny filter (P5,
+    * `ServerController.cs:36-57`, `AIProvider.cs:196-216`): distinct
+    * models in use (U1), regex allowlist ∧ ¬denylist.
+    */
+  def models(domain: Domain, allow: String = ".*", deny: String = "^$"): DataFrame =
+    domain.embeddings.select(col("model")).distinct()
+      .filter(regexp_like(col("model"), lit(allow)) &&
+        !regexp_like(col("model"), lit(deny)))
+
   /** `GET /Server/Stats` + `Database/Size` (`ServerController.cs:36-119`,
     * `DatabaseHelper.cs:291-397`): row counts and byte-size estimates per
     * table (C5) — one aggregate per table, unioned.

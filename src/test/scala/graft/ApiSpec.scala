@@ -104,6 +104,16 @@ class ApiSpec extends SparkSpec {
     assert(patched.filter(col("query") === "q2").count() == 1)
   }
 
+  test("models: distinct in-use set with allow/deny regex") {
+    val two = graft.search.SearchEngine.buildDomain(
+      spark, docs, Seq("stub:alpha", "stub:beta"), dim)
+    assert(EngineApi.models(two).count() == 2)
+    assert(EngineApi.models(two, allow = ".*alpha.*").collect()
+      .map(_.getString(0)).toSeq == Seq("stub:alpha"))
+    assert(EngineApi.models(two, deny = ".*beta.*").collect()
+      .map(_.getString(0)).toSeq == Seq("stub:alpha"))
+  }
+
   test("stats reports rows and byte estimates per table") {
     val s = EngineApi.stats(domain).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
