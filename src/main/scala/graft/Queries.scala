@@ -979,7 +979,10 @@ object Queries {
   // multimodal features, 3-level entity listing.
   private lazy val extended: Seq[Q] = Seq(
     // S2/O5/C4: embedding-store load ordered by the persisted LRU position
-    // `idx` (window row_number over recency), trimmed to StoreTopN.
+    // `idx` (window row_number over recency), trimmed to StoreTopN. The
+    // un-partitioned window is intentional: the store IS one global LRU
+    // list, bounded by its capacity (100k in the reference) — a
+    // single-partition sort of <= capacity rows, never of a corpus.
     ("q54_store_lru", (s: SparkSession, d: String) => {
       val store = t(s, d, "embeddings").select(
         concat(lit("k"), col("vec_id")).as("cache_key"),
