@@ -609,6 +609,31 @@ object Queries {
           SELECT query_id, vec_id, rnk, sim FROM ranked WHERE rnk <= 5
           ORDER BY query_id, rnk""")),
 
+      // §2.11 similarity dispatch with the method carried per ROW (each
+      // datapoint declares its own similaritymethod in the reference) —
+      // all four kernels behind one data-driven CaseWhen.
+      ("q64_sim_dispatch", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+          .withColumn("method", element_at(
+            array(lit("Cosine"), lit("Euclidian"), lit("Manhattan"), lit("Pearson")),
+            (pmod(col("a.vec_id"), lit(4L)) + 1).cast("int")))
+          .select(col("a.vec_id").as("vec_a"), col("method"),
+            round(VF.similarityCol(col("method"), col("a.embedding"), col("b.embedding")), 6)
+              .as("sim"))
+          .orderBy("vec_a")
+      },
+        Some(s"""SELECT a.vec_id AS vec_a,
+          (CASE a.vec_id % 4 WHEN 0 THEN 'Cosine' WHEN 1 THEN 'Euclidian'
+            WHEN 2 THEN 'Manhattan' ELSE 'Pearson' END) AS method,
+          round(CASE a.vec_id % 4
+            WHEN 0 THEN ${sqlCos01("a.embedding", "b.embedding")}
+            WHEN 1 THEN ${sqlEuclid01("a.embedding", "b.embedding")}
+            WHEN 2 THEN ${sqlManhattan01("a.embedding", "b.embedding")}
+            ELSE ${sqlPearson("a.embedding", "b.embedding")} END, 6) AS sim
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          ORDER BY vec_a""")),
+
       // The core search shape (§2.3): broadcast 1-query scoring join, then
       // TWO data-driven aggregation levels (method chosen per group), then
       // top-k — the reference's Searchdomain.Search re-expressed on the
