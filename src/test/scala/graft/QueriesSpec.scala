@@ -14,6 +14,17 @@ class QueriesSpec extends SparkSpec {
     assert(names.forall(_.nonEmpty))
   }
 
+  test("every registered query executes at sf0.001") {
+    val failures = Queries.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, "/root/testdata/sf0.001").collect(); None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage}")
+      } finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("flagship entry() runs and returns rows with (name, score) schema") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
