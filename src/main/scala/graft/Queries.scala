@@ -1052,6 +1052,34 @@ object Queries {
         ORDER BY query_id, rnk"""
       }),
 
+    // Multi-probe sign-LSH ANN: probe the query's bucket AND every
+    // Hamming-1 neighbor (one sign bit flipped) — the standard recall
+    // lever; cost rises from 1/2^bits to (bits+1)/2^bits of the corpus.
+    ("q39_ann_lsh_multiprobe", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      graft.search.Ann.lshSearch(e, queries, signBits = 8, k = 5, probeHamming1 = true)
+        .orderBy("query_id", "rnk")
+    },
+      Some {
+        def bucket(v: String) = (1 to 8).map(i =>
+          s"(CASE WHEN $v[$i] > 0.0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        val flips = (1 to 8).map(i => s"xor(b, ${1L << i})").mkString(", ")
+        s"""WITH keyed AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
+        qb AS (SELECT vec_id AS query_id, embedding AS qe, ${bucket("embedding")} AS b
+          FROM embeddings WHERE vec_id < 5),
+        q AS (SELECT query_id, qe, unnest([b, $flips]) AS bucket FROM qb),
+        scored AS (SELECT q.query_id, k.vec_id,
+          round(${sqlCos01("k.embedding", "q.qe")}, 6) AS sim
+          FROM keyed k JOIN q ON k.bucket = q.bucket),
+        ranked AS (SELECT query_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk, sim
+          FROM scored)
+        SELECT query_id, vec_id, rnk, sim FROM ranked WHERE rnk <= 5
+        ORDER BY query_id, rnk"""
+      }),
+
     // §2.10 batch analogue of the streaming windowed aggregation: tumbling
     // 1-hour event-time windows (ns-precision integer bucketing via SQL
     // `div` — a double division would lose low bits of the ns epoch).

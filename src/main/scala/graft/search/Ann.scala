@@ -56,15 +56,29 @@ object Ann {
     * key (no centroid table to maintain). Recall is tunable via
     * `signBits` (fewer bits → bigger buckets → higher recall/cost).
     */
-  def lshSearch(corpus: DataFrame, queries: DataFrame, signBits: Int, k: Int): DataFrame = {
+  def lshSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      signBits: Int,
+      k: Int,
+      probeHamming1: Boolean = false): DataFrame = {
     def bucketOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (1 to signBits).map { i =>
         when(element_at(vec, i) > 0.0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     val keyed = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", bucketOf(col("embedding")))
+    // Multi-probe: also visit every Hamming-1 neighbor bucket (one sign
+    // bit flipped) — the standard recall lever for sign-LSH; cost is
+    // (signBits+1)/2^signBits of the corpus per query instead of
+    // 1/2^signBits. A corpus vector lives in exactly one bucket and the
+    // probe set is distinct, so no pair dedup is needed.
+    val qBucket = bucketOf(col("qe"))
+    val probeSet =
+      if (!probeHamming1) array(qBucket)
+      else array(qBucket +: (1 to signBits).map(i => qBucket.bitwiseXOR(lit(1L << i))): _*)
     val qKeyed = queries.select(col("query_id"), col("qe"))
-      .withColumn("bucket", bucketOf(col("qe")))
+      .withColumn("bucket", explode(probeSet))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     keyed
       .join(broadcast(qKeyed), "bucket")

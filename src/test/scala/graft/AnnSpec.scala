@@ -43,6 +43,18 @@ class AnnSpec extends SparkSpec {
     assert(cellSizes * 5 < embs.count() * 0.5)
   }
 
+  test("multi-probe sign-LSH: Hamming-1 probing lifts recall over single-bucket") {
+    def recallAt(probe: Boolean): Double = recallOf(
+      Ann.lshSearch(embs, queries, signBits = 4, k = 10, probeHamming1 = probe)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+    val single = recallAt(false)
+    val multi = recallAt(true)
+    info(s"recall@10 single=$single multi=$multi")
+    assert(multi > single, s"multi-probe ($multi) should beat single ($single)")
+    assert(multi >= 0.5, s"multi-probe recall collapsed: $multi")
+  }
+
   test("sign-LSH: recall@10 within the query's own bucket") {
     val got = Ann.lshSearch(embs, queries, signBits = 4, k = 10)
       .select("query_id", "vec_id").collect()
