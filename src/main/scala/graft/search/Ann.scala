@@ -47,6 +47,36 @@ object Ann {
     corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
 
+  /** Lloyd refinement of the coarse centroids, pure DataFrame ops: assign
+    * → per-dimension mean per cell → repeat. Each iteration is one
+    * broadcast-assign plus one aggregation keyed by (cell, dimension) —
+    * no driver-side math, so it runs at corpus scale. Cells that lose all
+    * members drop out (k may shrink). Lloyd guarantees the within-cell
+    * squared distance is non-increasing per iteration (AnnSpec pins it).
+    */
+  def kmeansRefine(corpus: DataFrame, centroids: DataFrame, iters: Int): DataFrame = {
+    var c = centroids
+    (1 to iters).foreach { _ =>
+      c = ivfAssign(corpus, c)
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("col")).as("v"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("centroid_id"),
+          transform(col("pv"), x => x.getField("v").cast("float")).as("cvec"))
+    }
+    c
+  }
+
+  /** Total within-cell squared L2 distance of an assignment — the Lloyd
+    * objective (used to verify refinement monotonicity).
+    */
+  def assignmentCost(assigned: DataFrame, centroids: DataFrame): Double =
+    assigned.join(centroids, "centroid_id")
+      .agg(sum(graft.functions.VectorFunctions.l2sq(col("embedding"), col("cvec"))))
+      .collect()(0).getDouble(0)
+
   /** Sign-LSH bucketed top-k search — the second ANN family next to IVF:
     * bucket key = sign bits of the first `signBits` dimensions
     * (axis-aligned random-hyperplane LSH); a query scores only vectors in

@@ -43,6 +43,22 @@ class AnnSpec extends SparkSpec {
     assert(cellSizes * 5 < embs.count() * 0.5)
   }
 
+  test("k-means refinement: Lloyd objective non-increasing, recall not degraded") {
+    val c0 = Ann.sampleCentroids(embs, 25)
+    val cost0 = Ann.assignmentCost(Ann.ivfAssign(embs, c0), c0)
+    val c2 = Ann.kmeansRefine(embs, c0, iters = 2)
+    val cost2 = Ann.assignmentCost(Ann.ivfAssign(embs, c2), c2)
+    info(s"lloyd cost: sampled=$cost0 refined=$cost2")
+    assert(cost2 <= cost0 * 1.0001, s"refinement increased the objective: $cost0 -> $cost2")
+
+    val got = Ann.ivfSearch(Ann.ivfAssign(embs, c2), c2, queries, k = 10, nprobe = 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = recallOf(got)
+    info(s"refined-centroid recall@10 = $recall")
+    assert(recall >= 0.5, s"refined recall collapsed: $recall")
+  }
+
   test("multi-probe sign-LSH: Hamming-1 probing lifts recall over single-bucket") {
     def recallAt(probe: Boolean): Double = recallOf(
       Ann.lshSearch(embs, queries, signBits = 4, k = 10, probeHamming1 = probe)
