@@ -22,9 +22,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional comma-separated subset for local iteration, e.g.
-    // SPARK_GRAFT_ONLY=q41_text_stats,q47_ngram_jaccard
+    // SPARK_GRAFT_ONLY=q41_text_stats,q47_ngram_jaccard. An empty/blank
+    // value is treated as unset (not as "run nothing"); a subset matching
+    // no registered query fails loudly instead of emitting empty metrics.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unregistered queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     // Untimed warmup: JVM/codegen/parquet-footer startup otherwise lands
     // on whichever query happens to run first (~3-4 s of fiction).
     try spark.range(1L << 20).selectExpr("sum(id) s")

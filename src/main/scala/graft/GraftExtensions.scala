@@ -22,7 +22,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
-        builder))
+        // arity-checked: a wrong argument count from SQL must surface as a
+        // clean AnalysisException, not an IndexOutOfBoundsException
+        es => {
+          if (es.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              Map(
+                "functionName" -> s"`$name`",
+                "expectedNum" -> "2",
+                "actualNum" -> es.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"),
+              None)
+          builder(es)
+        }))
 
     reg("cosine01", "cosine similarity remapped to [0,1]") {
       es => CosineSim01(es(0), es(1))

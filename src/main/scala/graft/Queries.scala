@@ -555,8 +555,7 @@ object Queries {
               .when(col("l_returnflag") === "N", "HarmonicMean")
               .otherwise("QuadraticMean"))
           .groupBy("l_returnflag", "l_linestatus")
-          .agg(round(PM.forMethodCol(col("method"), lit(null).cast("string"),
-            col("l_linestatus"), col("l_discount")), 6).as("score"))
+          .agg(round(PM.forMethodCol(col("method"), col("l_discount")), 6).as("score"))
           .orderBy("l_returnflag", "l_linestatus"),
         Some(s"""SELECT l_returnflag, l_linestatus,
           round(CASE WHEN l_returnflag = 'A' THEN ${sqlPmMean("l_discount")}
@@ -650,14 +649,12 @@ object Queries {
               .when(pmod(col("dp"), lit(3L)) === 1, "QuadraticMean")
               .otherwise("LVEWAvg"))
         val l1 = scored.groupBy(col("label"), col("dp"))
-          .agg(PM.forMethodCol(col("dp_method"), lit(null).cast("string"),
-            col("dp").cast("string"), col("sim")).as("dp_score"))
+          .agg(PM.forMethodCol(col("dp_method"), col("sim")).as("dp_score"))
         val l2 = l1
           .withColumn("ent_method",
             when(pmod(col("label"), lit(2)) === 0, "Mean").otherwise("HarmonicMean"))
           .groupBy("label")
-          .agg(PM.forMethodCol(col("ent_method"), lit(null).cast("string"),
-            col("dp").cast("string"), col("dp_score")).as("score"))
+          .agg(PM.forMethodCol(col("ent_method"), col("dp_score")).as("score"))
         l2.select(col("label"), round(col("score"), 6).as("score"))
           .orderBy(desc("score"), asc("label"))
           .limit(5)
@@ -1122,18 +1119,21 @@ object Queries {
         FROM f ORDER BY doc_id""")),
 
     // §2.11 end-to-end: method SPECS carried in data as "Name:{json}"
-    // strings, split on the FIRST colon (JSON keys may contain colons),
-    // parameter JSON parsed per row, all dispatched inside one aggregate.
+    // strings, split on the FIRST colon (JSON keys may contain colons).
+    // The parameter JSON is parsed ONCE per row in the projection (the
+    // weight column), never inside the aggregate — at 100 TB the parse is
+    // the dominant per-row cost and doubling it inside two SUM buffers
+    // was the round-3 q59 hot spot.
     ("q59_pm_spec_dispatch", (s: SparkSession, d: String) =>
       t(s, d, "lineitem")
         .withColumn("spec",
           when(col("l_returnflag") === "A", """DictionaryWeightedAverage:{"O": 2.0}""")
             .when(col("l_returnflag") === "N", "Mean")
             .otherwise("HarmonicMean"))
+        .withColumn("w", PM.dwaWeightCol(col("l_linestatus"), PM.specParamCol(col("spec"))))
         .groupBy("l_returnflag")
         .agg(round(PM.forMethodCol(
-          PM.specNameCol(col("spec")), PM.specParamCol(col("spec")),
-          col("l_linestatus"), col("l_discount")), 6).as("score"))
+          PM.specNameCol(col("spec")), col("l_discount"), col("w")), 6).as("score"))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag, round(CASE
           WHEN l_returnflag = 'A' THEN
@@ -1194,31 +1194,63 @@ object Queries {
         GROUP BY lang ORDER BY lang""")),
 
     // Context-window sequence PACKING (training-data prep): docs fill
-    // 2048-token bins greedily in doc_id order; bin id = tokens consumed
-    // BEFORE the doc div the budget. Packed per language shard — the
-    // partitioned window is the scale shape (one global packing order
-    // would serialize the corpus through one reducer).
+    // 2048-token bins greedily in doc_id order, packed independently per
+    // (lang, 64-doc shard) — the window-key cardinality GROWS with the
+    // corpus (the round-3 lang-only key was 4 reducers at any scale).
+    // Output is the per-row bin assignment, the join-able shape a packing
+    // job feeds downstream; q66 is the per-bin rollup. Every integer is
+    // pinned to BIGINT on BOTH sides: DuckDB widens a window sum of
+    // BIGINT to HUGEINT (int128), whose driver-side rendering is not
+    // int64's — the round-3 q63 hash mismatch.
     ("q63_pack_sequences", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "documents")
         .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+        .withColumn("shard", expr("doc_id div 64"))
         .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("bin", expr("(cum - n_tok) div 2048"))
-        .groupBy("lang", "bin")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
-        .orderBy("lang", "bin")
+        .select(col("doc_id"), col("lang"), col("shard"),
+          expr("(cum - n_tok) div 2048").as("bin"), col("n_tok"))
+        .orderBy("doc_id")
     },
-      Some(s"""WITH t AS (SELECT lang, doc_id,
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(doc_id // 64 AS BIGINT) AS shard,
           CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
           FROM documents),
-        c AS (SELECT lang, n_tok,
-          sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        c AS (SELECT doc_id, lang, shard, n_tok,
+          CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
           FROM t)
-        SELECT lang, (cum - n_tok) // 2048 AS bin,
+        SELECT doc_id, lang, shard,
+          CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok
+        FROM c ORDER BY doc_id""")),
+
+    // Per-bin rollup of q63's packing assignment (docs and token fill per
+    // bin) — the grouped shape round-3's q63 carried, on the sub-sharded
+    // key and with every integer pinned to BIGINT on both sides.
+    ("q66_pack_bins", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+        .withColumn("shard", expr("doc_id div 64"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+        .groupBy("lang", "shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy("lang", "shard", "bin")
+    },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(doc_id // 64 AS BIGINT) AS shard,
+          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, lang, shard, n_tok,
+          CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+        SELECT lang, shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-        FROM c GROUP BY lang, bin ORDER BY lang, bin""")),
+        FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""")),
 
     // P4: entity listing with the reference's 3 verbosity levels in one
     // frame — no embeddings / models with empty vectors / full vectors
@@ -1249,7 +1281,132 @@ object Queries {
                ELSE embedding END AS emb_out FROM lv)
         SELECT vec_id, level, CAST(len(emb_out) AS BIGINT) AS dim,
           coalesce(round(list_sum(list_transform(emb_out, x -> CAST(x AS DOUBLE))), 6), 0.0) AS emb_sum
-        FROM o ORDER BY vec_id"""))
+        FROM o ORDER BY vec_id""")),
+
+    // The FLAGSHIP §2.3 search shape, fully DuckDB-oracled (round-3 gap:
+    // only the stub-embedded q60 ran it, with no oracle): per-datapoint
+    // SIMILARITY dispatch (each datapoint declares its own kernel — q64's
+    // method column, here driving the scoring join), two DATA-DRIVEN
+    // aggregation levels (probmethod chosen per datapoint, then per
+    // entity), top-k planned as TakeOrderedAndProject, and the attributes
+    // projection applied AFTER the cut (P3) so the join touches k rows,
+    // not the corpus. Reference: `src/Server/Searchdomain.cs:183-258`.
+    ("q65_search_flagship", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val scored = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("dp", pmod(col("vec_id"), lit(7L)))
+        .withColumn("simmethod", element_at(
+          array(lit("Cosine"), lit("Euclidian"), lit("Manhattan"), lit("Pearson")),
+          (pmod(col("dp"), lit(4L)) + 1).cast("int")))
+        .withColumn("sim", VF.similarityCol(col("simmethod"), col("embedding"), col("qe")))
+        .withColumn("dp_method",
+          when(pmod(col("dp"), lit(3L)) === 0, "Mean")
+            .when(pmod(col("dp"), lit(3L)) === 1, "QuadraticMean")
+            .otherwise("LVEWAvg"))
+      val l1 = scored.groupBy(col("label"), col("dp"))
+        .agg(PM.forMethodCol(col("dp_method"), col("sim")).as("dp_score"))
+      val l2 = l1
+        .withColumn("ent_method",
+          when(pmod(col("label"), lit(2)) === 0, "Mean").otherwise("HarmonicMean"))
+        .groupBy("label")
+        .agg(PM.forMethodCol(col("ent_method"), col("dp_score")).as("score"))
+      val top = l2.select(col("label"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("label")).limit(5)
+      val ents = e.select(col("label")).distinct()
+        .select(col("label"),
+          concat(lit("ent_"), col("label").cast("string")).as("name"),
+          concat(lit("g"), pmod(col("label"), lit(3)).cast("string")).as("grp"))
+      top.join(broadcast(ents), Seq("label"), "left_outer")
+        .select(col("name"), col("score"), col("grp"))
+        .orderBy(desc("score"), asc("name"))
+    },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (SELECT e.label, e.vec_id % 7 AS dp,
+          (CASE (e.vec_id % 7) % 4
+            WHEN 0 THEN ${sqlCos01("e.embedding", "q.qe")}
+            WHEN 1 THEN ${sqlEuclid01("e.embedding", "q.qe")}
+            WHEN 2 THEN ${sqlManhattan01("e.embedding", "q.qe")}
+            ELSE ${sqlPearson("e.embedding", "q.qe")} END) AS sim
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        l1 AS (SELECT label, dp,
+          CASE WHEN dp % 3 = 0 THEN ${sqlPmMean("sim")}
+               WHEN dp % 3 = 1 THEN ${sqlPmQuadratic("sim")}
+               ELSE ${sqlPmLvew("sim")} END AS dp_score
+          FROM scored GROUP BY label, dp),
+        l2 AS (SELECT label,
+          CASE WHEN label % 2 = 0 THEN ${sqlPmMean("dp_score")}
+               ELSE ${sqlPmHarmonic("dp_score")} END AS score
+          FROM l1 GROUP BY label),
+        top AS (SELECT label, round(score, 6) AS score FROM l2
+          ORDER BY score DESC, label LIMIT 5)
+        SELECT 'ent_' || CAST(label AS VARCHAR) AS name, score,
+          'g' || CAST(label % 3 AS VARCHAR) AS grp
+        FROM top ORDER BY score DESC, name""")),
+
+    // C2's OTHER arm (CacheReconciliation = false, `Searchdomain.cs:345-348`):
+    // an entity change in a domain drops that domain's whole query cache;
+    // untouched domains keep theirs. Cache = top-5 lists per priority,
+    // sharded into hot/cold domains; the change batch touches only 'hot'.
+    ("q67_cache_invalidate", (s: SparkSession, d: String) => {
+      val ord = t(s, d, "orders")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val dom = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .otherwise("cold")
+      val cache = ord
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(dom.as("searchdomain"), col("o_orderpriority").as("query"),
+          col("rank"), concat(lit("c"), col("o_custkey").cast("string")).as("name"),
+          round(col("o_totalprice"), 2).as("score"))
+      val changes = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(dom.as("searchdomain"))
+      CacheOps.invalidate(cache, changes, "searchdomain")
+        .orderBy("query", "rank")
+    },
+      Some("""WITH ranked AS (SELECT
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot' ELSE 'cold' END AS searchdomain,
+          o_orderpriority AS query,
+          CAST(row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+          'c' || CAST(o_custkey AS VARCHAR) AS name,
+          round(o_totalprice, 2) AS score
+          FROM orders),
+        cache AS (SELECT * FROM ranked WHERE rank <= 5)
+        SELECT searchdomain, query, rank, name, score FROM cache
+        WHERE searchdomain NOT IN (
+          SELECT DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'hot' ELSE 'cold' END
+          FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY query, rank""")),
+
+    // `GET /Searchdomain/Queries` introspection listing
+    // (`SearchdomainController.cs:141-157`): one row per cached query —
+    // result count, best score, best name (rank 1).
+    ("q68_query_listing", (s: SparkSession, d: String) => {
+      val ord = t(s, d, "orders")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val cache = ord
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 8)
+        .select(col("o_orderpriority").as("query"), col("rank"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("name"),
+          round(col("o_totalprice"), 2).as("score"))
+      graft.api.EngineApi.listQueryCache(cache).orderBy("query")
+    },
+      Some("""WITH ranked AS (SELECT o_orderpriority AS query,
+          CAST(row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+          'c' || CAST(o_custkey AS VARCHAR) AS name,
+          round(o_totalprice, 2) AS score
+          FROM orders),
+        cache AS (SELECT * FROM ranked WHERE rank <= 8)
+        SELECT query, count(*) AS n_results, max(score) AS top_score,
+          arg_min(name, rank) AS top_name
+        FROM cache GROUP BY query ORDER BY query"""))
   )
 
   lazy val all: Seq[Q] =

@@ -112,11 +112,16 @@ object EngineApi {
     // `SearchdomainHelper.cs:208-343` diffs the datapoints of each entity
     // in the payload): entities absent from the batch keep everything;
     // within an uploaded entity, datapoints missing from the payload are
-    // the `deleted` bucket and drop out.
+    // the `deleted` bucket and drop out. Hash-UNCHANGED datapoints take
+    // the INCOMING row's metadata (probmethod/similaritymethod/name — the
+    // reference's `updatedDatapointsNonText` path applies non-text updates
+    // even when the hash matches) while their stored embeddings are kept.
     val touched = entities.select("entity_id").distinct()
     val mergedDatapoints = domain.datapoints
       .join(touched, Seq("entity_id"), "left_anti")
-      .unionByName(domain.datapoints.join(keepIds, Seq("datapoint_id"), "left_semi"))
+      .unionByName(
+        hashed.join(keepIds, Seq("datapoint_id"), "left_semi")
+          .select(domain.datapoints.columns.map(col).toIndexedSeq: _*))
       .unionByName(
         hashed.join(keepIds, Seq("datapoint_id"), "left_anti")
           .select(domain.datapoints.columns.map(col).toIndexedSeq: _*))
@@ -165,6 +170,19 @@ object EngineApi {
     cache.filter(col("query") =!= queryText)
       .unionByName(replacement.withColumn("query", lit(queryText))
         .select(cache.columns.map(col).toIndexedSeq: _*))
+
+  /** `GET /Searchdomain/Queries` (`SearchdomainController.cs:141-157`):
+    * introspection listing of the query cache — one row per cached query
+    * with its stored-result count, best score and best name. A single
+    * partial+final aggregate over the exploded cache rows; the heavy
+    * result payload never moves (one row per query crosses the exchange).
+    */
+  def listQueryCache(cache: DataFrame): DataFrame =
+    cache.groupBy(col("query"))
+      .agg(
+        count(lit(1)).as("n_results"),
+        max(col("score")).as("top_score"),
+        min_by(col("name"), col("rank")).as("top_name"))
 
   /** `GET /Server/Models` with the allow/deny filter (P5,
     * `ServerController.cs:36-57`, `AIProvider.cs:196-216`): distinct

@@ -112,15 +112,21 @@ object ProbMethods {
     sum(w * d(x)) / sum(w)
   }
 
-  /** Dictionary-weighted average with per-row JSON weights (data-driven
-    * parameter column, e.g. carried on each datapoint row).
+  /** Per-row weight for a data-driven DictionaryWeightedAverage: parse the
+    * JSON weights map ONCE per row, in a projection BEFORE the aggregate.
+    * Parsing inside the aggregate would evaluate `from_json` once per sum
+    * buffer (twice per row) with no guarantee of subexpression elimination
+    * across aggregate functions — measured at ~2× on q59 (NOTES_r4).
     */
-  def dictionaryWeightedAverageJson(key: Column, x: Column, weightsJson: Column): Column = {
-    val w = coalesce(
+  def dwaWeightCol(key: Column, weightsJson: Column): Column =
+    coalesce(
       element_at(from_json(weightsJson, MapType(StringType, DoubleType)), key),
       lit(1.0))
+
+  /** Dictionary-weighted average over a pre-projected weight column (see
+    * [[dwaWeightCol]]). */
+  def dictionaryWeightedAverageW(w: Column, x: Column): Column =
     sum(w * d(x)) / sum(w)
-  }
 
   /** Column form of the first-colon spec split, for specs carried in DATA
     * (each datapoint/entity row declares its own `"Name:{json}"` method
@@ -170,8 +176,11 @@ object ProbMethods {
     * datapoint/entity may declare its own probmethod —
     * `Searchdomain.cs:249-257`). All eight aggregate shapes are computed in
     * the same single pass (they are all sums/counts/mins/maxes) and the
-    * method column selects among them. `methodName` / `methodParam` must be
-    * constant within each group (enforced by taking `first(...)`).
+    * method column selects among them. `methodCol` must be constant within
+    * each group (enforced by taking `first(...)`); `dwaWeight` is the
+    * pre-projected per-row weight ([[dwaWeightCol]]) consumed only by the
+    * DictionaryWeightedAverage arm — callers without parameterized methods
+    * pass the default constant 1.
     *
     * Design note (measured, `graft.tools.BenchDispatch` @ sf0.1): on a
     * FLAT SCAN a filter-per-method + single-agg + union plan is ~2.6×
@@ -183,7 +192,7 @@ object ProbMethods {
     * once per method, and at 100 TB re-reading the corpus loses by far
     * more than the extra arithmetic saves.
     */
-  def forMethodCol(methodCol: Column, paramCol: Column, key: Column, x: Column): Column = {
+  def forMethodCol(methodCol: Column, x: Column, dwaWeight: Column = lit(1.0)): Column = {
     val m = first(methodCol)
     when(m === "Mean", mean(x))
       .when(m === "HarmonicMean", harmonicMean(x))
@@ -193,7 +202,7 @@ object ProbMethods {
       .when(m === "HVEWAvg", hvewAvg(x))
       .when(m === "LVEWAvg", lvewAvg(x))
       .when(m === "DictionaryWeightedAverage",
-        dictionaryWeightedAverageJson(key, x, paramCol))
+        dictionaryWeightedAverageW(dwaWeight, x))
       .otherwise(raise_error(concat(lit("Unknown probmethod: "), m)).cast(DoubleType))
   }
 

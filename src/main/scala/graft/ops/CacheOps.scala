@@ -72,6 +72,17 @@ object CacheOps {
     * list may GROW past the original topN truncation (the reference
     * binary-inserts into the truncated list without re-trimming).
     */
+  /** C2's settings toggle, CacheReconciliation = false
+    * (`Searchdomain.cs:345-348`): instead of reconciling each cached list,
+    * ANY entity change drops the domain's ENTIRE query cache. Set-at-a-time
+    * form: keep a cached row only when its domain has no pending change —
+    * an anti-join on the (tiny, broadcast) distinct changed-domain set, so
+    * the cache table itself never shuffles.
+    */
+  def invalidate(cache: DataFrame, changes: DataFrame, domainCol: String): DataFrame =
+    cache.join(broadcast(changes.select(col(domainCol)).distinct()),
+      Seq(domainCol), "left_anti")
+
   def reconcile(cache: DataFrame, changes: DataFrame, deletes: DataFrame,
       queryCol: String): DataFrame = {
     val survivors = cache

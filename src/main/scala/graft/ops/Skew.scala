@@ -21,6 +21,16 @@ object Skew {
   private val SafeJoinTypes =
     Set("inner", "left", "leftouter", "leftsemi", "leftanti")
 
+  private def isHashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => isHashable(f.dataType))
+      case a: ArrayType => isHashable(a.elementType)
+      case _ => true
+    }
+  }
+
   def saltedJoin(
       skewed: DataFrame,
       small: DataFrame,
@@ -33,8 +43,14 @@ object Skew {
     // result-identical to the plain equi-join
     require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports left-preserving join types only, got $joinType")
+    // Salt only from hashable columns (hash() on MapType fails analysis —
+    // e.g. the entities table's attributes map); the join keys are always
+    // hashable in an equi-join, so the salt source is never empty.
+    val hashableCols = skewed.schema.fields
+      .filter(f => isHashable(f.dataType)).map(f => col(f.name)).toSeq
+    val saltSource = if (hashableCols.nonEmpty) hashableCols else keys.map(col)
     val saltedLeft = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(saltSource: _*), lit(salts.toLong)).cast("int"))
     val replicatedRight = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")

@@ -25,19 +25,32 @@ import graft.functions.VectorFunctions
 object Ann {
 
   /** Assign every corpus vector to its nearest centroid (squared-L2, the
-    * standard coarse quantizer). Centroids are broadcast — they are always
-    * tiny relative to the corpus. Distances are rounded to 6 decimals before
-    * ranking so the assignment is reproducible across engines (ties broken
-    * by centroid id).
+    * standard coarse quantizer). The centroid set is collapsed into ONE
+    * row holding an id-sorted array and broadcast; the argmin is a single
+    * narrow per-row fold over that array — the corpus NEVER shuffles.
+    * (The round-3 form exploded corpus×centroids through a per-vec_id
+    * window: an E×C exchange, 4096× the corpus at C=4096 cells — a
+    * scale-killer in the index-build path.) Distances are rounded to 6
+    * decimals before comparing so the assignment is reproducible across
+    * engines; the strict `<` over the id-ascending array breaks ties
+    * toward the lowest centroid id, matching the old (dist2, id) ordering.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("centroid_id"))
-    graft.ops.Par.ensure(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .crossJoin(broadcast(centroids.select(col("centroid_id"), col("cvec"))))
-      .withColumn("dist2", round(VectorFunctions.l2sq(col("embedding"), col("cvec")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val packed = centroids
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("cvec")))).as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Long.MinValue).as("centroid_id"), lit(Double.MaxValue).as("dist2")),
+      (acc, c) => {
+        val d2 = round(VectorFunctions.l2sq(col("embedding"), c.getField("cvec")), 6)
+        when(d2 < acc.getField("dist2"),
+          struct(c.getField("centroid_id").as("centroid_id"), d2.as("dist2")))
+          .otherwise(acc)
+      })
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("embedding"),
+        best.getField("centroid_id").as("centroid_id"))
   }
 
   /** Deterministic coarse-centroid pick: every vector whose id is a multiple

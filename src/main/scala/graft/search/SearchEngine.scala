@@ -124,23 +124,31 @@ object SearchEngine {
     // datapoint_id (NOT dp_name): the reference aggregates per datapoint
     // OBJECT (`Searchdomain.cs:242-258`), so two same-named datapoints on
     // one entity must stay two level-1 groups. dp_name is functionally
-    // dependent on datapoint_id and rides along via first().
+    // dependent on datapoint_id and rides along via first(). The
+    // probmethod column may carry a `"Name:{json}"` spec
+    // (`Probmethods.cs:55-59`); the name split and the DWA weight (keyed
+    // by model at this level) are projected per ROW before the aggregate.
     val dpScores = scored
+      .withColumn("dp_m", ProbMethods.specNameCol(col("dp_probmethod")))
+      .withColumn("dp_w", ProbMethods.dwaWeightCol(
+        col("model"), ProbMethods.specParamCol(col("dp_probmethod"))))
       .groupBy(col("entity_id"), col("datapoint_id"))
       .agg(
         first(col("dp_name")).as("dp_name"),
-        ProbMethods.forMethodCol(
-          col("dp_probmethod"), lit(null).cast("string"), col("model"), col("sim"))
+        ProbMethods.forMethodCol(col("dp_m"), col("sim"), col("dp_w"))
           .as("dp_score"))
 
-    // Level 2: across datapoints, method chosen by the entity.
+    // Level 2: across datapoints, method chosen by the entity (weight
+    // keyed by datapoint name).
     val entScores = dpScores
       .join(domain.entities.select(
         col("entity_id"), col("name"), col("probmethod").as("ent_probmethod")), "entity_id")
+      .withColumn("ent_m", ProbMethods.specNameCol(col("ent_probmethod")))
+      .withColumn("ent_w", ProbMethods.dwaWeightCol(
+        col("dp_name"), ProbMethods.specParamCol(col("ent_probmethod"))))
       .groupBy(col("entity_id"), col("name"))
       .agg(
-        ProbMethods.forMethodCol(
-          col("ent_probmethod"), lit(null).cast("string"), col("dp_name"), col("dp_score"))
+        ProbMethods.forMethodCol(col("ent_m"), col("dp_score"), col("ent_w"))
           .as("score"))
 
     // O1/O2: TakeOrderedAndProject, never a global sort.

@@ -29,8 +29,7 @@ object BenchDispatch {
 
     def onePass(df: DataFrame): DataFrame =
       df.groupBy("l_returnflag", "l_linestatus")
-        .agg(PM.forMethodCol(col("method"), lit(null).cast("string"),
-          col("l_linestatus"), col("l_discount")).as("score"))
+        .agg(PM.forMethodCol(col("method"), col("l_discount")).as("score"))
 
     def threePass(df: DataFrame): DataFrame = {
       def leg(m: String, agg: org.apache.spark.sql.Column) =
