@@ -25,11 +25,12 @@ object Bench {
     // SPARK_GRAFT_ONLY=q41_text_stats,q47_ngram_jaccard. An empty/blank
     // value is treated as unset (not as "run nothing"); a subset matching
     // no registered query fails loudly instead of emitting empty metrics.
+    val benchOnlyNames = Set("b70_search_parquet", "b71_search_bucketed")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet
+      val unknown = o -- SparkEntry.queries.keySet -- benchOnlyNames
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unregistered queries: ${unknown.toSeq.sorted.mkString(",")}")
     }
@@ -59,6 +60,48 @@ object Bench {
         System.gc()
       }
     }
+    // 100 TB-layout probe (bench-only entries, not in the oracle registry
+    // — they measure a STORAGE LAYOUT, not new semantics): the flagship
+    // search over (a) the plain parquet domain and (b) the entity_id-
+    // bucketed layout whose scan partitioning satisfies both aggregation
+    // levels, so the bucketed plan runs with NO shuffle exchange after
+    // the broadcast scoring join (BucketedDomainSpec pins the plan shape;
+    // these entries carry the measured number into BENCH). Setup (domain
+    // build + both writes) is untimed — at scale it's a one-off index
+    // build amortized over every query.
+    val runLayoutProbe = benchOnlyNames.exists(n => only.forall(_.contains(n)))
+    if (runLayoutProbe) {
+      import graft.core.Tables
+      import graft.search.SearchEngine
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val domain = SearchEngine.buildDomain(
+          spark, docs, Seq("stub:alpha", "stub:beta"), dim = 32)
+        val base = "target/bench-domain"
+        Tables.writeDomain(domain, base)
+        Tables.writeDomainBucketed(domain, s"$base-bucketed", "bench", buckets = cpus.toInt)
+        def timeSearch(name: String, d: => graft.core.Domain): Unit =
+          if (only.forall(_.contains(name))) {
+            val t0 = System.nanoTime()
+            try {
+              val dd = d
+              val q = SearchEngine.queryEmbeddings(spark, dd, "spark shuffle join window", 32)
+              SearchEngine.search(dd, q, 10).write.format("noop").mode("overwrite").save()
+              timings(name) = (System.nanoTime() - t0) / 1e9
+            } catch {
+              case e: Throwable =>
+                errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            }
+          }
+        timeSearch("b70_search_parquet", Tables.readDomain(spark, base))
+        timeSearch("b71_search_bucketed", Tables.readDomainBucketed(spark, "bench"))
+      } catch {
+        case e: Throwable =>
+          errors("b7x_layout_setup") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

@@ -63,6 +63,20 @@ object StubEmbedder {
     (model, text) => f(model, text)
   }
 
+  /** Test instrumentation: counts the rows actually pushed through the
+    * inference path. With a deterministic embedder, "kept its stored
+    * vector" and "re-embedded to the same value" are indistinguishable by
+    * value — the accumulator is what tells them apart (the dedup-before-
+    * embed and diff-driven-upsert specs assert on its deltas). No-op
+    * unless a spec installs it.
+    */
+  @volatile private var embedCounter: Option[org.apache.spark.util.LongAccumulator] = None
+  def installCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator = {
+    val acc = spark.sparkContext.longAccumulator("graft.embedBatched.rows")
+    embedCounter = Some(acc)
+    acc
+  }
+
   /** Bulk-inference source (S4): a batched `mapPartitions` over
     * (model, text) pairs — the shape a real HTTP/GPU embedding provider
     * needs (one call per BatchSize rows per model), and a narrow
@@ -72,12 +86,14 @@ object StubEmbedder {
   def embedBatched(spark: SparkSession, pairs: DataFrame, dim: Int): DataFrame = {
     import spark.implicits._
     val embedder = new StubEmbedder(dim)
+    val acc = embedCounter // capture so the closure serializes the accumulator
     pairs.select(col("model"), col("text")).as[(String, String)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.groupBy(_._1).iterator.flatMap { case (model, rows) =>
             // one provider call per (model, batch) — swap this loop body
             // for the HTTP POST to make it a real inference source
+            acc.foreach(_.add(rows.size.toLong))
             rows.map { case (_, text) => (model, text, embedder.embed(model, text)) }
           }
         }

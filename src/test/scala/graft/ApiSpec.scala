@@ -25,6 +25,24 @@ class ApiSpec extends SparkSpec {
 
   private lazy val domain = SearchEngine.buildDomain(spark, docs, models, dim).persisted()
 
+  /** Domain whose stored vectors are all overwritten with a sentinel the
+    * embedder can never produce: any datapoint still carrying it after an
+    * upsert was demonstrably NOT re-embedded. (The stub embedder is
+    * deterministic, so comparing stored vs fresh vectors alone would pass
+    * even if everything re-embedded — the round-3 vacuous assertion.)
+    */
+  private def sentinelDomain: graft.core.Domain = domain.copy(
+    embeddings = domain.embeddings.withColumn("embedding",
+      transform(col("embedding"), _ => lit(-99f))))
+
+  private val sentinelVec = Seq.fill(dim)(-99f)
+
+  private def vecOf(d: graft.core.Domain, dpId: Long): Seq[Float] = {
+    import spark.implicits._
+    d.embeddings.filter(col("datapoint_id") === dpId)
+      .select("embedding").as[Seq[Float]].head()
+  }
+
   test("query returns topN with optional attributes attached after the cut") {
     val r = EngineApi.query(spark, domain, "spark shuffle", topN = 2, dim = dim,
       returnAttributes = true).collect()
@@ -57,7 +75,7 @@ class ApiSpec extends SparkSpec {
       (4L, "watermarks bound streaming state", "en", "docs"))
       .toDF("doc_id", "text", "lang", "source"))
 
-    val merged = EngineApi.upsertEntities(spark, domain,
+    val merged = EngineApi.upsertEntities(spark, sentinelDomain,
       SearchEngine.docEntities(batch),
       SearchEngine.docDatapoints(batch),
       models, dim)
@@ -67,14 +85,32 @@ class ApiSpec extends SparkSpec {
     assert(merged.datapoints.count() == 8)
     assert(merged.embeddings.count() == 8)
 
-    // unchanged/absent datapoints kept their STORED vectors; changed got
-    // fresh ones
-    def vecOf(d: graft.core.Domain, dpId: Long): Seq[Float] =
-      d.embeddings.filter(col("datapoint_id") === dpId)
-        .select("embedding").as[Seq[Float]].head()
-    assert(vecOf(merged, 6L) == vecOf(domain, 6L)) // doc3 (absent) untouched
-    assert(vecOf(merged, 2L) == vecOf(domain, 2L)) // doc1 uploaded unchanged -> stored vector kept
-    assert(vecOf(merged, 5L) != vecOf(domain, 5L)) // doc2 body re-embedded
+    // the sentinel survives exactly where no re-embed may happen
+    assert(vecOf(merged, 6L) == sentinelVec) // doc3 (absent) untouched
+    assert(vecOf(merged, 2L) == sentinelVec) // doc1 uploaded, text unchanged
+    assert(vecOf(merged, 5L) != sentinelVec) // doc2 body re-embedded
+    assert(vecOf(merged, 9L) != sentinelVec) // doc4 (new, dp = 4*2+1) embedded
+  }
+
+  test("upsert applies incoming metadata to hash-unchanged datapoints, keeps vectors") {
+    import spark.implicits._
+    // Same text (hash unchanged) but new probmethod/similaritymethod: the
+    // reference's `updatedDatapointsNonText` path applies the metadata
+    // update WITHOUT re-embedding.
+    val batch = docs.filter(col("doc_id") === 1)
+    val incoming = SearchEngine.docDatapoints(batch)
+      .withColumn("probmethod", lit("HarmonicMean"))
+      .withColumn("similaritymethod", lit("Pearson"))
+    val merged = EngineApi.upsertEntities(spark, sentinelDomain,
+      SearchEngine.docEntities(batch), incoming, models, dim)
+
+    val dp1 = merged.datapoints.filter(col("entity_id") === 1)
+    assert(dp1.select("probmethod").as[String].collect().forall(_ == "HarmonicMean"))
+    assert(dp1.select("similaritymethod").as[String].collect().forall(_ == "Pearson"))
+    assert(vecOf(merged, 2L) == sentinelVec) // metadata-only update: no re-embed
+    // entities outside the payload keep their stored metadata
+    assert(merged.datapoints.filter(col("entity_id") === 2)
+      .select("probmethod").as[String].collect().forall(_ == "Mean"))
   }
 
   test("deleteEntity cascades across all three tables") {

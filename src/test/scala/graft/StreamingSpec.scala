@@ -122,6 +122,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
 
     // round 2: one NEW file arrives; checkpoint makes the old files no-ops
+    val embedded = graft.core.StubEmbedder.installCounter(spark)
     Files.writeString(java.nio.file.Paths.get(src, "c.txt"), "Gamma doc\nabout watermarks")
     IndexPipeline.start(spark, src, dom, ckpt, models, dim = 8, triggerSpec = "runonce")
       .awaitTermination(120000)
@@ -132,6 +133,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     vecsBefore.foreach { case (dp, v) => assert(vecsAfter(dp) == v) }
     assert(vecsAfter.size == 6) // 3 docs x (title, body)
+    // ...and demonstrably did NOT re-embed: only the new doc's two texts
+    // (title, body) went through inference, counted AT THE EXECUTOR —
+    // value comparison alone is vacuous with a deterministic embedder
+    assert(embedded.value == 2)
   }
 
   test("watermarked tumbling window aggregates finalize when the watermark passes") {
