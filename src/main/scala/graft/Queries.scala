@@ -1406,7 +1406,58 @@ object Queries {
         cache AS (SELECT * FROM ranked WHERE rank <= 8)
         SELECT query, count(*) AS n_results, max(score) AS top_score,
           arg_min(name, rank) AS top_name
-        FROM cache GROUP BY query ORDER BY query"""))
+        FROM cache GROUP BY query ORDER BY query""")),
+
+    // Next-fit-DECREASING packing, the second bin-packing strategy next
+    // to q63's arrival-order fill: big docs first (n_tok desc) wastes
+    // less bin tailroom (NFD is 2·OPT-bounded vs arbitrary-order's
+    // unbounded waste). Same sub-sharded window key, same BIGINT
+    // pinning; the ordering column is the only difference.
+    ("q69_pack_nfd", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("lang", "shard")
+        .orderBy(desc("n_tok"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+        .withColumn("shard", expr("doc_id div 64"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"), col("shard"),
+          expr("(cum - n_tok) div 2048").as("bin"), col("n_tok"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(doc_id // 64 AS BIGINT) AS shard,
+          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, lang, shard, n_tok,
+          CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+            ORDER BY n_tok DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, lang, shard,
+          CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok
+        FROM c ORDER BY doc_id""")),
+
+    // Skew-mitigated join PROVEN equal to the plain equi-join: the salted
+    // join (explicit hot-key spreading for the skew AQE cannot split —
+    // one key, one reducer) aggregated back to per-type totals, oracled
+    // by the unsalted join. Salting must be invisible in the result.
+    ("q70_salted_join", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").select("event_type", "value")
+      val dim = ev.select("event_type").distinct()
+        .withColumn("weight", length(col("event_type")).cast("double"))
+      graft.ops.Skew.saltedJoin(ev, dim, Seq("event_type"), salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("weight")), 6).as("weighted"))
+        .orderBy("event_type")
+    },
+      Some("""WITH dim AS (SELECT DISTINCT event_type,
+          CAST(len(event_type) AS DOUBLE) AS weight FROM events)
+        SELECT e.event_type, count(*) AS n,
+          round(sum(e.value * d.weight), 6) AS weighted
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type ORDER BY e.event_type"""))
   )
 
   lazy val all: Seq[Q] =

@@ -75,8 +75,20 @@ object TextFunctions {
       h => pmod(h * lit(mult) + lit(add), lit(4294967296L))))
   }
 
-  /** Full MinHash signature of `numHashes` values from base hashes. */
-  def minhashSignature(hashes: Column, numHashes: Int): Column =
+  /** Full MinHash signature of `numHashes` values from base hashes —
+    * the fused one-pass codegen kernel ([[MinhashSig]]); value-identical
+    * to `array(minhashFromHashes(_, k)*)` (PropertySpec pins the
+    * equivalence, the q45 oracle pins the values).
+    */
+  def minhashSignature(hashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(MinhashSig(CB.expression(hashes), numHashes))
+  }
+
+  /** The HOF reference form of [[minhashSignature]] (one array walk per
+    * permutation) — kept as the property-test oracle for the fused kernel.
+    */
+  def minhashSignatureHof(hashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map(seed => minhashFromHashes(hashes, seed)): _*)
 
   /** LSH band keys: the signature split into `bands` bands of

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+
+/** Parsed 5-field cron schedule — minute, hour, day-of-month, month,
+  * day-of-week — the `<cron>` parameter of the reference's scheduled
+  * trigger (LD-Reborn/embeddingsearch `src/Indexer/Calls.cs:280-305`,
+  * Quartz; minus the seconds field Quartz prepends). Round-3 mapped
+  * `schedule:<cron>` to an AvailableNow trigger but never parsed the
+  * expression, so a typo surfaced only at the external scheduler; now
+  * [[Triggers.forSpec]] validates it up front and [[next]] gives any
+  * scheduler (or test) the deterministic next fire time.
+  *
+  * Supported per field: `*`, `a`, `a-b`, each optionally with a
+  * `/step` suffix (steps also apply to `*`), and comma lists of those.
+  * Day-of-week accepts 0-7 with both 0 and 7 as
+  * Sunday. Standard POSIX semantics for the day fields: when BOTH
+  * day-of-month and day-of-week are restricted (not `*`), a date
+  * matches if EITHER does; otherwise both must match.
+  */
+final case class CronSchedule(
+    minutes: Set[Int],
+    hours: Set[Int],
+    daysOfMonth: Set[Int],
+    months: Set[Int],
+    daysOfWeek: Set[Int],
+    domRestricted: Boolean,
+    dowRestricted: Boolean) {
+
+  def matches(t: LocalDateTime): Boolean = {
+    val dayOk = {
+      val domOk = daysOfMonth(t.getDayOfMonth)
+      val dowOk = daysOfWeek(t.getDayOfWeek.getValue % 7) // java MON=1..SUN=7 -> SUN=0
+      if (domRestricted && dowRestricted) domOk || dowOk else domOk && dowOk
+    }
+    minutes(t.getMinute) && hours(t.getHour) && months(t.getMonthValue) && dayOk
+  }
+
+  /** Next fire time strictly after `after`, truncated to the minute.
+    * Bounded scan: any satisfiable 5-field schedule fires within 4 years
+    * (the Feb-29 worst case); beyond that the schedule is impossible
+    * (e.g. `0 0 31 2 *`) and this throws.
+    */
+  def next(after: LocalDateTime): LocalDateTime = {
+    var t = after.withSecond(0).withNano(0).plusMinutes(1)
+    val limit = after.plusYears(4)
+    while (t.isBefore(limit)) {
+      // skip in day-sized steps until the date part matches, then scan
+      // the day's 1440 minutes via the hour/minute sets
+      if (!months(t.getMonthValue)) {
+        t = t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0)
+      } else {
+        val dayOk = {
+          val domOk = daysOfMonth(t.getDayOfMonth)
+          val dowOk = daysOfWeek(t.getDayOfWeek.getValue % 7)
+          if (domRestricted && dowRestricted) domOk || dowOk else domOk && dowOk
+        }
+        if (!dayOk) t = t.plusDays(1).withHour(0).withMinute(0)
+        else if (!hours(t.getHour)) t = t.plusHours(1).withMinute(0)
+        else if (!minutes(t.getMinute)) t = t.plusMinutes(1)
+        else return t
+      }
+    }
+    throw new IllegalArgumentException(s"cron schedule never fires: $this")
+  }
+}
+
+object CronSchedule {
+
+  private final case class FieldSpec(name: String, min: Int, max: Int)
+  private val Fields = Seq(
+    FieldSpec("minute", 0, 59),
+    FieldSpec("hour", 0, 23),
+    FieldSpec("day-of-month", 1, 31),
+    FieldSpec("month", 1, 12),
+    FieldSpec("day-of-week", 0, 7))
+
+  /** Parse and validate; throws IllegalArgumentException naming the bad
+    * field (the error the round-3 gap deferred to the external scheduler).
+    */
+  def parse(expr: String): CronSchedule = {
+    val parts = expr.trim.split("\\s+").toSeq
+    require(parts.length == 5,
+      s"cron '$expr': expected 5 fields (minute hour day-of-month month day-of-week), got ${parts.length}")
+    val sets = Fields.zip(parts).map { case (f, p) => parseField(expr, f, p) }
+    val dow0 = sets(4).map(d => if (d == 7) 0 else d) // 7 == Sunday == 0
+    CronSchedule(
+      minutes = sets(0), hours = sets(1), daysOfMonth = sets(2),
+      months = sets(3), daysOfWeek = dow0,
+      domRestricted = parts(2) != "*",
+      dowRestricted = parts(4) != "*")
+  }
+
+  def isValid(expr: String): Boolean =
+    try { parse(expr); true } catch { case _: IllegalArgumentException => false }
+
+  private def parseField(expr: String, f: FieldSpec, part: String): Set[Int] = {
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"cron '$expr': ${f.name} $why")
+    def num(s: String): Int = {
+      val v = try s.toInt catch { case _: NumberFormatException => fail(s"has non-numeric '$s'") }
+      if (v < f.min || v > f.max) fail(s"value $v outside [${f.min}, ${f.max}]")
+      v
+    }
+    part.split(",", -1).toIndexedSeq.flatMap { term =>
+      if (term.isEmpty) fail("has an empty list element")
+      val (rangePart, step) = term.split("/", -1) match {
+        case Array(r) => (r, 1)
+        case Array(r, s) =>
+          val st = try s.toInt catch { case _: NumberFormatException => fail(s"has non-numeric step '$s'") }
+          if (st < 1) fail(s"step $st must be >= 1")
+          (r, st)
+        case _ => fail(s"has malformed term '$term'")
+      }
+      val (lo, hi) = rangePart match {
+        case "*" => (f.min, f.max)
+        case r if r.contains("-") => r.split("-", -1) match {
+          case Array(a, b) =>
+            val (x, y) = (num(a), num(b))
+            if (x > y) fail(s"range $x-$y is inverted")
+            (x, y)
+          case _ => fail(s"has malformed range '$r'")
+        }
+        case n => val v = num(n); (v, v)
+      }
+      (lo to hi by step)
+    }.toSet
+  }
+}

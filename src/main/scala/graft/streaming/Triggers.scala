@@ -33,9 +33,15 @@ object Triggers {
       case i  => (spec.substring(0, i), spec.substring(i + 1))
     }
     kind match {
-      case "runonce" | "schedule" => Trigger.AvailableNow()
-      case "interval"             => Trigger.ProcessingTime(param.toLong)
-      case "fileupdate"           => Trigger.ProcessingTime(0L)
+      case "runonce"    => Trigger.AvailableNow()
+      case "schedule"   =>
+        // validate the cron up front (round-3 deferred even that to the
+        // external scheduler); the firing cadence itself stays external,
+        // each firing runs one AvailableNow batch
+        CronSchedule.parse(param)
+        Trigger.AvailableNow()
+      case "interval"   => Trigger.ProcessingTime(param.toLong)
+      case "fileupdate" => Trigger.ProcessingTime(0L)
       case other => throw new IllegalArgumentException(s"Unknown trigger: $other")
     }
   }

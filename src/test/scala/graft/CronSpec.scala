@@ -1,0 +1,70 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CronSchedule, Triggers}
+
+/** The `schedule:<cron>` parameter engine (reference Quartz trigger,
+  * `src/Indexer/Calls.cs:280-305`): parse/validate and deterministic
+  * next-fire computation.
+  */
+class CronSpec extends AnyFunSuite {
+
+  private def at(s: String): LocalDateTime = LocalDateTime.parse(s)
+
+  test("parse accepts *, steps, ranges, lists; expands to the right sets") {
+    val c = CronSchedule.parse("*/15 0 1,15 1-6/2 *")
+    assert(c.minutes == Set(0, 15, 30, 45))
+    assert(c.hours == Set(0))
+    assert(c.daysOfMonth == Set(1, 15))
+    assert(c.months == Set(1, 3, 5))
+    assert(c.daysOfWeek == (0 to 6).toSet)
+  }
+
+  test("validation names the offending field") {
+    def msg(expr: String): String =
+      intercept[IllegalArgumentException](CronSchedule.parse(expr)).getMessage
+    assert(msg("60 * * * *").contains("minute"))
+    assert(msg("* 24 * * *").contains("hour"))
+    assert(msg("* * 0 * *").contains("day-of-month"))
+    assert(msg("* * * 13 *").contains("month"))
+    assert(msg("* * * * 8").contains("day-of-week"))
+    assert(msg("* * * *").contains("5 fields"))
+    assert(msg("5-1 * * * *").contains("inverted"))
+    assert(msg("*/0 * * * *").contains("step"))
+    assert(msg("a * * * *").contains("non-numeric"))
+    assert(CronSchedule.isValid("0 0 * * *") && !CronSchedule.isValid("not cron"))
+  }
+
+  test("next: minute/hour/day rollover, month boundary, leap year") {
+    val daily = CronSchedule.parse("30 2 * * *")
+    assert(daily.next(at("2026-03-10T02:29:00")) == at("2026-03-10T02:30"))
+    assert(daily.next(at("2026-03-10T02:30:00")) == at("2026-03-11T02:30")) // strictly after
+    val monthly = CronSchedule.parse("0 0 1 * *")
+    assert(monthly.next(at("2026-01-31T23:59:00")) == at("2026-02-01T00:00"))
+    val feb29 = CronSchedule.parse("0 12 29 2 *")
+    assert(feb29.next(at("2026-03-01T00:00:00")) == at("2028-02-29T12:00"))
+    // impossible date -> refuses instead of spinning
+    intercept[IllegalArgumentException](
+      CronSchedule.parse("0 0 31 2 *").next(at("2026-01-01T00:00:00")))
+  }
+
+  test("POSIX day semantics: dom OR dow when both restricted, AND with *") {
+    // 2026-03-13 is a Friday (dow 5), 2026-03-15 a Sunday
+    val both = CronSchedule.parse("0 0 15 * 5") // 15th OR any Friday
+    assert(both.matches(at("2026-03-13T00:00:00")))
+    assert(both.matches(at("2026-03-15T00:00:00")))
+    assert(!both.matches(at("2026-03-14T00:00:00")))
+    val domOnly = CronSchedule.parse("0 0 15 * *")
+    assert(!domOnly.matches(at("2026-03-13T00:00:00")))
+    val dowOnly = CronSchedule.parse("0 0 * * 7") // 7 == Sunday == 0
+    assert(dowOnly.matches(at("2026-03-15T00:00:00")))
+    assert(!dowOnly.matches(at("2026-03-13T00:00:00")))
+  }
+
+  test("forSpec validates the cron before returning the trigger") {
+    intercept[IllegalArgumentException](Triggers.forSpec("schedule:61 * * * *"))
+  }
+}

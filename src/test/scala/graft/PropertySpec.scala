@@ -132,6 +132,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused minhash signature kernel equals the HOF form (incl. empty arrays)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 80L).map { i =>
+      val n = rnd.nextInt(40) // includes empty hash sets
+      (i, Seq.fill(n)(rnd.nextLong().abs % 4294967296L))
+    }
+    val df = rows.toDF("id", "hashes")
+    val got = df.select(col("id"), TF.minhashSignature(col("hashes"), 12).as("s"))
+      .orderBy("id").collect().map(_.getSeq[Any](1))
+    val exp = df.select(col("id"), TF.minhashSignatureHof(col("hashes"), 12).as("s"))
+      .orderBy("id").collect().map(_.getSeq[Any](1))
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i: $g vs $e")
+    }
+  }
+
   test("LSH banding: identical docs share every band, disjoint docs share none") {
     import spark.implicits._
     val a = "one two three four five six seven eight nine ten"
