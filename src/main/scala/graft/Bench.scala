@@ -34,11 +34,27 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unregistered queries: ${unknown.toSeq.sorted.mkString(",")}")
     }
-    // Untimed warmup: JVM/codegen/parquet-footer startup otherwise lands
-    // on whichever query happens to run first (~3-4 s of fiction).
-    try spark.range(1L << 20).selectExpr("sum(id) s")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Untimed warmup: JVM/codegen/parquet-reader startup otherwise lands
+    // on whichever query happens to run first (alphabetically q01 — which
+    // then reads ~3 s slower than the identical query later in the run).
+    // Exercise each engine path the suite leans on — hash aggregate,
+    // window rank, broadcast join, parquet write+read — over SYNTHETIC
+    // rows only, so no bench table is touched before its timing.
+    try {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(1L << 18).select(col("id"), (col("id") % 97).as("k"))
+      w.groupBy("k").agg(sum("id"), avg("id"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      w.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")))
+        .filter(col("rn") <= 3)
+        .join(broadcast(w.select(col("k")).distinct()), "k")
+        .write.format("noop").mode("overwrite").save()
+      val warmPq = "target/bench-warmup.parquet"
+      w.limit(1000).write.mode("overwrite").parquet(warmPq)
+      spark.read.parquet(warmPq).agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

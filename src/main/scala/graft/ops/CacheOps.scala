@@ -83,6 +83,30 @@ object CacheOps {
     cache.join(broadcast(changes.select(col(domainCol)).distinct()),
       Seq(domainCol), "left_anti")
 
+  /** The settings branch itself (`Searchdomain.cs:345-348`): reconcile
+    * each cached list when CacheReconciliation is on, drop the whole
+    * cache otherwise. `changes` carries (queryCol, name, score) fresh
+    * scores for the reconcile arm; the invalidate arm only consults its
+    * key column.
+    */
+  def maintain(
+      cache: DataFrame,
+      changes: DataFrame,
+      deletes: DataFrame,
+      queryCol: String,
+      cacheReconciliation: Boolean): DataFrame =
+    if (cacheReconciliation) reconcile(cache, changes, deletes, queryCol)
+    else {
+      // whole-cache drop: ANY change or delete empties this domain's
+      // cache (the reference clears QueryCache wholesale) — expressed as
+      // invalidate on a constant key so the empty-change case keeps
+      // everything
+      val touched = changes.select(lit(1).as("__dom"))
+        .unionByName(deletes.select(lit(1).as("__dom")))
+      invalidate(cache.withColumn("__dom", lit(1)), touched, "__dom")
+        .drop("__dom")
+    }
+
   def reconcile(cache: DataFrame, changes: DataFrame, deletes: DataFrame,
       queryCol: String): DataFrame = {
     val survivors = cache

@@ -89,4 +89,27 @@ class UpsertCacheSpec extends SparkSpec {
       .orderBy("rank").select("name", "score").as[(String, Double)].collect()
     assert(got === Array(("b", 0.95), ("a", 0.9)))
   }
+
+  test("invalidate drops exactly the changed domains' caches") {
+    val cache = Seq(("d1", "q1", "a"), ("d1", "q2", "b"), ("d2", "q1", "c"))
+      .toDF("searchdomain", "query", "name")
+    val changes = Seq("d1").toDF("searchdomain")
+    val kept = CacheOps.invalidate(cache, changes, "searchdomain")
+      .select("name").as[String].collect().toSeq
+    assert(kept == Seq("c"))
+  }
+
+  test("maintain: reconcile arm vs whole-cache invalidate arm") {
+    val cache = Seq(("q", "a", 0.9), ("q", "b", 0.5)).toDF("query", "name", "score")
+    val changes = Seq(("q", "b", 0.95)).toDF("query", "name", "score")
+    val deletes = spark.emptyDataset[String].toDF("name")
+      .withColumn("query", lit("q")).select("query", "name")
+    val rec = CacheOps.maintain(cache, changes, deletes, "query", cacheReconciliation = true)
+    assert(rec.count() == 2) // reconciled list survives
+    val inv = CacheOps.maintain(cache, changes, deletes, "query", cacheReconciliation = false)
+    assert(inv.count() == 0) // any change -> whole cache dropped
+    val noop = CacheOps.maintain(cache, changes.limit(0), deletes.limit(0),
+      "query", cacheReconciliation = false)
+    assert(noop.count() == 2) // no changes -> cache intact
+  }
 }
