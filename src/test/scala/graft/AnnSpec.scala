@@ -43,6 +43,19 @@ class AnnSpec extends SparkSpec {
     assert(cellSizes * 5 < embs.count() * 0.5)
   }
 
+  test("IVF assignment is shuffle-free: no exchange between corpus scan and argmin") {
+    // round-4 rewrite: packed broadcast centroid array + per-row argmin
+    // fold — the corpus side must carry NO Exchange (the round-3 form
+    // pushed E×C rows through a per-vec_id window shuffle)
+    val assigned = Ann.ivfAssign(embs, Ann.sampleCentroids(embs, 25))
+    assigned.collect() // finalize AQE
+    val plan = assigned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in ivfAssign plan:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+  }
+
   test("k-means refinement: Lloyd objective non-increasing, recall not degraded") {
     val c0 = Ann.sampleCentroids(embs, 25)
     val cost0 = Ann.assignmentCost(Ann.ivfAssign(embs, c0), c0)

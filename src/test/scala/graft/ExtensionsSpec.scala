@@ -32,6 +32,14 @@ class ExtensionsSpec extends SparkSpec {
       assert(approx(r.getDouble(2), 1.0 / 8.0))
       assert(r.getDouble(3) == 0.0) // constant input -> den 0 -> 0
       assert(approx(r.getDouble(4), 25.0))
+
+      // wrong arity from SQL -> clean AnalysisException naming the
+      // function, not an IndexOutOfBoundsException from the builder
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT cosine01(array(1.0D))").collect()
+      }
+      assert(e.getMessage.contains("cosine01"))
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
