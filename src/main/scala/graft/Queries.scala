@@ -1438,6 +1438,75 @@ object Queries {
           CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok
         FROM c ORDER BY doc_id""")),
 
+    // END-TO-END training-data-prep pipeline — the LLM-pipeline operators
+    // composed the way a real corpus job chains them, in ONE oracled
+    // dataflow: exact dedup (hash groupBy keeper + semi-join) → language
+    // allowlist → quality floor → deterministic stratified sample →
+    // sharded 2048-token sequence packing. Each stage is individually
+    // oracled (q44/q42/q43/q62/q63); this row proves the composition.
+    ("q71_prep_pipeline", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          col("text"), col("lang")))
+      val keepers = corpus
+        .groupBy(TF.contentHash(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = corpus.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      val filtered = deduped
+        .filter(col("lang").isin("en", "de"))
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .filter(pmod(TF.hash32(concat(col("text"), lit("|prep-r4"))), lit(1000L)) <
+          when(col("lang") === "en", 700).otherwise(400))
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      filtered
+        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+        .withColumn("shard", expr("doc_id div 64"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"), col("shard"),
+          expr("(cum - n_tok) div 2048").as("bin"), col("n_tok"), col("quality"))
+        .orderBy("doc_id")
+    },
+      Some {
+        val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+          .map(m => s"'$m'").mkString(", ")
+        val toks = sqlTokens("text")
+        val toksLower = sqlTokens("lower(text)")
+        s"""WITH corpus AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL SELECT doc_id + 10000, text, lang FROM documents),
+          keep AS (SELECT min(doc_id) AS doc_id FROM corpus
+            GROUP BY ${sqlContentHash("text")}),
+          dd AS (SELECT c.doc_id, c.text, c.lang
+            FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
+          f AS (SELECT doc_id, text, lang,
+            CAST(len($toks) AS DOUBLE) AS n,
+            CASE WHEN len($toksLower) = 0 THEN 0.0
+              ELSE CAST(len(list_filter($toksLower, x -> x IN ($stop))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END AS stop_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio
+            FROM dd WHERE lang IN ('en', 'de')),
+          ql AS (SELECT doc_id, text, lang,
+            round((least(n / 100.0, 1.0) + least(stop_ratio * 5.0, 1.0)
+              + greatest(1.0 - punct_ratio * 5.0, 0.0)) / 3.0, 6) AS quality
+            FROM f),
+          samp AS (SELECT * FROM ql WHERE quality >= 0.5
+            AND ${sqlHash32("text || '|prep-r4'")} % 1000 <
+              (CASE WHEN lang = 'en' THEN 700 ELSE 400 END)),
+          t2 AS (SELECT doc_id, lang, quality,
+            CAST(doc_id // 64 AS BIGINT) AS shard,
+            CAST(len($toks) AS BIGINT) AS n_tok FROM samp),
+          c2 AS (SELECT doc_id, lang, shard, n_tok, quality,
+            CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t2)
+          SELECT doc_id, lang, shard,
+            CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok, quality
+          FROM c2 ORDER BY doc_id"""
+      }),
+
     // Skew-mitigated join PROVEN equal to the plain equi-join: the salted
     // join (explicit hot-key spreading for the skew AQE cannot split —
     // one key, one reducer) aggregated back to per-type totals, oracled
