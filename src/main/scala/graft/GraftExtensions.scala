@@ -18,19 +18,20 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+    def reg(name: String, usage: String, arity: Int = 2)(
+        builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         // arity-checked: a wrong argument count from SQL must surface as a
         // clean AnalysisException, not an IndexOutOfBoundsException
         es => {
-          if (es.length != 2)
+          if (es.length != arity)
             throw new org.apache.spark.sql.AnalysisException(
               "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
               Map(
                 "functionName" -> s"`$name`",
-                "expectedNum" -> "2",
+                "expectedNum" -> arity.toString,
                 "actualNum" -> es.length.toString,
                 "docroot" -> "https://spark.apache.org/docs/latest"),
               None)

@@ -86,6 +86,34 @@ object Queries {
   private val xShift = "l_discount + 0.005" // strictly inside (0,1): no 0/1 guards fire
   private def xShiftCol: Column = col("l_discount") + 0.005
 
+  // Shared sequence-packing dataflow (q63/q66/q69/q71): token counts,
+  // 64-doc shard, running fill in `order`, 2048-token bin. The
+  // (lang, shard) window key's cardinality grows with the corpus; one
+  // definition on each side so the bin rule cannot desynchronize between
+  // the four packing queries. All integers BIGINT-pinned (DuckDB widens
+  // window sums to HUGEINT, whose driver-side rendering differs).
+  private def packAssign(docs: DataFrame, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+      .withColumn("shard", expr("doc_id div 64"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 2048"))
+  }
+
+  /** DuckDB side of [[packAssign]]: two CTEs (`t_pack`, `c_pack`) over
+    * `src`; compose as `WITH ${sqlPack(src, order)} SELECT ... FROM c_pack`.
+    */
+  private def sqlPack(src: String, order: String): String =
+    s"""t_pack AS (SELECT *, CAST(doc_id // 64 AS BIGINT) AS shard,
+        CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM $src),
+      c_pack AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+          ORDER BY $order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST((sum(n_tok) OVER (PARTITION BY lang, shard
+          ORDER BY $order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS bin
+        FROM t_pack)"""
+
   private lazy val relational: Seq[Q] = Seq(
     // §2.4 SQL-side stats aggs + P1 pushdown: TPC-H-Q1-style pricing summary.
     ("q01_pricing_summary", (s: SparkSession, d: String) =>
@@ -716,7 +744,7 @@ object Queries {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
         val corpus = e.unionByName(
-          e.select((col("vec_id") + 10000).as("vec_id"),
+          e.select((col("vec_id") + 10000000L).as("vec_id"),
             transform(col("vec"), x => x * 1.001).as("vec")))
         Dedup.embeddingNearDup(corpus, "vec_id", "vec", 12, 0.999)
           .orderBy("vec_a", "vec_b")
@@ -726,7 +754,7 @@ object Queries {
             s"(CASE WHEN vec[$i] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
           s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
           corpus AS (SELECT vec_id, vec FROM base
-            UNION ALL SELECT vec_id + 10000, list_transform(vec, x -> x * 1.001) FROM base),
+            UNION ALL SELECT vec_id + 10000000, list_transform(vec, x -> x * 1.001) FROM base),
           keyed AS (SELECT vec_id, vec, $bucket AS bucket FROM corpus),
           pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             round(${sqlCos01("a.vec", "b.vec")}, 6) AS sim
@@ -830,12 +858,12 @@ object Queries {
       ("q44_dedup_exact", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
         val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          docs.select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
         Dedup.exact(corpus, "doc_id", "text").orderBy("keeper")
       },
         Some(s"""WITH corpus AS (
           SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 10000, text FROM documents)
+          UNION ALL SELECT doc_id + 10000000, text FROM documents)
         SELECT ${sqlContentHash("text")} AS content_hash,
           min(doc_id) AS keeper, count(*) - 1 AS dup_count
         FROM corpus GROUP BY content_hash ORDER BY keeper""")),
@@ -846,7 +874,7 @@ object Queries {
       ("q45_dedup_minhash", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
         val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000).as("doc_id"),
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
             concat(col("text"), lit(" zzz")).as("text")))
         Dedup.minhashLsh(corpus, "doc_id", "text",
           shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
@@ -865,7 +893,7 @@ object Queries {
           }.mkString("[", ", ", "]")
           s"""WITH corpus AS (
             SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents),
+            UNION ALL SELECT doc_id + 10000000, text || ' zzz' FROM documents),
           tok AS (SELECT doc_id, $toks AS toks FROM corpus),
           sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok),
@@ -890,14 +918,14 @@ object Queries {
       ("q46_dedup_simhash", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
         val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000).as("doc_id"),
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
             concat(col("text"), lit(" zzz")).as("text")))
         Dedup.simhashPairs(corpus, "doc_id", "text", bucketShift = 24, maxHamming = 10)
           .orderBy("doc_a", "doc_b")
       },
         Some(s"""WITH corpus AS (
           SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents),
+          UNION ALL SELECT doc_id + 10000000, text || ' zzz' FROM documents),
         tok AS (SELECT doc_id, $toks AS toks FROM corpus WHERE len($toks) > 0),
         tokrows AS (SELECT doc_id, ${sqlHash32("t.tok")} AS h
           FROM tok, unnest(toks) AS t(tok)),
@@ -921,14 +949,14 @@ object Queries {
       ("q47_ngram_jaccard", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
         val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000).as("doc_id"),
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
             concat(col("text"), lit(" zzz")).as("text")))
         Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, maxDf = 4, threshold = 0.5)
           .orderBy("doc_a", "doc_b")
       },
         Some(s"""WITH corpus AS (
             SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 10000, text || ' zzz' FROM documents),
+            UNION ALL SELECT doc_id + 10000000, text || ' zzz' FROM documents),
           tok AS (SELECT doc_id, $toks AS toks FROM corpus),
           sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok),
@@ -1203,54 +1231,27 @@ object Queries {
     // BIGINT to HUGEINT (int128), whose driver-side rendering is not
     // int64's — the round-3 q63 hash mismatch.
     ("q63_pack_sequences", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
-        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
-        .withColumn("shard", expr("doc_id div 64"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("lang"), col("shard"),
-          expr("(cum - n_tok) div 2048").as("bin"), col("n_tok"))
+      packAssign(t(s, d, "documents"), Seq(asc("doc_id")))
+        .select(col("doc_id"), col("lang"), col("shard"), col("bin"), col("n_tok"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH t AS (SELECT doc_id, lang,
-          CAST(doc_id // 64 AS BIGINT) AS shard,
-          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
-          FROM documents),
-        c AS (SELECT doc_id, lang, shard, n_tok,
-          CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-          FROM t)
-        SELECT doc_id, lang, shard,
-          CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok
-        FROM c ORDER BY doc_id""")),
+      Some(s"""WITH ${sqlPack("documents", "doc_id")}
+        SELECT doc_id, lang, shard, bin, n_tok
+        FROM c_pack ORDER BY doc_id""")),
 
     // Per-bin rollup of q63's packing assignment (docs and token fill per
     // bin) — the grouped shape round-3's q63 carried, on the sub-sharded
     // key and with every integer pinned to BIGINT on both sides.
     ("q66_pack_bins", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
-        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
-        .withColumn("shard", expr("doc_id div 64"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+      packAssign(t(s, d, "documents"), Seq(asc("doc_id")))
         .groupBy("lang", "shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
         .orderBy("lang", "shard", "bin")
     },
-      Some(s"""WITH t AS (SELECT doc_id, lang,
-          CAST(doc_id // 64 AS BIGINT) AS shard,
-          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
-          FROM documents),
-        c AS (SELECT doc_id, lang, shard, n_tok,
-          CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-          FROM t)
-        SELECT lang, shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+      Some(s"""WITH ${sqlPack("documents", "doc_id")}
+        SELECT lang, shard, bin,
           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-        FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""")),
+        FROM c_pack GROUP BY lang, shard, bin ORDER BY lang, shard, bin""")),
 
     // P4: entity listing with the reference's 3 verbosity levels in one
     // frame — no embeddings / models with empty vectors / full vectors
@@ -1414,29 +1415,13 @@ object Queries {
     // unbounded waste). Same sub-sharded window key, same BIGINT
     // pinning; the ordering column is the only difference.
     ("q69_pack_nfd", (s: SparkSession, d: String) => {
-      val w = Window.partitionBy("lang", "shard")
-        .orderBy(desc("n_tok"), asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
-        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
-        .withColumn("shard", expr("doc_id div 64"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("lang"), col("shard"),
-          expr("(cum - n_tok) div 2048").as("bin"), col("n_tok"))
+      packAssign(t(s, d, "documents"), Seq(desc("n_tok"), asc("doc_id")))
+        .select(col("doc_id"), col("lang"), col("shard"), col("bin"), col("n_tok"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH t AS (SELECT doc_id, lang,
-          CAST(doc_id // 64 AS BIGINT) AS shard,
-          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
-          FROM documents),
-        c AS (SELECT doc_id, lang, shard, n_tok,
-          CAST(sum(n_tok) OVER (PARTITION BY lang, shard
-            ORDER BY n_tok DESC, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-          FROM t)
-        SELECT doc_id, lang, shard,
-          CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok
-        FROM c ORDER BY doc_id""")),
+      Some(s"""WITH ${sqlPack("documents", "n_tok DESC, doc_id")}
+        SELECT doc_id, lang, shard, bin, n_tok
+        FROM c_pack ORDER BY doc_id""")),
 
     // END-TO-END training-data-prep pipeline — the LLM-pipeline operators
     // composed the way a real corpus job chains them, in ONE oracled
@@ -1447,7 +1432,7 @@ object Queries {
     ("q71_prep_pipeline", (s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
-        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+        .unionByName(docs.select((col("doc_id") + 10000000L).as("doc_id"),
           col("text"), col("lang")))
       val keepers = corpus
         .groupBy(TF.contentHash(col("text")).as("content_hash"))
@@ -1459,14 +1444,9 @@ object Queries {
         .filter(col("quality") >= 0.5)
         .filter(pmod(TF.hash32(concat(col("text"), lit("|prep-r4"))), lit(1000L)) <
           when(col("lang") === "en", 700).otherwise(400))
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      filtered
-        .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
-        .withColumn("shard", expr("doc_id div 64"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      packAssign(filtered, Seq(asc("doc_id")))
         .select(col("doc_id"), col("lang"), col("shard"),
-          expr("(cum - n_tok) div 2048").as("bin"), col("n_tok"), col("quality"))
+          col("bin"), col("n_tok"), col("quality"))
         .orderBy("doc_id")
     },
       Some {
@@ -1476,7 +1456,7 @@ object Queries {
         val toksLower = sqlTokens("lower(text)")
         s"""WITH corpus AS (
             SELECT doc_id, text, lang FROM documents
-            UNION ALL SELECT doc_id + 10000, text, lang FROM documents),
+            UNION ALL SELECT doc_id + 10000000, text, lang FROM documents),
           keep AS (SELECT min(doc_id) AS doc_id FROM corpus
             GROUP BY ${sqlContentHash("text")}),
           dd AS (SELECT c.doc_id, c.text, c.lang
@@ -1495,16 +1475,9 @@ object Queries {
           samp AS (SELECT * FROM ql WHERE quality >= 0.5
             AND ${sqlHash32("text || '|prep-r4'")} % 1000 <
               (CASE WHEN lang = 'en' THEN 700 ELSE 400 END)),
-          t2 AS (SELECT doc_id, lang, quality,
-            CAST(doc_id // 64 AS BIGINT) AS shard,
-            CAST(len($toks) AS BIGINT) AS n_tok FROM samp),
-          c2 AS (SELECT doc_id, lang, shard, n_tok, quality,
-            CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-            FROM t2)
-          SELECT doc_id, lang, shard,
-            CAST((cum - n_tok) // 2048 AS BIGINT) AS bin, n_tok, quality
-          FROM c2 ORDER BY doc_id"""
+          ${sqlPack("samp", "doc_id")}
+          SELECT doc_id, lang, shard, bin, n_tok, quality
+          FROM c_pack ORDER BY doc_id"""
       }),
 
     // Skew-mitigated join PROVEN equal to the plain equi-join: the salted

@@ -53,7 +53,10 @@ case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression
         var k = 0
         while (k < numHashes) {
           val (m, a) = consts(k)
-          val p = (h * m + a) % 4294967296L
+          // floorMod, not %: the HOF reference uses pmod, and the type
+          // check admits signed inputs (e.g. murmur3 hash()) whose affine
+          // image can be negative
+          val p = java.lang.Math.floorMod(h * m + a, 4294967296L)
           if (p < mins(k)) mins(k) = p
           k += 1
         }
@@ -74,7 +77,7 @@ case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression
       val out = ctx.freshName("out")
       val getElem = if (isIntElem) s"(long) $arr.getInt($i)" else s"$arr.getLong($i)"
       val perK = consts.zipWithIndex.map { case ((m, a), k) =>
-        s"$p = ($h * ${m}L + ${a}L) % 4294967296L; " +
+        s"$p = java.lang.Math.floorMod($h * ${m}L + ${a}L, 4294967296L); " +
           s"if ($p < $mins[$k]) $mins[$k] = $p;"
       }.mkString("\n")
       s"""

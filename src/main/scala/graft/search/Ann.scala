@@ -40,7 +40,9 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("cvec")))).as("cents"))
     val best = aggregate(
       col("cents"),
-      struct(lit(Long.MinValue).as("centroid_id"), lit(Double.MaxValue).as("dist2")),
+      // null init id: an empty centroid set assigns nothing (the rows are
+      // filtered below, matching the old crossJoin form's empty result)
+      struct(lit(null).cast("long").as("centroid_id"), lit(Double.MaxValue).as("dist2")),
       (acc, c) => {
         val d2 = round(VectorFunctions.l2sq(col("embedding"), c.getField("cvec")), 6)
         when(d2 < acc.getField("dist2"),
@@ -51,6 +53,7 @@ object Ann {
       .crossJoin(broadcast(packed))
       .select(col("vec_id"), col("embedding"),
         best.getField("centroid_id").as("centroid_id"))
+      .filter(col("centroid_id").isNotNull)
   }
 
   /** Deterministic coarse-centroid pick: every vector whose id is a multiple

@@ -37,13 +37,14 @@ final case class CronSchedule(
   }
 
   /** Next fire time strictly after `after`, truncated to the minute.
-    * Bounded scan: any satisfiable 5-field schedule fires within 4 years
-    * (the Feb-29 worst case); beyond that the schedule is impossible
-    * (e.g. `0 0 31 2 *`) and this throws.
+    * Bounded scan: any satisfiable 5-field schedule fires within 8 years
+    * (the Feb-29 worst case is 8, not 4, across a non-leap century year:
+    * 2096 → 2104); beyond that the schedule is impossible (e.g.
+    * `0 0 31 2 *`) and this throws.
     */
   def next(after: LocalDateTime): LocalDateTime = {
     var t = after.withSecond(0).withNano(0).plusMinutes(1)
-    val limit = after.plusYears(4)
+    val limit = after.plusYears(8)
     while (t.isBefore(limit)) {
       // skip in day-sized steps until the date part matches, then scan
       // the day's 1440 minutes via the hour/minute sets
@@ -112,6 +113,7 @@ object CronSchedule {
           (r, st)
         case _ => fail(s"has malformed term '$term'")
       }
+      val hasStep = term.contains("/")
       val (lo, hi) = rangePart match {
         case "*" => (f.min, f.max)
         case r if r.contains("-") => r.split("-", -1) match {
@@ -121,7 +123,10 @@ object CronSchedule {
             (x, y)
           case _ => fail(s"has malformed range '$r'")
         }
-        case n => val v = num(n); (v, v)
+        // a bare value with a step ("0/15") means "from value to max by
+        // step" in every cron dialect (Quartz included) — not the value
+        // alone
+        case n => val v = num(n); (v, if (hasStep) f.max else v)
       }
       (lo to hi by step)
     }.toSet

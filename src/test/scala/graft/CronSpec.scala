@@ -21,6 +21,10 @@ class CronSpec extends AnyFunSuite {
     assert(c.daysOfMonth == Set(1, 15))
     assert(c.months == Set(1, 3, 5))
     assert(c.daysOfWeek == (0 to 6).toSet)
+    // bare-value-with-step means "from value to max by step" (Quartz
+    // "0/15"), not the value alone
+    assert(CronSchedule.parse("0/15 * * * *").minutes == Set(0, 15, 30, 45))
+    assert(CronSchedule.parse("5/20 * * * *").minutes == Set(5, 25, 45))
   }
 
   test("validation names the offending field") {
@@ -46,6 +50,8 @@ class CronSpec extends AnyFunSuite {
     assert(monthly.next(at("2026-01-31T23:59:00")) == at("2026-02-01T00:00"))
     val feb29 = CronSchedule.parse("0 12 29 2 *")
     assert(feb29.next(at("2026-03-01T00:00:00")) == at("2028-02-29T12:00"))
+    // across the non-leap century year: 2096 -> 2104 is an 8-year gap
+    assert(feb29.next(at("2096-03-01T00:00:00")) == at("2104-02-29T12:00"))
     // impossible date -> refuses instead of spinning
     intercept[IllegalArgumentException](
       CronSchedule.parse("0 0 31 2 *").next(at("2026-01-01T00:00:00")))

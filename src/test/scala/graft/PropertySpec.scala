@@ -137,7 +137,11 @@ class PropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(41)
     val rows = (0L until 80L).map { i =>
       val n = rnd.nextInt(40) // includes empty hash sets
-      (i, Seq.fill(n)(rnd.nextLong().abs % 4294967296L))
+      // half the rows get SIGNED hashes (e.g. murmur3 output) — the fused
+      // kernel must floorMod exactly like the HOF form's pmod
+      (i, Seq.fill(n)(
+        if (i % 2 == 0) rnd.nextLong().abs % 4294967296L
+        else rnd.nextInt().toLong))
     }
     val df = rows.toDF("id", "hashes")
     val got = df.select(col("id"), TF.minhashSignature(col("hashes"), 12).as("s"))

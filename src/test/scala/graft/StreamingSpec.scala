@@ -135,7 +135,10 @@ class StreamingSpec extends SparkSpec {
     assert(vecsAfter.size == 6) // 3 docs x (title, body)
     // ...and demonstrably did NOT re-embed: only the new doc's two texts
     // (title, body) went through inference, counted AT THE EXECUTOR —
-    // value comparison alone is vacuous with a deterministic embedder
+    // value comparison alone is vacuous with a deterministic embedder.
+    // (Accumulators in a transformation count once per task EXECUTION;
+    // exact equality holds here because local mode runs each task once —
+    // no speculation, no retries, single action over the subplan.)
     assert(embedded.value == 2)
   }
 
