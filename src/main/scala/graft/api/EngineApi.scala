@@ -171,6 +171,56 @@ object EngineApi {
       .unionByName(replacement.withColumn("query", lit(queryText))
         .select(cache.columns.map(col).toIndexedSeq: _*))
 
+  /** `GET /Searchdomains` (`SearchdomainController.cs:31-46`): the domain
+    * catalog — distinct names with entity counts (partition-pruned read
+    * of one column under the partitioned layout).
+    */
+  def listDomains(entities: DataFrame): DataFrame =
+    entities.groupBy("searchdomain")
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy("searchdomain")
+
+  /** `POST /Searchdomain` (`SearchdomainController.cs:53-69`): a fresh
+    * domain is three empty, correctly-typed tables plus normalized
+    * settings (QueryCacheSize <= 0 -> the reference's 1M default).
+    */
+  def createDomain(spark: SparkSession,
+      settings: graft.core.DomainSettings = graft.core.DomainSettings())
+      : (Domain, graft.core.DomainSettings) =
+    (graft.core.DomainSchemas.emptyDomain(spark), settings.normalized)
+
+  /** `DELETE /Searchdomain` (`SearchdomainController.cs:75-104`): drop a
+    * whole domain from all three tables — pure partition pruning under
+    * the partitioned layout (nothing else is rewritten).
+    */
+  def dropDomain(domain: Domain, name: String): Domain = Domain(
+    domain.entities.filter(col("searchdomain") =!= name),
+    domain.datapoints.filter(col("searchdomain") =!= name),
+    domain.embeddings.filter(col("searchdomain") =!= name))
+
+  /** `PUT /Searchdomain` rename (`SearchdomainController.cs:111-140`). */
+  def renameDomain(domain: Domain, from: String, to: String): Domain = {
+    def r(df: DataFrame) = df.withColumn("searchdomain",
+      when(col("searchdomain") === from, to).otherwise(col("searchdomain")))
+    Domain(r(domain.entities), r(domain.datapoints), r(domain.embeddings))
+  }
+
+  /** `DELETE /Searchdomain/Query` (`SearchdomainController.cs:178-197`):
+    * drop ONE query's cached result rows.
+    */
+  def deleteQueryCacheEntry(cache: DataFrame, queryText: String): DataFrame =
+    cache.filter(col("query") =!= queryText)
+
+  /** `GET /Searchdomain/QueryCache/Size` (`SearchdomainController.cs:254-270`):
+    * cached-query count, byte estimate of the stored rows, configured max.
+    */
+  def queryCacheSize(cache: DataFrame, settings: graft.core.DomainSettings): DataFrame =
+    cache.agg(
+      countDistinct(col("query")).as("element_count"),
+      coalesce(sum((length(col("name")) + length(col("query")) + lit(16)).cast("long")),
+        lit(0L)).as("size_bytes"))
+      .withColumn("element_max_count", lit(settings.normalized.queryCacheSize.toLong))
+
   /** `GET /Searchdomain/Queries` (`SearchdomainController.cs:141-157`):
     * introspection listing of the query cache — one row per cached query
     * with its stored-result count, best score and best name. A single

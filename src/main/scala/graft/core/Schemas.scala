@@ -24,6 +24,56 @@ final case class Domain(
     Domain(entities.cache(), datapoints.cache(), embeddings.cache())
 }
 
+/** Per-domain settings (`SearchdomainController.cs:53-62`, `Searchdomain.cs:345-348`):
+  * the query-cache capacity (reference default 1,000,000 when unset/<=0)
+  * and the reconcile-vs-invalidate maintenance toggle.
+  */
+final case class DomainSettings(
+    queryCacheSize: Int = 1_000_000,
+    cacheReconciliation: Boolean = true) {
+  def normalized: DomainSettings =
+    if (queryCacheSize <= 0) copy(queryCacheSize = 1_000_000) else this
+}
+
+/** Canonical §1.3 table schemas — the contract every source/sink and the
+  * empty-domain constructor share.
+  */
+object DomainSchemas {
+  import org.apache.spark.sql.types._
+
+  val entities: StructType = StructType(Seq(
+    StructField("searchdomain", StringType),
+    StructField("entity_id", LongType),
+    StructField("name", StringType),
+    StructField("probmethod", StringType),
+    StructField("attributes", MapType(StringType, StringType))))
+
+  val datapoints: StructType = StructType(Seq(
+    StructField("searchdomain", StringType),
+    StructField("entity_id", LongType),
+    StructField("datapoint_id", LongType),
+    StructField("name", StringType),
+    StructField("probmethod", StringType),
+    StructField("similaritymethod", StringType),
+    StructField("hash", StringType)))
+
+  val embeddings: StructType = StructType(Seq(
+    StructField("searchdomain", StringType),
+    StructField("entity_id", LongType),
+    StructField("datapoint_id", LongType),
+    StructField("model", StringType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** `POST /Searchdomain` batch analogue: a new domain is three empty,
+    * correctly-typed tables (the reference creates empty MySQL tables).
+    */
+  def emptyDomain(spark: SparkSession): Domain = {
+    def empty(s: StructType) =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    Domain(empty(entities), empty(datapoints), empty(embeddings))
+  }
+}
+
 object Tables {
   /** Load one driver-generated testdata table. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

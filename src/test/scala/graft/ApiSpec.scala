@@ -150,6 +150,53 @@ class ApiSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("stub:alpha"))
   }
 
+  test("domain catalog: list/create/drop/rename as table transforms") {
+    import spark.implicits._
+    // two domains side by side in one set of tables
+    val two = graft.core.Domain(
+      domain.entities.unionByName(
+        domain.entities.withColumn("searchdomain", lit("other"))),
+      domain.datapoints.unionByName(
+        domain.datapoints.withColumn("searchdomain", lit("other"))),
+      domain.embeddings.unionByName(
+        domain.embeddings.withColumn("searchdomain", lit("other"))))
+
+    val listed = EngineApi.listDomains(two.entities)
+      .as[(String, Long)].collect().toSeq
+    assert(listed == Seq(("docs", 3L), ("other", 3L)))
+
+    val (fresh, settings) = EngineApi.createDomain(spark,
+      graft.core.DomainSettings(queryCacheSize = 0))
+    assert(fresh.entities.isEmpty && fresh.datapoints.isEmpty && fresh.embeddings.isEmpty)
+    assert(fresh.entities.schema == graft.core.DomainSchemas.entities)
+    assert(settings.queryCacheSize == 1_000_000) // reference default kicks in
+
+    val dropped = EngineApi.dropDomain(two, "other")
+    assert(EngineApi.listDomains(dropped.entities).count() == 1)
+    assert(dropped.embeddings.filter(col("searchdomain") === "other").isEmpty)
+
+    val renamed = EngineApi.renameDomain(two, "other", "archive")
+    assert(EngineApi.listDomains(renamed.entities)
+      .as[(String, Long)].collect().map(_._1).toSeq == Seq("archive", "docs"))
+  }
+
+  test("query-cache entry delete and size introspection") {
+    import spark.implicits._
+    val cache = Seq(
+      ("q1", 1L, "doc_1", 0.9), ("q1", 2L, "doc_2", 0.8),
+      ("q2", 1L, "doc_3", 0.7)).toDF("query", "rank", "name", "score")
+    val after = EngineApi.deleteQueryCacheEntry(cache, "q1")
+    assert(after.select("query").distinct().as[String].collect().toSeq == Seq("q2"))
+
+    val size = EngineApi.queryCacheSize(cache, graft.core.DomainSettings()).collect()(0)
+    assert(size.getLong(0) == 2)        // distinct cached queries
+    assert(size.getLong(1) > 0)         // byte estimate
+    assert(size.getLong(2) == 1_000_000)
+    val empty = EngineApi.queryCacheSize(cache.limit(0), graft.core.DomainSettings())
+      .collect()(0)
+    assert(empty.getLong(0) == 0 && empty.getLong(1) == 0)
+  }
+
   test("stats reports rows and byte estimates per table") {
     val s = EngineApi.stats(domain).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
