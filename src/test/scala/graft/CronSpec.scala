@@ -73,4 +73,28 @@ class CronSpec extends AnyFunSuite {
   test("forSpec validates the cron before returning the trigger") {
     intercept[IllegalArgumentException](Triggers.forSpec("schedule:61 * * * *"))
   }
+
+  test("next() agrees with a brute-force minute scan on random schedules") {
+    // next()'s skip logic (month jump, day jump, hour jump) must land on
+    // EXACTLY the first matching minute — compare against the dumbest
+    // possible implementation on frequently-firing random schedules
+    val rnd = new scala.util.Random(20260812)
+    def pick(min: Int, max: Int, n: Int): String =
+      (0 until n).map(_ => min + rnd.nextInt(max - min + 1)).distinct.mkString(",")
+    for (_ <- 1 to 40) {
+      val expr = Seq(
+        pick(0, 59, 2), pick(0, 23, 2),
+        if (rnd.nextBoolean()) "*" else pick(1, 28, 3),
+        "*",
+        if (rnd.nextBoolean()) "*" else pick(0, 6, 3)).mkString(" ")
+      val c = CronSchedule.parse(expr)
+      val start = at("2026-01-01T00:00:00").plusMinutes(rnd.nextInt(500000))
+      val got = c.next(start)
+      var t = start.withSecond(0).withNano(0).plusMinutes(1)
+      var guard = 0
+      while (!c.matches(t) && guard < 120 * 24 * 60) { t = t.plusMinutes(1); guard += 1 }
+      assert(guard < 120 * 24 * 60, s"$expr never fired in 120 days from $start")
+      assert(got == t, s"$expr from $start: next()=$got brute=$t")
+    }
+  }
 }
