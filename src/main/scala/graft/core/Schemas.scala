@@ -93,6 +93,21 @@ object Tables {
     spark.read.parquet(s"$baseDir/datapoints"),
     spark.read.parquet(s"$baseDir/embeddings"))
 
+  /** Domain-scoped load: the reference addresses every call by
+    * searchdomain name; under the `partitionBy("searchdomain")` layout
+    * this filter is partition PRUNING — only the named domain's
+    * directories are listed and read, other domains cost nothing
+    * (SourcesSpec pins PartitionFilters on the plan).
+    */
+  def readDomain(spark: SparkSession, baseDir: String, domainName: String): Domain = {
+    val d = readDomain(spark, baseDir)
+    import org.apache.spark.sql.functions.col
+    Domain(
+      d.entities.filter(col("searchdomain") === domainName),
+      d.datapoints.filter(col("searchdomain") === domainName),
+      d.embeddings.filter(col("searchdomain") === domainName))
+  }
+
   /** Bucketed layout for the 100 TB case: all three tables bucketed (and
     * sorted) by `entity_id`, registered as catalog tables `<prefix>_*`.
     * A bucketed scan reports `HashPartitioning(entity_id)`, which

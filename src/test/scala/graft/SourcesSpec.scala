@@ -49,5 +49,15 @@ class SourcesSpec extends SparkSpec {
       scan.contains("searchdomain#") && scan.contains("= domain_a"), scan)
     // only domain_a rows survive without any text-side filtering
     assert(pruned.count() == 10) // 5 docs x 2 datapoints x 1 model
+
+    // the domain-scoped load isolates search end-to-end: searching
+    // domain_a over the shared table set must neither see nor score
+    // domain_b's entities (the reference addresses every call by name)
+    val domA = Tables.readDomain(spark, dir, "domain_a")
+    val hits = SearchEngine.search(domA,
+      SearchEngine.queryEmbeddings(spark, domA, "text of doc", 4), 100)
+      .select("name").as[String].collect()
+    assert(hits.length == 5 && hits.forall(n => (0 until 5).map(i => s"doc_$i").contains(n)),
+      hits.mkString(","))
   }
 }
