@@ -89,16 +89,22 @@ object EngineApi {
       incoming: DataFrame,
       models: Seq[String],
       dim: Int): Domain = {
+    // Every merge key includes `searchdomain`: a Domain may legitimately
+    // hold several domains side by side (the catalog operators below work
+    // on that shape), and two domains reusing entity_id/datapoint_id
+    // values must never cross-contaminate.
+    val dpKey = Seq("searchdomain", "datapoint_id")
+    val entKey = Seq("searchdomain", "entity_id")
     val hashed = incoming.withColumn("hash", TextFunctions.contentHash(col("text")))
     val d = Upsert.diff(
-      domain.datapoints.select(col("datapoint_id"), col("hash")),
-      hashed.select(col("datapoint_id"), col("hash")),
-      Seq("datapoint_id"), "hash")
+      domain.datapoints.select((dpKey :+ "hash").map(col): _*),
+      hashed.select((dpKey :+ "hash").map(col): _*),
+      dpKey, "hash")
 
     val needEmbed = hashed.join(
-      d.filter(col("bucket").isin("created", "changed")).select("datapoint_id"),
-      Seq("datapoint_id"), "left_semi")
-    val keepIds = d.filter(col("bucket") === "unchanged").select("datapoint_id")
+      d.filter(col("bucket").isin("created", "changed")).select(dpKey.map(col): _*),
+      dpKey, "left_semi")
+    val keepIds = d.filter(col("bucket") === "unchanged").select(dpKey.map(col): _*)
 
     // P7/U2 + S4: embed each distinct changed text once per model, batched.
     val pairs = needEmbed.select(col("text")).distinct()
@@ -112,53 +118,56 @@ object EngineApi {
     // `SearchdomainHelper.cs:208-343` diffs the datapoints of each entity
     // in the payload): entities absent from the batch keep everything;
     // within an uploaded entity, datapoints missing from the payload are
-    // the `deleted` bucket and drop out. Hash-UNCHANGED datapoints take
-    // the INCOMING row's metadata (probmethod/similaritymethod/name — the
-    // reference's `updatedDatapointsNonText` path applies non-text updates
-    // even when the hash matches) while their stored embeddings are kept.
-    val touched = entities.select("entity_id").distinct()
+    // the `deleted` bucket and drop out. ALL incoming datapoint rows of
+    // touched entities land as-is — hash-unchanged ones thereby take the
+    // INCOMING metadata (probmethod/similaritymethod/name, the reference's
+    // `updatedDatapointsNonText` path) while keeping stored embeddings.
+    val touched = entities.select(entKey.map(col): _*).distinct()
     val mergedDatapoints = domain.datapoints
-      .join(touched, Seq("entity_id"), "left_anti")
-      .unionByName(
-        hashed.join(keepIds, Seq("datapoint_id"), "left_semi")
-          .select(domain.datapoints.columns.map(col).toIndexedSeq: _*))
-      .unionByName(
-        hashed.join(keepIds, Seq("datapoint_id"), "left_anti")
-          .select(domain.datapoints.columns.map(col).toIndexedSeq: _*))
+      .join(touched, entKey, "left_anti")
+      .unionByName(hashed.select(domain.datapoints.columns.map(col).toIndexedSeq: _*))
     val mergedEmbeddings = domain.embeddings
-      .join(touched, Seq("entity_id"), "left_anti")
-      .unionByName(domain.embeddings.join(keepIds, Seq("datapoint_id"), "left_semi"))
+      .join(touched, entKey, "left_anti")
+      .unionByName(domain.embeddings.join(keepIds, dpKey, "left_semi"))
       .unionByName(fresh.select(domain.embeddings.columns.map(col).toIndexedSeq: _*))
     val mergedEntities = domain.entities
-      .join(entities.select("entity_id"), Seq("entity_id"), "left_anti")
+      .join(touched, entKey, "left_anti")
       .unionByName(entities.select(domain.entities.columns.map(col).toIndexedSeq: _*))
     Domain(mergedEntities, mergedDatapoints, mergedEmbeddings)
   }
 
-  /** Session finalize (`EntityController.cs:163-199`): delete every entity
-    * of the domain NOT in the accumulated session set.
+  /** Session finalize (`PUT /Entities?sessionComplete=true` — the call is
+    * per searchdomain, `EntityController.cs:163-199`): delete every entity
+    * of THAT domain not in the accumulated session set; sibling domains
+    * are untouched.
     */
-  def sessionFinalize(domain: Domain, accumulatedNames: DataFrame): Domain = {
+  def sessionFinalize(domain: Domain, accumulatedNames: DataFrame,
+      searchdomain: String): Domain = {
     val doomed = Upsert.sessionFinalize(
-      domain.entities.select(col("entity_id"), col("name")),
-      accumulatedNames, Seq("name")).select("entity_id")
+      domain.entities.filter(col("searchdomain") === searchdomain)
+        .select(col("searchdomain"), col("entity_id"), col("name")),
+      accumulatedNames, Seq("name"))
+      .select("searchdomain", "entity_id")
     dropEntities(domain, doomed)
   }
 
   /** `DELETE /Entity?searchdomain&entityName` (`EntityController.cs:206-229`):
-    * FK-cascade rewrite of all three tables (J9/S7).
+    * FK-cascade rewrite of all three tables (J9/S7), scoped to the named
+    * domain exactly as the endpoint is.
     */
-  def deleteEntity(domain: Domain, entityName: String): Domain =
+  def deleteEntity(domain: Domain, searchdomain: String, entityName: String): Domain =
     dropEntities(domain,
-      domain.entities.filter(col("name") === entityName).select("entity_id"))
+      domain.entities.filter(
+        col("searchdomain") === searchdomain && col("name") === entityName)
+        .select("searchdomain", "entity_id"))
 
   private def dropEntities(domain: Domain, victims: DataFrame): Domain = {
-    val cascaded = Upsert.deleteCascade(
+    val cascaded = Upsert.deleteCascadeKeys(
       Seq(
-        ("entities", domain.entities, "entity_id"),
-        ("datapoints", domain.datapoints, "entity_id"),
-        ("embeddings", domain.embeddings, "entity_id")),
-      victims, "entity_id").toMap
+        ("entities", domain.entities),
+        ("datapoints", domain.datapoints),
+        ("embeddings", domain.embeddings)),
+      victims, Seq("searchdomain", "entity_id")).toMap
     Domain(cascaded("entities"), cascaded("datapoints"), cascaded("embeddings"))
   }
 

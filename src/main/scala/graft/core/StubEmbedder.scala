@@ -88,6 +88,12 @@ object StubEmbedder {
     val embedder = new StubEmbedder(dim)
     val acc = embedCounter // capture so the closure serializes the accumulator
     pairs.select(col("model"), col("text")).as[(String, String)]
+      // contiguous models per partition: without this, crossJoin-produced
+      // pairs interleave M models per text and every BatchSize chunk
+      // fragments into M calls of BatchSize/M rows — the amortization the
+      // batching exists for. Sorted, each chunk holds at most 2 models
+      // (one run boundary), so calls stay ~full.
+      .sortWithinPartitions("model")
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.groupBy(_._1).iterator.flatMap { case (model, rows) =>

@@ -79,16 +79,22 @@ object Upsert {
       keyCol: String,
       modelCol: String,
       valueCol: String): DataFrame = {
+    // explicit presence markers (same invariant as [[diff]]): bucketing on
+    // value nullness would misread a present row with a NULL value as an
+    // absent row
     val c = cache.select(col(keyCol).as("cache_key"), col(modelCol).as("model_key"),
       col(valueCol).as("cache_value"))
+      .withColumn("__cache_present", lit(true))
     val s = store.select(col(keyCol).as("cache_key"), col(modelCol).as("model_key"),
       col(valueCol).as("store_value"))
+      .withColumn("__store_present", lit(true))
     c.join(s, Seq("cache_key", "model_key"), "full_outer")
       .withColumn("bucket",
-        when(col("store_value").isNull, "model_added")   // in cache, not yet stored
-          .when(col("cache_value").isNull, "model_removed") // stored, evicted from cache
-          .when(col("cache_value") =!= col("store_value"), "changed")
+        when(col("__store_present").isNull, "model_added")   // in cache, not yet stored
+          .when(col("__cache_present").isNull, "model_removed") // stored, evicted from cache
+          .when(!(col("cache_value") <=> col("store_value")), "changed")
           .otherwise("unchanged"))
+      .drop("__cache_present", "__store_present")
   }
 
   /** J7/U4/P6: session finalize — rows of `existing` whose key is absent from
@@ -111,5 +117,17 @@ object Upsert {
     tables.map { case (name, df, fk) =>
       name -> df.join(keys, df(fk) === col("__victim_key"), "left_anti")
     }
+  }
+
+  /** Composite-key cascade for tables sharing the victim key columns —
+    * the domain-scoped form ((searchdomain, entity_id) victims must not
+    * cascade into a sibling domain that reuses the same entity_id).
+    */
+  def deleteCascadeKeys(
+      tables: Seq[(String, DataFrame)],
+      victims: DataFrame,
+      keys: Seq[String]): Seq[(String, DataFrame)] = {
+    val k = victims.select(keys.map(col): _*).distinct()
+    tables.map { case (name, df) => name -> df.join(k, keys, "left_anti") }
   }
 }

@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object FileCorpus {
 
-  /** Read a directory of text files into (filename, title, text) rows. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("wholetext", "true").text(dir)
-      .select(input_file_name().as("path"), col("value"))
+  /** Shared (filename, title, text) projection over a `wholetext` frame
+    * (batch or streaming — plain column expressions work on both). ONE
+    * definition of the parsing contract, so the batch reader and the
+    * streaming source cannot silently diverge.
+    */
+  def fromWholetext(raw: DataFrame): DataFrame =
+    raw.select(input_file_name().as("path"), col("value"))
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
         split(col("value"), "\n", 2).as("parts"))
@@ -27,6 +30,10 @@ object FileCorpus {
         col("filename"),
         element_at(col("parts"), 1).as("title"),
         coalesce(element_at(col("parts"), 2), lit("")).as("text"))
+
+  /** Read a directory of text files into (filename, title, text) rows. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    fromWholetext(spark.read.option("wholetext", "true").text(dir))
 
   /** The same split as a column transform over an in-engine text column —
     * used when the corpus already sits in a table rather than on disk.

@@ -88,8 +88,11 @@ object CronSchedule {
     CronSchedule(
       minutes = sets(0), hours = sets(1), daysOfMonth = sets(2),
       months = sets(3), daysOfWeek = dow0,
-      domRestricted = parts(2) != "*",
-      dowRestricted = parts(4) != "*")
+      // Vixie-family star flag: a field BEGINNING with '*' (including
+      // "*/step") counts as unrestricted for the dom/dow either-match
+      // rule — only explicit values/ranges restrict
+      domRestricted = !parts(2).startsWith("*"),
+      dowRestricted = !parts(4).startsWith("*"))
   }
 
   def isValid(expr: String): Boolean =

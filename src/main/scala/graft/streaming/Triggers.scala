@@ -40,7 +40,18 @@ object Triggers {
         // each firing runs one AvailableNow batch
         CronSchedule.parse(param)
         Trigger.AvailableNow()
-      case "interval"   => Trigger.ProcessingTime(param.toLong)
+      case "interval"   =>
+        // same up-front validation contract as the cron branch: a clean
+        // error naming the spec, not a raw NumberFormatException / a
+        // negative period surfacing only at stream start
+        val ms =
+          try param.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"interval trigger '$spec': period must be integer milliseconds")
+          }
+        require(ms > 0, s"interval trigger '$spec': period must be positive")
+        Trigger.ProcessingTime(ms)
       case "fileupdate" => Trigger.ProcessingTime(0L)
       case other => throw new IllegalArgumentException(s"Unknown trigger: $other")
     }
@@ -55,18 +66,11 @@ object Triggers {
     * exactly like the reference's Deleted event handling.
     */
   def fileCorpusStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .option("wholetext", "true")
-      .option("maxFilesPerTrigger", "1000")
-      .text(dir)
-      .select(input_file_name().as("path"), col("value"))
-      .select(
-        regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
-        split(col("value"), "\n", 2).as("parts"))
-      .select(
-        col("filename"),
-        element_at(col("parts"), 1).as("title"),
-        coalesce(element_at(col("parts"), 2), lit("")).as("text"))
+    graft.sources.FileCorpus.fromWholetext(
+      spark.readStream
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", "1000")
+        .text(dir))
 
   /** Write an ingestion stream to a parquet table under `spec` trigger
     * semantics. Checkpointed — a crashed indexer resumes exactly-once,

@@ -114,7 +114,7 @@ class ApiSpec extends SparkSpec {
   }
 
   test("deleteEntity cascades across all three tables") {
-    val after = EngineApi.deleteEntity(domain, "doc_2")
+    val after = EngineApi.deleteEntity(domain, "docs", "doc_2")
     assert(after.entities.count() == 2)
     assert(after.datapoints.filter(col("entity_id") === 2).count() == 0)
     assert(after.embeddings.filter(col("entity_id") === 2).count() == 0)
@@ -123,7 +123,7 @@ class ApiSpec extends SparkSpec {
   test("sessionFinalize keeps only accumulated names") {
     import spark.implicits._
     val acc = Seq("doc_1", "doc_3").toDF("name")
-    val after = EngineApi.sessionFinalize(domain, acc)
+    val after = EngineApi.sessionFinalize(domain, acc, "docs")
     assert(after.entities.select("name").as[String].collect().sorted.toSeq
       == Seq("doc_1", "doc_3"))
   }
@@ -150,16 +150,56 @@ class ApiSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("stub:alpha"))
   }
 
+  /** `domain` duplicated under a second searchdomain name — both domains
+    * deliberately REUSE the same entity/datapoint ids, so any merge key
+    * missing `searchdomain` cross-contaminates and fails the isolation
+    * test below.
+    */
+  private def twoDomains: graft.core.Domain = graft.core.Domain(
+    domain.entities.unionByName(
+      domain.entities.withColumn("searchdomain", lit("other"))),
+    domain.datapoints.unionByName(
+      domain.datapoints.withColumn("searchdomain", lit("other"))),
+    domain.embeddings.unionByName(
+      domain.embeddings.withColumn("searchdomain", lit("other"))))
+
+  test("multi-domain isolation: upsert/delete/finalize touch only the named domain") {
+    import spark.implicits._
+    val two = twoDomains
+    def other(d: graft.core.Domain) = (
+      d.entities.filter(col("searchdomain") === "other").count(),
+      d.datapoints.filter(col("searchdomain") === "other").count(),
+      d.embeddings.filter(col("searchdomain") === "other").count())
+
+    // delete doc_2 from 'docs' only — 'other' keeps its doc_2
+    val afterDel = EngineApi.deleteEntity(two, "docs", "doc_2")
+    assert(afterDel.entities.filter(col("searchdomain") === "docs").count() == 2)
+    assert(other(afterDel) == ((3L, 6L, 6L)))
+
+    // upsert doc 2 into 'docs' (docEntities/docDatapoints default domain)
+    // — 'other' reuses the same ids but must stay byte-identical
+    val batch = Seq((2L, "dogs bark at the postman", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val merged = EngineApi.upsertEntities(spark, two,
+      SearchEngine.docEntities(batch), SearchEngine.docDatapoints(batch),
+      models, dim)
+    assert(other(merged) == ((3L, 6L, 6L)))
+    assert(merged.datapoints
+      .filter(col("searchdomain") === "other" && col("entity_id") === 2)
+      .join(two.datapoints.filter(col("searchdomain") === "other"),
+        Seq("searchdomain", "datapoint_id", "hash"), "left_semi")
+      .count() == 2) // other/doc_2 rows untouched, original hashes
+
+    // finalize a session in 'docs' — 'other' not in scope
+    val fin = EngineApi.sessionFinalize(two, Seq("doc_1").toDF("name"), "docs")
+    assert(fin.entities.filter(col("searchdomain") === "docs").count() == 1)
+    assert(other(fin) == ((3L, 6L, 6L)))
+  }
+
   test("domain catalog: list/create/drop/rename as table transforms") {
     import spark.implicits._
     // two domains side by side in one set of tables
-    val two = graft.core.Domain(
-      domain.entities.unionByName(
-        domain.entities.withColumn("searchdomain", lit("other"))),
-      domain.datapoints.unionByName(
-        domain.datapoints.withColumn("searchdomain", lit("other"))),
-      domain.embeddings.unionByName(
-        domain.embeddings.withColumn("searchdomain", lit("other"))))
+    val two = twoDomains
 
     val listed = EngineApi.listDomains(two.entities)
       .as[(String, Long)].collect().toSeq

@@ -68,6 +68,12 @@ class CronSpec extends AnyFunSuite {
     val dowOnly = CronSchedule.parse("0 0 * * 7") // 7 == Sunday == 0
     assert(dowOnly.matches(at("2026-03-15T00:00:00")))
     assert(!dowOnly.matches(at("2026-03-13T00:00:00")))
+    // Vixie star flag: "*/2" dom counts as UNrestricted, so dom AND dow
+    // must both match (odd-day Mondays only, not odd-days-or-Mondays)
+    val starStep = CronSchedule.parse("0 0 */2 * 1")
+    assert(!starStep.matches(at("2026-03-13T00:00:00"))) // odd day, Friday
+    assert(!starStep.matches(at("2026-03-16T00:00:00"))) // Monday, even day
+    assert(starStep.matches(at("2026-03-23T00:00:00")))  // Monday, odd day
   }
 
   test("forSpec validates the cron before returning the trigger") {
