@@ -30,6 +30,12 @@ object EngineApi {
     * model in use, run the two-level scored search, optionally attach the
     * entity attribute map (P3, applied AFTER the top-k cut so the join
     * touches topN rows, not the corpus).
+    *
+    * Like the endpoint, the search is per searchdomain: pass a
+    * single-domain [[Domain]] (scope a shared table set first with
+    * `Tables.readDomain(spark, dir, name)` — partition-pruned — or
+    * [[dropDomain]]); a multi-domain Domain would score entities across
+    * domains together.
     */
   def query(
       spark: SparkSession,
