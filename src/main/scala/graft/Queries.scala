@@ -1480,6 +1480,46 @@ object Queries {
           FROM c_pack ORDER BY doc_id"""
       }),
 
+    // Vocabulary statistics (tokenizer-training prep): token total and
+    // exact distinct-token count per language. The exact form shuffles
+    // the (lang, token) pairs once with map-side partial aggregation; at
+    // 100 TB the approx sketch path (HLL, SketchSpec) replaces the
+    // distinct-set exchange with fixed-size sketch merges — this oracled
+    // entry pins the exact semantics the sketch is measured against.
+    ("q72_vocab", (s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(countDistinct(col("tok")).as("vocab"), count(lit(1)).as("n_tokens"))
+        .orderBy("lang"),
+      Some(s"""WITH tok AS (SELECT lang, u.tok
+          FROM documents, unnest(${sqlTokens("text")}) AS u(tok))
+        SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+        FROM tok GROUP BY lang ORDER BY lang""")),
+
+    // Token frequency table, top-10 per language (the merge-priority list
+    // a BPE-style tokenizer trains from): one partial+final count
+    // aggregate, then a per-lang rank window over the (small) distinct
+    // vocabulary — the corpus-sized explode never passes a window.
+    ("q73_token_topk", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+      t(s, d, "documents")
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    },
+      Some(s"""WITH tok AS (SELECT lang, u.tok
+          FROM documents, unnest(${sqlTokens("text")}) AS u(tok)),
+        freq AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY lang, tok),
+        ranked AS (SELECT lang, tok, n,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rnk
+          FROM freq)
+        SELECT lang, tok, n, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY lang, rnk""")),
+
     // Skew-mitigated join PROVEN equal to the plain equi-join: the salted
     // join (explicit hot-key spreading for the skew AQE cannot split —
     // one key, one reducer) aggregated back to per-type totals, oracled
