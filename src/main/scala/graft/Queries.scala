@@ -582,8 +582,9 @@ object Queries {
             when(col("l_returnflag") === "A", "Mean")
               .when(col("l_returnflag") === "N", "HarmonicMean")
               .otherwise("QuadraticMean"))
-          .groupBy("l_returnflag", "l_linestatus")
+          .groupBy("l_returnflag", "l_linestatus", "method")
           .agg(round(PM.forMethodCol(col("method"), col("l_discount")), 6).as("score"))
+          .drop("method")
           .orderBy("l_returnflag", "l_linestatus"),
         Some(s"""SELECT l_returnflag, l_linestatus,
           round(CASE WHEN l_returnflag = 'A' THEN ${sqlPmMean("l_discount")}
@@ -676,12 +677,12 @@ object Queries {
             when(pmod(col("dp"), lit(3L)) === 0, "Mean")
               .when(pmod(col("dp"), lit(3L)) === 1, "QuadraticMean")
               .otherwise("LVEWAvg"))
-        val l1 = scored.groupBy(col("label"), col("dp"))
+        val l1 = scored.groupBy(col("label"), col("dp"), col("dp_method"))
           .agg(PM.forMethodCol(col("dp_method"), col("sim")).as("dp_score"))
         val l2 = l1
           .withColumn("ent_method",
             when(pmod(col("label"), lit(2)) === 0, "Mean").otherwise("HarmonicMean"))
-          .groupBy("label")
+          .groupBy("label", "ent_method")
           .agg(PM.forMethodCol(col("ent_method"), col("dp_score")).as("score"))
         l2.select(col("label"), round(col("score"), 6).as("score"))
           .orderBy(desc("score"), asc("label"))
@@ -1148,21 +1149,25 @@ object Queries {
 
     // §2.11 end-to-end: method SPECS carried in data as "Name:{json}"
     // strings, split on the FIRST colon (JSON keys may contain colons).
-    // The parameter JSON is parsed ONCE per row in the projection (the
-    // weight column), never inside the aggregate — at 100 TB the parse is
-    // the dominant per-row cost and doubling it inside two SUM buffers
-    // was the round-3 q59 hot spot.
-    ("q59_pm_spec_dispatch", (s: SparkSession, d: String) =>
-      t(s, d, "lineitem")
+    // The parameter JSON is parsed once per DISTINCT spec and broadcast-
+    // joined back (PM.withSpecWeights) — never per row, never inside the
+    // aggregate: at 100 TB the corpus-sized `from_json` was the dominant
+    // per-row cost (round-3 parsed twice per row inside the SUM buffers,
+    // round-4a once per row in a projection; this is the end state).
+    ("q59_pm_spec_dispatch", (s: SparkSession, d: String) => {
+      val specced = t(s, d, "lineitem")
         .withColumn("spec",
           when(col("l_returnflag") === "A", """DictionaryWeightedAverage:{"O": 2.0}""")
             .when(col("l_returnflag") === "N", "Mean")
             .otherwise("HarmonicMean"))
-        .withColumn("w", PM.dwaWeightCol(col("l_linestatus"), PM.specParamCol(col("spec"))))
-        .groupBy("l_returnflag")
-        .agg(round(PM.forMethodCol(
-          PM.specNameCol(col("spec")), col("l_discount"), col("w")), 6).as("score"))
-        .orderBy("l_returnflag"),
+      PM.withSpecWeights(specced, "spec")
+        .withColumn("w", coalesce(element_at(col("__w_map"), col("l_linestatus")), lit(1.0)))
+        .withColumn("m", PM.specNameCol(col("spec")))
+        .groupBy("l_returnflag", "m")
+        .agg(round(PM.forMethodCol(col("m"), col("l_discount"), col("w")), 6).as("score"))
+        .drop("m")
+        .orderBy("l_returnflag")
+    },
       Some(s"""SELECT l_returnflag, round(CASE
           WHEN l_returnflag = 'A' THEN
             sum(coalesce(CASE WHEN l_linestatus = 'O' THEN 2.0 END, 1.0) * l_discount)
@@ -1306,12 +1311,12 @@ object Queries {
           when(pmod(col("dp"), lit(3L)) === 0, "Mean")
             .when(pmod(col("dp"), lit(3L)) === 1, "QuadraticMean")
             .otherwise("LVEWAvg"))
-      val l1 = scored.groupBy(col("label"), col("dp"))
+      val l1 = scored.groupBy(col("label"), col("dp"), col("dp_method"))
         .agg(PM.forMethodCol(col("dp_method"), col("sim")).as("dp_score"))
       val l2 = l1
         .withColumn("ent_method",
           when(pmod(col("label"), lit(2)) === 0, "Mean").otherwise("HarmonicMean"))
-        .groupBy("label")
+        .groupBy("label", "ent_method")
         .agg(PM.forMethodCol(col("ent_method"), col("dp_score")).as("score"))
       val top = l2.select(col("label"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("label")).limit(5)

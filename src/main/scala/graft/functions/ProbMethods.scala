@@ -128,6 +128,21 @@ object ProbMethods {
   def dictionaryWeightedAverageW(w: Column, x: Column): Column =
     sum(w * d(x)) / sum(w)
 
+  /** Parse each DISTINCT spec's parameter JSON once and broadcast-join the
+    * parsed map back, instead of running `from_json` on every row: specs
+    * are low-cardinality (a handful of configured methods) while the fact
+    * side is the corpus, so at scale this removes O(rows) JSON parses for
+    * O(rows) broadcast-hash probes. Adds `__w_map`; combine with
+    * `coalesce(element_at(col("__w_map"), key), lit(1.0))` for the weight.
+    */
+  def withSpecWeights(df: org.apache.spark.sql.DataFrame, specCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val parsed = df.select(col(specCol)).distinct()
+      .withColumn("__w_map",
+        from_json(specParamCol(col(specCol)), MapType(StringType, DoubleType)))
+    df.join(org.apache.spark.sql.functions.broadcast(parsed), Seq(specCol), "left")
+  }
+
   /** Column form of the first-colon spec split, for specs carried in DATA
     * (each datapoint/entity row declares its own `"Name:{json}"` method
     * string — `Probmethods.cs:55-59`). Keys inside the JSON may contain
@@ -176,11 +191,17 @@ object ProbMethods {
     * datapoint/entity may declare its own probmethod —
     * `Searchdomain.cs:249-257`). All eight aggregate shapes are computed in
     * the same single pass (they are all sums/counts/mins/maxes) and the
-    * method column selects among them. `methodCol` must be constant within
-    * each group (enforced by taking `first(...)`); `dwaWeight` is the
-    * pre-projected per-row weight ([[dwaWeightCol]]) consumed only by the
-    * DictionaryWeightedAverage arm — callers without parameterized methods
-    * pass the default constant 1.
+    * method column selects among them. `methodCol` MUST be one of the
+    * caller's grouping columns (the method is per-group constant in the
+    * reference, so grouping by it never changes the groups). Grouping —
+    * rather than `first(methodCol)` — is load-bearing for performance: a
+    * `first()` over a string needs a string aggregation buffer, which
+    * HashAggregate cannot hold, demoting the whole aggregate to
+    * SortAggregate with a full sort of the fact side (measured 3-4× on
+    * the dispatch queries). `dwaWeight` is the pre-projected per-row
+    * weight ([[dwaWeightCol]] / [[withSpecWeights]]) consumed only by the
+    * DictionaryWeightedAverage arm — callers without parameterized
+    * methods pass the default constant 1.
     *
     * Design note (measured, `graft.tools.BenchDispatch` @ sf0.1): on a
     * FLAT SCAN a filter-per-method + single-agg + union plan is ~2.6×
@@ -193,7 +214,7 @@ object ProbMethods {
     * more than the extra arithmetic saves.
     */
   def forMethodCol(methodCol: Column, x: Column, dwaWeight: Column = lit(1.0)): Column = {
-    val m = first(methodCol)
+    val m = methodCol
     // Per-row gate: every arm's INPUT is nulled unless the row's own
     // method matches. Within a group the method is constant, so the
     // selected arm sees every row unchanged — but the seven unselected

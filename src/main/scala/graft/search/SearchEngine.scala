@@ -128,13 +128,16 @@ object SearchEngine {
     // probmethod column may carry a `"Name:{json}"` spec
     // (`Probmethods.cs:55-59`); the name split and the DWA weight (keyed
     // by model at this level) are projected per ROW before the aggregate.
+    // dp_m and dp_name are functionally dependent on datapoint_id, so
+    // grouping by them adds no groups — and keeps every aggregation
+    // buffer primitive (a first() over either string would demote the
+    // aggregate to SortAggregate; see ProbMethods.forMethodCol).
     val dpScores = scored
       .withColumn("dp_m", ProbMethods.specNameCol(col("dp_probmethod")))
       .withColumn("dp_w", ProbMethods.dwaWeightCol(
         col("model"), ProbMethods.specParamCol(col("dp_probmethod"))))
-      .groupBy(col("entity_id"), col("datapoint_id"))
+      .groupBy(col("entity_id"), col("datapoint_id"), col("dp_m"), col("dp_name"))
       .agg(
-        first(col("dp_name")).as("dp_name"),
         ProbMethods.forMethodCol(col("dp_m"), col("sim"), col("dp_w"))
           .as("dp_score"))
 
@@ -146,7 +149,7 @@ object SearchEngine {
       .withColumn("ent_m", ProbMethods.specNameCol(col("ent_probmethod")))
       .withColumn("ent_w", ProbMethods.dwaWeightCol(
         col("dp_name"), ProbMethods.specParamCol(col("ent_probmethod"))))
-      .groupBy(col("entity_id"), col("name"))
+      .groupBy(col("entity_id"), col("name"), col("ent_m"))
       .agg(
         ProbMethods.forMethodCol(col("ent_m"), col("dp_score"), col("ent_w"))
           .as("score"))

@@ -28,8 +28,9 @@ object BenchDispatch {
           .otherwise("QuadraticMean"))
 
     def onePass(df: DataFrame): DataFrame =
-      df.groupBy("l_returnflag", "l_linestatus")
+      df.groupBy("l_returnflag", "l_linestatus", "method")
         .agg(PM.forMethodCol(col("method"), col("l_discount")).as("score"))
+        .drop("method")
 
     def threePass(df: DataFrame): DataFrame = {
       def leg(m: String, agg: org.apache.spark.sql.Column) =

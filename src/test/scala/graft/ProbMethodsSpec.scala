@@ -133,14 +133,15 @@ class ProbMethodsSpec extends SparkSpec {
     val df = Seq(
       ("g1", "Mean", 0.2), ("g1", "Mean", 0.4),
       ("g2", "LVEWAvg", 0.5), ("g2", "LVEWAvg", 0.25)).toDF("g", "m", "x")
-    val rows = df.groupBy("g")
+    val rows = df.groupBy("g", "m")
       .agg(PM.forMethodCol(col("m"), col("x")).as("r"))
+      .select("g", "r")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx(rows("g1"), 0.3))
     assert(approx(rows("g2"), Oracle.lvew(Seq(0.5, 0.25))))
     val bad = Seq(("g1", "Nope", 0.2)).toDF("g", "m", "x")
     intercept[Exception] {
-      bad.groupBy("g")
+      bad.groupBy("g", "m")
         .agg(PM.forMethodCol(col("m"), col("x")).as("r"))
         .collect()
     }
