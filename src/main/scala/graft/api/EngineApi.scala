@@ -238,16 +238,21 @@ object EngineApi {
 
   /** `GET /Searchdomain/Queries` (`SearchdomainController.cs:141-157`):
     * introspection listing of the query cache — one row per cached query
-    * with its stored-result count, best score and best name. A single
-    * partial+final aggregate over the exploded cache rows; the heavy
-    * result payload never moves (one row per query crosses the exchange).
+    * with its stored-result count, best score and best name. The counts
+    * are a primitive-buffer HashAggregate; the best NAME comes from a
+    * join with the rank-1 rows rather than `min_by(name, rank)` — any
+    * string-valued aggregate needs a string buffer, which demotes the
+    * whole aggregate to SortAggregate over the full cache table.
     */
   def listQueryCache(cache: DataFrame): DataFrame =
     cache.groupBy(col("query"))
       .agg(
         count(lit(1)).as("n_results"),
-        max(col("score")).as("top_score"),
-        min_by(col("name"), col("rank")).as("top_name"))
+        max(col("score")).as("top_score"))
+      .join(
+        cache.filter(col("rank") === 1)
+          .select(col("query"), col("name").as("top_name")),
+        Seq("query"), "left_outer")
 
   /** `GET /Server/Models` with the allow/deny filter (P5,
     * `ServerController.cs:36-57`, `AIProvider.cs:196-216`): distinct
