@@ -52,6 +52,36 @@ object EngineApi {
       .orderBy(desc("score"), asc("name"))
   }
 
+  /** The endpoint's full cache flow (`Searchdomain.cs:183-208` + C1):
+    * probe the query cache by the query STRING alone (not topN — the
+    * reference quirk), return the stored already-truncated list on a hit;
+    * on a miss run the search and store the fresh list truncated to topN.
+    * Returns (result, updated cache). The hit probe is one filter on the
+    * cache table — partition/predicate-pruned at scale; the branch itself
+    * is request-level control flow, exactly as in the reference.
+    */
+  def queryCached(
+      spark: SparkSession,
+      domain: Domain,
+      cache: DataFrame,
+      queryText: String,
+      topN: Int,
+      dim: Int): (DataFrame, DataFrame) = {
+    val stored = cache.filter(col("query") === queryText)
+    if (!stored.isEmpty) {
+      (stored.orderBy("rank").select(col("name"), col("score")), cache)
+    } else {
+      val fresh = query(spark, domain, queryText, topN, dim)
+      val ranked = fresh
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("score"), asc("name"))).cast("long"))
+        .withColumn("query", lit(queryText))
+      (fresh, cache.unionByName(
+        ranked.select(cache.columns.map(col).toIndexedSeq: _*)))
+    }
+  }
+
   /** `GET /Entities?searchdomain&returnModels&returnEmbeddings`
     * (`EntityController.cs:42-86`): the three verbosity levels — names
     * only / models with empty vectors / full vectors. The heavy embedding

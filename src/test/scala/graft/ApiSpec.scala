@@ -128,6 +128,25 @@ class ApiSpec extends SparkSpec {
       == Seq("doc_1", "doc_3"))
   }
 
+  test("queryCached: miss computes and stores truncated, hit returns stored list as-is") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, String, Double)]
+      .toDF("query", "rank", "name", "score")
+    // miss: search runs, cache gains the truncated list
+    val (r1, c1) = EngineApi.queryCached(spark, domain, empty, "spark shuffle", 2, dim)
+    assert(r1.count() == 2)
+    assert(c1.filter(col("query") === "spark shuffle").count() == 2)
+
+    // hit: the STORED list comes back — prove the cache (not a recompute)
+    // served it by poisoning the stored rows with a sentinel name first
+    val poisoned = EngineApi.patchQueryCache(c1, "spark shuffle",
+      Seq((1L, "sentinel_doc", 0.42)).toDF("rank", "name", "score"))
+    val (r2, c2) = EngineApi.queryCached(spark, domain, poisoned, "spark shuffle", 5, dim)
+    assert(r2.select("name").as[String].collect().toSeq == Seq("sentinel_doc"))
+    // C1 quirk: topN=5 request still got the stored 1-row list; cache unchanged
+    assert(c2.filter(col("query") === "spark shuffle").count() == 1)
+  }
+
   test("patchQueryCache replaces one query's stored list wholesale") {
     import spark.implicits._
     val cache = Seq(
