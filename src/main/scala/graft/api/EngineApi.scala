@@ -31,11 +31,12 @@ object EngineApi {
     * entity attribute map (P3, applied AFTER the top-k cut so the join
     * touches topN rows, not the corpus).
     *
-    * Like the endpoint, the search is per searchdomain: pass a
-    * single-domain [[Domain]] (scope a shared table set first with
-    * `Tables.readDomain(spark, dir, name)` — partition-pruned — or
-    * [[dropDomain]]); a multi-domain Domain would score entities across
-    * domains together.
+    * Like the endpoint, a query is normally per searchdomain: scope a
+    * shared table set first with `Tables.readDomain(spark, dir, name)`
+    * (partition-pruned). Every scoring join/grouping is keyed by
+    * (searchdomain, id), so on a multi-domain Domain the domains score
+    * independently (no cross-domain fan-out) and the top-N is taken
+    * across them.
     */
   def query(
       spark: SparkSession,
@@ -71,14 +72,20 @@ object EngineApi {
     if (!stored.isEmpty) {
       (stored.orderBy("rank").select(col("name"), col("score")), cache)
     } else {
-      val fresh = query(spark, domain, queryText, topN, dim)
-      val ranked = fresh
+      // persist the ranked top-N (topN rows — tiny) so the corpus-sized
+      // search runs ONCE: both the returned result and the cache union
+      // derive from it, and later probes of the returned cache read the
+      // materialized rows instead of replaying the search lineage. The
+      // caller owns the cache's durability (write it between requests,
+      // as the reference's in-memory QueryCache lives across them).
+      val ranked = query(spark, domain, queryText, topN, dim)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("score"), asc("name"))).cast("long"))
         .withColumn("query", lit(queryText))
-      (fresh, cache.unionByName(
-        ranked.select(cache.columns.map(col).toIndexedSeq: _*)))
+        .persist()
+      (ranked.orderBy("rank").select(col("name"), col("score")),
+        cache.unionByName(ranked.select(cache.columns.map(col).toIndexedSeq: _*)))
     }
   }
 
@@ -92,19 +99,24 @@ object EngineApi {
       domain: Domain,
       returnModels: Boolean = false,
       returnEmbeddings: Boolean = false): DataFrame = {
-    val base = domain.entities.select(col("entity_id"), col("name"), col("attributes"))
-    if (!returnModels) base
+    // joined/grouped by (searchdomain, entity_id) so multi-domain Domains
+    // with reused ids don't cross-attach models; output schema unchanged
+    val base = domain.entities.select(
+      col("searchdomain"), col("entity_id"), col("name"), col("attributes"))
+    if (!returnModels) base.drop("searchdomain")
     else {
       val embs =
         if (returnEmbeddings)
-          domain.embeddings.select(col("entity_id"), col("model"), col("embedding"))
+          domain.embeddings.select(
+            col("searchdomain"), col("entity_id"), col("model"), col("embedding"))
         else
-          domain.embeddings.select(col("entity_id"), col("model"),
+          domain.embeddings.select(col("searchdomain"), col("entity_id"), col("model"),
             array().cast("array<float>").as("embedding"))
       base.join(
-        embs.groupBy("entity_id")
+        embs.groupBy("searchdomain", "entity_id")
           .agg(collect_list(struct(col("model"), col("embedding"))).as("models")),
-        Seq("entity_id"), "left_outer")
+        Seq("searchdomain", "entity_id"), "left_outer")
+        .drop("searchdomain")
     }
   }
 
@@ -274,15 +286,25 @@ object EngineApi {
     * string-valued aggregate needs a string buffer, which demotes the
     * whole aggregate to SortAggregate over the full cache table.
     */
-  def listQueryCache(cache: DataFrame): DataFrame =
+  def listQueryCache(cache: DataFrame): DataFrame = {
+    // best name = the MIN-rank row per query (PATCH stores caller rows
+    // verbatim, so rank 1 may be absent or duplicated); ties broken by
+    // name via a window over the LISTING-sized candidate set (≈ one row
+    // per query), never the cache table
+    val minRank = cache.groupBy(col("query")).agg(min(col("rank")).as("__top_rank"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("name"))
+    val top = cache.join(broadcast(minRank), Seq("query"))
+      .filter(col("rank") === col("__top_rank"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(col("query"), col("name").as("top_name"))
     cache.groupBy(col("query"))
       .agg(
         count(lit(1)).as("n_results"),
         max(col("score")).as("top_score"))
-      .join(
-        cache.filter(col("rank") === 1)
-          .select(col("query"), col("name").as("top_name")),
-        Seq("query"), "left_outer")
+      .join(top, Seq("query"), "left_outer")
+  }
 
   /** `GET /Server/Models` with the allow/deny filter (P5,
     * `ServerController.cs:36-57`, `AIProvider.cs:196-216`): distinct

@@ -111,32 +111,36 @@ object SearchEngine {
     * Returns (name, score) top-N descending.
     */
   def search(domain: Domain, qEmb: DataFrame, topN: Int): DataFrame = {
+    // All intra-domain joins and groupings are keyed by (searchdomain, id):
+    // a Domain may hold several searchdomains side by side (the catalog
+    // operators build that shape), and two domains reusing ids must not
+    // fan out against each other's rows.
     val scored = domain.embeddings
       .join(broadcast(qEmb), "model") // J1: BroadcastHashJoin, M query rows
       .join(domain.datapoints.select(
-        col("datapoint_id"), col("name").as("dp_name"),
+        col("searchdomain"), col("datapoint_id"), col("name").as("dp_name"),
         col("probmethod").as("dp_probmethod"),
-        col("similaritymethod")), "datapoint_id")
+        col("similaritymethod")), Seq("searchdomain", "datapoint_id"))
       .withColumn("sim",
         VectorFunctions.similarityCol(col("similaritymethod"), col("embedding"), col("query_vec")))
 
     // Level 1: across models, method chosen by the datapoint. Grouped by
     // datapoint_id (NOT dp_name): the reference aggregates per datapoint
     // OBJECT (`Searchdomain.cs:242-258`), so two same-named datapoints on
-    // one entity must stay two level-1 groups. dp_name is functionally
-    // dependent on datapoint_id and rides along via first(). The
-    // probmethod column may carry a `"Name:{json}"` spec
-    // (`Probmethods.cs:55-59`); the name split and the DWA weight (keyed
-    // by model at this level) are projected per ROW before the aggregate.
-    // dp_m and dp_name are functionally dependent on datapoint_id, so
-    // grouping by them adds no groups — and keeps every aggregation
-    // buffer primitive (a first() over either string would demote the
-    // aggregate to SortAggregate; see ProbMethods.forMethodCol).
+    // one entity must stay two level-1 groups. The probmethod column may
+    // carry a `"Name:{json}"` spec (`Probmethods.cs:55-59`); the name
+    // split and the DWA weight (keyed by model at this level) are
+    // projected per ROW before the aggregate. dp_m and dp_name are
+    // functionally dependent on datapoint_id, so grouping by them adds no
+    // groups — and keeps every aggregation buffer primitive (a first()
+    // over either string would demote the aggregate to SortAggregate;
+    // see ProbMethods.forMethodCol).
     val dpScores = scored
       .withColumn("dp_m", ProbMethods.specNameCol(col("dp_probmethod")))
       .withColumn("dp_w", ProbMethods.dwaWeightCol(
         col("model"), ProbMethods.specParamCol(col("dp_probmethod"))))
-      .groupBy(col("entity_id"), col("datapoint_id"), col("dp_m"), col("dp_name"))
+      .groupBy(col("searchdomain"), col("entity_id"), col("datapoint_id"),
+        col("dp_m"), col("dp_name"))
       .agg(
         ProbMethods.forMethodCol(col("dp_m"), col("sim"), col("dp_w"))
           .as("dp_score"))
@@ -145,11 +149,12 @@ object SearchEngine {
     // keyed by datapoint name).
     val entScores = dpScores
       .join(domain.entities.select(
-        col("entity_id"), col("name"), col("probmethod").as("ent_probmethod")), "entity_id")
+        col("searchdomain"), col("entity_id"), col("name"),
+        col("probmethod").as("ent_probmethod")), Seq("searchdomain", "entity_id"))
       .withColumn("ent_m", ProbMethods.specNameCol(col("ent_probmethod")))
       .withColumn("ent_w", ProbMethods.dwaWeightCol(
         col("dp_name"), ProbMethods.specParamCol(col("ent_probmethod"))))
-      .groupBy(col("entity_id"), col("name"), col("ent_m"))
+      .groupBy(col("searchdomain"), col("entity_id"), col("name"), col("ent_m"))
       .agg(
         ProbMethods.forMethodCol(col("ent_m"), col("dp_score"), col("ent_w"))
           .as("score"))

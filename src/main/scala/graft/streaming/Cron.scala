@@ -14,8 +14,9 @@ import java.time.LocalDateTime
   * Supported per field: `*`, `a`, `a-b`, each optionally with a
   * `/step` suffix (steps also apply to `*`), and comma lists of those.
   * Day-of-week accepts 0-7 with both 0 and 7 as
-  * Sunday. Standard POSIX semantics for the day fields: when BOTH
-  * day-of-month and day-of-week are restricted (not `*`), a date
+  * Sunday. Standard POSIX/Vixie semantics for the day fields: when BOTH
+  * day-of-month and day-of-week are restricted — i.e. do not BEGIN with
+  * a star (a star with a step suffix counts as UNrestricted) — a date
   * matches if EITHER does; otherwise both must match.
   */
 final case class CronSchedule(

@@ -213,6 +213,15 @@ class ApiSpec extends SparkSpec {
     val fin = EngineApi.sessionFinalize(two, Seq("doc_1").toDF("name"), "docs")
     assert(fin.entities.filter(col("searchdomain") === "docs").count() == 1)
     assert(other(fin) == ((3L, 6L, 6L)))
+
+    // READ path too: scoring joins keyed by (searchdomain, id) — the two
+    // identical domains score independently (6 rows, equal per-name score
+    // pairs); a cross-domain fan-out would double every level-1 group
+    val res = EngineApi.query(spark, two, "spark shuffle", topN = 10, dim = dim)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(res.length == 6)
+    assert(res.groupBy(_._1).forall { case (_, ss) =>
+      ss.length == 2 && ss.map(_._2).distinct.length == 1 })
   }
 
   test("domain catalog: list/create/drop/rename as table transforms") {
