@@ -115,12 +115,18 @@ object SearchEngine {
     // a Domain may hold several searchdomains side by side (the catalog
     // operators build that shape), and two domains reusing ids must not
     // fan out against each other's rows.
+    // entity_id rides in the join key redundantly (datapoint_id already
+    // implies it): under the entity_id-bucketed layout this makes both
+    // sides' HashPartitioning(entity_id) satisfy the join distribution,
+    // so at 100 TB — where the datapoints table is itself too large to
+    // broadcast — the scored join is co-located instead of shuffled.
     val scored = domain.embeddings
       .join(broadcast(qEmb), "model") // J1: BroadcastHashJoin, M query rows
       .join(domain.datapoints.select(
-        col("searchdomain"), col("datapoint_id"), col("name").as("dp_name"),
+        col("searchdomain"), col("entity_id"), col("datapoint_id"),
+        col("name").as("dp_name"),
         col("probmethod").as("dp_probmethod"),
-        col("similaritymethod")), Seq("searchdomain", "datapoint_id"))
+        col("similaritymethod")), Seq("searchdomain", "entity_id", "datapoint_id"))
       .withColumn("sim",
         VectorFunctions.similarityCol(col("similaritymethod"), col("embedding"), col("query_vec")))
 
