@@ -185,7 +185,14 @@ object TextFunctions {
   /** Quality-scoring feature columns (length / punctuation / stopword
     * ratios), usable for filter thresholds on a 100 TB corpus.
     */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — the fused zero-allocation byte-scan kernel
+    * ([[WsTokenCount]]); value-identical to `size(tokens(text))`
+    * (PropertySpec pins the equivalence).
+    */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(WsTokenCount(CB.expression(text)))
+  }
 
   def meanTokenLength(text: Column): Column = {
     val t = tokens(text)

@@ -153,6 +153,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused token-count kernel equals size(tokens(text)) incl. edge whitespace") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val alphabet = "ab \t\n\f\r €中0!"
+    val rows = (0L until 200L).map { i =>
+      val n = rnd.nextInt(30)
+      (i, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ Seq((200L, ""), (201L, "   "), (202L, "\t\n\r"), (203L, "a"), (204L, " a b "))
+    val df = rows.toDF("id", "text")
+    val got = df.select(col("id"), TF.tokenCount(col("text")).as("n"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    val exp = df.select(col("id"), size(TF.tokens(col("text"))).as("n"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(got == exp, rows.zip(got.zip(exp)).filter(t => t._2._1 != t._2._2).take(5).toString)
+  }
+
   test("LSH banding: identical docs share every band, disjoint docs share none") {
     import spark.implicits._
     val a = "one two three four five six seven eight nine ten"

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.search.SearchEngine
-import graft.sources.FileCorpus
+import graft.sources.{FileCorpus, JsonlCorpus}
 
 /** Batch sources and the P1 searchdomain predicate: the file-corpus
   * directory read, and partition pruning on the domain tables' partition
@@ -24,6 +24,24 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq == Seq(
       ("one.txt", "Title One", "body a\nbody b"),
       ("two.txt", "Only title, no body", "")))
+  }
+
+  test("JsonlCorpus: schema-enforced read, malformed lines quarantined not fatal") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "jsonl-").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "shard-0.jsonl"),
+      """{"doc_id": 1, "text": "alpha doc", "lang": "en", "source": "web"}
+        |{"doc_id": 2, "text": "beta doc", "lang": "de", "source": "web"}
+        |{not json at all
+        |{"doc_id": 3, "text": "gamma", "lang": "en", "source": "news"}
+        |""".stripMargin)
+    val parsed = JsonlCorpus.parse(spark, dir).persist()
+    val docs = JsonlCorpus.read(parsed)
+    assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    assert(docs.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val bad = JsonlCorpus.quarantine(parsed).as[String].collect()
+    assert(bad.toSeq == Seq("{not json at all"))
+    parsed.unpersist()
   }
 
   test("P1: searchdomain filter prunes partitions at the parquet reader") {
