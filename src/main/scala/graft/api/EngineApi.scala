@@ -46,11 +46,17 @@ object EngineApi {
       dim: Int,
       returnAttributes: Boolean = false): DataFrame = {
     val qEmb = SearchEngine.queryEmbeddings(spark, domain, queryText, dim)
-    val top = SearchEngine.search(domain, qEmb, topN)
-    if (!returnAttributes) top
-    else top.join(domain.entities.select(col("name"), col("attributes")), Seq("name"), "left_outer")
-      .select(col("name"), col("score"), col("attributes"))
-      .orderBy(desc("score"), asc("name"))
+    if (!returnAttributes) SearchEngine.search(domain, qEmb, topN)
+    else
+      // joined on (searchdomain, name), not name alone: domains may reuse
+      // entity names, and a name-only join would fan the top-N out
+      // against every same-named entity of every domain
+      SearchEngine.searchWithDomain(domain, qEmb, topN)
+        .join(domain.entities.select(
+          col("searchdomain"), col("name"), col("attributes")),
+          Seq("searchdomain", "name"), "left_outer")
+        .select(col("name"), col("score"), col("attributes"))
+        .orderBy(desc("score"), asc("name"))
   }
 
   /** The endpoint's full cache flow (`Searchdomain.cs:183-208` + C1):
@@ -72,10 +78,11 @@ object EngineApi {
     if (!stored.isEmpty) {
       (stored.orderBy("rank").select(col("name"), col("score")), cache)
     } else {
-      // persist the ranked top-N (topN rows — tiny) so the corpus-sized
-      // search runs ONCE: both the returned result and the cache union
-      // derive from it, and later probes of the returned cache read the
-      // materialized rows instead of replaying the search lineage. The
+      // materialize the ranked top-N locally — it IS the response payload
+      // (bounded by topN, exactly what the endpoint returns over HTTP) —
+      // so the corpus-sized search runs ONCE, later probes of the
+      // returned cache read local rows instead of replaying the search
+      // lineage, and nothing is left persisted in executor storage. The
       // caller owns the cache's durability (write it between requests,
       // as the reference's in-memory QueryCache lives across them).
       val ranked = query(spark, domain, queryText, topN, dim)
@@ -83,9 +90,11 @@ object EngineApi {
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("score"), asc("name"))).cast("long"))
         .withColumn("query", lit(queryText))
-        .persist()
-      (ranked.orderBy("rank").select(col("name"), col("score")),
-        cache.unionByName(ranked.select(cache.columns.map(col).toIndexedSeq: _*)))
+      val rows = ranked.collect()
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ranked.schema)
+      (local.orderBy("rank").select(col("name"), col("score")),
+        cache.unionByName(local.select(cache.columns.map(col).toIndexedSeq: _*)))
     }
   }
 

@@ -36,12 +36,16 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // getByte(i), NOT getBytes(): the latter copies into a fresh array
+    // whenever the UTF8String doesn't exactly span its backing buffer —
+    // i.e. for every value sliced out of an UnsafeRow/parquet page
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
     var count = 0
     var inTok = false
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
+    while (i < n) {
+      val b = s.getByte(i)
       val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
       if (!ws && !inTok) { count += 1; inTok = true }
       else if (ws) inTok = false
@@ -52,18 +56,19 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
-      val bytes = ctx.freshName("bytes")
+      val len = ctx.freshName("len")
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       val ws = ctx.freshName("ws")
       val inTok = ctx.freshName("inTok")
       val n = ctx.freshName("n")
+      // getByte(i), not getBytes(): no per-row copy of the backing buffer
       s"""
-         |final byte[] $bytes = $s.getBytes();
+         |final int $len = $s.numBytes();
          |int $n = 0;
          |boolean $inTok = false;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  final byte $b = $bytes[$i];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  final byte $b = $s.getByte($i);
          |  final boolean $ws = $b == ' ' || $b == '\\t' || $b == '\\n'
          |    || $b == 0x0B || $b == '\\f' || $b == '\\r';
          |  if (!$ws && !$inTok) { $n++; $inTok = true; }

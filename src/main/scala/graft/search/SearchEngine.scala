@@ -108,9 +108,13 @@ object SearchEngine {
   }
 
   /** The search pipeline. `qEmb` has (model, query_vec) — always broadcast.
-    * Returns (name, score) top-N descending.
+    * Returns (searchdomain, name, score) top-N descending; [[search]] is
+    * the endpoint-shaped (name, score) projection, and the retained
+    * searchdomain lets callers join per-domain data back onto the top-N
+    * (the attributes projection) without a name-only join fanning out
+    * across domains that reuse entity names.
     */
-  def search(domain: Domain, qEmb: DataFrame, topN: Int): DataFrame = {
+  def searchWithDomain(domain: Domain, qEmb: DataFrame, topN: Int): DataFrame = {
     // All intra-domain joins and groupings are keyed by (searchdomain, id):
     // a Domain may hold several searchdomains side by side (the catalog
     // operators build that shape), and two domains reusing ids must not
@@ -167,10 +171,14 @@ object SearchEngine {
 
     // O1/O2: TakeOrderedAndProject, never a global sort.
     entScores
-      .select(col("name"), col("score"))
+      .select(col("searchdomain"), col("name"), col("score"))
       .orderBy(desc("score"), asc("name"))
       .limit(topN)
   }
+
+  /** The search pipeline, endpoint shape: (name, score) top-N descending. */
+  def search(domain: Domain, qEmb: DataFrame, topN: Int): DataFrame =
+    searchWithDomain(domain, qEmb, topN).select(col("name"), col("score"))
 
   /** Batch top-k similarity join — the beyond-reference capability: MANY
     * queries × corpus in one job (the reference only does 1×N,

@@ -31,26 +31,34 @@ object JsonlCorpus {
 
   private val CorruptCol = "_corrupt_record"
 
-  /** Parse a JSONL directory/file against `schema`, keeping malformed
-    * lines in the corrupt column instead of failing (PERMISSIVE).
+  /** Valid documents only: PERMISSIVE parse against the explicit schema
+    * (no inference pass over the corpus), corrupt lines dropped. The
+    * required schema here includes the data columns, so Spark's
+    * corrupt-record-column restriction never applies.
     */
-  def parse(spark: SparkSession, path: String,
+  def read(spark: SparkSession, path: String,
       schema: StructType = DocumentSchema): DataFrame =
     spark.read
       .schema(schema.add(StructField(CorruptCol, StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
+      .filter(col(CorruptCol).isNull)
+      .drop(CorruptCol)
 
-  /** Valid documents only (schema columns, corrupt lines dropped). */
-  def read(parsed: DataFrame): DataFrame =
-    parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
-
-  /** The dead-letter side: raw text of every malformed line. (Spark
-    * quirk: a corrupt-record-only projection is disallowed, so the
-    * filter runs before the projection.)
+  /** The dead-letter side: raw text of every malformed line. Read as
+    * TEXT and probed with `try_parse_json` (null iff the line is not
+    * valid JSON — the same criterion the reader's corrupt column uses)
+    * rather than via the corrupt-record column: Spark 4 REFUSES a query
+    * whose required schema is only the corrupt column (the naive
+    * `filter(corrupt.isNotNull)` shape throws
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN unless the parsed frame happens to
+    * be cached). One extra text scan of the shards; the dead-letter path
+    * is exceptional and offline.
     */
-  def quarantine(parsed: DataFrame): DataFrame =
-    parsed.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"))
+  def quarantine(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .filter(try_parse_json(col("value")).isNull)
+      .select(col("value").as("raw_line"))
 }

@@ -35,13 +35,13 @@ class SourcesSpec extends SparkSpec {
         |{not json at all
         |{"doc_id": 3, "text": "gamma", "lang": "en", "source": "news"}
         |""".stripMargin)
-    val parsed = JsonlCorpus.parse(spark, dir).persist()
-    val docs = JsonlCorpus.read(parsed)
+    // no persist required on either path — the quarantine side must not
+    // trip Spark's corrupt-record-column-only restriction
+    val docs = JsonlCorpus.read(spark, dir)
     assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
     assert(docs.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
-    val bad = JsonlCorpus.quarantine(parsed).as[String].collect()
+    val bad = JsonlCorpus.quarantine(spark, dir).as[String].collect()
     assert(bad.toSeq == Seq("{not json at all"))
-    parsed.unpersist()
   }
 
   test("P1: searchdomain filter prunes partitions at the parquet reader") {
