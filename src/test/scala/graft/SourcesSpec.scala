@@ -44,6 +44,33 @@ class SourcesSpec extends SparkSpec {
     assert(bad.toSeq == Seq("{not json at all"))
   }
 
+  test("JsonlCorpus: read/quarantine partition every line; count() works") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "jsonl-").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "shard-0.jsonl"),
+      """{"doc_id": 1, "text": "good", "lang": "en", "source": "web"}
+        |{"doc_id": "abc", "text": "valid json, fails schema", "lang": "en", "source": "web"}
+        |garbage line
+        |[]
+        |
+        |{"doc_id": 2, "text": "also good", "lang": "de", "source": "web"}
+        |""".stripMargin)
+    // regression (ADVICE r4): count() prunes the required schema down to
+    // the filter column — the json-datasource shape threw
+    // QUERY_ONLY_CORRUPT_RECORD_COLUMN here
+    assert(JsonlCorpus.read(spark, dir).count() == 2)
+    assert(JsonlCorpus.quarantine(spark, dir).count() == 3)
+    // regression (ADVICE r4): the schema-coercion failure must land in
+    // quarantine, not silently vanish from both views
+    val bad = JsonlCorpus.quarantine(spark, dir).as[String].collect().toSet
+    assert(bad.contains("""{"doc_id": "abc", "text": "valid json, fails schema", "lang": "en", "source": "web"}"""))
+    assert(bad.contains("garbage line"))
+    assert(bad.contains("[]")) // non-object JSON: rejected, not dropped
+    // exact partition of the 5 non-blank lines
+    val good = JsonlCorpus.read(spark, dir).select("doc_id").as[Long].collect().sorted
+    assert(good.toSeq == Seq(1L, 2L) && bad.size == 3)
+  }
+
   test("P1: searchdomain filter prunes partitions at the parquet reader") {
     import spark.implicits._
     val mk = (name: String, ids: Range) => SearchEngine.buildDomain(spark,
