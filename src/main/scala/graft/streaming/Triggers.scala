@@ -23,7 +23,11 @@ object Triggers {
     *                      scheduler (Quartz in the reference,
     *                      `Calls.cs:280-305`); each firing runs an
     *                      AvailableNow batch — same semantics: process
-    *                      what accumulated since last fire, then stop
+    *                      what accumulated since last fire, then stop.
+    *                      Both POSIX 5-field and the reference's Quartz
+    *                      6/7-field strings validate (see
+    *                      [[CronSchedule.parse]]), so worker configs
+    *                      carry over unchanged
     * - "fileupdate"     → continuous watch; micro-batch as soon as the
     *                      previous finishes (`Calls.cs:313-435`)
     */

@@ -80,6 +80,38 @@ class CronSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Triggers.forSpec("schedule:61 * * * *"))
   }
 
+  test("Quartz dialect: seconds stripped, '?', SUN-SAT = 1-7, year '*'") {
+    // the reference's worker configs are Quartz (Calls.cs
+    // WithCronSchedule) — its canonical every-5-minutes string parses
+    val q = CronSchedule.parse("0 0/5 * * * ?")
+    assert(q.minutes == Set(0, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55))
+    assert(!q.dowRestricted && !q.domRestricted)
+    // Quartz dow numbering: 1 = Sunday (POSIX 0), 2 = Monday, 7 = Saturday
+    val sun = CronSchedule.parse("0 0 12 ? * 1")
+    assert(sun.daysOfWeek == Set(0) && sun.dowRestricted)
+    assert(sun.matches(at("2026-03-15T12:00:00")))  // a Sunday
+    assert(!sun.matches(at("2026-03-16T12:00:00"))) // a Monday
+    assert(CronSchedule.parse("0 30 8 ? * 2-6").daysOfWeek == Set(1, 2, 3, 4, 5))
+    // 7-field form with an unrestricted year
+    assert(CronSchedule.parse("0 15 10 ? * 7 *").daysOfWeek == Set(6))
+    // refused, not mis-fired: year restriction and sub-minute seconds
+    def msg(e: String) =
+      intercept[IllegalArgumentException](CronSchedule.parse(e)).getMessage
+    assert(msg("0 0 12 * * ? 2026").contains("year"))
+    assert(msg("*/15 0 12 * * ?").contains("sub-minute"))
+    assert(msg("0 0 12 * * 0").contains("day-of-week")) // Quartz dow is 1-7
+    // POSIX dialect unchanged: '?' is not a POSIX token
+    assert(!CronSchedule.isValid("0 12 ? * 1"))
+  }
+
+  test("month and day names parse in both dialects") {
+    val posix = CronSchedule.parse("0 0 * JAN,jul MON-FRI")
+    assert(posix.months == Set(1, 7) && posix.daysOfWeek == Set(1, 2, 3, 4, 5))
+    val quartz = CronSchedule.parse("0 0 0 ? MAR SUN")
+    assert(quartz.months == Set(3) && quartz.daysOfWeek == Set(0))
+    assert(!CronSchedule.isValid("0 0 * BOB *"))
+  }
+
   test("next() agrees with a brute-force minute scan on random schedules") {
     // next()'s skip logic (month jump, day jump, hour jump) must land on
     // EXACTLY the first matching minute — compare against the dumbest
