@@ -98,12 +98,21 @@ object Bench {
         Tables.writeDomainBucketed(domain, s"$base-bucketed", "bench", buckets = cpus.toInt)
         def timeSearch(name: String, d: => graft.core.Domain): Unit =
           if (only.forall(_.contains(name))) {
-            val t0 = System.nanoTime()
             try {
               val dd = d
-              val q = SearchEngine.queryEmbeddings(spark, dd, "spark shuffle join window", 32)
-              SearchEngine.search(dd, q, 10).write.format("noop").mode("overwrite").save()
-              timings(name) = (System.nanoTime() - t0) / 1e9
+              def once(): Double = {
+                val t0 = System.nanoTime()
+                val q = SearchEngine.queryEmbeddings(spark, dd, "spark shuffle join window", 32)
+                SearchEngine.search(dd, q, 10).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }
+              // this probe compares two STORAGE LAYOUTS of the same query,
+              // so per-plan first-use costs (codegen, parquet footers,
+              // broadcast build) and the host's documented ±2x noise must
+              // not decide the comparison: warm each layout's plan once
+              // untimed, then record the best of two timed runs
+              once()
+              timings(name) = math.min(once(), once())
             } catch {
               case e: Throwable =>
                 errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
