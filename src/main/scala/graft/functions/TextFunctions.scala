@@ -194,6 +194,16 @@ object TextFunctions {
     CB.column(WsTokenCount(CB.expression(text)))
   }
 
+  /** Fused per-document statistics `struct(n_tokens, sum_tlen,
+    * fingerprint, simhash)` in one byte-scan pass ([[TokenStats]]);
+    * field-by-field identical to size(tokens)/length-sum/[[fingerprint]]/
+    * [[simhash]] (PropertySpec pins the equivalence).
+    */
+  def tokenStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(TokenStats(CB.expression(text)))
+  }
+
   def meanTokenLength(text: Column): Column = {
     val t = tokens(text)
     when(size(t) === 0, 0.0)

@@ -106,30 +106,19 @@ object Dedup {
       textCol: String,
       bucketShift: Int = 24,
       maxHamming: Int = 8): DataFrame = {
-    // Compute simhash as an explode + codegen'd HashAggregate (32 signed
-    // bit-counters), not the per-row HOF: the HOF is interpreted and
-    // O(tokens × 32) with array allocation per token — 10× slower measured.
-    // Sums commute, so the values are identical to TextFunctions.simhash.
-    val tokRows = Par.ensure(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), hash32(col("tok")).as("h"))
-    val counterAggs = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"c$b")
-    }
-    val simhashCol = (0 until 32).map { b =>
-      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // Simhash per doc is ONE narrow pass via the fused byte-scan kernel
+    // (graft.functions.TokenStats) — no token explode, no 32-counter
+    // shuffle aggregate (the round-2/3 shape; see TextStats Scaladoc).
+    // Zero-token docs are excluded as before (they can't be near-dup'd
+    // by content bits; handle with [[exact]]).
     // Both sides of the bucket self-join read `sims`; persist so the
-    // explode+aggregate runs once.
-    val sims = tokRows
-      .groupBy("doc_id")
-      .agg(counterAggs.head, counterAggs.tail: _*)
-      .withColumn("simhash", simhashCol)
+    // tokenize+md5 scan runs once.
+    val sims = Par.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+      .select(col("doc_id"), tokenStats(col("text")).as("st"))
+      .filter(col("st.n_tokens") > 0)
+      .select(col("doc_id"), col("st.simhash").as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), bucketShift))
-      .select("doc_id", "simhash", "bucket")
       .persist()
 
     sims.as("a")

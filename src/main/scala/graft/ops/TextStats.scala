@@ -6,61 +6,33 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
 /** Per-document token statistics (token count, mean token length,
-  * position-sensitive fingerprint, 32-bit SimHash) computed in ONE
-  * posexplode pass + one codegen HashAggregate.
+  * position-sensitive fingerprint, 32-bit SimHash) — ONE narrow
+  * projection over the corpus via the fused byte-scan kernel
+  * ([[graft.functions.TokenStats]]).
   *
-  * The per-row HOF forms in [[graft.functions.TextFunctions]] (`simhash`,
-  * `fingerprint`) are interpreted expressions — O(tokens × 32) with an
-  * array allocation per token. Exploding to (doc, token-hash) rows and
-  * summing 32 signed bit-counters keeps the whole pipeline inside
-  * whole-stage codegen; sums commute, so the values are identical.
-  * Zero-token documents survive via the left join (n_tokens 0, mean 0.0,
-  * fingerprint 0, simhash 0 — same as the HOF forms).
+  * History of this shape: the per-row HOF forms in
+  * [[graft.functions.TextFunctions]] are interpreted (O(tokens × 32),
+  * an array allocation per token); round 2 replaced them with posexplode
+  * + a 32-bit-counter codegen HashAggregate, which kept codegen but
+  * pushed tokens-per-doc × corpus rows through a shuffle. The fused
+  * kernel computes the same four values per ROW — no explode, no
+  * exchange, nothing but the parquet scan and a map. Values are
+  * identical (kernel Scaladoc; q41's DuckDB oracle pins them
+  * end-to-end).
   */
 object TextStats {
 
-  def perDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = Par.ensure(
+  def perDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.ensure(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
-
-    val tokRows = base
-      .select(col("doc_id"), posexplode(tokens(col("text"))))
-      .select(col("doc_id"), col("pos"),
-        length(col("col")).cast("long").as("tlen"),
-        hash32(col("col")).as("h"))
-
-    val counterAggs = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"c$b")
-    }
-    val statAggs = Seq(
-      count(lit(1)).as("n_toks"),
-      sum(col("tlen")).as("sum_tlen"),
-      // 1-based position weight, matching TextFunctions.fingerprint.
-      // Mod-per-term BEFORE the sum: a raw long sum of h×position wraps
-      // around ~65k tokens (diverging from the oracle's 128-bit
-      // list_sum), while Σ(tᵢ mod M) mod M ≡ Σtᵢ mod M stays exact in
-      // long for ~2^32 tokens — no decimal slowdown.
-      sum(pmod(col("h") * (col("pos") + 1L), lit(2147483647L))).as("fp_raw"))
-    val allAggs = statAggs ++ counterAggs
-
-    val simhashCol = (0 until 32).map { b =>
-      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val agg = tokRows
-      .groupBy("doc_id")
-      .agg(allAggs.head, allAggs.tail: _*)
-      .select(col("doc_id"), col("n_toks"), col("sum_tlen"), col("fp_raw"),
-        simhashCol.as("sh"))
-
-    base.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokenStats(col("text")).as("st"))
       .select(
         col("doc_id"),
-        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
-        round(when(col("n_toks").isNull, 0.0)
-          .otherwise(col("sum_tlen").cast("double") / col("n_toks").cast("double")), 6)
+        // null text → null struct → the same zeros the old left join gave
+        coalesce(col("st.n_tokens"), lit(0L)).as("n_tokens"),
+        round(when(coalesce(col("st.n_tokens"), lit(0L)) === 0L, 0.0)
+          .otherwise(col("st.sum_tlen").cast("double") / col("st.n_tokens").cast("double")), 6)
           .as("mean_tok_len"),
-        coalesce(pmod(col("fp_raw"), lit(2147483647L)), lit(0L)).as("fingerprint"),
-        coalesce(col("sh"), lit(0L)).as("simhash"))
-  }
+        coalesce(col("st.fingerprint"), lit(0L)).as("fingerprint"),
+        coalesce(col("st.simhash"), lit(0L)).as("simhash"))
 }

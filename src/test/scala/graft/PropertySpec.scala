@@ -107,11 +107,16 @@ class PropertySpec extends SparkSpec {
   test("TextStats.perDoc equals the per-row HOF forms on random docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
-    val words = Vector("alpha", "beta", "gamma", "delta", "x", "42", "eps!")
+    // multibyte words pin the fused kernel's code-point token lengths
+    // (sum_tlen counts characters, not UTF-8 bytes)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "42", "eps!",
+      "€uro", "中文字", "naïve")
+    val seps = Vector(" ", "  ", "\t", "\n", " \r ")
     val docs = (0L until 60L).map { i =>
       val n = rnd.nextInt(12) // includes 0-token docs
-      (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
-    } :+ (60L, "   ") :+ (61L, "")
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size)))
+        .mkString(seps(rnd.nextInt(seps.size))))
+    } :+ (60L, "   ") :+ (61L, "") :+ (62L, "\ta  b\nc ")
     val df = docs.toDF("doc_id", "text")
 
     val fast = graft.ops.TextStats.perDoc(df, "doc_id", "text")
