@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ProbMethods => PM, TextFunctions => TF, VectorFunctions => VF}
-import graft.ops.{CacheOps, Dedup, Upsert}
+import graft.ops.{CacheOps, Dedup, Graph, Upsert}
 import graft.search.SearchEngine
 
 /** The driver-facing query registry: every implemented operator from
@@ -113,6 +113,51 @@ object Queries {
         CAST((sum(n_tok) OVER (PARTITION BY lang, shard
           ORDER BY $order ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS bin
         FROM t_pack)"""
+
+  /** The doubled document corpus the near-dup queries share: every doc
+    * plus a near-identical copy (id + 10M, text + " zzz") so the corpus
+    * contains known near-duplicate pairs.
+    */
+  private val sqlDupCorpus: String =
+    """corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000000, text || ' zzz' FROM documents)"""
+
+  /** DuckDB CTE chain computing the MinHash-LSH near-dup pairs of
+    * [[graft.ops.Dedup.minhashLsh]] (k=3 shingles, 12 hashes, 4 bands)
+    * over a preceding `corpus` CTE with (doc_id, text). Ends with
+    * `pairs_mh` (doc_a, doc_b, jaccard rounded to 6, threshold-filtered);
+    * compose as `WITH $sqlDupCorpus, ${sqlMinhashPairCtes(th)} SELECT …`.
+    */
+  private def sqlMinhashPairCtes(threshold: Double): String = {
+    val numHashes = 12; val bands = 4; val rows = 3
+    val sigExprs = (0 until numHashes).map { k =>
+      val (mult, add) = TF.minhashConsts(k)
+      s"list_min(list_transform(hashes, h -> (h * $mult + $add) % 4294967296))"
+    }
+    val sig = sigExprs.mkString("[", ", ", "]")
+    val bandExprs = (0 until bands).map { b =>
+      val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)").mkString(", ")
+      s"concat_ws(',', '$b', $vals)"
+    }.mkString("[", ", ", "]")
+    s"""tok_mh AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus),
+          sh_mh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok_mh),
+          hs_mh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS hashes
+            FROM sh_mh WHERE len(shingles) > 0),
+          sg_mh AS (SELECT doc_id, hashes, $sig AS sig FROM hs_mh),
+          bands_mh AS (SELECT doc_id, unnest($bandExprs) AS band FROM sg_mh),
+          cand_mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_mh a JOIN bands_mh b ON a.band = b.band AND a.doc_id < b.doc_id),
+          verified_mh AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+              / CAST(len(list_distinct(ha.hashes || hb.hashes)) AS DOUBLE) AS jaccard
+            FROM cand_mh c
+            JOIN hs_mh ha ON ha.doc_id = c.doc_a
+            JOIN hs_mh hb ON hb.doc_id = c.doc_b),
+          pairs_mh AS (SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+            FROM verified_mh WHERE jaccard >= $threshold)"""
+  }
 
   private lazy val relational: Seq[Q] = Seq(
     // §2.4 SQL-side stats aggs + P1 pushdown: TPC-H-Q1-style pricing summary.
@@ -881,38 +926,9 @@ object Queries {
           shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
           .orderBy("doc_a", "doc_b")
       },
-        Some {
-          val numHashes = 12; val bands = 4; val rows = 3
-          val sigExprs = (0 until numHashes).map { k =>
-            val (mult, add) = TF.minhashConsts(k)
-            s"list_min(list_transform(hashes, h -> (h * $mult + $add) % 4294967296))"
-          }
-          val sig = sigExprs.mkString("[", ", ", "]")
-          val bandExprs = (0 until bands).map { b =>
-            val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)").mkString(", ")
-            s"concat_ws(',', '$b', $vals)"
-          }.mkString("[", ", ", "]")
-          s"""WITH corpus AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 10000000, text || ' zzz' FROM documents),
-          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
-          sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok),
-          hs AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS hashes
-            FROM sh WHERE len(shingles) > 0),
-          sg AS (SELECT doc_id, hashes, $sig AS sig FROM hs),
-          bands AS (SELECT doc_id, unnest($bandExprs) AS band FROM sg),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-          verified AS (SELECT c.doc_a, c.doc_b,
-            CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
-              / CAST(len(list_distinct(ha.hashes || hb.hashes)) AS DOUBLE) AS jaccard
-            FROM cand c
-            JOIN hs ha ON ha.doc_id = c.doc_a
-            JOIN hs hb ON hb.doc_id = c.doc_b)
-          SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
-          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
-        }),
+        Some(s"""WITH $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)}
+          SELECT doc_a, doc_b, jaccard FROM pairs_mh ORDER BY doc_a, doc_b""")),
 
       // SimHash near-dup: bucket by top bits (bucketed join, not all-pairs),
       // Hamming-verify within buckets.
@@ -1547,8 +1563,261 @@ object Queries {
         GROUP BY e.event_type ORDER BY e.event_type"""))
   )
 
+  // ============== curation: corpus-quality / retrieval operators ==========
+  // Round-6 additions: repetition filters, decontamination, BM25 keyword
+  // retrieval, PII redaction, dup-cluster resolution, mixture planning.
+  private lazy val curation: Seq[Q] = {
+    val toks = sqlTokens("text")
+    def sqlShingleList(k: Int): String = {
+      val cat = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"list_transform(range(1, greatest(len(toks) - ${k - 1}, 0) + 1), i -> $cat)"
+    }
+
+    Seq(
+      // Gopher/C4-style repetition filters: fraction of duplicated word
+      // trigrams and the share of the single most frequent bigram. Both
+      // computed WITHOUT shuffling raw text: the dup-trigram fraction is a
+      // narrow per-row array expression; the top-bigram share is one
+      // map-side-combined count over (doc_id, bigram) then a per-doc max —
+      // the n-gram strings themselves shuffle only as distinct (doc,gram)
+      // counts. A 100 TB corpus passes this as two hash aggregates.
+      ("q74_repetition", (s: SparkSession, d: String) => {
+        // Par.ensure + persist: the n-gram map is the expensive narrow
+        // stage (small files arrive as one split) and `base` feeds both
+        // the per-row fractions and the bigram-count aggregate.
+        val base = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("tri", TF.shingles(col("toks"), 3))
+          .select(col("doc_id"),
+            TF.shingles(col("toks"), 2).as("bi"),
+            size(col("tri")).cast("long").as("n_tri"),
+            size(array_distinct(col("tri"))).cast("long").as("d_tri"))
+          .persist()
+        val biTop = base
+          .select(col("doc_id"), explode(col("bi")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bi"))
+        base.join(biTop, Seq("doc_id"), "left")
+          .withColumn("dup_tri_frac", round(when(col("n_tri") === 0, 0.0)
+            .otherwise(lit(1.0) - col("d_tri").cast("double") / col("n_tri").cast("double")), 6))
+          .withColumn("top_bi_frac", round(when(coalesce(col("n_bi"), lit(0L)) === 0, 0.0)
+            .otherwise(col("top_n").cast("double") / col("n_bi").cast("double")), 6))
+          .select(col("doc_id"), col("n_tri"), col("dup_tri_frac"), col("top_bi_frac"),
+            when(col("dup_tri_frac") <= 0.11 && col("top_bi_frac") <= 0.04, 1L)
+              .otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT doc_id, ${sqlShingleList(2)} AS bi, ${sqlShingleList(3)} AS tri FROM tok),
+          b AS (SELECT doc_id, u.g FROM sh, unnest(bi) AS u(g)),
+          bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g),
+          bt AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_bi FROM bc GROUP BY doc_id),
+          f AS (SELECT s.doc_id,
+            CAST(len(tri) AS BIGINT) AS n_tri,
+            round(CASE WHEN len(tri) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE) END, 6) AS dup_tri_frac,
+            round(CASE WHEN coalesce(bt.n_bi, 0) = 0 THEN 0.0
+              ELSE CAST(bt.top_n AS DOUBLE) / CAST(bt.n_bi AS DOUBLE) END, 6) AS top_bi_frac
+            FROM sh s LEFT JOIN bt ON s.doc_id = bt.doc_id)
+          SELECT doc_id, n_tri, dup_tri_frac, top_bi_frac,
+            CAST(CASE WHEN dup_tri_frac <= 0.11 AND top_bi_frac <= 0.04 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM f ORDER BY doc_id""")),
+
+      // Benchmark decontamination: flag training documents sharing any
+      // 8-token n-gram with the eval set (docs with id % 97 = 0 — a stand-in
+      // for a held-out benchmark; the doubled corpus guarantees leaked
+      // copies exist). The eval gram set is BROADCAST (eval benchmarks are
+      // tiny next to a training corpus), so the corpus-side gram stream
+      // never shuffles: scan → hash-join against the broadcast set →
+      // per-doc count with map-side combine.
+      ("q75_decontaminate", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        // Par.ensure + persist: one md5 per 8-gram over the doubled corpus
+        // is the dominant cost, `grams` feeds both the eval set and the
+        // train side, and a small parquet source arrives as one split.
+        val grams = graft.ops.Par.ensure(corpus, "doc_id")
+          .select(col("doc_id"),
+            explode(array_distinct(TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 8)))).as("g"))
+          .persist()
+        val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
+        val evalGrams = grams.filter(isEval).select("g").distinct()
+        grams.filter(!isEval)
+          .join(broadcast(evalGrams), "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+          sh AS (SELECT doc_id, ${sqlShingleList(8)} AS shingles FROM tok),
+          g AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS grams
+            FROM sh WHERE len(shingles) > 0),
+          p AS (SELECT doc_id, unnest(grams) AS g FROM g),
+          ev AS (SELECT DISTINCT g FROM p WHERE doc_id % 97 = 0 AND doc_id < 10000000)
+          SELECT p.doc_id, count(*) AS n_hits
+          FROM p JOIN ev ON p.g = ev.g
+          WHERE NOT (p.doc_id % 97 = 0 AND p.doc_id < 10000000)
+          GROUP BY p.doc_id ORDER BY p.doc_id""")),
+
+      // BM25 keyword retrieval (k1=1.2, b=0.75) — the lexical complement to
+      // the embedding search the engine is built around. Scale shape: the
+      // per-term tf is a NARROW per-row array count (no corpus explode —
+      // only |terms| rows leave each document), document frequencies are a
+      // tiny broadcast, and the final ranking is TakeOrderedAndProject.
+      ("q76_bm25", (s: SparkSession, d: String) => {
+        val terms = Seq("join", "vector", "merge")
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("long"))
+        val scal = base.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl").cast("double")).as("avgdl"))
+        val matches = base
+          .withColumn("m", explode(array(terms.map(term =>
+            struct(lit(term).as("tok"),
+              size(filter(col("toks"), x => x === term)).cast("long").as("tf"))): _*)))
+          .select(col("doc_id"), col("dl"), col("m.tok").as("tok"), col("m.tf").as("tf"))
+          .filter(col("tf") > 0)
+        val df = matches.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        matches
+          .join(broadcast(df), "tok")
+          .crossJoin(broadcast(scal))
+          .withColumn("wgt",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+              (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .groupBy("doc_id").agg(round(sum(col("wgt")), 6).as("bm25"))
+          .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, u.tok,
+              CAST(len(list_filter(toks, x -> x = u.tok)) AS BIGINT) AS tf
+            FROM tok, unnest(['join', 'vector', 'merge']) AS u(tok)),
+          mm AS (SELECT * FROM m WHERE tf > 0),
+          df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM mm GROUP BY tok),
+          scal AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM tok),
+          w AS (SELECT mm.doc_id,
+              ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                (CAST(mm.tf AS DOUBLE) * 2.2) /
+                (CAST(mm.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(mm.dl AS DOUBLE) / s.avgdl)) AS wgt
+            FROM mm JOIN df d ON mm.tok = d.tok CROSS JOIN scal s)
+          SELECT doc_id, round(sum(wgt), 6) AS bm25 FROM w
+          GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+      // PII detection + redaction: deterministic synthetic PII (an email and
+      // a phone number derived from doc_id on every 7th doc) is detected by
+      // regex, counted, and masked; the output carries the content hash of
+      // the MASKED text so the oracle verifies the redaction byte-for-byte.
+      // Pure per-row codegen expressions — no shuffle at any scale.
+      ("q77_pii_redact", (s: SparkSession, d: String) => {
+        val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phone = "555-[0-9]+"
+        t(s, d, "documents")
+          .withColumn("enr", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call 555-01"), (col("doc_id") % 100).cast("string")))
+            .otherwise(col("text")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("enr"), lit(email), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("enr"), lit(phone), lit(0))).cast("long").as("n_phones"),
+            TF.contentHash(
+              regexp_replace(regexp_replace(col("enr"), email, "<EMAIL>"), phone, "<PHONE>"))
+              .as("masked_hash"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH enr AS (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-01' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE text END AS enr
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(enr, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(enr, '555-[0-9]+')) AS BIGINT) AS n_phones,
+            ${sqlContentHash(
+              "regexp_replace(regexp_replace(enr, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'), '555-[0-9]+', '<PHONE>', 'g')")} AS masked_hash
+          FROM enr ORDER BY doc_id""")),
+
+      // Near-dup CLUSTER resolution: the minhash pair list (q45) collapsed
+      // into connected components (ops/Graph HashMin label propagation) and
+      // a keeper per component — what a curation pipeline actually deletes
+      // by. Pairs alone under-delete transitive duplicate chains. Oracle:
+      // DuckDB recursive CTE computing min-reachable-id per node — the
+      // fixpoint HashMin converges to.
+      ("q78_dup_clusters", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")))
+        val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component").as("cluster"),
+            when(col("id") === col("component"), 1L).otherwise(0L).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+          SELECT id AS doc_id, lab AS cluster,
+            CAST(CASE WHEN id = lab THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+          FROM cc ORDER BY doc_id""")),
+
+      // Training-mixture planning: per-language token counts vs target
+      // mixture weights → sampling rate, epoch count (rate > 1 = upsample
+      // by repetition), and the per-epoch keep fraction a q62-style
+      // deterministic sampler would then apply. One tiny aggregate over
+      // corpus token counts — the plan is two hash aggregates and a
+      // broadcast of one scalar row.
+      ("q79_mixture", (s: SparkSession, d: String) => {
+        val weight = element_at(
+          map(Seq("en", "de", "es", "fr", "zh").flatMap(l =>
+            Seq(lit(l), lit(Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15,
+              "fr" -> 0.15, "zh" -> 0.1)(l)))): _*),
+          col("lang"))
+        val per = t(s, d, "documents")
+          .select(col("lang"), TF.tokenCount(col("text")).as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        val tot = per.agg(sum(col("n_tokens")).cast("double").as("total_tokens"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("rate",
+            weight * col("total_tokens") / col("n_tokens").cast("double"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            round(col("rate"), 6).as("rate"),
+            ceil(col("rate")).cast("long").as("epochs"),
+            round(col("rate") / ceil(col("rate")), 6).as("epoch_frac"))
+          .orderBy("lang")
+      },
+        Some(s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+            CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM per),
+          r AS (SELECT lang, n_docs, n_tokens,
+              (CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.15
+                WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1 END)
+                * t.total_tokens / CAST(n_tokens AS DOUBLE) AS rate
+            FROM per CROSS JOIN tot t)
+          SELECT lang, n_docs, n_tokens, round(rate, 6) AS rate,
+            CAST(ceil(rate) AS BIGINT) AS epochs,
+            round(rate / ceil(rate), 6) AS epoch_frac
+          FROM r ORDER BY lang"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
-    relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++ extended
+    relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++ extended ++ curation
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

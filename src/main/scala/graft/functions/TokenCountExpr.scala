@@ -62,15 +62,17 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
       val ws = ctx.freshName("ws")
       val inTok = ctx.freshName("inTok")
       val n = ctx.freshName("n")
-      // getByte(i), not getBytes(): no per-row copy of the backing buffer
+      // getByte(i), not getBytes(): no per-row copy of the backing buffer.
+      // NB: no generated line may START with "||" — the codegen Block
+      // interpolator applies stripMargin('|') to the final class source,
+      // which would eat the operator's first pipe and break the Java.
       s"""
          |final int $len = $s.numBytes();
          |int $n = 0;
          |boolean $inTok = false;
          |for (int $i = 0; $i < $len; $i++) {
          |  final byte $b = $s.getByte($i);
-         |  final boolean $ws = $b == ' ' || $b == '\\t' || $b == '\\n'
-         |    || $b == 0x0B || $b == '\\f' || $b == '\\r';
+         |  final boolean $ws = $b == ' ' || $b == '\\t' || $b == '\\n' || $b == 0x0B || $b == '\\f' || $b == '\\r';
          |  if (!$ws && !$inTok) { $n++; $inTok = true; }
          |  else if ($ws) { $inTok = false; }
          |}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Connected components (ops/Graph HashMin label propagation) — the
+  * dedup-cluster resolver behind q78. Checked against hand-computed
+  * components on shapes that exercise transitivity: chains (A-B, B-C
+  * must merge without an A-C edge), stars, and disjoint pairs.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain merges transitively to the minimum id") {
+    // 1-2, 2-3, 3-4: one component labelled 1 — a pairwise keeper rule
+    // would wrongly retain 2 of the 4.
+    assert(cc((1L, 2L), (2L, 3L), (3L, 4L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate minima") {
+    assert(cc((1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L)) ==
+      Map(1L -> 1L, 2L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L))
+  }
+
+  test("star and reversed/duplicate edges converge to the hub minimum") {
+    // edges given in both orientations and duplicated — symmetrization
+    // and distinct() must make the orientation irrelevant
+    assert(cc((5L, 9L), (9L, 5L), (5L, 7L), (5L, 7L), (8L, 5L)) ==
+      Map(5L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L))
+  }
+
+  test("long path converges within the iteration bound (diameter rounds)") {
+    // 0-1-2-...-19: worst case for HashMin (min label propagates one hop
+    // per round from one end)
+    val edges = (0L until 19L).map(i => (i + 1, i))
+    val got = cc(edges: _*)
+    assert(got == (0L to 19L).map(_ -> 0L).toMap)
+  }
+
+  test("non-long ids are cast and singleton-free output matches node set") {
+    import spark.implicits._
+    val edges = Seq((100, 200)).toDF("x", "y")
+    val got = Graph.connectedComponents(edges, "x", "y")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((100L, 100L), (200L, 100L)))
+  }
+}
