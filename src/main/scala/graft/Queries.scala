@@ -1812,7 +1812,168 @@ object Queries {
           SELECT lang, n_docs, n_tokens, round(rate, 6) AS rate,
             CAST(ceil(rate) AS BIGINT) AS epochs,
             round(rate / ceil(rate), 6) AS epoch_frac
-          FROM r ORDER BY lang"""))
+          FROM r ORDER BY lang""")),
+
+      // Document-length distribution: exact interpolated percentiles of
+      // the per-doc token count, per language. EXACT percentile is the
+      // correctness pin; at 100 TB the same pipeline runs
+      // approx_percentile (fixed-size sketch merges instead of a
+      // per-group sort) — SketchSpec gates the sketch against this exact
+      // form, mirroring the HLL-vs-countDistinct pattern of q72.
+      ("q80_length_quantiles", (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("lang"), TF.tokenCount(col("text")).cast("double").as("n_tok"))
+          .groupBy("lang")
+          .agg(
+            round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+            round(expr("percentile(n_tok, 0.9)"), 6).as("p90"),
+            round(expr("percentile(n_tok, 0.99)"), 6).as("p99"),
+            max(col("n_tok")).cast("long").as("max_tok"))
+          .orderBy("lang"),
+        Some(s"""WITH n AS (SELECT lang, CAST(len($toks) AS DOUBLE) AS n_tok FROM documents)
+          SELECT lang,
+            round(quantile_cont(n_tok, 0.5), 6) AS p50,
+            round(quantile_cont(n_tok, 0.9), 6) AS p90,
+            round(quantile_cont(n_tok, 0.99), 6) AS p99,
+            CAST(max(n_tok) AS BIGINT) AS max_tok
+          FROM n GROUP BY lang ORDER BY lang""")),
+
+      // The round-6 curation operators composed end-to-end, the way a real
+      // corpus job chains them — near-dup CLUSTER dedup (not just pair
+      // removal) → eval-set decontamination → repetition filter → quality
+      // floor → mixture-aware deterministic downsample → sequence packing —
+      // in ONE oracled dataflow (the q71 composition extended with the
+      // graph/decontamination/mixture stages). Every stage is individually
+      // oracled (q78/q75/q74/q43/q79/q63); this row proves the composition.
+      ("q81_curation_pipeline", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text", "lang")
+        val corpus = graft.ops.Par.ensure(docs.unionByName(
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text"), col("lang"))), "doc_id")
+          .persist()
+
+        // 1. near-dup cluster dedup: drop every non-representative member
+        val pairs = Dedup.minhashLsh(corpus.select("doc_id", "text"), "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        val losers = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
+        val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
+
+        // 2. decontamination: drop the eval docs AND anything sharing an
+        // 8-gram with them (broadcast eval set, as q75)
+        val grams = deduped.select(col("doc_id"),
+          explode(array_distinct(TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 8)))).as("g"))
+          .persist()
+        val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
+        val evalGrams = grams.filter(isEval).select("g").distinct()
+        val contaminated = grams.filter(!isEval)
+          .join(broadcast(evalGrams), "g").select("doc_id").distinct()
+        val clean = deduped.filter(!isEval)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+
+        // 3. repetition filter (q74 rule, rounded before compare) +
+        // quality floor (q43/q71 rule)
+        val filtered = clean
+          .withColumn("tri", TF.shingles(TF.tokens(col("text")), 3))
+          .withColumn("dup_tri_frac", round(when(size(col("tri")) === 0, 0.0)
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("tri"))).cast("double") / size(col("tri")).cast("double")), 6))
+          .filter(col("dup_tri_frac") <= 0.11)
+          .filter(TF.qualityScore(col("text")) >= 0.5)
+          .select(col("doc_id"), col("text"), col("lang"),
+            TF.tokenCount(col("text")).cast("long").as("n_tok0"))
+          .persist()
+
+        // 4. mixture-aware downsample: per-language rate toward the q79
+        // target weights over HALF the surviving token budget, capped at 1
+        // (the batch pipeline downsamples; upsampling is the trainer's
+        // epoch loop), applied as a q62-style deterministic hash decision
+        val weight = element_at(
+          map(Seq("en", "de", "es", "fr", "zh").flatMap(l =>
+            Seq(lit(l), lit(Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15,
+              "fr" -> 0.15, "zh" -> 0.1)(l)))): _*),
+          col("lang"))
+        val per = filtered.groupBy("lang")
+          .agg(sum(col("n_tok0")).cast("double").as("lang_tokens"))
+        val tot = per.agg(sum(col("lang_tokens")).as("total"))
+        val rates = per.crossJoin(broadcast(tot))
+          .withColumn("rate",
+            least(lit(1.0), weight * (lit(0.5) * col("total")) / col("lang_tokens")))
+          .select("lang", "rate")
+        val sampled = filtered.join(broadcast(rates), "lang")
+          .filter(pmod(TF.hash32(concat(col("text"), lit("|cur-r6"))), lit(1000L)) <
+            floor(col("rate") * 1000).cast("long"))
+          .select("doc_id", "text", "lang")
+
+        // 5. sequence packing (q63 shape)
+        packAssign(sampled, Seq(asc("doc_id")))
+          .select(col("doc_id"), col("lang"), col("shard"), col("bin"), col("n_tok"))
+          .orderBy("doc_id")
+      },
+        Some {
+          val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+            .map(m => s"'$m'").mkString(", ")
+          val toksLower = sqlTokens("lower(text)")
+          val tri = "list_transform(range(1, greatest(len(toksq) - 2, 0) + 1), " +
+            "i -> toksq[i] || ' ' || toksq[i+1] || ' ' || toksq[i+2])"
+          val sh8 = "list_transform(range(1, greatest(len(toksq) - 7, 0) + 1), " +
+            "i -> " + (0 until 8).map(j => s"toksq[i+$j]").mkString(" || ' ' || ") + ")"
+          s"""WITH RECURSIVE corpus0 AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL SELECT doc_id + 10000000, text || ' zzz', lang FROM documents),
+          corpus AS (SELECT doc_id, text FROM corpus0),
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(lab)),
+          dd AS (SELECT c.* FROM corpus0 c LEFT JOIN losers l ON c.doc_id = l.id
+            WHERE l.id IS NULL),
+          tok8 AS (SELECT doc_id, $toks AS toksq FROM dd),
+          g8 AS (SELECT doc_id, list_distinct(list_transform($sh8, s -> ${sqlHash32("s")})) AS grams
+            FROM tok8 WHERE len(toksq) >= 8),
+          p8 AS (SELECT doc_id, unnest(grams) AS g FROM g8),
+          ev AS (SELECT DISTINCT g FROM p8 WHERE doc_id % 97 = 0 AND doc_id < 10000000),
+          cont AS (SELECT DISTINCT p8.doc_id FROM p8 JOIN ev ON p8.g = ev.g
+            WHERE NOT (p8.doc_id % 97 = 0 AND p8.doc_id < 10000000)),
+          clean AS (SELECT dd.* FROM dd LEFT JOIN cont ON dd.doc_id = cont.doc_id
+            WHERE cont.doc_id IS NULL
+              AND NOT (dd.doc_id % 97 = 0 AND dd.doc_id < 10000000)),
+          rep AS (SELECT doc_id, text, lang FROM (
+              SELECT doc_id, text, lang,
+                round(CASE WHEN len(triq) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(triq)) AS DOUBLE) / CAST(len(triq) AS DOUBLE) END, 6) AS dup_tri_frac
+              FROM (SELECT doc_id, text, lang, $tri AS triq
+                FROM (SELECT doc_id, text, lang, $toks AS toksq FROM clean)))
+            WHERE dup_tri_frac <= 0.11),
+          qf AS (SELECT doc_id, text, lang FROM (
+              SELECT doc_id, text, lang,
+                round((least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)
+                  + least((CASE WHEN len($toksLower) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter($toksLower, x -> x IN ($stop))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END) * 5.0, 1.0)
+                  + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0, 0.0)) / 3.0, 6) AS quality
+              FROM rep)
+            WHERE quality >= 0.5),
+          ntok AS (SELECT doc_id, text, lang, CAST(len($toks) AS BIGINT) AS ntok0 FROM qf),
+          per AS (SELECT lang, CAST(sum(ntok0) AS DOUBLE) AS lang_tokens
+            FROM ntok GROUP BY lang),
+          tot AS (SELECT sum(lang_tokens) AS total FROM per),
+          rt AS (SELECT lang,
+              least(1.0, (CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.15
+                WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1 END)
+                * (0.5 * t.total) / lang_tokens) AS rate
+            FROM per CROSS JOIN tot t),
+          samp AS (SELECT n.doc_id, n.text, n.lang
+            FROM ntok n JOIN rt ON n.lang = rt.lang
+            WHERE ${sqlHash32("n.text || '|cur-r6'")} % 1000 < CAST(floor(rt.rate * 1000) AS BIGINT)),
+          ${sqlPack("samp", "doc_id")}
+          SELECT doc_id, lang, shard, bin, n_tok
+          FROM c_pack ORDER BY doc_id"""
+        })
     )
   }
 

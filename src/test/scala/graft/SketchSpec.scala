@@ -31,6 +31,31 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 1 exact rank of q80's exact percentiles") {
+    // q80 pins EXACT interpolated percentiles against the DuckDB oracle;
+    // this gates the sketch form (fixed-size KLL-style buffers, partial
+    // merges — the 100 TB path where a per-group sort is off the table).
+    val n = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("lang"), TF.tokenCount(col("text")).cast("double").as("n_tok"))
+    val rows = n.groupBy("lang")
+      .agg(
+        expr("percentile(n_tok, array(0.5, 0.9, 0.99))").as("exact"),
+        expr("approx_percentile(n_tok, array(0.5, 0.9, 0.99), 10000)").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getSeq[Double](1)
+      val approx = r.getSeq[Double](2)
+      exact.zip(approx).foreach { case (e, a) =>
+        // at accuracy 10000 on a few-hundred-row group the sketch is
+        // rank-exact; allow one token of slack for the interpolation the
+        // exact form applies between ranks
+        assert(math.abs(e - a) <= 1.0 + 1e-9,
+          s"lang ${r.getString(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("sketch aggregation plan carries partial HLL merge (no distinct-set shuffle)") {
     val toks = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
