@@ -159,6 +159,47 @@ object Queries {
             FROM verified_mh WHERE jaccard >= $threshold)"""
   }
 
+  /** Spark twin of [[sqlDupCorpus]]: every doc plus a near-identical copy
+    * (id + 10M, text + " zzz"), all other columns preserved. One
+    * definition on each side so the near-dup queries (q45/q46/q47/q75/
+    * q78/q81) cannot desynchronize on the corpus recipe.
+    */
+  private def nearDupCorpus(docs: DataFrame): DataFrame =
+    docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text", concat(col("text"), lit(" zzz"))))
+
+  /** Target mixture weights shared by q79 (planning) and q81 (the applied
+    * downsample) — one definition, Spark + SQL forms. An unlisted
+    * language carries weight 0: it is EXPLICITLY excluded from the
+    * mixture rather than vanishing through a null rate.
+    */
+  private val mixtureWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.1)
+  private def mixtureWeightCol: Column =
+    coalesce(element_at(
+      map(mixtureWeights.flatMap { case (l, w) => Seq(lit(l), lit(w)) }: _*),
+      col("lang")), lit(0.0))
+  private val sqlMixtureWeight: String =
+    "(CASE lang " +
+      mixtureWeights.map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ") +
+      " ELSE 0.0 END)"
+
+  /** DuckDB scalar twin of [[TF.qualityScore]] over column `text`
+    * (rounded to 6, as the Spark form is) — shared by the q43/q71/q81
+    * oracles so the quality rule exists once per side.
+    */
+  private val sqlQuality: String = {
+    val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+      .map(m => s"'$m'").mkString(", ")
+    val toksL = sqlTokens("lower(text)")
+    s"""round((least(CAST(len(${sqlTokens("text")}) AS DOUBLE) / 100.0, 1.0)
+            + least((CASE WHEN len($toksL) = 0 THEN 0.0
+                ELSE CAST(len(list_filter($toksL, x -> x IN ($stop))) AS DOUBLE) / CAST(len($toksL) AS DOUBLE) END) * 5.0, 1.0)
+            + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0, 0.0)) / 3.0, 6)"""
+  }
+
   private lazy val relational: Seq[Q] = Seq(
     // §2.4 SQL-side stats aggs + P1 pushdown: TPC-H-Q1-style pricing summary.
     ("q01_pricing_summary", (s: SparkSession, d: String) =>
@@ -883,20 +924,8 @@ object Queries {
         t(s, d, "documents")
           .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
           .orderBy("doc_id"),
-        Some {
-          val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
-            .map(m => s"'$m'").mkString(", ")
-          s"""WITH f AS (SELECT doc_id,
-            CAST(len($toks) AS DOUBLE) AS n,
-            CASE WHEN len($toksLower) = 0 THEN 0.0
-              ELSE CAST(len(list_filter($toksLower, x -> x IN ($stop))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END AS stop_ratio,
-            CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio
-            FROM documents)
-          SELECT doc_id, round((least(n / 100.0, 1.0) + least(stop_ratio * 5.0, 1.0)
-            + greatest(1.0 - punct_ratio * 5.0, 0.0)) / 3.0, 6) AS quality
-          FROM f ORDER BY doc_id"""
-        }),
+        Some(s"""SELECT doc_id, $sqlQuality AS quality
+          FROM documents ORDER BY doc_id""")),
 
       // Exact dedup pipeline over the corpus + a duplicated copy: one keeper
       // per distinct content, duplicate count (groupBy on the 44-char hash,
@@ -919,9 +948,7 @@ object Queries {
       // verify. Never all-pairs.
       ("q45_dedup_minhash", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000000L).as("doc_id"),
-            concat(col("text"), lit(" zzz")).as("text")))
+        val corpus = nearDupCorpus(docs)
         Dedup.minhashLsh(corpus, "doc_id", "text",
           shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
           .orderBy("doc_a", "doc_b")
@@ -934,9 +961,7 @@ object Queries {
       // Hamming-verify within buckets.
       ("q46_dedup_simhash", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000000L).as("doc_id"),
-            concat(col("text"), lit(" zzz")).as("text")))
+        val corpus = nearDupCorpus(docs)
         Dedup.simhashPairs(corpus, "doc_id", "text", bucketShift = 24, maxHamming = 10)
           .orderBy("doc_a", "doc_b")
       },
@@ -965,9 +990,7 @@ object Queries {
       // minhash-LSH / simhash).
       ("q47_ngram_jaccard", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000000L).as("doc_id"),
-            concat(col("text"), lit(" zzz")).as("text")))
+        val corpus = nearDupCorpus(docs)
         Dedup.ngramJaccard(corpus, "doc_id", "text", n = 3, maxDf = 4, threshold = 0.5)
           .orderBy("doc_a", "doc_b")
       },
@@ -1470,36 +1493,21 @@ object Queries {
           col("bin"), col("n_tok"), col("quality"))
         .orderBy("doc_id")
     },
-      Some {
-        val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
-          .map(m => s"'$m'").mkString(", ")
-        val toks = sqlTokens("text")
-        val toksLower = sqlTokens("lower(text)")
-        s"""WITH corpus AS (
+      Some(s"""WITH corpus AS (
             SELECT doc_id, text, lang FROM documents
             UNION ALL SELECT doc_id + 10000000, text, lang FROM documents),
           keep AS (SELECT min(doc_id) AS doc_id FROM corpus
             GROUP BY ${sqlContentHash("text")}),
           dd AS (SELECT c.doc_id, c.text, c.lang
             FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
-          f AS (SELECT doc_id, text, lang,
-            CAST(len($toks) AS DOUBLE) AS n,
-            CASE WHEN len($toksLower) = 0 THEN 0.0
-              ELSE CAST(len(list_filter($toksLower, x -> x IN ($stop))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END AS stop_ratio,
-            CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio
+          ql AS (SELECT doc_id, text, lang, $sqlQuality AS quality
             FROM dd WHERE lang IN ('en', 'de')),
-          ql AS (SELECT doc_id, text, lang,
-            round((least(n / 100.0, 1.0) + least(stop_ratio * 5.0, 1.0)
-              + greatest(1.0 - punct_ratio * 5.0, 0.0)) / 3.0, 6) AS quality
-            FROM f),
           samp AS (SELECT * FROM ql WHERE quality >= 0.5
             AND ${sqlHash32("text || '|prep-r4'")} % 1000 <
               (CASE WHEN lang = 'en' THEN 700 ELSE 400 END)),
           ${sqlPack("samp", "doc_id")}
           SELECT doc_id, lang, shard, bin, n_tok, quality
-          FROM c_pack ORDER BY doc_id"""
-      }),
+          FROM c_pack ORDER BY doc_id""")),
 
     // Vocabulary statistics (tokenizer-training prep): token total and
     // exact distinct-token count per language. The exact form shuffles
@@ -1633,9 +1641,7 @@ object Queries {
       // per-doc count with map-side combine.
       ("q75_decontaminate", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000000L).as("doc_id"),
-            concat(col("text"), lit(" zzz")).as("text")))
+        val corpus = nearDupCorpus(docs)
         // Par.ensure + persist: one md5 per 8-gram over the doubled corpus
         // is the dominant cost, `grams` feeds both the eval set and the
         // train side, and a small parquet source arrives as one split.
@@ -1669,9 +1675,13 @@ object Queries {
       // tiny broadcast, and the final ranking is TakeOrderedAndProject.
       ("q76_bm25", (s: SparkSession, d: String) => {
         val terms = Seq("join", "vector", "merge")
+        // persist: the tokenized corpus feeds the N/avgdl scalars, the df
+        // aggregate, and the scoring join — without it the scan+tokenize
+        // stage runs three times (the Dedup.scala caching contract)
         val base = t(s, d, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
           .withColumn("dl", size(col("toks")).cast("long"))
+          .persist()
         val scal = base.agg(
           count(lit(1)).cast("double").as("n_docs"),
           avg(col("dl").cast("double")).as("avgdl"))
@@ -1751,9 +1761,7 @@ object Queries {
       // fixpoint HashMin converges to.
       ("q78_dup_clusters", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        val corpus = docs.unionByName(
-          docs.select((col("doc_id") + 10000000L).as("doc_id"),
-            concat(col("text"), lit(" zzz")).as("text")))
+        val corpus = nearDupCorpus(docs)
         val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
           shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
         Graph.connectedComponents(pairs, "doc_a", "doc_b")
@@ -1781,11 +1789,6 @@ object Queries {
       // corpus token counts — the plan is two hash aggregates and a
       // broadcast of one scalar row.
       ("q79_mixture", (s: SparkSession, d: String) => {
-        val weight = element_at(
-          map(Seq("en", "de", "es", "fr", "zh").flatMap(l =>
-            Seq(lit(l), lit(Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15,
-              "fr" -> 0.15, "zh" -> 0.1)(l)))): _*),
-          col("lang"))
         val per = t(s, d, "documents")
           .select(col("lang"), TF.tokenCount(col("text")).as("n_tok"))
           .groupBy("lang")
@@ -1793,11 +1796,13 @@ object Queries {
         val tot = per.agg(sum(col("n_tokens")).cast("double").as("total_tokens"))
         per.crossJoin(broadcast(tot))
           .withColumn("rate",
-            weight * col("total_tokens") / col("n_tokens").cast("double"))
+            mixtureWeightCol * col("total_tokens") / col("n_tokens").cast("double"))
           .select(col("lang"), col("n_docs"), col("n_tokens"),
             round(col("rate"), 6).as("rate"),
             ceil(col("rate")).cast("long").as("epochs"),
-            round(col("rate") / ceil(col("rate")), 6).as("epoch_frac"))
+            // weight-0 languages: rate 0, zero epochs, 0/0 guarded to 0
+            when(ceil(col("rate")) === 0, 0.0)
+              .otherwise(round(col("rate") / ceil(col("rate")), 6)).as("epoch_frac"))
           .orderBy("lang")
       },
         Some(s"""WITH per AS (SELECT lang, count(*) AS n_docs,
@@ -1805,13 +1810,12 @@ object Queries {
             FROM documents GROUP BY lang),
           tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM per),
           r AS (SELECT lang, n_docs, n_tokens,
-              (CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.15
-                WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1 END)
-                * t.total_tokens / CAST(n_tokens AS DOUBLE) AS rate
+              $sqlMixtureWeight * t.total_tokens / CAST(n_tokens AS DOUBLE) AS rate
             FROM per CROSS JOIN tot t)
           SELECT lang, n_docs, n_tokens, round(rate, 6) AS rate,
             CAST(ceil(rate) AS BIGINT) AS epochs,
-            round(rate / ceil(rate), 6) AS epoch_frac
+            CASE WHEN ceil(rate) = 0 THEN 0.0
+              ELSE round(rate / ceil(rate), 6) END AS epoch_frac
           FROM r ORDER BY lang""")),
 
       // Document-length distribution: exact interpolated percentiles of
@@ -1847,9 +1851,7 @@ object Queries {
       // oracled (q78/q75/q74/q43/q79/q63); this row proves the composition.
       ("q81_curation_pipeline", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text", "lang")
-        val corpus = graft.ops.Par.ensure(docs.unionByName(
-          docs.select((col("doc_id") + 10000000L).as("doc_id"),
-            concat(col("text"), lit(" zzz")).as("text"), col("lang"))), "doc_id")
+        val corpus = graft.ops.Par.ensure(nearDupCorpus(docs), "doc_id")
           .persist()
 
         // 1. near-dup cluster dedup: drop every non-representative member
@@ -1884,21 +1886,17 @@ object Queries {
             TF.tokenCount(col("text")).cast("long").as("n_tok0"))
           .persist()
 
-        // 4. mixture-aware downsample: per-language rate toward the q79
+        // 4. mixture-aware downsample: per-language rate toward the shared
         // target weights over HALF the surviving token budget, capped at 1
         // (the batch pipeline downsamples; upsampling is the trainer's
-        // epoch loop), applied as a q62-style deterministic hash decision
-        val weight = element_at(
-          map(Seq("en", "de", "es", "fr", "zh").flatMap(l =>
-            Seq(lit(l), lit(Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15,
-              "fr" -> 0.15, "zh" -> 0.1)(l)))): _*),
-          col("lang"))
+        // epoch loop), applied as a q62-style deterministic hash decision.
+        // Unlisted languages carry weight 0 → rate 0 → explicitly dropped.
         val per = filtered.groupBy("lang")
           .agg(sum(col("n_tok0")).cast("double").as("lang_tokens"))
         val tot = per.agg(sum(col("lang_tokens")).as("total"))
         val rates = per.crossJoin(broadcast(tot))
           .withColumn("rate",
-            least(lit(1.0), weight * (lit(0.5) * col("total")) / col("lang_tokens")))
+            least(lit(1.0), mixtureWeightCol * (lit(0.5) * col("total")) / col("lang_tokens")))
           .select("lang", "rate")
         val sampled = filtered.join(broadcast(rates), "lang")
           .filter(pmod(TF.hash32(concat(col("text"), lit("|cur-r6"))), lit(1000L)) <
@@ -1911,9 +1909,6 @@ object Queries {
           .orderBy("doc_id")
       },
         Some {
-          val stop = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
-            .map(m => s"'$m'").mkString(", ")
-          val toksLower = sqlTokens("lower(text)")
           val tri = "list_transform(range(1, greatest(len(toksq) - 2, 0) + 1), " +
             "i -> toksq[i] || ' ' || toksq[i+1] || ' ' || toksq[i+2])"
           val sh8 = "list_transform(range(1, greatest(len(toksq) - 7, 0) + 1), " +
@@ -1950,22 +1945,14 @@ object Queries {
                 FROM (SELECT doc_id, text, lang, $toks AS toksq FROM clean)))
             WHERE dup_tri_frac <= 0.11),
           qf AS (SELECT doc_id, text, lang FROM (
-              SELECT doc_id, text, lang,
-                round((least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)
-                  + least((CASE WHEN len($toksLower) = 0 THEN 0.0
-                      ELSE CAST(len(list_filter($toksLower, x -> x IN ($stop))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END) * 5.0, 1.0)
-                  + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                      ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0, 0.0)) / 3.0, 6) AS quality
-              FROM rep)
+              SELECT doc_id, text, lang, $sqlQuality AS quality FROM rep)
             WHERE quality >= 0.5),
           ntok AS (SELECT doc_id, text, lang, CAST(len($toks) AS BIGINT) AS ntok0 FROM qf),
           per AS (SELECT lang, CAST(sum(ntok0) AS DOUBLE) AS lang_tokens
             FROM ntok GROUP BY lang),
           tot AS (SELECT sum(lang_tokens) AS total FROM per),
           rt AS (SELECT lang,
-              least(1.0, (CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.15
-                WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.1 END)
-                * (0.5 * t.total) / lang_tokens) AS rate
+              least(1.0, $sqlMixtureWeight * (0.5 * t.total) / lang_tokens) AS rate
             FROM per CROSS JOIN tot t),
           samp AS (SELECT n.doc_id, n.text, n.lang
             FROM ntok n JOIN rt ON n.lang = rt.lang

@@ -33,30 +33,52 @@ object Graph {
       aCol: String,
       bCol: String,
       maxIter: Int = 50): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
 
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    // Each round's labels are localCheckpoint'ed (lineage truncation);
+    // the PREVIOUS round's checkpoint blocks are freed explicitly once
+    // the convergence count has read them — otherwise a deep graph
+    // accumulates O(rounds × |V|) dead cache blocks until driver GC.
+    // localCheckpoint is eager, so diffing the persistent-RDD registry
+    // around the call captures exactly this round's blocks.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    var (labels, labelBlocks) = checkpointTracked(
+      sym.select(col("a").as("id")).distinct().withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val fromNeighbours = sym
         .join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("component"))
-      val next = labels.unionByName(fromNeighbours)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+      val (next, nextBlocks) = checkpointTracked(
+        labels.unionByName(fromNeighbours)
+          .groupBy("id").agg(min("component").as("component")))
       changed = next
         .join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") < col("prev"))
         .count()
+      free(labelBlocks) // previous round fully consumed by the count above
       labels = next
+      labelBlocks = nextBlocks
       iter += 1
     }
     sym.unpersist()
+    // A truncated run would silently report one component as several —
+    // exactly the under-deletion this module exists to prevent. Dedup
+    // graphs are shallow; hitting this bound means the input is not one.
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 }
