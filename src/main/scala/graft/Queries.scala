@@ -1583,33 +1583,36 @@ object Queries {
 
     Seq(
       // Gopher/C4-style repetition filters: fraction of duplicated word
-      // trigrams and the share of the single most frequent bigram. Both
-      // computed WITHOUT shuffling raw text: the dup-trigram fraction is a
-      // narrow per-row array expression; the top-bigram share is one
-      // map-side-combined count over (doc_id, bigram) then a per-doc max —
-      // the n-gram strings themselves shuffle only as distinct (doc,gram)
-      // counts. A 100 TB corpus passes this as two hash aggregates.
+      // trigrams and the share of the single most frequent bigram. Both are
+      // PER-ROW narrow array expressions — no explode, no shuffle of n-gram
+      // strings at all. The top-bigram count is a run-length scan over the
+      // row's SORTED bigram array (O(n log n) per row), which replaces the
+      // round-6 explode→(doc_id,g)-aggregate→per-doc-max shape: that one
+      // materialized every bigram as a row and hash-aggregated twice, and
+      // was the suite's unexplained 7 s outlier in BENCH_r06. A 100 TB
+      // corpus passes this as a single narrow map stage.
       ("q74_repetition", (s: SparkSession, d: String) => {
-        // Par.ensure + persist: the n-gram map is the expensive narrow
-        // stage (small files arrive as one split) and `base` feeds both
-        // the per-row fractions and the bigram-count aggregate.
-        val base = graft.ops.Par.ensure(
+        val topRun = (arr: Column) => aggregate(
+          array_sort(arr),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best"))
+        graft.ops.Par.ensure(
           t(s, d, "documents").select("doc_id", "text"), "doc_id")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
           .withColumn("tri", TF.shingles(col("toks"), 3))
           .select(col("doc_id"),
-            TF.shingles(col("toks"), 2).as("bi"),
             size(col("tri")).cast("long").as("n_tri"),
-            size(array_distinct(col("tri"))).cast("long").as("d_tri"))
-          .persist()
-        val biTop = base
-          .select(col("doc_id"), explode(col("bi")).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-          .groupBy("doc_id").agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bi"))
-        base.join(biTop, Seq("doc_id"), "left")
+            size(array_distinct(col("tri"))).cast("long").as("d_tri"),
+            topRun(TF.shingles(col("toks"), 2)).as("top_n"),
+            (size(col("toks")) - 1).cast("long").as("n_bi"))
           .withColumn("dup_tri_frac", round(when(col("n_tri") === 0, 0.0)
             .otherwise(lit(1.0) - col("d_tri").cast("double") / col("n_tri").cast("double")), 6))
-          .withColumn("top_bi_frac", round(when(coalesce(col("n_bi"), lit(0L)) === 0, 0.0)
+          .withColumn("top_bi_frac", round(when(col("n_bi") <= 0, 0.0)
             .otherwise(col("top_n").cast("double") / col("n_bi").cast("double")), 6))
           .select(col("doc_id"), col("n_tri"), col("dup_tri_frac"), col("top_bi_frac"),
             when(col("dup_tri_frac") <= 0.11 && col("top_bi_frac") <= 0.04, 1L)
