@@ -30,7 +30,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet -- benchOnlyNames
+      val unknown = o -- SparkEntry.queries.keySet -- benchOnlyNames --
+        Queries.benchOnly.map(_._1)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unregistered queries: ${unknown.toSeq.sorted.mkString(",")}")
     }
@@ -58,7 +59,9 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // oracled registry + bench-only production-hash twins (Queries.benchOnly
+    // — same dataflow, xxhash64 instead of the oracle-portable md5)
+    (SparkEntry.queries.toSeq ++ Queries.benchOnly).sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()

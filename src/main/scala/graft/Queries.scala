@@ -1571,6 +1571,119 @@ object Queries {
         GROUP BY e.event_type ORDER BY e.event_type"""))
   )
 
+  /** q78's dataflow, hash-parameterized: near-dup pairs → connected
+    * components → keeper per cluster. `fastHash = true` is the production
+    * configuration (xxhash64 shingle hashing, not oracle-reproducible) the
+    * `b78_clusters_xxh64` bench twin measures.
+    */
+  private def dupClusters(s: SparkSession, d: String, fastHash: Boolean): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val corpus = nearDupCorpus(docs)
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5, fastHash = fastHash)
+    Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster"),
+        when(col("id") === col("component"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** q81's end-to-end curation dataflow, hash-parameterized like
+    * [[dupClusters]] (the shingle hashing in stages 1–2 and the sampling
+    * decision in stage 4 dominate the pipeline's per-byte cost, so the
+    * md5↔xxhash64 swap is the single biggest production lever — the
+    * `b81_curation_xxh64` twin measures it).
+    *
+    * The three persist() calls have no matching unpersist by design: the
+    * returned DataFrame still references them lazily, so the harness owns
+    * their lifetime (Bench/Verify call `spark.catalog.clearCache()` after
+    * each query's terminal action).
+    */
+  private def curationPipeline(s: SparkSession, d: String, fastHash: Boolean): DataFrame = {
+    def sampleHash(c: Column): Column =
+      if (fastHash) TF.hash32Fast(c) else TF.hash32(c)
+    val docs = t(s, d, "documents").select("doc_id", "text", "lang")
+    val corpus = graft.ops.Par.ensure(nearDupCorpus(docs), "doc_id")
+      .persist()
+
+    // 1. near-dup cluster dedup: drop every non-representative member
+    val pairs = Dedup.minhashLsh(corpus.select("doc_id", "text"), "doc_id", "text",
+      shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5, fastHash = fastHash)
+    val losers = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
+    val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
+
+    // 2. decontamination: drop the eval docs AND anything sharing an
+    // 8-gram with them (broadcast eval set, as q75)
+    // stage toks: the shingle lambda references it per element, and an
+    // inlined tokens() subtree would re-run the regex split per 8-gram
+    val grams = deduped
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TF.shingleHashes(TF.shingles(col("toks"), 8), fastHash))).as("g"))
+      .persist()
+    val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
+    val evalGrams = grams.filter(isEval).select("g").distinct()
+    val contaminated = grams.filter(!isEval)
+      .join(broadcast(evalGrams), "g").select("doc_id").distinct()
+    val clean = deduped.filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 3. repetition filter (q74 rule, rounded before compare) +
+    // quality floor (q43/q71 rule)
+    val filtered = clean
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("tri", TF.shingles(col("toks"), 3))
+      .withColumn("dup_tri_frac", round(when(size(col("tri")) === 0, 0.0)
+        .otherwise(lit(1.0) -
+          size(array_distinct(col("tri"))).cast("double") / size(col("tri")).cast("double")), 6))
+      .filter(col("dup_tri_frac") <= 0.11)
+      .filter(TF.qualityScore(col("text")) >= 0.5)
+      .select(col("doc_id"), col("text"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok0"))
+      .persist()
+
+    // 4. mixture-aware downsample: per-language rate toward the shared
+    // target weights over HALF the surviving token budget, capped at 1
+    // (the batch pipeline downsamples; upsampling is the trainer's
+    // epoch loop), applied as a q62-style deterministic hash decision.
+    // Unlisted languages carry weight 0 → rate 0 → explicitly dropped.
+    val per = filtered.groupBy("lang")
+      .agg(sum(col("n_tok0")).cast("double").as("lang_tokens"))
+    val tot = per.agg(sum(col("lang_tokens")).as("total"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        least(lit(1.0), mixtureWeightCol * (lit(0.5) * col("total")) / col("lang_tokens")))
+      .select("lang", "rate")
+    val sampled = filtered.join(broadcast(rates), "lang")
+      .filter(pmod(sampleHash(concat(col("text"), lit("|cur-r6"))), lit(1000L)) <
+        floor(col("rate") * 1000).cast("long"))
+      .select("doc_id", "text", "lang")
+
+    // 5. sequence packing (q63 shape)
+    packAssign(sampled, Seq(asc("doc_id")))
+      .select(col("doc_id"), col("lang"), col("shard"), col("bin"), col("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** Bench-only production-hash twins (VERDICT r6 #2): the same dataflows
+    * as their oracled md5 counterparts with `fastHash = true`. NOT in the
+    * oracle registry — xxhash64 is not reproducible in DuckDB, and the
+    * sampling stage selects a (same-sized) different subset — these exist
+    * to measure the md5→xxhash64 swap the production configuration makes.
+    */
+  lazy val benchOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    ("b45_minhash_xxh64", (s: SparkSession, d: String) =>
+      Dedup.minhashLsh(nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
+        "doc_id", "text", shingleK = 3, numHashes = 12, bands = 4,
+        threshold = 0.5, fastHash = true)
+        .orderBy("doc_a", "doc_b")),
+    ("b78_clusters_xxh64", (s: SparkSession, d: String) =>
+      dupClusters(s, d, fastHash = true)),
+    ("b81_curation_xxh64", (s: SparkSession, d: String) =>
+      curationPipeline(s, d, fastHash = true))
+  )
+
   // ============== curation: corpus-quality / retrieval operators ==========
   // Round-6 additions: repetition filters, decontamination, BM25 keyword
   // retrieval, PII redaction, dup-cluster resolution, mixture planning.
@@ -1645,12 +1758,16 @@ object Queries {
       ("q75_decontaminate", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
         val corpus = nearDupCorpus(docs)
-        // Par.ensure + persist: one md5 per 8-gram over the doubled corpus
-        // is the dominant cost, `grams` feeds both the eval set and the
-        // train side, and a small parquet source arrives as one split.
+        // Par.ensure + persist: the gram map over the doubled corpus is the
+        // dominant cost, `grams` feeds both the eval set and the train
+        // side, and a small parquet source arrives as one split. toks is
+        // staged as its own projection — the shingle lambda references it
+        // per element, and an inlined tokens() subtree would re-run the
+        // regex split once per 8-gram (~30× blowup, NOTES_r7).
         val grams = graft.ops.Par.ensure(corpus, "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
           .select(col("doc_id"),
-            explode(array_distinct(TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 8)))).as("g"))
+            explode(array_distinct(TF.shingleHashes(TF.shingles(col("toks"), 8)))).as("g"))
           .persist()
         val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
         val evalGrams = grams.filter(isEval).select("g").distinct()
@@ -1762,16 +1879,8 @@ object Queries {
       // by. Pairs alone under-delete transitive duplicate chains. Oracle:
       // DuckDB recursive CTE computing min-reachable-id per node — the
       // fixpoint HashMin converges to.
-      ("q78_dup_clusters", (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents").select("doc_id", "text")
-        val corpus = nearDupCorpus(docs)
-        val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
-          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
-        Graph.connectedComponents(pairs, "doc_a", "doc_b")
-          .select(col("id").as("doc_id"), col("component").as("cluster"),
-            when(col("id") === col("component"), 1L).otherwise(0L).as("is_keeper"))
-          .orderBy("doc_id")
-      },
+      ("q78_dup_clusters", (s: SparkSession, d: String) =>
+        dupClusters(s, d, fastHash = false),
         Some(s"""WITH RECURSIVE $sqlDupCorpus,
           ${sqlMinhashPairCtes(0.5)},
           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
@@ -1852,65 +1961,8 @@ object Queries {
       // in ONE oracled dataflow (the q71 composition extended with the
       // graph/decontamination/mixture stages). Every stage is individually
       // oracled (q78/q75/q74/q43/q79/q63); this row proves the composition.
-      ("q81_curation_pipeline", (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents").select("doc_id", "text", "lang")
-        val corpus = graft.ops.Par.ensure(nearDupCorpus(docs), "doc_id")
-          .persist()
-
-        // 1. near-dup cluster dedup: drop every non-representative member
-        val pairs = Dedup.minhashLsh(corpus.select("doc_id", "text"), "doc_id", "text",
-          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
-        val losers = Graph.connectedComponents(pairs, "doc_a", "doc_b")
-          .filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
-        val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
-
-        // 2. decontamination: drop the eval docs AND anything sharing an
-        // 8-gram with them (broadcast eval set, as q75)
-        val grams = deduped.select(col("doc_id"),
-          explode(array_distinct(TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 8)))).as("g"))
-          .persist()
-        val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
-        val evalGrams = grams.filter(isEval).select("g").distinct()
-        val contaminated = grams.filter(!isEval)
-          .join(broadcast(evalGrams), "g").select("doc_id").distinct()
-        val clean = deduped.filter(!isEval)
-          .join(contaminated, Seq("doc_id"), "left_anti")
-
-        // 3. repetition filter (q74 rule, rounded before compare) +
-        // quality floor (q43/q71 rule)
-        val filtered = clean
-          .withColumn("tri", TF.shingles(TF.tokens(col("text")), 3))
-          .withColumn("dup_tri_frac", round(when(size(col("tri")) === 0, 0.0)
-            .otherwise(lit(1.0) -
-              size(array_distinct(col("tri"))).cast("double") / size(col("tri")).cast("double")), 6))
-          .filter(col("dup_tri_frac") <= 0.11)
-          .filter(TF.qualityScore(col("text")) >= 0.5)
-          .select(col("doc_id"), col("text"), col("lang"),
-            TF.tokenCount(col("text")).cast("long").as("n_tok0"))
-          .persist()
-
-        // 4. mixture-aware downsample: per-language rate toward the shared
-        // target weights over HALF the surviving token budget, capped at 1
-        // (the batch pipeline downsamples; upsampling is the trainer's
-        // epoch loop), applied as a q62-style deterministic hash decision.
-        // Unlisted languages carry weight 0 → rate 0 → explicitly dropped.
-        val per = filtered.groupBy("lang")
-          .agg(sum(col("n_tok0")).cast("double").as("lang_tokens"))
-        val tot = per.agg(sum(col("lang_tokens")).as("total"))
-        val rates = per.crossJoin(broadcast(tot))
-          .withColumn("rate",
-            least(lit(1.0), mixtureWeightCol * (lit(0.5) * col("total")) / col("lang_tokens")))
-          .select("lang", "rate")
-        val sampled = filtered.join(broadcast(rates), "lang")
-          .filter(pmod(TF.hash32(concat(col("text"), lit("|cur-r6"))), lit(1000L)) <
-            floor(col("rate") * 1000).cast("long"))
-          .select("doc_id", "text", "lang")
-
-        // 5. sequence packing (q63 shape)
-        packAssign(sampled, Seq(asc("doc_id")))
-          .select(col("doc_id"), col("lang"), col("shard"), col("bin"), col("n_tok"))
-          .orderBy("doc_id")
-      },
+      ("q81_curation_pipeline", (s: SparkSession, d: String) =>
+        curationPipeline(s, d, fastHash = false),
         Some {
           val tri = "list_transform(range(1, greatest(len(toksq) - 2, 0) + 1), " +
             "i -> toksq[i] || ' ' || toksq[i+1] || ' ' || toksq[i+2])"

@@ -25,6 +25,19 @@ object TextFunctions {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Production-path 32-bit non-negative hash: low 32 bits of Spark's
+    * codegen'd `xxhash64`. Same contract as [[hash32]] (value in
+    * [0, 2^32) so the minhash affine mixes stay inside signed-64 range)
+    * but ~an order of magnitude cheaper than md5 — xxHash is a few
+    * multiply/rotate rounds per word vs md5's 64-round digest, and
+    * Spark evaluates it without the hex-string round-trip `hash32`
+    * needs for SQL portability. NOT oracle-reproducible (DuckDB has no
+    * xxhash64), so oracled queries keep md5 and benchmark twins measure
+    * this path (VERDICT r6 #2).
+    */
+  def hash32Fast(s: Column): Column =
+    xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))
+
   /** Content hash exactly as the reference stores it: base64(SHA-256(text)),
     * 44 chars (`src/Server/Helper/SearchdomainHelper.cs:455-458`). Spark's
     * sha2 returns hex, hence the unhex round-trip.
@@ -48,6 +61,14 @@ object TextFunctions {
     */
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => hash32(s))
+
+  /** [[shingleHashes]] with a hash choice: `fast = true` swaps the
+    * portable md5-derived [[hash32]] for the codegen'd [[hash32Fast]]
+    * (xxhash64). Both satisfy the < 2^32 contract the minhash affine
+    * mixes rely on, so the whole LSH pipeline downstream is unchanged.
+    */
+  def shingleHashes(shingleCol: Column, fast: Boolean): Column =
+    if (fast) transform(shingleCol, s => hash32Fast(s)) else shingleHashes(shingleCol)
 
   /** Per-seed affine-permutation constants from a splitmix64 sequence:
     * large decorrelated odd multipliers (< 2^30 so h·mult + add stays well

@@ -54,7 +54,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 12,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      fastHash: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must be divisible by bands")
 
@@ -67,8 +68,10 @@ object Dedup {
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", shingles(col("toks"), shingleK))
-      // md5 once per shingle; the numHashes permutations are cheap mixes
-      .withColumn("hashes", array_distinct(shingleHashes(col("sh"))))
+      // one base hash per shingle (md5 for the oracle path, xxhash64 when
+      // fastHash — the production configuration); the numHashes
+      // permutations are cheap affine mixes either way
+      .withColumn("hashes", array_distinct(shingleHashes(col("sh"), fastHash)))
       .select("doc_id", "hashes")
       .persist()
 
@@ -151,10 +154,14 @@ object Dedup {
     // the self-join reading it twice) AND both sides of the verify join —
     // six consumers of the md5-heavy shingle map. Parallelize + persist or
     // every consumer re-runs the scan single-threaded on a small input.
+    // toks MUST be staged as its own projection: the shingle lambda
+    // references it per element, and an inlined tokens(text) subtree would
+    // re-run the regex split once per gram (~30× blowup, NOTES_r7)
     val grams = Par.ensure(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+      .withColumn("toks", tokens(col("text")))
       .withColumn("gram_hashes",
-        array_distinct(shingleHashes(shingles(tokens(col("text")), n))))
+        array_distinct(shingleHashes(shingles(col("toks"), n))))
       .select("doc_id", "gram_hashes")
       .persist()
 

@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (VERDICT r6 #3): materialize a K× corpus from the
+  * sf0.1 tables and time registered queries against it, so scale claims get
+  * a measured 1×/10× datapoint instead of resting on sf0.1 alone (where the
+  * ~0.4 s scheduling floor dominates everything).
+  *
+  * Corpus construction: K shifted copies of `documents` / `embeddings`.
+  * Copy 0 is verbatim (so K=1 reproduces the sf dir exactly); copies ≥ 1
+  * SUFFIX every token with a per-copy marker, which keeps each copy's
+  * shingle structure identical to the base corpus (same token and shingle
+  * counts, same within-copy cross-doc commonality) while making copies
+  * mutually shingle-disjoint — near-dup candidate pairs then scale
+  * LINEARLY with K, matching a real corpus growing by new content rather
+  * than by K-way duplication of one document set. (A first cut interleaved
+  * a marker BETWEEN words; that silently degraded 3-shingles to
+  * bigram-level commonality and inflated band collisions — see NOTES_r7.)
+  *
+  * Usage: Scale <copies> <reps> <query...>   (writes target/scale<K>/)
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("q45_dedup_minhash", "q78_dup_clusters", "q63_pack_sequences",
+        "q65_search_flagship")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outDir = s"target/scale$copies"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until copies).map { i =>
+      val text = if (i == 0) col("text")
+        else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1‿cp$i"))
+      docs.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
+        text.as("text"), col("lang"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until copies).map { i =>
+      emb.select((col("vec_id") + lit(i * 100000L)).as("vec_id"),
+        col("embedding"), (col("label") + lit(i * 1000)).as("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // hash-stage microbenchmarks: the tokenize→shingle→hash map stage of
+    // the minhash pipeline in isolation (no banding/join/verify), so the
+    // md5↔xxhash64 swap is measured without downstream noise
+    // NOTE: stage toks/sh as separate projections (withColumn), as Dedup
+    // does. Nesting shingles(tokens(text), k) in ONE expression makes the
+    // optimizer inline the tokens() regex split into the shingle lambda,
+    // where element_at(toks, …) re-evaluates it per element — a ~30×
+    // blowup this probe originally measured by accident (NOTES_r7).
+    def shingled(sp: SparkSession, dir: String) = {
+      import graft.functions.TextFunctions._
+      graft.ops.Par.ensure(
+        sp.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("sh", shingles(col("toks"), 3))
+        .select(col("doc_id"), col("sh"))
+    }
+    def hashStage(fast: Boolean): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (sp, dir) => {
+        import graft.functions.TextFunctions._
+        shingled(sp, dir).select(col("doc_id"),
+          array_distinct(shingleHashes(col("sh"), fast)).as("hashes"))
+      }
+    val extra = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "shingle_only" -> ((sp, dir) => shingled(sp, dir)),
+      "hash_md5" -> hashStage(false), "hash_xxh64" -> hashStage(true),
+      "tok_only" -> ((sp, dir) => {
+        import graft.functions.TextFunctions._
+        graft.ops.Par.ensure(
+          sp.read.parquet(s"$dir/documents.parquet"), "doc_id")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+      }),
+      "shingle_size" -> ((sp, dir) => {
+        // same compute, scalar output: separates the shingle COMPUTE cost
+        // from the cost of serializing the array<string> result
+        import graft.functions.TextFunctions._
+        graft.ops.Par.ensure(
+          sp.read.parquet(s"$dir/documents.parquet"), "doc_id")
+          .select(col("doc_id"), size(shingles(tokens(col("text")), 3)).as("n"))
+      }))
+
+    names.foreach { name =>
+      val fn = graft.Queries.queries.get(name)
+        .orElse(graft.Queries.benchOnly.toMap.get(name))
+        .orElse(extra.get(name))
+        .getOrElse(sys.error(s"unknown query $name"))
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, outDir).write.format("noop").mode("overwrite").save()
+        println(f"[scale] K=$copies $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -19,9 +19,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.Queries.queries.get(name)
+      .orElse(graft.Queries.benchOnly.toMap.get(name))
+      .getOrElse(sys.error(s"unknown query $name"))
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      graft.Queries.queries(name)(spark, sfDir)
+      fn(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"[scratch] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       spark.catalog.clearCache()
