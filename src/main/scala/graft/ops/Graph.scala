@@ -12,42 +12,66 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by HashMin label propagation: every node starts
-    * labelled with its own id; each round every node takes the min label
-    * among itself and its neighbours; converges in O(component diameter)
-    * rounds to the component-minimum id.
+  /** Connected components by HashMin label propagation WITH pointer-jumping
+    * shortcuts: every node starts labelled with its own id; each round
+    * every node takes (1) the min label among itself and its neighbours
+    * (HashMin), then (2) its label's label (pointer jumping / shortcutting,
+    * the Shiloach–Vishkin step large-star/small-star algorithms build on).
+    * Plain HashMin needs O(component diameter) rounds — a 200-node chain
+    * takes 199; the shortcut phase roughly halves the remaining distance
+    * to the component minimum every round, so convergence is
+    * O(log diameter) (the 200-chain GraphSpec case converges in ≤ 10
+    * rounds). Dedup graphs are shallow, but a pathological chain no longer
+    * grinds or trips the round bound.
     *
-    * Scale shape: each round is one shuffle of the (symmetrized) edge
-    * list joined to the current labels plus a map-side-combined min
-    * aggregate — the standard large-graph CC shape (GraphX/Pregel's
-    * HashMin). `localCheckpoint` truncates the lineage each round so the
-    * plan does not grow with iterations, and the driver-side loop reads
+    * Scale shape: each round is the edge⋈label shuffle join + min
+    * aggregate (standard large-graph CC), plus one label⋈label self-join
+    * for the shortcut — both on the same key domain, both
+    * map-side-combinable. `localCheckpoint` truncates lineage each round
+    * so the plan does not grow with iterations; the driver-side loop reads
     * only a changed-row COUNT per round (an aggregate, never data).
-    * Dedup graphs converge fast: near-dup components are shallow
-    * (duplicates of one source document), so rounds ≈ 2-4 in practice.
     *
     * Returns (id, component) with component = min node id reachable.
+    * NOTE the returned DataFrame reads the final round's localCheckpoint
+    * blocks lazily — they stay pinned until the caller's terminal action
+    * + `spark.catalog.clearCache()` (or session end) releases them.
     */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * executed — the convergence contract GraphSpec pins (chain ⇒
+    * logarithmic rounds).
+    */
+  def connectedComponentsWithRounds(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
     val sc = edges.sparkSession.sparkContext
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
 
-    // Each round's labels are localCheckpoint'ed (lineage truncation);
-    // the PREVIOUS round's checkpoint blocks are freed explicitly once
-    // the convergence count has read them — otherwise a deep graph
-    // accumulates O(rounds × |V|) dead cache blocks until driver GC.
-    // localCheckpoint is eager, so diffing the persistent-RDD registry
-    // around the call captures exactly this round's blocks.
+    // Each round's labels are localCheckpoint'ed (lineage truncation); the
+    // PREVIOUS round's checkpoint blocks are freed explicitly once the
+    // convergence count has read them — otherwise a deep graph accumulates
+    // O(rounds × |V|) dead cache blocks until driver GC. The checkpointed
+    // RDD is identified DIRECTLY from the returned plan's LogicalRDD
+    // (localCheckpoint is eager, so the plan is already the materialized
+    // leaf) — never by diffing the global persistent-RDD registry, which
+    // would misattribute (and later destroy) blocks a concurrent job
+    // persisted in the same window.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      val ids = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+      (out, ids)
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
@@ -56,29 +80,47 @@ object Graph {
       sym.select(col("a").as("id")).distinct().withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val fromNeighbours = sym
-        .join(labels.withColumnRenamed("id", "b"), "b")
-        .select(col("a").as("id"), col("component"))
-      val (next, nextBlocks) = checkpointTracked(
-        labels.unionByName(fromNeighbours)
-          .groupBy("id").agg(min("component").as("component")))
-      changed = next
-        .join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev"))
-        .count()
-      free(labelBlocks) // previous round fully consumed by the count above
-      labels = next
-      labelBlocks = nextBlocks
-      iter += 1
+    try {
+      while (changed > 0 && iter < maxIter) {
+        // phase 1 — HashMin: min label over self + neighbours
+        val fromNeighbours = sym
+          .join(labels.withColumnRenamed("id", "b"), "b")
+          .select(col("a").as("id"), col("component"))
+        val hashMin = labels.unionByName(fromNeighbours)
+          .groupBy("id").agg(min("component").as("component"))
+        // phase 2 — shortcut: follow the label pointer one hop
+        // (component := label(component); labels are node ids, so every
+        // pointer resolves — left join + coalesce guards regardless)
+        val jumped = hashMin
+          .join(hashMin.select(col("id").as("component"), col("component").as("cc")),
+            Seq("component"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("cc"), col("component"))).as("component"))
+        val (next, nextBlocks) = checkpointTracked(jumped)
+        changed = next
+          .join(labels.withColumnRenamed("component", "prev"), "id")
+          .filter(col("component") < col("prev"))
+          .count()
+        free(labelBlocks) // previous round fully consumed by the count above
+        labels = next
+        labelBlocks = nextBlocks
+        iter += 1
+      }
+      // A truncated run would silently report one component as several —
+      // exactly the under-deletion this module exists to prevent. With the
+      // shortcut phase, hitting this bound takes diameter > ~2^maxIter.
+      require(changed == 0,
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(component diameter exceeds bound); raise maxIter")
+    } catch {
+      case t: Throwable =>
+        // failure path: the in-flight round's blocks have no consumer —
+        // free them instead of leaking until session end
+        free(labelBlocks)
+        throw t
+    } finally {
+      sym.unpersist()
     }
-    sym.unpersist()
-    // A truncated run would silently report one component as several —
-    // exactly the under-deletion this module exists to prevent. Dedup
-    // graphs are shallow; hitting this bound means the input is not one.
-    require(changed == 0,
-      s"connectedComponents did not converge within $maxIter rounds " +
-        "(component diameter exceeds maxIter); raise maxIter")
-    labels
+    (labels, iter)
   }
 }

@@ -46,6 +46,20 @@ class GraphSpec extends SparkSpec {
     assert(got == (0L to 19L).map(_ -> 0L).toMap)
   }
 
+  test("200-node chain converges in logarithmic rounds (pointer jumping)") {
+    // 0-1-2-...-199: plain HashMin needs 199 rounds (> the default bound);
+    // the shortcut phase must bring it to O(log n). The bound below is
+    // deliberately loose (2·log2(200) ≈ 15.3) — the measured value is ~8,
+    // but the contract worth pinning is "logarithmic, not linear".
+    import spark.implicits._
+    val edges = (0L until 199L).map(i => (i + 1, i)).toDF("a", "b")
+    val (labels, rounds) = Graph.connectedComponentsWithRounds(edges, "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    info(s"200-node chain converged in $rounds rounds")
+    assert(got == (0L to 199L).map(_ -> 0L).toMap)
+    assert(rounds <= 16, s"expected logarithmic convergence, got $rounds rounds")
+  }
+
   test("non-long ids are cast and singleton-free output matches node set") {
     import spark.implicits._
     val edges = Seq((100, 200)).toDF("x", "y")
