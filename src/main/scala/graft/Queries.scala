@@ -1760,7 +1760,10 @@ object Queries {
         val corpus = nearDupCorpus(docs)
         // Par.ensure + persist: the gram map over the doubled corpus is the
         // dominant cost, `grams` feeds both the eval set and the train
-        // side, and a small parquet source arrives as one split. toks is
+        // side, and a small parquet source arrives as one split. (persist
+        // with no matching unpersist is intentional across the registry:
+        // the returned DataFrame reads it lazily, so the harness's
+        // post-action clearCache owns the lifetime.) toks is
         // staged as its own projection — the shingle lambda references it
         // per element, and an inlined tokens() subtree would re-run the
         // regex split once per 8-gram (~30× blowup, NOTES_r7).
@@ -2015,7 +2018,56 @@ object Queries {
           ${sqlPack("samp", "doc_id")}
           SELECT doc_id, lang, shard, bin, n_tok
           FROM c_pack ORDER BY doc_id"""
-        })
+        }),
+
+      // §2.9 JSONPath leg: embedding extraction from a provider-shaped
+      // JSON response (`AIProvider.cs:110-126` parses the HTTP body with a
+      // configurable JSONPath like `$.data[*].embedding`, one float[] per
+      // match). The fixture payloads are built from the embeddings table
+      // (batched, provider response shape) and then EXTRACTED with the two
+      // Spark forms: a typed `from_json` (the production path — schema'd,
+      // codegen, no per-row JObject) and a `get_json_object` wildcard path
+      // string (the reference's SelectTokens shape, pinned per batch).
+      // Vector values ride as round(x·10⁴) integers so the JSON text —
+      // and therefore the oracle compare — is float-format-independent.
+      ("q82_json_embeddings", (s: SparkSession, d: String) => {
+        val scaled = t(s, d, "embeddings")
+          .select(pmod(col("vec_id"), lit(50L)).as("batch"), col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 10000).cast("long")).as("iemb"))
+        val payloads = scaled
+          .groupBy("batch")
+          .agg(to_json(struct(sort_array(
+            collect_list(struct(col("vec_id").as("id"), col("iemb").as("embedding"))))
+            .as("data"))).as("payload"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "data array<struct<id: bigint, embedding: array<bigint>>>")
+        payloads
+          .select(col("batch"),
+            get_json_object(col("payload"), "$.data[*].id").as("ids_json"),
+            from_json(col("payload"), schema).getField("data").as("data"))
+          .select(col("batch"), col("ids_json"), explode(col("data")).as("d"))
+          .select(col("batch"), col("ids_json"), col("d.id").as("vec_id"),
+            size(col("d.embedding")).cast("long").as("dim"),
+            aggregate(col("d.embedding"), lit(0L), (a, x) => a + x).as("checksum"))
+          .orderBy("vec_id")
+      },
+        Some("""WITH iemb AS (SELECT vec_id % 50 AS batch, vec_id,
+            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS emb
+          FROM embeddings),
+        pay AS (SELECT batch,
+            to_json(struct_pack(data := list(struct_pack(id := vec_id, embedding := emb) ORDER BY vec_id))) AS payload
+          FROM iemb GROUP BY batch),
+        ext AS (SELECT batch,
+            to_json(list_transform(from_json(payload,
+              '{"data":[{"id":"BIGINT","embedding":["BIGINT"]}]}').data, d -> d.id)) AS ids_json,
+            unnest(from_json(payload,
+              '{"data":[{"id":"BIGINT","embedding":["BIGINT"]}]}').data) AS d
+          FROM pay)
+        SELECT batch, ids_json, d.id AS vec_id,
+          CAST(len(d.embedding) AS BIGINT) AS dim,
+          CAST(list_sum(d.embedding) AS BIGINT) AS checksum
+        FROM ext ORDER BY vec_id"""))
     )
   }
 

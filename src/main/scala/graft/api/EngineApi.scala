@@ -145,7 +145,8 @@ object EngineApi {
       entities: DataFrame,
       incoming: DataFrame,
       models: Seq[String],
-      dim: Int): Domain = {
+      dim: Int,
+      settings: graft.core.DomainSettings = graft.core.DomainSettings()): Domain = {
     // Every merge key includes `searchdomain`: a Domain may legitimately
     // hold several domains side by side (the catalog operators below work
     // on that shape), and two domains reusing entity_id/datapoint_id
@@ -164,10 +165,14 @@ object EngineApi {
     val keepIds = d.filter(col("bucket") === "unchanged").select(dpKey.map(col): _*)
 
     // P7/U2 + S4: embed each distinct changed text once per model, batched.
+    // ParallelEmbeddingsPrefetch routes the batch placement
+    // (`SearchdomainHelper.cs:61-93`): per-model-sequential when off,
+    // every model's batches concurrent when on.
     val pairs = needEmbed.select(col("text")).distinct()
       .crossJoin(spark.createDataFrame(models.map(Tuple1(_))).toDF("model"))
     val fresh = needEmbed
-      .join(StubEmbedder.embedBatched(spark, pairs, dim), "text")
+      .join(StubEmbedder.embedBatched(spark, pairs, dim,
+        parallelPrefetch = settings.parallelEmbeddingsPrefetch), "text")
       .select(col("searchdomain"), col("entity_id"), col("datapoint_id"),
         col("model"), col("embedding"))
 

@@ -24,13 +24,18 @@ final case class Domain(
     Domain(entities.cache(), datapoints.cache(), embeddings.cache())
 }
 
-/** Per-domain settings (`SearchdomainController.cs:53-62`, `Searchdomain.cs:345-348`):
-  * the query-cache capacity (reference default 1,000,000 when unset/<=0)
-  * and the reconcile-vs-invalidate maintenance toggle.
+/** Per-domain settings (`SearchdomainController.cs:53-62`, `Searchdomain.cs:345-348`,
+  * `SearchdomainModels.cs:98-107`): the query-cache capacity (reference
+  * default 1,000,000 when unset/<=0), the reconcile-vs-invalidate
+  * maintenance toggle, and the embeddings-prefetch parallelism toggle
+  * (`SearchdomainHelper.cs:61-93`: per-model prefetch batches run
+  * concurrently when set — mapped to the batched-embed stage's
+  * partitioning, [[graft.core.StubEmbedder.embedBatched]]).
   */
 final case class DomainSettings(
     queryCacheSize: Int = 1_000_000,
-    cacheReconciliation: Boolean = true) {
+    cacheReconciliation: Boolean = true,
+    parallelEmbeddingsPrefetch: Boolean = false) {
   def normalized: DomainSettings =
     if (queryCacheSize <= 0) copy(queryCacheSize = 1_000_000) else this
 }

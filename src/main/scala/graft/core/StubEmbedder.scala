@@ -83,11 +83,25 @@ object StubEmbedder {
     * per-partition stage rather than a per-row UDF inside someone else's
     * codegen stage. Returns (model, text, embedding).
     */
-  def embedBatched(spark: SparkSession, pairs: DataFrame, dim: Int): DataFrame = {
+  def embedBatched(
+      spark: SparkSession,
+      pairs: DataFrame,
+      dim: Int,
+      parallelPrefetch: Boolean = true): DataFrame = {
     import spark.implicits._
     val embedder = new StubEmbedder(dim)
     val acc = embedCounter // capture so the closure serializes the accumulator
-    pairs.select(col("model"), col("text")).as[(String, String)]
+    // ParallelEmbeddingsPrefetch (`SearchdomainHelper.cs:61-93`): off =
+    // the reference's sequential per-model prefetch loop — each model's
+    // batches run inside ONE task (repartition by model), so a provider
+    // sees at most one in-flight call per model. On = the reference's
+    // Parallel.ForEach — a model's texts spread over all partitions and
+    // its batches fly concurrently. Both shapes keep calls ~full via the
+    // per-partition model sort below.
+    val placed =
+      if (parallelPrefetch) pairs
+      else pairs.repartition(col("model"))
+    placed.select(col("model"), col("text")).as[(String, String)]
       // contiguous models per partition: without this, crossJoin-produced
       // pairs interleave M models per text and every BatchSize chunk
       // fragments into M calls of BatchSize/M rows — the amortization the

@@ -92,6 +92,34 @@ class ApiSpec extends SparkSpec {
     assert(vecOf(merged, 9L) != sentinelVec) // doc4 (new, dp = 4*2+1) embedded
   }
 
+  test("ParallelEmbeddingsPrefetch toggles batch placement, not values") {
+    import spark.implicits._
+    // Same incremental batch under both settings arms: the sequential arm
+    // (reference default) routes each model's prefetch batches into one
+    // task (repartition by model), the parallel arm spreads them — the
+    // embedded VALUES and diff semantics must be identical either way.
+    val batch = Seq((4L, "watermarks bound streaming state", "en", "docs"))
+      .toDF("doc_id", "text", "lang", "source")
+    def run(parallel: Boolean) = EngineApi.upsertEntities(spark, sentinelDomain,
+      SearchEngine.docEntities(batch), SearchEngine.docDatapoints(batch),
+      models, dim,
+      settings = graft.core.DomainSettings(parallelEmbeddingsPrefetch = parallel))
+    val seqArm = run(parallel = false)
+    val parArm = run(parallel = true)
+    assert(seqArm.embeddings.count() == parArm.embeddings.count())
+    assert(vecOf(seqArm, 9L) == vecOf(parArm, 9L)) // new dp embedded identically
+    assert(vecOf(seqArm, 2L) == sentinelVec) // untouched rows keep vectors
+    // the sequential arm's embed stage hash-partitions on model — one
+    // model cannot fan out across tasks (the reference's one-in-flight-
+    // call-per-model contract)
+    val pairs = Seq(("m1", "a"), ("m1", "b"), ("m2", "c")).toDF("model", "text")
+    val parts = graft.core.StubEmbedder
+      .embedBatched(spark, pairs, dim, parallelPrefetch = false)
+      .select(col("model"), spark_partition_id().as("pid"))
+      .distinct().groupBy("model").count().collect()
+    assert(parts.forall(_.getLong(1) == 1L))
+  }
+
   test("upsert applies incoming metadata to hash-unchanged datapoints, keeps vectors") {
     import spark.implicits._
     // Same text (hash unchanged) but new probmethod/similaritymethod: the

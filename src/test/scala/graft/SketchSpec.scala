@@ -31,27 +31,40 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("approx_percentile within 1 exact rank of q80's exact percentiles") {
+  test("approx_percentile within one order-statistic gap of q80's exact percentiles") {
     // q80 pins EXACT interpolated percentiles against the DuckDB oracle;
     // this gates the sketch form (fixed-size KLL-style buffers, partial
     // merges — the 100 TB path where a per-group sort is off the table).
+    // At accuracy 10000 on a few-hundred-row group the sketch is
+    // rank-exact: it returns an actual order statistic adjacent to the
+    // interpolation point, so its deviation from the interpolated exact
+    // value is bounded by the LOCAL gap between neighbouring order
+    // statistics — not by any fixed constant (a regenerated dataset with
+    // sparser tails would spuriously fail a fixed 1-token gate).
     val n = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("lang"), TF.tokenCount(col("text")).cast("double").as("n_tok"))
+    val ps = Seq(0.5, 0.9, 0.99)
     val rows = n.groupBy("lang")
       .agg(
         expr("percentile(n_tok, array(0.5, 0.9, 0.99))").as("exact"),
-        expr("approx_percentile(n_tok, array(0.5, 0.9, 0.99), 10000)").as("approx"))
+        expr("approx_percentile(n_tok, array(0.5, 0.9, 0.99), 10000)").as("approx"),
+        sort_array(collect_list(col("n_tok"))).as("sorted"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getSeq[Double](1)
       val approx = r.getSeq[Double](2)
-      exact.zip(approx).foreach { case (e, a) =>
-        // at accuracy 10000 on a few-hundred-row group the sketch is
-        // rank-exact; allow one token of slack for the interpolation the
-        // exact form applies between ranks
-        assert(math.abs(e - a) <= 1.0 + 1e-9,
-          s"lang ${r.getString(0)}: approx $a vs exact $e")
+      val sorted = r.getSeq[Double](3)
+      val m = sorted.size
+      ps.indices.foreach { i =>
+        val h = (m - 1) * ps(i)
+        // rank-exact result lies on an order statistic within one rank of
+        // the interpolation interval [floor(h), ceil(h)]
+        val lo = sorted(math.max(0, math.floor(h).toInt - 1))
+        val hi = sorted(math.min(m - 1, math.ceil(h).toInt + 1))
+        assert(approx(i) >= lo - 1e-9 && approx(i) <= hi + 1e-9,
+          s"lang ${r.getString(0)} p=${ps(i)}: approx ${approx(i)} outside " +
+            s"order-statistic band [$lo, $hi] around exact ${exact(i)}")
       }
     }
   }
