@@ -2067,7 +2067,144 @@ object Queries {
         SELECT batch, ids_json, d.id AS vec_id,
           CAST(len(d.embedding) AS BIGINT) AS dim,
           CAST(list_sum(d.embedding) AS BIGINT) AS checksum
-        FROM ext ORDER BY vec_id"""))
+        FROM ext ORDER BY vec_id""")),
+
+      // Unigram-LM cross-entropy scoring — the CCNet-style "perplexity
+      // filter" reduced to its distributable core: score each document by
+      // its mean negative log2-probability under the corpus's own unigram
+      // distribution, and keep the low-perplexity (most corpus-typical)
+      // docs. Scale shape: the LM build is ONE token-keyed aggregate with
+      // map-side combine; the resulting vocabulary (frequency-floored at
+      // 0.1% of corpus mass — the floor IS the OOV smoothing boundary, so
+      // the broadcast stays tiny no matter how long the typo tail grows) is
+      // BROADCAST back onto the token stream, which therefore never
+      // shuffles; per-doc aggregation is again map-side-combined. At 100 TB
+      // a trained KenLM would replace the in-corpus counts — the dataflow
+      // (broadcast model, narrow scoring, one agg) is unchanged.
+      ("q83_lm_score", (s: SparkSession, d: String) => {
+        val docs = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .persist()
+        val tokRows = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        val counts = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
+        val vocab = counts.crossJoin(broadcast(tot))
+          .filter(col("cnt").cast("double") >= lit(0.001) * col("total"))
+          .select("tok", "cnt")
+        tokRows
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            (-log2(coalesce(col("cnt").cast("double"), lit(0.5)) / col("total"))).as("nll"))
+          .groupBy("doc_id")
+          .agg(round(avg(col("nll")), 6).as("bits_per_token"),
+            count(lit(1)).as("n_tok"))
+          // keep decides on the ROUNDED score: exp/log differ by ~1 ulp
+          // across engines, and a flag derived from the raw double could
+          // flip where the rounded (hash-compared) value cannot
+          .withColumn("keep",
+            when(col("bits_per_token") <= 5.0, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+          cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+          v AS (SELECT tok, cnt FROM cnt CROSS JOIN tot
+            WHERE CAST(cnt AS DOUBLE) >= 0.001 * total),
+          sc AS (SELECT t.doc_id,
+              round(avg(-log2(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / tot.total)), 6) AS bits_per_token,
+              count(*) AS n_tok
+            FROM tok t LEFT JOIN v ON t.tok = v.tok CROSS JOIN tot
+            GROUP BY t.doc_id)
+          SELECT doc_id, bits_per_token, n_tok,
+            CAST(CASE WHEN bits_per_token <= 5.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM sc ORDER BY doc_id""")),
+
+      // Model-based quality classification — the fastText/DCLM-style
+      // "classifier filter" as a pure map stage: a linear model over hashed
+      // bag-of-words features, score = sigmoid(8·mean feature weight).
+      // Weights here are derived from the portable hash (a deterministic
+      // stand-in, same pattern as StubEmbedder — a trained model would
+      // arrive as a broadcast weight map with identical dataflow). ZERO
+      // shuffle: the whole scorer is one codegen'd HOF fold per row, so at
+      // 100 TB it rides the scan. The per-row fold sums doubles in array
+      // order on both engines; score is rounded before the keep compare.
+      ("q84_quality_classifier", (s: SparkSession, d: String) => {
+        val weight = (tk: Column) =>
+          (pmod(TF.hash32(concat(lit("w|"), tk)), lit(2001L)).cast("double")
+            - lit(1000.0)) / lit(1000.0)
+        graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text", "lang"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("doc_id"), col("lang"),
+            aggregate(col("toks"), lit(0.0), (acc, tk) => acc + weight(tk)).as("z"),
+            greatest(size(col("toks")), lit(1)).cast("double").as("n"))
+          .select(col("doc_id"), col("lang"),
+            round(lit(1.0) / (lit(1.0) + exp(lit(-8.0) * col("z") / col("n"))), 6).as("score"))
+          .withColumn("keep", when(col("score") >= 0.5, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+          z AS (SELECT doc_id, lang,
+              coalesce(list_sum(list_transform(toks,
+                t -> (CAST(${sqlHash32("'w|' || t")} % 2001 AS DOUBLE) - 1000.0) / 1000.0)), 0.0) AS z,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n
+            FROM tok),
+          sc AS (SELECT doc_id, lang,
+              round(1.0 / (1.0 + exp(-8.0 * z / n)), 6) AS score FROM z)
+          SELECT doc_id, lang, score,
+            CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM sc ORDER BY doc_id""")),
+
+      // TF-IDF keyword extraction: top-3 terms per document. Scale shape:
+      // term frequency is NARROW (only |distinct terms| rows leave each
+      // row, tf counted inside the row's own array — no corpus-wide
+      // (doc, token) explosion); document frequencies are a tiny broadcast;
+      // the per-doc top-3 is rank-limited inside the window sort
+      // (WindowGroupLimit — the same top-k push-down q34 pins). Ranking
+      // deliberately orders by the INTEGER triple (tf desc, df asc, tok) —
+      // monotone in tf·idf for the ties that matter, and immune to the
+      // cross-engine ulp differences a float rank key would race on; the
+      // float tfidf value itself is carried as output, rounded.
+      ("q85_tfidf_keywords", (s: SparkSession, d: String) => {
+        val docs = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .persist()
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
+        val dfs = docs.select(explode(array_distinct(col("toks"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val tfs = docs
+          .select(col("doc_id"), col("toks"),
+            explode(array_distinct(col("toks"))).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            size(filter(col("toks"), x => x === col("tok"))).cast("long").as("tf"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("tf"), asc("df"), asc("tok"))
+        tfs.join(broadcast(dfs), "tok")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+            round(col("tf").cast("double") *
+              log((col("n") + lit(1.0)) / (col("df").cast("double") + lit(1.0))), 6).as("tfidf"))
+          .orderBy("doc_id", "rk")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          d AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok, toks FROM tok),
+          tf AS (SELECT doc_id, tok, len(list_filter(toks, x -> x = tok)) AS tf FROM d),
+          df AS (SELECT tok, count(*) AS df FROM (
+              SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok) GROUP BY tok),
+          sc AS (SELECT doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+              CAST(df.df AS BIGINT) AS df,
+              round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+              CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS BIGINT) AS rk
+            FROM tf JOIN df USING(tok) CROSS JOIN n)
+          SELECT doc_id, rk, tok, tf, df, tfidf
+          FROM sc WHERE rk <= 3 ORDER BY doc_id, rk"""))
     )
   }
 

@@ -1,0 +1,83 @@
+package graft
+
+/** Scale-shape and invariant gates for the round-7 scoring operators
+  * (q83 unigram-LM scoring, q84 hashed-linear classifier, q85 TF-IDF
+  * keywords). Values are pinned by the DuckDB oracle; these specs pin what
+  * the oracle cannot see — the physical plan properties the 100 TB story
+  * rests on, and the internal consistency of the keep/rank columns.
+  */
+class CurationScoringSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q84 classifier is a pure map stage: no hash-partition exchange") {
+    val df = Queries.queries("q84_quality_classifier")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchanges allowed are the presentation sort (range) and
+    // Par.ensure's explicit parallelism fan-out (REPARTITION_BY_NUM); a
+    // plan-REQUIRED hash exchange would mean the scorer aggregated or
+    // joined across rows somewhere
+    val required = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(required.isEmpty, plan)
+  }
+
+  test("q84 keep flag agrees with the rounded score everywhere") {
+    val rows = Queries.queries("q84_quality_classifier")(spark, sf)
+      .select("score", "keep").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = if (r.getDouble(0) >= 0.5) 1L else 0L
+      assert(r.getLong(1) == expected, s"score ${r.getDouble(0)} keep ${r.getLong(1)}")
+    }
+  }
+
+  test("q83 LM scoring joins the vocabulary by broadcast, never sort-merge") {
+    val df = Queries.queries("q83_lm_score")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q83 scores are finite, keep matches the threshold, OOV raises cost") {
+    val rows = Queries.queries("q83_lm_score")(spark, sf)
+      .select("bits_per_token", "keep").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bits = r.getDouble(0)
+      assert(!bits.isNaN && !bits.isInfinite && bits > 0.0)
+      assert(r.getLong(1) == (if (bits <= 5.0) 1L else 0L))
+    }
+    // the corpus is near-uniform, so scores must still spread: a doc
+    // carrying rare (frequency-floored, OOV-smoothed) tokens pays more
+    // bits than the most typical doc
+    val bits = rows.map(_.getDouble(0))
+    assert(bits.max > bits.min)
+  }
+
+  test("q85 top-k is rank-limited in the window sort and df side broadcast") {
+    val df = Queries.queries("q85_tfidf_keywords")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q85 emits at most 3 keywords per doc, ranked by (tf desc, df asc, tok)") {
+    val rows = Queries.queries("q85_tfidf_keywords")(spark, sf)
+      .select("doc_id", "rk", "tok", "tf", "df").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (docId, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.length <= 3, s"doc $docId has ${sorted.length} keywords")
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val ka = (-a.getLong(3), a.getLong(4), a.getString(2))
+          val kb = (-b.getLong(3), b.getLong(4), b.getString(2))
+          assert(Ordering[(Long, Long, String)].lteq(ka, kb),
+            s"doc $docId rank order violated: $ka then $kb")
+        case _ => ()
+      }
+    }
+  }
+}
