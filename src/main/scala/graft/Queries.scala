@@ -2208,8 +2208,91 @@ object Queries {
     )
   }
 
+  // ================= temporal joins (ops/TemporalJoin) ====================
+  // As-of and bounded-window joins over the event stream — oracled against
+  // DuckDB's native ASOF JOIN and a direct inequality join respectively,
+  // so the oracle formulation shares NO algorithm with the Spark side.
+  private lazy val temporal: Seq[Q] = Seq(
+
+    // As-of join: each click event annotated with the user's most recent
+    // purchase at-or-before it. Spark side is TemporalJoin.asOf (union +
+    // running last-non-null over one (user, time) sort — one shuffle);
+    // purchases are pre-aggregated to one row per (user, ts) so equal-ts
+    // ties cannot make the carried payload pick-any.
+    ("q86_asof_purchase", (s: SparkSession, d: String) => {
+      // µs-truncated time on BOTH sides: the parquet carries
+      // TIMESTAMP(NANOS), which Spark reads as full ns (nanosAsLong) but
+      // DuckDB truncates to µs — ns arithmetic would mismatch in the last
+      // three digits. Integer `div` (not /1000.0) — double division loses
+      // low bits of a 2^61 epoch.
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000L").as("ts"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("pval"))
+        .withColumn("pts", col("ts"))
+      graft.ops.TemporalJoin.asOf(clicks, purchases, "user_id", "ts",
+          Seq("pval", "pts"))
+        .select(col("event_id"), col("user_id"),
+          col("pval").as("last_purchase"),
+          (col("ts") - col("pts")).cast("long").as("us_since"))
+        .orderBy("event_id")
+    },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type, value FROM events),
+        l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        r AS (SELECT user_id, tsu, max(value) AS pval
+          FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+        SELECT l.event_id, l.user_id, r.pval AS last_purchase,
+          CAST(l.tsu - r.tsu AS BIGINT) AS us_since
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
+        ORDER BY l.event_id""")),
+
+    // Bounded-window join: per click, the count and value sum of the same
+    // user's views in the preceding hour. Spark side bins both streams
+    // into hour-width buckets (TemporalJoin.rangeJoin) — an equi-join on
+    // (user, bin) instead of the BroadcastNestedLoopJoin a bare range
+    // predicate plans to; unmatched clicks are re-attached with a left
+    // join after the aggregation (a binned left join would emit one null
+    // row per probed bin).
+    ("q87_range_views", (s: SparkSession, d: String) => {
+      // µs-truncated time for the same cross-engine reason as q86: a view
+      // landing exactly on the window boundary within the truncated µs
+      // would otherwise be included by one engine and not the other
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000L").as("ts"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      val hourUs = 3600L * 1000000L
+      val matched = graft.ops.TemporalJoin.rangeJoin(
+        clicks, views, "user_id", "ts", hourUs, Seq("value"))
+      clicks.join(
+          matched.groupBy("event_id").agg(
+            count(lit(1)).as("n_matched"), sum(col("r_value")).as("sv")),
+          Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_matched"), lit(0L)).as("n_views"),
+          round(coalesce(col("sv"), lit(0.0)), 2).as("sum_views"))
+        .orderBy("event_id")
+    },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type, value FROM events),
+        l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        r AS (SELECT user_id, tsu, value FROM e WHERE event_type = 'view')
+        SELECT l.event_id, l.user_id,
+          CAST(count(r.tsu) AS BIGINT) AS n_views,
+          round(coalesce(sum(r.value), 0.0), 2) AS sum_views
+        FROM l LEFT JOIN r ON l.user_id = r.user_id
+          AND r.tsu >= l.tsu - 3600000000 AND r.tsu < l.tsu
+        GROUP BY l.event_id, l.user_id ORDER BY l.event_id"""))
+  )
+
   lazy val all: Seq[Q] =
-    relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++ extended ++ curation
+    relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
+      extended ++ curation ++ temporal
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
