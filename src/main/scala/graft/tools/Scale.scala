@@ -56,6 +56,19 @@ object Scale {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events scale HORIZONTALLY: copies shift user_id (and event_id), so
+    // key cardinality grows K× while per-user event density — and with it
+    // every as-of window and range-join candidate set — stays constant.
+    // That matches a real event stream growing by new users; shifting ts
+    // instead would grow per-key history and measure a different thing.
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until copies).map { i =>
+      ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 100000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     // hash-stage microbenchmarks: the tokenize→shingle→hash map stage of
     // the minhash pipeline in isolation (no banding/join/verify), so the
