@@ -1666,6 +1666,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Shared unigram-LM scoring core (q83 + q88's CCNet-style split).
+    * Vocabulary = one token-keyed aggregate, frequency-floored at 0.1% of
+    * corpus mass — the floor IS the OOV smoothing boundary, so the
+    * broadcast stays small no matter how long the typo tail grows. The
+    * floored vocabulary is broadcast back onto the token stream (which
+    * therefore never shuffles); per-doc aggregation is map-side-combined.
+    * At 100 TB a trained KenLM replaces the in-corpus counts; the dataflow
+    * (broadcast model, narrow scoring, one agg) is unchanged.
+    */
+  private def lmBits(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Par.ensure(
+      t(s, d, "documents").select("doc_id", "text", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+      .persist()
+    val tokRows = docs.select(col("doc_id"), col("lang"),
+      explode(col("toks")).as("tok"))
+    val counts = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    val vocab = counts.crossJoin(broadcast(tot))
+      .filter(col("cnt").cast("double") >= lit(0.001) * col("total"))
+      .select("tok", "cnt")
+    tokRows
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"),
+        (-log2(coalesce(col("cnt").cast("double"), lit(0.5)) / col("total"))).as("nll"))
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(col("nll")), 6).as("bits_per_token"),
+        count(lit(1)).as("n_tok"))
+  }
+
   /** Bench-only production-hash twins (VERDICT r6 #2): the same dataflows
     * as their oracled md5 counterparts with `fastHash = true`. NOT in the
     * oracle registry — xxhash64 is not reproducible in DuckDB, and the
@@ -2082,27 +2113,11 @@ object Queries {
       // a trained KenLM would replace the in-corpus counts — the dataflow
       // (broadcast model, narrow scoring, one agg) is unchanged.
       ("q83_lm_score", (s: SparkSession, d: String) => {
-        val docs = graft.ops.Par.ensure(
-          t(s, d, "documents").select("doc_id", "text"), "doc_id")
-          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-          .persist()
-        val tokRows = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-        val counts = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
-        val vocab = counts.crossJoin(broadcast(tot))
-          .filter(col("cnt").cast("double") >= lit(0.001) * col("total"))
-          .select("tok", "cnt")
-        tokRows
-          .join(broadcast(vocab), Seq("tok"), "left")
-          .crossJoin(broadcast(tot))
-          .select(col("doc_id"),
-            (-log2(coalesce(col("cnt").cast("double"), lit(0.5)) / col("total"))).as("nll"))
-          .groupBy("doc_id")
-          .agg(round(avg(col("nll")), 6).as("bits_per_token"),
-            count(lit(1)).as("n_tok"))
-          // keep decides on the ROUNDED score: exp/log differ by ~1 ulp
-          // across engines, and a flag derived from the raw double could
-          // flip where the rounded (hash-compared) value cannot
+        // keep decides on the ROUNDED score: exp/log differ by ~1 ulp
+        // across engines, and a flag derived from the raw double could
+        // flip where the rounded (hash-compared) value cannot
+        lmBits(s, d)
+          .select(col("doc_id"), col("bits_per_token"), col("n_tok"))
           .withColumn("keep",
             when(col("bits_per_token") <= 5.0, 1L).otherwise(0L))
           .orderBy("doc_id")
@@ -2204,7 +2219,85 @@ object Queries {
                 PARTITION BY doc_id ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS BIGINT) AS rk
             FROM tf JOIN df USING(tok) CROSS JOIN n)
           SELECT doc_id, rk, tok, tf, df, tfidf
-          FROM sc WHERE rk <= 3 ORDER BY doc_id, rk"""))
+          FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+      // CCNet's actual selection rule on top of q83's scores: per-language
+      // perplexity TERCILES (head / middle / tail), keep = not-tail. The
+      // split is an ntile window over (bits_per_token, doc_id) — ordering
+      // on the ROUNDED score plus the id makes the tercile assignment
+      // deterministic and identical across engines (a raw-double order key
+      // could rank ulp-divergent ties differently). Scale shape: one
+      // window sort per language partition on top of lmBits' narrow
+      // scoring — at 100 TB the per-lang sort would become an
+      // approx-quantile threshold (q80's sketch path) with the same
+      // bucket semantics.
+      ("q88_ccnet_buckets", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(asc("bits_per_token"), asc("doc_id"))
+        lmBits(s, d)
+          .withColumn("nt", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"), col("bits_per_token"),
+            element_at(array(lit("head"), lit("middle"), lit("tail")),
+              col("nt")).as("bucket"),
+            when(col("nt") =!= 3, 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
+          cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+          v AS (SELECT tok, cnt FROM cnt CROSS JOIN tot
+            WHERE CAST(cnt AS DOUBLE) >= 0.001 * total),
+          sc AS (SELECT t.doc_id, t.lang,
+              round(avg(-log2(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / tot.total)), 6) AS bits_per_token
+            FROM tok t LEFT JOIN v ON t.tok = v.tok CROSS JOIN tot
+            GROUP BY t.doc_id, t.lang),
+          b AS (SELECT doc_id, lang, bits_per_token,
+              ntile(3) OVER (PARTITION BY lang ORDER BY bits_per_token, doc_id) AS nt
+            FROM sc)
+          SELECT doc_id, lang, bits_per_token,
+            CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+            CAST(CASE WHEN nt <> 3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM b ORDER BY doc_id""")),
+
+      // Per-source corpus health report — the audit table a curation run
+      // ships with: volume, language spread, quality, repetition and
+      // token mass per source. One narrow per-row scoring projection (all
+      // reused row-level primitives) + ONE hash aggregate keyed by source
+      // with map-side combine; at 100 TB this is a single pass over the
+      // scan. Per-row scores are exact rationals (identical across
+      // engines); only the cross-row averages need the round-6 guard.
+      ("q89_source_health", (s: SparkSession, d: String) => {
+        graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text", "lang", "source"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("tri", TF.shingles(col("toks"), 3))
+          .select(col("source"), col("lang"),
+            TF.qualityScore(col("text")).as("q"),
+            TF.tokenCount(col("text")).cast("long").as("ntok"),
+            when(size(col("tri")) === 0, 0.0)
+              .otherwise(lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+                / size(col("tri")).cast("double")).as("dup_tri"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("ntok")).as("total_tokens"),
+            round(avg(col("q")), 6).as("avg_quality"),
+            round(avg(col("dup_tri")), 6).as("avg_dup_tri"))
+          .orderBy("source")
+      },
+        Some(s"""WITH base AS (SELECT source, lang, text, $toks AS toks FROM documents),
+          sh AS (SELECT source, lang, text, toks, ${sqlShingleList(3)} AS triq FROM base),
+          rows_h AS (SELECT source, lang, $sqlQuality AS q,
+              CAST(len(toks) AS BIGINT) AS ntok,
+              (CASE WHEN len(triq) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(triq)) AS DOUBLE) / CAST(len(triq) AS DOUBLE) END) AS dup_tri
+            FROM sh)
+          SELECT source, count(*) AS n_docs,
+            count(DISTINCT lang) AS n_langs,
+            CAST(sum(ntok) AS BIGINT) AS total_tokens,
+            round(avg(q), 6) AS avg_quality,
+            round(avg(dup_tri), 6) AS avg_dup_tri
+          FROM rows_h GROUP BY source ORDER BY source"""))
     )
   }
 

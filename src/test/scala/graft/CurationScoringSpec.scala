@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.sum
+
 /** Scale-shape and invariant gates for the round-7 scoring operators
   * (q83 unigram-LM scoring, q84 hashed-linear classifier, q85 TF-IDF
   * keywords). Values are pinned by the DuckDB oracle; these specs pin what
@@ -60,6 +62,29 @@ class CurationScoringSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q88 terciles partition each language, keep = not-tail") {
+    val rows = Queries.queries("q88_ccnet_buckets")(spark, sf)
+      .select("lang", "bucket", "keep").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("head", "middle", "tail")(r.getString(1)))
+      assert(r.getLong(2) == (if (r.getString(1) == "tail") 0L else 1L))
+    }
+    // ntile(3): bucket sizes within each language differ by at most 1
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getString(1)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+    }
+  }
+
+  test("q89 aggregates every document into exactly one source row") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Queries.queries("q89_source_health")(spark, sf)
+    assert(out.count() == docs.select("source").distinct().count())
+    val total = out.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == docs.count())
   }
 
   test("q85 emits at most 3 keywords per doc, ranked by (tf desc, df asc, tok)") {
