@@ -190,4 +190,63 @@ class StreamingSpec extends SparkSpec {
     assert(!Triggers.isHealthy(q, 1000L, lastMs + 5000L))
     q.stop()
   }
+
+  test("streaming as-of enriches probes across micro-batches, matching the batch operator") {
+    import graft.streaming.AsOfStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ticks = MemoryStream[AsOfStream.Tick]
+    val probes = MemoryStream[AsOfStream.Probe]
+    val out = AsOfStream.enrich(spark, ticks.toDS(), probes.toDS(), horizon = 100L)
+    val q = out.writeStream.format("memory").queryName("asof").outputMode("append").start()
+
+    // batch 1: a reference then a probe after it, one before any reference
+    ticks.addData(AsOfStream.Tick("a", 10L, 1.0))
+    probes.addData(AsOfStream.Probe("a", 15L, 1L), AsOfStream.Probe("a", 5L, 2L))
+    q.processAllAvailable()
+    // batch 2: newer reference; probe after it, out-of-order probe between
+    // the two references (answered from retained history), equal-ts probe
+    ticks.addData(AsOfStream.Tick("a", 20L, 2.0))
+    probes.addData(AsOfStream.Probe("a", 25L, 3L), AsOfStream.Probe("a", 12L, 4L),
+      AsOfStream.Probe("a", 20L, 5L))
+    q.processAllAvailable()
+
+    val got = spark.table("asof").as[AsOfStream.Enriched].collect()
+      .map(e => e.id -> e.refValue).toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> None, 3L -> Some(2.0),
+      4L -> Some(1.0), 5L -> Some(2.0)))
+
+    // the batch operator gives the same answers on the same data
+    val bl = Seq((1L, "a", 15L), (2L, "a", 5L), (3L, "a", 25L), (4L, "a", 12L),
+      (5L, "a", 20L)).toDF("id", "k", "t")
+    val br = Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("k", "t", "v")
+    val batch = graft.ops.TemporalJoin.asOf(bl, br, "k", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(batch == got)
+    q.stop()
+  }
+
+  test("as-of state evicts beyond the horizon but retains the floor reference") {
+    import graft.streaming.AsOfStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[Vector[(Long, Double)]](
+      Optional.empty[Vector[(Long, Double)]], GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long], hasTimedOut = false)
+    // horizon 50: refs at 10/30/100 -> cut = 50; ts=10 evicted, ts=30 kept
+    // as the floor even though it is below the cut, ts=100 kept
+    val out = AsOfStream.update(horizon = 50L)("k", Iterator(
+      AsOfStream.Event("k", 10L, isRef = true, -1L, 1.0),
+      AsOfStream.Event("k", 30L, isRef = true, -1L, 2.0),
+      AsOfStream.Event("k", 100L, isRef = true, -1L, 3.0)), st)
+    assert(out.isEmpty)
+    assert(st.get == Vector(30L -> 2.0, 100L -> 3.0))
+    // a probe older than every retained ref answers None, not a wrong value
+    val st2 = TestGroupState.create[Vector[(Long, Double)]](
+      Optional.of(st.get), GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long], hasTimedOut = false)
+    val probed = AsOfStream.update(horizon = 50L)("k", Iterator(
+      AsOfStream.Event("k", 20L, isRef = false, 7L, 0.0)), st2).toSeq
+    assert(probed == Seq(AsOfStream.Enriched(7L, "k", 20L, None, None)))
+  }
 }
