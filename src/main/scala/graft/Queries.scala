@@ -1697,6 +1697,29 @@ object Queries {
         count(lit(1)).as("n_tok"))
   }
 
+  /** q84's hashed-linear classifier, hash-parameterized like the dedup
+    * family: the per-token weight hash is the scorer's entire per-byte
+    * cost, so the md5↔xxhash64 swap is the production lever here too
+    * (`b84_classifier_xxh64` measures it; the oracle stays on md5).
+    */
+  private def classifierQuality(s: SparkSession, d: String,
+                                fastHash: Boolean): DataFrame = {
+    def h(c: Column): Column = if (fastHash) TF.hash32Fast(c) else TF.hash32(c)
+    val weight = (tk: Column) =>
+      (pmod(h(concat(lit("w|"), tk)), lit(2001L)).cast("double")
+        - lit(1000.0)) / lit(1000.0)
+    graft.ops.Par.ensure(
+      t(s, d, "documents").select("doc_id", "text", "lang"), "doc_id")
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        aggregate(col("toks"), lit(0.0), (acc, tk) => acc + weight(tk)).as("z"),
+        greatest(size(col("toks")), lit(1)).cast("double").as("n"))
+      .select(col("doc_id"), col("lang"),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-8.0) * col("z") / col("n"))), 6).as("score"))
+      .withColumn("keep", when(col("score") >= 0.5, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Bench-only production-hash twins (VERDICT r6 #2): the same dataflows
     * as their oracled md5 counterparts with `fastHash = true`. NOT in the
     * oracle registry — xxhash64 is not reproducible in DuckDB, and the
@@ -1712,7 +1735,9 @@ object Queries {
     ("b78_clusters_xxh64", (s: SparkSession, d: String) =>
       dupClusters(s, d, fastHash = true)),
     ("b81_curation_xxh64", (s: SparkSession, d: String) =>
-      curationPipeline(s, d, fastHash = true))
+      curationPipeline(s, d, fastHash = true)),
+    ("b84_classifier_xxh64", (s: SparkSession, d: String) =>
+      classifierQuality(s, d, fastHash = true))
   )
 
   // ============== curation: corpus-quality / retrieval operators ==========
@@ -2145,21 +2170,8 @@ object Queries {
       // shuffle: the whole scorer is one codegen'd HOF fold per row, so at
       // 100 TB it rides the scan. The per-row fold sums doubles in array
       // order on both engines; score is rounded before the keep compare.
-      ("q84_quality_classifier", (s: SparkSession, d: String) => {
-        val weight = (tk: Column) =>
-          (pmod(TF.hash32(concat(lit("w|"), tk)), lit(2001L)).cast("double")
-            - lit(1000.0)) / lit(1000.0)
-        graft.ops.Par.ensure(
-          t(s, d, "documents").select("doc_id", "text", "lang"), "doc_id")
-          .withColumn("toks", TF.tokens(col("text")))
-          .select(col("doc_id"), col("lang"),
-            aggregate(col("toks"), lit(0.0), (acc, tk) => acc + weight(tk)).as("z"),
-            greatest(size(col("toks")), lit(1)).cast("double").as("n"))
-          .select(col("doc_id"), col("lang"),
-            round(lit(1.0) / (lit(1.0) + exp(lit(-8.0) * col("z") / col("n"))), 6).as("score"))
-          .withColumn("keep", when(col("score") >= 0.5, 1L).otherwise(0L))
-          .orderBy("doc_id")
-      },
+      ("q84_quality_classifier", (s: SparkSession, d: String) =>
+        classifierQuality(s, d, fastHash = false),
         Some(s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
           z AS (SELECT doc_id, lang,
               coalesce(list_sum(list_transform(toks,
