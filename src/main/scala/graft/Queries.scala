@@ -848,7 +848,65 @@ object Queries {
             FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.999
           ORDER BY vec_a, vec_b"""
-        })
+        }),
+
+      // SemDeDup-style semantic dedup: unit-normalize, coarse-cluster with
+      // the IVF quantizer, exact-cosine-verify WITHIN each cell, keep the
+      // lowest id per near-dup group. Normalization first is load-bearing:
+      // SemDeDup clusters directions, and the L2 quantizer would send a
+      // scaled copy to a different cell unnormalized. The norm is staged
+      // as its OWN column before the transform — a lambda-captured
+      // aggregate would re-run the norm fold once per element (the
+      // HOF-capture trap, NOTES_r7). Scale shape: normalize is narrow,
+      // assignment is the shuffle-free broadcast fold (ivfAssign), and
+      // the pairwise verify is confined to cells (nlist grows with the
+      // corpus, so cell size — and the per-cell self-join — stays
+      // bounded). The corpus is the table plus direction-identical scaled
+      // copies, so ground-truth near-dups exist to find.
+      ("q90_semdedup", (s: SparkSession, d: String) => {
+        val base = t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+        val corpus = base.unionByName(
+          base.select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("vec"), x => x * 3.0).as("vec")))
+        val unit = corpus
+          .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x)))
+          .select(col("vec_id"), transform(col("vec"), x => x / col("nrm")).as("embedding"))
+        val centroids = unit
+          .filter(pmod(col("vec_id"), lit(25L)) === 0 && col("vec_id") < 10000000L)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        val assigned = graft.search.Ann.ivfAssign(unit, centroids)
+        val a = assigned.select(col("centroid_id").as("cell"),
+          col("vec_id").as("id_a"), col("embedding").as("ua"))
+        val b = assigned.select(col("centroid_id").as("cell"),
+          col("vec_id").as("id_b"), col("embedding").as("ub"))
+        val dups = a.join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b") &&
+            round(VF.cosine01(col("ua"), col("ub")), 6) >= 0.999)
+          .select(col("id_b").as("vec_id")).distinct()
+        assigned.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("centroid_id").as("cell"),
+            when(col("dup").isNull, 1L).otherwise(0L).as("keep"))
+          .orderBy("vec_id")
+      },
+        Some(s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+          corpus AS (SELECT vec_id, vec FROM base
+            UNION ALL SELECT vec_id + 10000000, list_transform(vec, x -> x * 3.0) FROM base),
+          unitv AS (SELECT vec_id, list_transform(vec, x -> x / sqrt(${sqlDot("vec", "vec")})) AS u FROM corpus),
+          cent AS (SELECT vec_id AS cid, u AS cvec FROM unitv
+            WHERE vec_id % 25 = 0 AND vec_id < 10000000),
+          assigned AS (SELECT vec_id, u, cid FROM (
+            SELECT v.vec_id, v.u, c.cid,
+              row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY round(${sqlL2sq("v.u", "c.cvec")}, 6), c.cid) AS rn
+            FROM unitv v CROSS JOIN cent c) WHERE rn = 1),
+          dups AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(${sqlCos01("a.u", "b.u")}, 6) >= 0.999)
+          SELECT s.vec_id, s.cid AS cell,
+            CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+          ORDER BY s.vec_id"""))
     )
   }
   // ---- §2.9 + LLM-pipeline text analysis & dedup over `documents`.

@@ -87,6 +87,23 @@ class CurationScoringSpec extends SparkSpec {
     assert(total == docs.count())
   }
 
+  test("q90 semdedup drops every scaled copy and keeps its original") {
+    val rows = Queries.queries("q90_semdedup")(spark, sf)
+      .select("vec_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val (copies, originals) = rows.partition(_._1 >= 10000000L)
+    assert(copies.nonEmpty && originals.nonEmpty)
+    // a scaled copy is direction-identical to its original, which has the
+    // lower id and (after normalization) the same IVF cell — every copy
+    // must be flagged as a duplicate
+    copies.foreach { case (id, keep) =>
+      assert(keep == 0L, s"copy $id survived semdedup")
+    }
+    // an original with no other near-dup in its cell survives
+    assert(originals.values.exists(_ == 1L))
+  }
+
   test("q85 emits at most 3 keywords per doc, ranked by (tf desc, df asc, tok)") {
     val rows = Queries.queries("q85_tfidf_keywords")(spark, sf)
       .select("doc_id", "rk", "tok", "tf", "df").collect()
