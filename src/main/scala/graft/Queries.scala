@@ -906,7 +906,70 @@ object Queries {
           SELECT s.vec_id, s.cid AS cell,
             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
-          ORDER BY s.vec_id"""))
+          ORDER BY s.vec_id""")),
+
+      // Bigram LM with Stupid Backoff (Brants et al.) — the two-level
+      // step up from q83's unigram scorer, and deliberately a DIFFERENT
+      // scale shape: a bigram model over a web corpus exceeds any
+      // broadcast, so the model attach is a SHUFFLE join keyed by
+      // (prev, tok) — the score-by-join dataflow — while the unigram
+      // tables stay broadcast. First token scored by unigram; an observed
+      // bigram scores cb/cu(prev); otherwise back off to 0.4·unigram.
+      // Per-position stream is built NARROWLY (per-row index transform,
+      // no lag window — a lag would add a per-doc sort exchange).
+      ("q91_bigram_lm", (s: SparkSession, d: String) => {
+        val docs = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .persist()
+        val emptyPairs = array().cast("array<struct<tok:string,prev:string>>")
+        val pos = docs.select(col("doc_id"), explode(
+            // sequence(1, 0) is a DESCENDING [1, 0], not empty — guard
+            when(size(col("toks")) === 0, emptyPairs)
+              .otherwise(transform(sequence(lit(1), size(col("toks"))),
+                i => struct(element_at(col("toks"), i).as("tok"),
+                  when(i === 1, lit(null).cast("string"))
+                    .otherwise(element_at(col("toks"), i - 1)).as("prev"))))).as("r"))
+          .select(col("doc_id"), col("r.tok").as("tok"), col("r.prev").as("prev"))
+        val cu = pos.groupBy("tok").agg(count(lit(1)).as("cu"))
+        val tot = cu.agg(sum(col("cu")).cast("double").as("t"))
+        val cb = pos.filter(col("prev").isNotNull)
+          .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+        pos
+          .join(broadcast(cu), Seq("tok"))
+          .join(broadcast(cu.select(col("tok").as("prev"), col("cu").as("cu_prev"))),
+            Seq("prev"), "left")
+          .join(cb, Seq("prev", "tok"), "left") // shuffle join: the at-scale model path
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            (-log2(when(col("prev").isNull, col("cu") / col("t"))
+              .when(col("cb").isNotNull, col("cb").cast("double") / col("cu_prev"))
+              .otherwise(lit(0.4) * col("cu") / col("t")))).as("nll"))
+          .groupBy("doc_id")
+          .agg(round(avg(col("nll")), 6).as("bits_bigram"),
+            count(lit(1)).as("n_tok"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+          p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+              i -> struct_pack(tok := toks[i],
+                prev := CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END))) AS r
+            FROM tok),
+          pos AS (SELECT doc_id, r.tok AS tok, r.prev AS prev FROM p),
+          cu AS (SELECT tok, count(*) AS cu FROM pos GROUP BY tok),
+          tt AS (SELECT CAST(sum(cu) AS DOUBLE) AS t FROM cu),
+          cb AS (SELECT prev, tok, count(*) AS cb FROM pos
+            WHERE prev IS NOT NULL GROUP BY prev, tok),
+          sc AS (SELECT pos.doc_id,
+              -log2(CASE WHEN pos.prev IS NULL THEN cu.cu / tt.t
+                WHEN cb.cb IS NOT NULL THEN CAST(cb.cb AS DOUBLE) / cup.cu
+                ELSE 0.4 * cu.cu / tt.t END) AS nll
+            FROM pos JOIN cu ON pos.tok = cu.tok
+            LEFT JOIN cu cup ON pos.prev = cup.tok
+            LEFT JOIN cb ON pos.prev = cb.prev AND pos.tok = cb.tok
+            CROSS JOIN tt)
+          SELECT doc_id, round(avg(nll), 6) AS bits_bigram, count(*) AS n_tok
+          FROM sc GROUP BY doc_id ORDER BY doc_id"""))
     )
   }
   // ---- §2.9 + LLM-pipeline text analysis & dedup over `documents`.

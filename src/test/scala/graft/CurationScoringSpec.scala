@@ -104,6 +104,22 @@ class CurationScoringSpec extends SparkSpec {
     assert(originals.values.exists(_ == 1L))
   }
 
+  test("q91 bigram LM assigns fewer bits than the unigram LM on its own corpus") {
+    val uni = Queries.queries("q83_lm_score")(spark, sf)
+      .select("doc_id", "bits_per_token").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bi = Queries.queries("q91_bigram_lm")(spark, sf)
+      .select("doc_id", "bits_bigram").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi.keySet == uni.keySet)
+    bi.values.foreach(b => assert(b > 0.0 && !b.isNaN && !b.isInfinite))
+    // a conditional model can only sharpen in-corpus estimates: mean
+    // cross-entropy under the bigram model must beat the unigram's
+    val meanUni = uni.values.sum / uni.size
+    val meanBi = bi.values.sum / bi.size
+    assert(meanBi < meanUni, s"bigram $meanBi vs unigram $meanUni")
+  }
+
   test("q85 emits at most 3 keywords per doc, ranked by (tf desc, df asc, tok)") {
     val rows = Queries.queries("q85_tfidf_keywords")(spark, sf)
       .select("doc_id", "rk", "tok", "tf", "df").collect()
