@@ -2516,9 +2516,261 @@ object Queries {
         GROUP BY l.event_id, l.user_id ORDER BY l.event_id"""))
   )
 
+  // ============ training-data prep: segment dedup / DSIR / BPE ===========
+  // Round-7 third-session additions: the remaining named pipeline stages a
+  // production corpus job runs that had no registry entry yet — C4-style
+  // global segment-level dedup, DSIR importance weighting, BPE tokenizer
+  // merge learning, and MOSS winnowing fingerprint overlap.
+  private lazy val training: Seq[Q] = {
+    val toks = sqlTokens("text")
+    Seq(
+      // C4-style global SEGMENT-level dedup (C4 removed any three-sentence
+      // span occurring more than once in the corpus; Lee et al. 2021 dedup
+      // at substring granularity). Document-level dedup (q44/q45) cannot
+      // catch a boilerplate paragraph embedded in otherwise-distinct pages
+      // — this pass dedups fixed-width token segments GLOBALLY: first
+      // occurrence (lowest (doc_id, seg_idx)) keeps, every later copy is
+      // dropped. Scale shape: segment explode is narrow; the keeper rule
+      // is ONE segment-keyed aggregate with map-side combine + an equi-join
+      // back on the segment key (both sides partitioned by that key — the
+      // exchange is reused, not repeated). At 100 TB the join key would be
+      // a 128-bit segment hash instead of the segment text (same plan,
+      // ~50× less shuffle payload); the string key here keeps the oracle
+      // engine-neutral. The doubled corpus guarantees cross-doc duplicate
+      // segments exist.
+      ("q92_segment_dedup", (s: SparkSession, d: String) => {
+        val segW = 8
+        val segs = graft.ops.Par.ensure(
+          nearDupCorpus(t(s, d, "documents").select("doc_id", "text")), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("segs",
+            when(size(col("toks")) === 0, array().cast("array<string>"))
+              .otherwise(transform(
+                sequence(lit(0), floor((size(col("toks")) - 1) / segW).cast("int")),
+                j => concat_ws(" ", slice(col("toks"), j * segW + 1, lit(segW))))))
+          .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+          .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
+        val keepers = segs.groupBy("seg")
+          .agg(min(col("doc_id") * 1000L + col("seg_idx")).as("keep_key"))
+        segs.join(keepers, "seg")
+          .withColumn("kept",
+            when(col("doc_id") * 1000L + col("seg_idx") === col("keep_key"), 1L)
+              .otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_seg"), sum(col("kept")).as("n_kept"))
+          .withColumn("kept_frac",
+            round(col("n_kept").cast("double") / col("n_seg").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+          seg AS (SELECT doc_id, CAST(u.j AS BIGINT) AS seg_idx,
+              array_to_string(list_transform(
+                range(u.j * 8 + 1, least((u.j + 1) * 8, len(toks)) + 1), i -> toks[i]), ' ') AS seg
+            FROM tok, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(j)),
+          k AS (SELECT seg, min(doc_id * 1000 + seg_idx) AS keep_key
+            FROM seg GROUP BY seg),
+          m AS (SELECT s.doc_id,
+              CASE WHEN s.doc_id * 1000 + s.seg_idx = k.keep_key THEN 1 ELSE 0 END AS kept
+            FROM seg s JOIN k ON s.seg = k.seg)
+          SELECT doc_id, count(*) AS n_seg, CAST(sum(kept) AS BIGINT) AS n_kept,
+            round(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+          FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+      // DSIR importance weighting (Xie et al. 2023, "Data Selection for
+      // Language Models via Importance Resampling"): score each document by
+      // the mean log-likelihood ratio of its tokens under hashed bag-of-
+      // words models of a TARGET distribution (here: the English slice)
+      // vs the full corpus, +1-smoothed over the fixed feature space.
+      // Scale shape: the two models are ONE bucket-keyed aggregate
+      // (conditional sums share the pass), and the result is by
+      // construction <= 4096 rows no matter the corpus size — broadcast
+      // back onto the token stream, which never shuffles; per-doc mean is
+      // map-side combined. keep decides on the ROUNDED score (ln() differs
+      // by ~1 ulp across engines; the rounded, hash-compared value cannot
+      // flip where the raw double could).
+      ("q93_dsir_weights", (s: SparkSession, d: String) => {
+        val buckets = 4096
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+          .withColumn("b", pmod(TF.hash32(col("tok")), lit(buckets.toLong)))
+        val model = tok.groupBy("b").agg(
+          count(lit(1)).as("ns"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+        val totals = model.agg(
+          sum("ns").cast("double").as("ts"), sum("nt").cast("double").as("tt"))
+        val weighted = model.crossJoin(broadcast(totals))
+          .select(col("b"),
+            (log((col("nt") + 1.0) / (col("tt") + buckets)) -
+              log((col("ns") + 1.0) / (col("ts") + buckets))).as("w"))
+        tok.join(broadcast(weighted), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), round(avg(col("w")), 6).as("log_ratio"))
+          .withColumn("keep", when(col("log_ratio") > 0.0, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, lang,
+              ${sqlHash32("u.tok")} % 4096 AS b
+            FROM documents, unnest($toks) AS u(tok)),
+          model AS (SELECT b, count(*) AS ns,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+            FROM tok GROUP BY b),
+          tot AS (SELECT CAST(sum(ns) AS DOUBLE) AS ts, CAST(sum(nt) AS DOUBLE) AS tt FROM model),
+          w AS (SELECT b, ln((nt + 1.0) / (tt + 4096)) - ln((ns + 1.0) / (ts + 4096)) AS w
+            FROM model CROSS JOIN tot),
+          sc AS (SELECT t.doc_id, count(*) AS n_tok, round(avg(w.w), 6) AS log_ratio
+            FROM tok t JOIN w ON t.b = w.b GROUP BY t.doc_id)
+          SELECT doc_id, n_tok, log_ratio,
+            CAST(CASE WHEN log_ratio > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM sc ORDER BY doc_id""")),
+
+      // BPE merge learning, iteration 1 (Sennrich et al. 2016): the
+      // corpus-weighted adjacent-character-pair counts over the distinct
+      // vocabulary — the table the first merge rule is argmax'd from.
+      // The full k-iteration trainer is [[graft.ops.Bpe.learnMerges]]
+      // (driver-held merge list, distributed vocabulary, one argmax row
+      // read per round — BpeSpec pins it against an independent in-memory
+      // reference); this oracles the distributable core: after the one
+      // corpus-sized token count, every round is VOCABULARY-sized, and the
+      // corpus never re-enters the loop.
+      ("q94_bpe_pairs", (s: SparkSession, d: String) => {
+        val w = Window.orderBy(desc("n"), asc("pa"), asc("pb"))
+        val vocab = t(s, d, "documents")
+          .select(explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        graft.ops.Bpe.pairCounts(
+            vocab.select(graft.ops.Bpe.symbolize(col("tok")).as("syms"), col("n")))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 20)
+          .select(col("pa"), col("pb"), col("n"), col("rnk"))
+          .orderBy("rnk")
+      },
+        Some(s"""WITH tok AS (SELECT u.tok FROM documents, unnest($toks) AS u(tok)),
+          v AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+          p AS (SELECT substr(tok, CAST(r.i AS INTEGER), 1) AS pa,
+              substr(tok, CAST(r.i AS INTEGER) + 1, 1) AS pb, n
+            FROM v, unnest(range(1, len(tok))) AS r(i)),
+          pc AS (SELECT pa, pb, CAST(sum(n) AS BIGINT) AS n FROM p GROUP BY pa, pb),
+          ranked AS (SELECT pa, pb, n,
+            CAST(row_number() OVER (ORDER BY n DESC, pa, pb) AS BIGINT) AS rnk FROM pc)
+          SELECT pa, pb, n, rnk FROM ranked WHERE rnk <= 20 ORDER BY rnk""")),
+
+      // MOSS winnowing fingerprint overlap (Schleimer et al. 2003): per-doc
+      // fingerprints = window-minima over the k-gram hash sequence (a
+      // position-robust fixed-rate sample — any shared window+k-1 token run
+      // yields a shared fingerprint), then cross-doc pairs sharing >= 2
+      // fingerprints via the df-capped posting-list self-join. Where
+      // q45/q47 estimate SET similarity, winnowing detects LOCAL overlap —
+      // the containment/plagiarism shape (a copied paragraph inside an
+      // otherwise-unrelated doc) that whole-doc Jaccard dilutes away.
+      // Fingerprinting is a narrow per-row map; candidate generation is the
+      // bucketed fingerprint equi-join, df-capped to bound fan-out.
+      ("q95_winnowing", (s: SparkSession, d: String) =>
+        Dedup.winnowing(
+            nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
+            "doc_id", "text", k = 3, window = 4, maxDf = 20, minShared = 2)
+          .orderBy("doc_a", "doc_b"),
+        Some(s"""WITH $sqlDupCorpus,
+          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+          sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok),
+          hs AS (SELECT doc_id, list_transform(shingles, s -> ${sqlHash32("s")}) AS hashes FROM sh),
+          fp AS (SELECT doc_id,
+              CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+                WHEN len(hashes) < 4 THEN [list_min(hashes)]
+                ELSE list_distinct(list_transform(range(1, len(hashes) - 3 + 1),
+                  j -> list_min(list_slice(hashes, j, j + 3)))) END AS fps
+            FROM hs),
+          post AS (SELECT doc_id, u.f FROM fp, unnest(fps) AS u(f)),
+          rare AS (SELECT f FROM (SELECT f, count(*) AS df FROM post GROUP BY f)
+            WHERE df <= 20 AND df >= 2),
+          rp AS (SELECT p.doc_id, p.f FROM post p JOIN rare r ON p.f = r.f),
+          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM rp a JOIN rp b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+          ORDER BY doc_a, doc_b""")),
+
+      // Deterministic per-group reservoir: EXACTLY k docs per language
+      // (q62's stratified sampler is rate-based — a rate cannot promise an
+      // exact eval-set size). Selection order is a content-keyed hash, so
+      // the "reservoir" is a uniform draw yet reproducible run-over-run and
+      // engine-over-engine. Scale shape: rank-filtered row_number is
+      // planned as WindowGroupLimit (map-side partial top-k per partition
+      // BEFORE the shuffle — the same spec-pinned shape as q85), so the
+      // exchange carries O(groups × k) rows, not the corpus.
+      ("q96_group_reservoir", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang").orderBy(asc("hkey"), asc("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TF.hash32(concat(col("text"), lit("|res-r7"))).as("hkey"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 40)
+          .select(col("doc_id"), col("lang"), col("rnk"))
+          .orderBy("lang", "rnk")
+      },
+        Some(s"""WITH h AS (SELECT doc_id, lang,
+              ${sqlHash32("text || '|res-r7'")} AS hkey FROM documents),
+          r AS (SELECT doc_id, lang,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS BIGINT) AS rnk
+            FROM h)
+          SELECT doc_id, lang, rnk FROM r WHERE rnk <= 40
+          ORDER BY lang, rnk""")),
+
+      // Token-budget corpus selection: fill a fixed per-language token
+      // budget in descending-quality order (the data-budget allocation
+      // step that turns a mixture plan like q79 into an actual doc list).
+      // The running sum is computed TWO-PHASE: quality-range buckets →
+      // per-bucket totals (tiny: <= 20 rows per lang) → prefix offsets
+      // over the bucket table → within-bucket running sums, so no window
+      // ever sees a whole language in one partition — the naive
+      // per-lang-ordered window puts the largest language through ONE
+      // reducer, the classic prefix-sum scale wall. The bucketed and naive
+      // forms are provably identical (bucket id is monotone in the rounded
+      // quality key, so bucket-then-rank order IS the global order; the
+      // oracle runs the naive single-window form). Quality is rounded to 6
+      // BEFORE ordering on either engine — an ulp-divergent raw double in
+      // the ORDER BY could swap two docs across the budget line.
+      ("q97_token_budget", (s: SparkSession, d: String) => {
+        val budget = 3000L
+        val base = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "lang", "text"), "doc_id")
+          .withColumn("q", TF.qualityScore(col("text")))
+          .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+          .withColumn("qb",
+            least(floor((lit(1.0) - col("q")) * 20).cast("long"), lit(19L)))
+          .select("doc_id", "lang", "q", "n_tok", "qb")
+          .persist()
+        val offsets = base.groupBy("lang", "qb")
+          .agg(sum(col("n_tok")).as("btok"))
+          .withColumn("offset",
+            coalesce(sum(col("btok")).over(Window.partitionBy("lang")
+              .orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("lang", "qb", "offset")
+        val wIn = Window.partitionBy("lang", "qb")
+          .orderBy(desc("q"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.join(broadcast(offsets), Seq("lang", "qb"))
+          .withColumn("cum", col("offset") + sum(col("n_tok")).over(wIn))
+          .select(col("doc_id"), col("lang"), col("n_tok"), col("cum"),
+            when(col("cum") <= budget, 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH base AS (SELECT doc_id, lang, $sqlQuality AS q,
+              CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+          c AS (SELECT doc_id, lang, n_tok,
+              CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM base)
+          SELECT doc_id, lang, n_tok, cum,
+            CAST(CASE WHEN cum <= 3000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM c ORDER BY doc_id"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
-      extended ++ curation ++ temporal
+      extended ++ curation ++ temporal ++ training
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

@@ -218,4 +218,83 @@ object Dedup {
       .filter(col("sim") >= minCos01)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("sim"))
   }
+
+  /** Winnowing fingerprints per document (Schleimer et al. 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting" — the MOSS algorithm):
+    * hash every k-token shingle, slide a `window`-wide window over the hash
+    * sequence, keep the minimum of each window, dedup. Winnowing's guarantee
+    * is positional robustness: any shared run of `window + k - 1` tokens
+    * between two documents yields at least one shared fingerprint, while the
+    * selected density is ~2/(window+1) of all grams — a fixed-rate sample
+    * that, unlike "every j-th gram", cannot be defeated by an insertion
+    * shifting gram positions. (The paper's robust rule picks the RIGHTMOST
+    * minimal occurrence per window; the selected VALUE per window is the min
+    * either way, so the distinct-value fingerprint SET — all this pipeline
+    * keys on — is identical.) Fewer grams than `window` → one fingerprint,
+    * the global min.
+    *
+    * Entirely per-row (narrow map over the scan): returns
+    * (doc_id, fingerprints array<bigint>).
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      window: Int = 4,
+      fastHash: Boolean = false): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      // toks/hashes staged as real columns: the window lambda references
+      // them per element, and an inlined subtree would re-run the regex
+      // split once per window (the HOF-capture trap, NOTES_r7)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("hashes", shingleHashes(shingles(col("toks"), k), fastHash))
+      .select(col("doc_id"),
+        when(size(col("hashes")) === 0, array().cast("array<bigint>"))
+          .when(size(col("hashes")) < window, array(array_min(col("hashes"))))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(col("hashes")) - (window - 1)),
+            j => array_min(slice(col("hashes"), j, lit(window))))))
+          .as("fingerprints"))
+
+  /** Cross-document overlap detection over winnowing fingerprints: explode
+    * the per-doc fingerprint sets into a posting list, drop fingerprints
+    * shared by more than `maxDf` documents (boilerplate — the same
+    * frequent-gram cap MOSS applies, and the join-fan-out bound: a
+    * fingerprint in f docs contributes f² candidate pairs), self-join on
+    * the fingerprint, and keep pairs sharing >= `minShared` fingerprints.
+    * Returns (doc_a, doc_b, n_shared).
+    *
+    * Scale shape: candidate generation is the bucketed equi-join on the
+    * fingerprint value — O(sum over fingerprints of df²), df-capped —
+    * never all-pairs; counts are map-side combined.
+    */
+  def winnowing(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      window: Int = 4,
+      maxDf: Int = 20,
+      minShared: Int = 2,
+      fastHash: Boolean = false): DataFrame = {
+    // The fingerprint map feeds the df-cap aggregate AND both self-join
+    // sides; persist or each consumer re-runs the md5 shingle stage.
+    val posting = Par.ensure(
+      winnowFingerprints(docs, idCol, textCol, k, window, fastHash), "doc_id")
+      .select(col("doc_id"), explode(col("fingerprints")).as("f"))
+      .persist()
+    val rare = posting.groupBy("f")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select("f")
+    val rarePosting = posting.join(rare, "f")
+    rarePosting.as("a")
+      .join(rarePosting.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

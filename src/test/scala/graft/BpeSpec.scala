@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+
+/** BPE merge learning (ops/Bpe, behind q94) — the distributed trainer
+  * checked against an INDEPENDENT in-memory reference implementation
+  * (plain Scala, no Spark) of Sennrich-style BPE: same greedy
+  * left-to-right merge, same (count desc, pa, pb) tie-break. The two
+  * share no code, so agreement pins the distributed semantics rather
+  * than restating them.
+  */
+class BpeSpec extends SparkSpec {
+
+  // ---- in-memory reference BPE ----
+  private def refMerge(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refLearn(vocab: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+    var cur: Map[List[String], Long] =
+      vocab.groupMapReduce { case (w, _) => w.split("").filter(_.nonEmpty).toList }(_._2)(_ + _)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- cur; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.isEmpty) done = true
+      else {
+        val ((pa, pb), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, pa, pb, n))
+        cur = cur.groupMapReduce { case (syms, _) => refMerge(syms, pa, pb) }(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def learn(vocab: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    Bpe.learnMerges(vocab.toSeq.toDF("tok", "n"), k)
+  }
+
+  test("learnMerges matches the in-memory reference on the Sennrich-style vocab") {
+    // the classic example family: shared suffixes should merge first
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val k = 8
+    assert(learn(vocab, k) == refLearn(vocab, k))
+  }
+
+  test("learnMerges matches the reference on a vocab with overlapping runs") {
+    // "aaa"/"aaaa" force the non-overlapping left-to-right rule: (a,a)
+    // on "aaaa" must count runs as floor(run/2) merges, not run-1
+    val vocab = Map("aaa" -> 4L, "aaaa" -> 3L, "banana" -> 5L, "bandana" -> 2L)
+    val k = 6
+    assert(learn(vocab, k) == refLearn(vocab, k))
+  }
+
+  test("learnMerges stops when no pairs remain") {
+    // two single-char words: zero adjacent pairs anywhere, k ignored
+    assert(learn(Map("a" -> 9L, "b" -> 1L), 5) == Seq.empty)
+  }
+
+  test("mergeAdjacent is greedy left-to-right and non-overlapping") {
+    import spark.implicits._
+    val got = Seq("aaa", "aaaa", "abab")
+      .toDF("tok")
+      .select(Bpe.mergeAdjacent(Bpe.symbolize(col("tok")), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == List("aa", "a"))
+    assert(got(1) == List("aa", "aa"))
+    assert(got(2) == List("a", "b", "a", "b"))
+  }
+}
