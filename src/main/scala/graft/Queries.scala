@@ -2550,6 +2550,10 @@ object Queries {
                 j => concat_ws(" ", slice(col("toks"), j * segW + 1, lit(segW))))))
           .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
           .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
+          // feeds the keeper aggregate AND the join probe side — persist or
+          // both consumers re-run the tokenize+explode scan (same contract
+          // as q75's grams; harness clearCache owns the lifetime)
+          .persist()
         val keepers = segs.groupBy("seg")
           .agg(min(col("doc_id") * 1000L + col("seg_idx")).as("keep_key"))
         segs.join(keepers, "seg")
