@@ -2540,7 +2540,15 @@ object Queries {
       // segments exist.
       ("q92_segment_dedup", (s: SparkSession, d: String) => {
         val segW = 8
-        val segs = graft.ops.Par.ensure(
+        // persisted BEFORE the explode: exploding a computed array makes
+        // InferFiltersFromGenerate put `size(segs) > 0` under the
+        // Generate, and predicate pushdown inlines the segment expression
+        // into that filter, where the lambda's slice(toks, …) re-runs the
+        // tokenizer once per segment (the q95 trap, NOTES_r7). The cache
+        // boundary stops the pushdown; the two consumers (keeper
+        // aggregate + join probe) re-explode from the cache. Harness
+        // clearCache owns the lifetime, as across the registry.
+        val segged = graft.ops.Par.ensure(
           nearDupCorpus(t(s, d, "documents").select("doc_id", "text")), "doc_id")
           .withColumn("toks", TF.tokens(col("text")))
           .withColumn("segs",
@@ -2548,12 +2556,11 @@ object Queries {
               .otherwise(transform(
                 sequence(lit(0), floor((size(col("toks")) - 1) / segW).cast("int")),
                 j => concat_ws(" ", slice(col("toks"), j * segW + 1, lit(segW))))))
+          .select(col("doc_id"), col("segs"))
+          .persist()
+        val segs = segged
           .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
           .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
-          // feeds the keeper aggregate AND the join probe side — persist or
-          // both consumers re-run the tokenize+explode scan (same contract
-          // as q75's grams; harness clearCache owns the lifetime)
-          .persist()
         val keepers = segs.groupBy("seg")
           .agg(min(col("doc_id") * 1000L + col("seg_idx")).as("keep_key"))
         segs.join(keepers, "seg")

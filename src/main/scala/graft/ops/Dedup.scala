@@ -279,12 +279,25 @@ object Dedup {
       maxDf: Int = 20,
       minShared: Int = 2,
       fastHash: Boolean = false): DataFrame = {
-    // The fingerprint map feeds the df-cap aggregate AND both self-join
-    // sides; persist or each consumer re-runs the md5 shingle stage.
-    val posting = Par.ensure(
-      winnowFingerprints(docs, idCol, textCol, k, window, fastHash), "doc_id")
-      .select(col("doc_id"), explode(col("fingerprints")).as("f"))
+    // Par.ensure BEFORE the fingerprint map (a small parquet source
+    // coalesces to one split; a repartition placed downstream would run
+    // the whole md5+winnow stage single-core below the exchange), and —
+    // load-bearing — persist the FINGERPRINT TABLE, not the exploded
+    // posting list. Exploding an expensive computed array directly makes
+    // InferFiltersFromGenerate emit `size(fps) > 0` under the Generate,
+    // and predicate pushdown then inlines the ENTIRE fingerprint
+    // expression into that filter — where the window lambda's
+    // slice(hashes, j, w) re-evaluates the tokenize+shingle+md5 subtree
+    // once PER WINDOW POSITION (~200× per doc; measured 55 s vs 2 s on
+    // the 10k-doc probe corpus, NOTES_r7). The InMemoryRelation boundary
+    // stops the pushdown; the three downstream consumers (df-cap
+    // aggregate + both self-join sides) re-explode from the cache, which
+    // is cheap.
+    val spread = Par.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+    val fps = winnowFingerprints(spread, "doc_id", "text", k, window, fastHash)
       .persist()
+    val posting = fps.select(col("doc_id"), explode(col("fingerprints")).as("f"))
     val rare = posting.groupBy("f")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
