@@ -2775,7 +2775,69 @@ object Queries {
             FROM base)
           SELECT doc_id, lang, n_tok, cum,
             CAST(CASE WHEN cum <= 3000 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM c ORDER BY doc_id"""))
+          FROM c ORDER BY doc_id""")),
+
+      // INCREMENTAL MinHash-LSH: the new shard (the +10M near-identical
+      // copies) deduped against the existing corpus without ever pairing
+      // old×old — the maintenance shape a growing corpus actually runs
+      // (the full-corpus re-pair q45 is the from-scratch build). The
+      // oracle runs the FULL LSH over old ∪ new and filters to pairs
+      // involving a new doc: the incremental candidate generation
+      // ((new ⋈ old-index) ∪ (new ⋈ new)) must reproduce that set
+      // exactly — the old×old saving has to be invisible in the result.
+      ("q98_incremental_dedup", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val newShard = docs
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(col("text"), lit(" zzz")))
+        Dedup.minhashIncremental(docs, newShard, "doc_id", "text",
+            shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)}
+          SELECT doc_a, doc_b, jaccard FROM pairs_mh
+          WHERE doc_b >= 10000000
+          ORDER BY doc_a, doc_b""")),
+
+      // Unicode normalization (functions/UnicodeNormalize — a codegen'd
+      // Expression; Spark has no built-in, DuckDB oracles it with
+      // nfc_normalize/strip_accents). The fixture derives a DECOMPOSED
+      // variant (combining grave U+0300 after every 'a') and a
+      // PRECOMPOSED twin ('à' U+00E0) from each doc: byte-different,
+      // canonically equal — exactly the mixed-source mess a multilingual
+      // corpus hands to dedup. The query proves NFC(decomposed) ==
+      // precomposed (eq_nfc = 1 everywhere), and that accent stripping
+      // recovers the original ASCII text (eq_strip = 1) — i.e. content
+      // hashes align across arrival forms only AFTER normalization.
+      // Entirely narrow per-row compute; the already-normalized fast path
+      // (Normalizer.isNormalized) makes the pass ride the scan at scale.
+      ("q99_normalize", (s: SparkSession, d: String) => {
+        val dec = regexp_replace(col("text"), "a", "a\u0300") // a + combining grave
+        val pre = regexp_replace(col("text"), "a", "\u00e0")  // precomposed à
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), dec.as("dec"), pre.as("pre"))
+          .select(col("doc_id"),
+            length(col("dec")).cast("long").as("len_dec"),
+            length(TF.unicodeNormalize(col("dec"), "nfc")).cast("long").as("len_nfc"),
+            when(TF.unicodeNormalize(col("dec"), "nfc") === col("pre"), 1L)
+              .otherwise(0L).as("eq_nfc"),
+            when(TF.unicodeNormalize(col("dec"), "strip") === col("text"), 1L)
+              .otherwise(0L).as("eq_strip"),
+            TF.contentHash(TF.unicodeNormalize(col("dec"), "nfc")).as("nfc_hash"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH v AS (SELECT doc_id, text,
+              regexp_replace(text, 'a', 'a' || chr(768), 'g') AS dec,
+              regexp_replace(text, 'a', chr(224), 'g') AS pre
+            FROM documents)
+          SELECT doc_id,
+            CAST(length(dec) AS BIGINT) AS len_dec,
+            CAST(length(nfc_normalize(dec)) AS BIGINT) AS len_nfc,
+            CAST(CASE WHEN nfc_normalize(dec) = pre THEN 1 ELSE 0 END AS BIGINT) AS eq_nfc,
+            CAST(CASE WHEN strip_accents(dec) = text THEN 1 ELSE 0 END AS BIGINT) AS eq_strip,
+            ${sqlContentHash("nfc_normalize(dec)")} AS nfc_hash
+          FROM v ORDER BY doc_id"""))
     )
   }
 

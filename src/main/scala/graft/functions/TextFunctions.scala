@@ -215,6 +215,14 @@ object TextFunctions {
     CB.column(WsTokenCount(CB.expression(text)))
   }
 
+  /** Unicode normalization ([[UnicodeNormalize]]): mode `nfc`, `nfkc`,
+    * or `strip` (NFD + drop combining marks — accent removal).
+    */
+  def unicodeNormalize(text: Column, mode: String): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    CB.column(UnicodeNormalize(CB.expression(text), mode))
+  }
+
   /** Fused per-document statistics `struct(n_tokens, sum_tlen,
     * fingerprint, simhash)` in one byte-scan pass ([[TokenStats]]);
     * field-by-field identical to size(tokens)/length-sum/[[fingerprint]]/

@@ -59,26 +59,8 @@ object Dedup {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must be divisible by bands")
 
-    // The shingle-md5 map is the expensive stage: spread it over the
-    // cluster (Par.ensure) and compute it ONCE (persist) — `hashed` is
-    // read four times below (banding twice via the self-join, verify
-    // twice). Without the persist each reader re-runs the full
-    // tokenize+md5 scan.
-    val hashed = Par.ensure(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", shingles(col("toks"), shingleK))
-      // one base hash per shingle (md5 for the oracle path, xxhash64 when
-      // fastHash — the production configuration); the numHashes
-      // permutations are cheap affine mixes either way
-      .withColumn("hashes", array_distinct(shingleHashes(col("sh"), fastHash)))
-      .select("doc_id", "hashes")
-      .persist()
-
-    val banded = hashed
-      .withColumn("sig", minhashSignature(col("hashes"), numHashes))
-      .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
-      .select("doc_id", "band")
+    val hashed = shingleHashed(docs, idCol, textCol, shingleK, fastHash)
+    val banded = bandKeys(hashed, numHashes, bands, rows)
 
     // Candidate pairs: equi-join on band key (bucketed, never all-pairs).
     val cand = banded.as("a")
@@ -87,7 +69,38 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // Verify with exact Jaccard over the distinct shingle-hash sets.
+    verifyJaccard(cand, hashed, threshold)
+  }
+
+  /** The shingle-hash map stage shared by the minhash pipelines: spread it
+    * over the cluster (Par.ensure — a small source arrives as one split)
+    * and compute it ONCE (persist) — it is read repeatedly downstream
+    * (banding twice via the self-join, verify twice). One base hash per
+    * shingle (md5 for the oracle path, xxhash64 when `fastHash` — the
+    * production configuration); the signature permutations downstream are
+    * cheap affine mixes either way.
+    */
+  private def shingleHashed(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, fastHash: Boolean): DataFrame =
+    Par.ensure(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks"), shingleK))
+      .withColumn("hashes", array_distinct(shingleHashes(col("sh"), fastHash)))
+      .select("doc_id", "hashes")
+      .persist()
+
+  /** Exploded LSH band keys (doc_id, band) of a [[shingleHashed]] table. */
+  private def bandKeys(hashed: DataFrame, numHashes: Int, bands: Int, rows: Int): DataFrame =
+    hashed
+      .withColumn("sig", minhashSignature(col("hashes"), numHashes))
+      .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
+      .select("doc_id", "band")
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the distinct shingle-hash sets; emits pairs >= threshold, rounded.
+    */
+  private def verifyJaccard(cand: DataFrame, hashed: DataFrame, threshold: Double): DataFrame =
     cand
       .join(hashed.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hashes", "ha"), "doc_a")
       .join(hashed.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hashes", "hb"), "doc_b")
@@ -96,6 +109,48 @@ object Dedup {
           size(array_union(col("ha"), col("hb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Incremental MinHash-LSH: near-dup pairs INVOLVING a new shard, deduped
+    * against an existing corpus WITHOUT re-pairing the old corpus against
+    * itself — the production maintenance shape: as shards arrive, the
+    * banded index of the old corpus is a persisted asset (at scale, a
+    * bucketed table keyed by band), each new shard contributes its own
+    * band keys, and candidate generation is (new ⋈ old-index) ∪
+    * (new ⋈ new) — old×old, the quadratically dominant term of a full
+    * re-run, is never generated. Returns exactly
+    * `minhashLsh(old ∪ new)` restricted to pairs with at least one new
+    * doc (DedupSpec pins the equality). Ids must be unique across both
+    * inputs; pairs are ordered (doc_a, doc_b) = (min id, max id).
+    */
+  def minhashIncremental(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      fastHash: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must be divisible by bands")
+
+    val oldHashed = shingleHashed(oldDocs, idCol, textCol, shingleK, fastHash)
+    val newHashed = shingleHashed(newDocs, idCol, textCol, shingleK, fastHash)
+    val oldBanded = bandKeys(oldHashed, numHashes, bands, rows)
+    val newBanded = bandKeys(newHashed, numHashes, bands, rows)
+
+    val crossCand = oldBanded.as("a")
+      .join(newBanded.as("b"), col("a.band") === col("b.band"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val newCand = newBanded.as("a")
+      .join(newBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = crossCand.unionByName(newCand).distinct()
+
+    verifyJaccard(cand, oldHashed.unionByName(newHashed), threshold)
   }
 
   /** SimHash near-duplicate pairs: 32-bit simhash per doc, bucketed by the

@@ -48,4 +48,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("incremental minhash equals the full run restricted to new-doc pairs") {
+    // old corpus = docs 1-5; new shard = near-copies of 1 and 4 plus a
+    // fresh doc. The incremental result must be EXACTLY the full
+    // (old ∪ new) LSH output minus old×old pairs — the skipped old×old
+    // work has to be invisible in the result.
+    val newShard = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again zzz"),
+      (14L, "completely different content about database query optimization topics zzz"),
+      (20L, "entirely fresh material that matches nothing in the old corpus here"))
+      .toDF("doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incremental = asSet(
+      Dedup.minhashIncremental(docs, newShard, "doc_id", "text",
+        shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5))
+    val fullFiltered = asSet(
+      Dedup.minhashLsh(docs.unionByName(newShard), "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .filter(col("doc_a") >= 11L || col("doc_b") >= 11L))
+    assert(incremental == fullFiltered)
+    assert(incremental.exists { case (a, b, _) => a == 1L && b == 11L })
+    assert(!incremental.exists { case (a, b, _) => a <= 5L && b <= 5L })
+    assert(!incremental.exists { case (a, b, _) => a == 20L || b == 20L })
+  }
 }

@@ -84,4 +84,23 @@ class TextFunctionsSpec extends SparkSpec {
       assert(q >= 0.0 && q <= 1.0, s"q=$q for '$t'")
     }
   }
+
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility, strip drops marks") {
+    def norm(mode: String, t: String): String =
+      one[String](TF.unicodeNormalize(col("t"), mode), t)
+    // decomposed e + combining acute (U+0301) composes to é (U+00E9)
+    assert(norm("nfc", "café") == "café")
+    // NFC leaves compatibility chars alone; NFKC folds the ﬁ ligature
+    // (U+FB01) and fullwidth A (U+FF21)
+    assert(norm("nfc", "ﬁle") == "ﬁle")
+    assert(norm("nfkc", "ﬁle") == "file")
+    assert(norm("nfkc", "ＡBC") == "ABC")
+    // strip = NFD + drop combining marks, from either arrival form
+    assert(norm("strip", "café") == "cafe")
+    assert(norm("strip", "café") == "cafe")
+    // ASCII fast path: unchanged through every mode
+    Seq("nfc", "nfkc", "strip").foreach { m =>
+      assert(norm(m, "plain ascii text 123!") == "plain ascii text 123!")
+    }
+  }
 }
