@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{TextFunctions => TF}
+
+/** Streaming near-duplicate detection — the continuous form of
+  * [[graft.ops.Dedup.minhashIncremental]]: as documents arrive, flag each
+  * against everything seen so far, without ever re-pairing the history
+  * against itself.
+  *
+  * Dataflow: per-row minhash signature (the same fused kernel as the
+  * batch path) → explode band keys → `flatMapGroupsWithState` keyed by
+  * BAND. State per band is the bounded list of (doc_id, signature) seen
+  * in that band; a new arrival is verified against exactly the signatures
+  * sharing its band — candidate generation is the SAME bucketed shape as
+  * batch LSH, re-expressed as state lookup. Verification is the
+  * SIGNATURE-AGREEMENT estimate of Jaccard (matching components /
+  * numHashes — the standard MinHash estimator): per-band state holding
+  * full shingle-hash sets would grow with document length, while
+  * signatures are fixed-size. This is the streaming trade: the batch
+  * operators verify exactly; the stream verifies by estimate, and a
+  * periodic batch `minhashIncremental` run reconciles (the
+  * index-maintenance pattern).
+  *
+  * Bounds: state per band is capped at `maxPerBand` signatures
+  * (oldest-first eviction, `dropped` counts evictions per band so
+  * saturation is observable, never silent). A pathological band
+  * (boilerplate) therefore degrades to missed pairs — visibly — rather
+  * than unbounded state. Each pair is emitted once per SHARED band; the
+  * downstream consumer dedups (doc_a, doc_b) — deduping across bands
+  * inside the operator would need cross-group state streaming does not
+  * have.
+  */
+object DedupStream {
+
+  /** Input row after banding: one per (doc, band key). */
+  case class Banded(band: String, docId: Long, sig: Seq[Long])
+
+  /** Emitted when a new doc's signature agrees with a stored one on at
+    * least the threshold fraction of components. `estJaccard` is the
+    * MinHash agreement estimate, not an exact Jaccard.
+    */
+  case class DupHit(docA: Long, docB: Long, band: String, estJaccard: Double)
+
+  /** Per-band state: bounded signature history + eviction count. */
+  case class BandState(entries: Vector[(Long, Seq[Long])], dropped: Long)
+
+  private[graft] def update(threshold: Double, maxPerBand: Int)(
+      band: String,
+      rows: Iterator[Banded],
+      state: GroupState[BandState]): Iterator[DupHit] = {
+    var st = state.getOption.getOrElse(BandState(Vector.empty, 0L))
+    val out = Vector.newBuilder[DupHit]
+    // deterministic intra-batch order: a batch's docs check against
+    // earlier ids in the same batch plus all retained history
+    rows.toSeq.sortBy(_.docId).foreach { b =>
+      st.entries.foreach { case (oldId, oldSig) =>
+        if (oldId != b.docId) {
+          val n = oldSig.length
+          val agree = (0 until n).count(i => oldSig(i) == b.sig(i))
+          val est = agree.toDouble / n
+          if (est >= threshold)
+            out += DupHit(math.min(oldId, b.docId), math.max(oldId, b.docId), band,
+              math.rint(est * 1e6) / 1e6)
+        }
+      }
+      st = BandState(st.entries :+ (b.docId -> b.sig), st.dropped)
+      if (st.entries.length > maxPerBand)
+        st = BandState(st.entries.drop(st.entries.length - maxPerBand),
+          st.dropped + (st.entries.length - maxPerBand))
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Band a (doc_id, text) stream with the batch kernels — shared shape
+    * with [[graft.ops.Dedup.minhashLsh]] so stream and batch bucket
+    * identically (same shingles, same signature permutations, same band
+    * keys).
+    */
+  def banded(docs: DataFrame, shingleK: Int, numHashes: Int, bands: Int): Dataset[Banded] = {
+    import docs.sparkSession.implicits._
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must be divisible by bands")
+    docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("hashes", array_distinct(TF.shingleHashes(TF.shingles(col("toks"), shingleK))))
+      .filter(size(col("hashes")) > 0)
+      .withColumn("sig", TF.minhashSignature(col("hashes"), numHashes))
+      .withColumn("band", explode(TF.lshBands(col("sig"), bands, rows)))
+      .select(col("band"), col("doc_id").as("docId"), col("sig"))
+      .as[Banded]
+  }
+
+  /** Continuous near-dup flags over a streaming (doc_id, text) frame. */
+  def detect(docs: DataFrame,
+             shingleK: Int = 3,
+             numHashes: Int = 12,
+             bands: Int = 4,
+             threshold: Double = 0.5,
+             maxPerBand: Int = 64): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    banded(docs, shingleK, numHashes, bands)
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(threshold, maxPerBand))
+  }
+}

@@ -249,4 +249,58 @@ class StreamingSpec extends SparkSpec {
       AsOfStream.Event("k", 20L, isRef = false, 7L, 0.0)), st2).toSeq
     assert(probed == Seq(AsOfStream.Enriched(7L, "k", 20L, None, None)))
   }
+
+  test("streaming near-dup flags arrivals against prior batches, same buckets as batch LSH") {
+    import graft.streaming.DedupStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[(Long, String)]
+    val out = DedupStream.detect(input.toDF().toDF("doc_id", "text"), threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup").outputMode("append").start()
+
+    // batch 1: two near-identical docs + one distinct
+    input.addData((1L, base), (2L, s"$base zzz"),
+      (3L, "completely different content about database query optimization topics"))
+    q.processAllAvailable()
+    // batch 2: a copy arriving later must match BOTH batch-1 copies via
+    // retained band state; the fresh doc must match nothing
+    input.addData((10L, base), (11L, "entirely fresh material matching nothing prior at all"))
+    q.processAllAvailable()
+
+    val pairs = spark.table("neardup").as[DedupStream.DupHit].collect()
+      .map(h => (h.docA, h.docB)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 10L)),
+      s"cross-batch pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 11L || p._2 == 11L))
+    q.stop()
+
+    // the stream's candidate buckets are the batch operator's buckets:
+    // every streamed pair appears in the batch LSH run on the same corpus
+    val batchPairs = graft.ops.Dedup.minhashLsh(
+        Seq((1L, base), (2L, s"$base zzz"), (10L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == batchPairs)
+  }
+
+  test("near-dup band state caps at maxPerBand and counts evictions") {
+    import graft.streaming.DedupStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val sig = Seq(1L, 2L, 3L)
+    val st = TestGroupState.create[DedupStream.BandState](
+      Optional.empty[DedupStream.BandState], GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long], hasTimedOut = false)
+    val hits = DedupStream.update(threshold = 0.5, maxPerBand = 2)("b", Iterator(
+      DedupStream.Banded("b", 1L, sig),
+      DedupStream.Banded("b", 2L, sig),
+      DedupStream.Banded("b", 3L, sig)), st).toSeq
+    // 1-2, 1-3, 2-3 all agree fully within the batch
+    assert(hits.map(h => (h.docA, h.docB)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val s = st.get
+    assert(s.entries.map(_._1) == Vector(2L, 3L)) // oldest evicted
+    assert(s.dropped == 1L) // saturation is counted, never silent
+  }
 }
