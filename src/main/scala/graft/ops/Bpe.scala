@@ -63,6 +63,23 @@ object Bpe {
           concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
           .otherwise(concat(out, array(x))))
 
+  /** Apply a learned merge table to a token column — reference BPE
+    * ENCODING: merges applied in rank order, each greedily left-to-right
+    * over the whole symbol sequence (the exact segmentation the trainer's
+    * final state implies, including for words never seen in training —
+    * the subword generalization BPE exists for). A chain of per-row HOF
+    * folds, one per merge: narrow, no shuffle, rides the scan. For
+    * production-sized merge tables (10k+) the chain exceeds what one
+    * projection should hold — there the merge table broadcasts to a
+    * mapPartitions encoder with the identical rank-order contract; this
+    * Column form is exact for the moderate tables the specs and
+    * registry exercise.
+    */
+  def encode(tok: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(symbolize(tok)) {
+      case (syms, (a, b)) => mergeAdjacent(syms, a, b)
+    }
+
   /** Learn `k` merges from a word-frequency table (`tok`, `n`). Each
     * round reads ONE row on the driver (the argmax pair — it becomes the
     * merge rule, i.e. the model itself); the vocabulary stays

@@ -71,6 +71,26 @@ class BpeSpec extends SparkSpec {
     assert(learn(Map("a" -> 9L, "b" -> 1L), 5) == Seq.empty)
   }
 
+  test("encode applies learned merges in rank order, including unseen words") {
+    import spark.implicits._
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = learn(vocab, 8).map { case (_, a, b, _) => (a, b) }
+    def refEncode(w: String): List[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toList) {
+        case (syms, (a, b)) => refMerge(syms, a, b)
+      }
+    // training words AND unseen words sharing their subword structure
+    val words = Seq("low", "lower", "newest", "widest", "lowest", "wide", "newer")
+    val got = words.toDF("tok")
+      .select(col("tok"), Bpe.encode(col("tok"), merges).as("enc"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w), s"encode('$w'): ${got(w)} vs ${refEncode(w)}")
+    }
+    // sanity: the training words end up fully or near-fully merged
+    assert(got("low") == List("low"))
+  }
+
   test("mergeAdjacent is greedy left-to-right and non-overlapping") {
     import spark.implicits._
     val got = Seq("aaa", "aaaa", "abab")

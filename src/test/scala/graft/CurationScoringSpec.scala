@@ -138,4 +138,40 @@ class CurationScoringSpec extends SparkSpec {
       }
     }
   }
+
+  test("q93 DSIR attaches its models by broadcast; the token stream never sort-merges") {
+    // the bucket model is <= 4096 rows BY CONSTRUCTION — if it ever
+    // arrived by SortMergeJoin the corpus-sized token stream would
+    // shuffle, the exact failure mode the hashed-feature design avoids
+    val df = Queries.queries("q93_dsir_weights")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q96 reservoir rank-limits map-side: WindowGroupLimit partial before the exchange") {
+    val df = Queries.queries("q96_group_reservoir")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final WindowGroupLimit pair:\n$plan")
+  }
+
+  test("q97 budget selection: every language's kept set is a quality-descending prefix") {
+    val rows = Queries.queries("q97_token_budget")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byCum = rs.sortBy(_._3)
+      // cum is a strictly increasing running sum of n_tok within the lang
+      byCum.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._3, s"$lang cum not increasing")
+        case _ => ()
+      }
+      // keep is exactly the budget prefix: once cum exceeds 3000, all 0
+      val keeps = byCum.map(r => r._4 == 1L).toSeq
+      assert(keeps == keeps.sortBy(!_), s"$lang keep set is not a prefix")
+      byCum.foreach { r => assert((r._3 <= 3000L) == (r._4 == 1L)) }
+    }
+  }
 }
