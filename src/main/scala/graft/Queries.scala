@@ -2523,6 +2523,100 @@ object Queries {
   // merge learning, and MOSS winnowing fingerprint overlap.
   private lazy val training: Seq[Q] = {
     val toks = sqlTokens("text")
+
+    // ---- shared dataflows (q92/q93 single-stage + the q100 composition:
+    // one definition per side so the stages cannot desynchronize) ----
+
+    // Global segment dedup rollup: (doc_id, n_seg, n_kept, kept_frac) of a
+    // (doc_id, text) corpus. Persisted BEFORE the explode: exploding a
+    // computed array makes InferFiltersFromGenerate put `size(segs) > 0`
+    // under the Generate, and predicate pushdown inlines the segment
+    // expression into that filter, where the lambda's slice(toks, …)
+    // re-runs the tokenizer once per segment (the q95 trap, NOTES_r7).
+    // The cache boundary stops the pushdown; the two consumers (keeper
+    // aggregate + join probe) re-explode from the cache. Harness
+    // clearCache owns the lifetime, as across the registry.
+    def segRollup(corpus: DataFrame): DataFrame = {
+      val segW = 8
+      val segged = graft.ops.Par.ensure(
+        corpus.select("doc_id", "text"), "doc_id")
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("segs",
+          when(size(col("toks")) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), floor((size(col("toks")) - 1) / segW).cast("int")),
+              j => concat_ws(" ", slice(col("toks"), j * segW + 1, lit(segW))))))
+        .select(col("doc_id"), col("segs"))
+        .persist()
+      val segs = segged
+        .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+        .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
+      val keepers = segs.groupBy("seg")
+        .agg(min(col("doc_id") * 1000L + col("seg_idx")).as("keep_key"))
+      segs.join(keepers, "seg")
+        .withColumn("kept",
+          when(col("doc_id") * 1000L + col("seg_idx") === col("keep_key"), 1L)
+            .otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_seg"), sum(col("kept")).as("n_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast("double") / col("n_seg").cast("double"), 6))
+    }
+    // DuckDB twin over a preceding CTE `src` (doc_id, text); ends with
+    // `roll_sd` (doc_id, n_seg, n_kept, kept_frac).
+    def sqlSeg(src: String): String =
+      s"""tok_sd AS (SELECT doc_id, $toks AS toks FROM $src),
+          seg_sd AS (SELECT doc_id, CAST(u.j AS BIGINT) AS seg_idx,
+              array_to_string(list_transform(
+                range(u.j * 8 + 1, least((u.j + 1) * 8, len(toks)) + 1), i -> toks[i]), ' ') AS seg
+            FROM tok_sd, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(j)),
+          k_sd AS (SELECT seg, min(doc_id * 1000 + seg_idx) AS keep_key
+            FROM seg_sd GROUP BY seg),
+          m_sd AS (SELECT s.doc_id,
+              CASE WHEN s.doc_id * 1000 + s.seg_idx = k.keep_key THEN 1 ELSE 0 END AS kept
+            FROM seg_sd s JOIN k_sd k ON s.seg = k.seg),
+          roll_sd AS (SELECT doc_id, count(*) AS n_seg,
+              CAST(sum(kept) AS BIGINT) AS n_kept,
+              round(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+            FROM m_sd GROUP BY doc_id)"""
+
+    // DSIR scores: (doc_id, lang, n_tok, log_ratio rounded 6) of a
+    // (doc_id, lang, text) corpus — hashed bag-of-words likelihood ratio
+    // of the English slice vs the whole corpus, +1-smoothed over 4096
+    // buckets (<= 4096 model rows BY CONSTRUCTION → broadcast; the token
+    // stream never shuffles).
+    def dsirScores(docs: DataFrame): DataFrame = {
+      val buckets = 4096
+      val tok = docs
+        .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .withColumn("b", pmod(TF.hash32(col("tok")), lit(buckets.toLong)))
+      val model = tok.groupBy("b").agg(
+        count(lit(1)).as("ns"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val totals = model.agg(
+        sum("ns").cast("double").as("ts"), sum("nt").cast("double").as("tt"))
+      val weighted = model.crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((col("nt") + 1.0) / (col("tt") + buckets)) -
+            log((col("ns") + 1.0) / (col("ts") + buckets))).as("w"))
+      tok.join(broadcast(weighted), "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), round(avg(col("w")), 6).as("log_ratio"))
+    }
+    // DuckDB twin over a preceding CTE `src` (doc_id, lang, text); ends
+    // with `sc_dw` (doc_id, lang, n_tok, log_ratio).
+    def sqlDsir(src: String): String =
+      s"""tok_dw AS (SELECT doc_id, lang, ${sqlHash32("u.tok")} % 4096 AS b
+            FROM $src, unnest($toks) AS u(tok)),
+          model_dw AS (SELECT b, count(*) AS ns,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+            FROM tok_dw GROUP BY b),
+          tot_dw AS (SELECT CAST(sum(ns) AS DOUBLE) AS ts, CAST(sum(nt) AS DOUBLE) AS tt FROM model_dw),
+          w_dw AS (SELECT b, ln((nt + 1.0) / (tt + 4096)) - ln((ns + 1.0) / (ts + 4096)) AS w
+            FROM model_dw CROSS JOIN tot_dw),
+          sc_dw AS (SELECT t.doc_id, t.lang, count(*) AS n_tok, round(avg(w_dw.w), 6) AS log_ratio
+            FROM tok_dw t JOIN w_dw ON t.b = w_dw.b GROUP BY t.doc_id, t.lang)"""
+
     Seq(
       // C4-style global SEGMENT-level dedup (C4 removed any three-sentence
       // span occurring more than once in the corpus; Lee et al. 2021 dedup
@@ -2538,55 +2632,13 @@ object Queries {
       // ~50× less shuffle payload); the string key here keeps the oracle
       // engine-neutral. The doubled corpus guarantees cross-doc duplicate
       // segments exist.
-      ("q92_segment_dedup", (s: SparkSession, d: String) => {
-        val segW = 8
-        // persisted BEFORE the explode: exploding a computed array makes
-        // InferFiltersFromGenerate put `size(segs) > 0` under the
-        // Generate, and predicate pushdown inlines the segment expression
-        // into that filter, where the lambda's slice(toks, …) re-runs the
-        // tokenizer once per segment (the q95 trap, NOTES_r7). The cache
-        // boundary stops the pushdown; the two consumers (keeper
-        // aggregate + join probe) re-explode from the cache. Harness
-        // clearCache owns the lifetime, as across the registry.
-        val segged = graft.ops.Par.ensure(
-          nearDupCorpus(t(s, d, "documents").select("doc_id", "text")), "doc_id")
-          .withColumn("toks", TF.tokens(col("text")))
-          .withColumn("segs",
-            when(size(col("toks")) === 0, array().cast("array<string>"))
-              .otherwise(transform(
-                sequence(lit(0), floor((size(col("toks")) - 1) / segW).cast("int")),
-                j => concat_ws(" ", slice(col("toks"), j * segW + 1, lit(segW))))))
-          .select(col("doc_id"), col("segs"))
-          .persist()
-        val segs = segged
-          .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
-          .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
-        val keepers = segs.groupBy("seg")
-          .agg(min(col("doc_id") * 1000L + col("seg_idx")).as("keep_key"))
-        segs.join(keepers, "seg")
-          .withColumn("kept",
-            when(col("doc_id") * 1000L + col("seg_idx") === col("keep_key"), 1L)
-              .otherwise(0L))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_seg"), sum(col("kept")).as("n_kept"))
-          .withColumn("kept_frac",
-            round(col("n_kept").cast("double") / col("n_seg").cast("double"), 6))
-          .orderBy("doc_id")
-      },
+      ("q92_segment_dedup", (s: SparkSession, d: String) =>
+        segRollup(nearDupCorpus(t(s, d, "documents").select("doc_id", "text")))
+          .orderBy("doc_id"),
         Some(s"""WITH $sqlDupCorpus,
-          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
-          seg AS (SELECT doc_id, CAST(u.j AS BIGINT) AS seg_idx,
-              array_to_string(list_transform(
-                range(u.j * 8 + 1, least((u.j + 1) * 8, len(toks)) + 1), i -> toks[i]), ' ') AS seg
-            FROM tok, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(j)),
-          k AS (SELECT seg, min(doc_id * 1000 + seg_idx) AS keep_key
-            FROM seg GROUP BY seg),
-          m AS (SELECT s.doc_id,
-              CASE WHEN s.doc_id * 1000 + s.seg_idx = k.keep_key THEN 1 ELSE 0 END AS kept
-            FROM seg s JOIN k ON s.seg = k.seg)
-          SELECT doc_id, count(*) AS n_seg, CAST(sum(kept) AS BIGINT) AS n_kept,
-            round(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
-          FROM m GROUP BY doc_id ORDER BY doc_id""")),
+          ${sqlSeg("corpus")}
+          SELECT doc_id, n_seg, n_kept, kept_frac
+          FROM roll_sd ORDER BY doc_id""")),
 
       // DSIR importance weighting (Xie et al. 2023, "Data Selection for
       // Language Models via Importance Resampling"): score each document by
@@ -2600,40 +2652,16 @@ object Queries {
       // map-side combined. keep decides on the ROUNDED score (ln() differs
       // by ~1 ulp across engines; the rounded, hash-compared value cannot
       // flip where the raw double could).
-      ("q93_dsir_weights", (s: SparkSession, d: String) => {
-        val buckets = 4096
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), explode(TF.tokens(col("text"))).as("tok"))
-          .withColumn("b", pmod(TF.hash32(col("tok")), lit(buckets.toLong)))
-        val model = tok.groupBy("b").agg(
-          count(lit(1)).as("ns"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
-        val totals = model.agg(
-          sum("ns").cast("double").as("ts"), sum("nt").cast("double").as("tt"))
-        val weighted = model.crossJoin(broadcast(totals))
-          .select(col("b"),
-            (log((col("nt") + 1.0) / (col("tt") + buckets)) -
-              log((col("ns") + 1.0) / (col("ts") + buckets))).as("w"))
-        tok.join(broadcast(weighted), "b")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"), round(avg(col("w")), 6).as("log_ratio"))
-          .withColumn("keep", when(col("log_ratio") > 0.0, 1L).otherwise(0L))
-          .orderBy("doc_id")
-      },
-        Some(s"""WITH tok AS (SELECT doc_id, lang,
-              ${sqlHash32("u.tok")} % 4096 AS b
-            FROM documents, unnest($toks) AS u(tok)),
-          model AS (SELECT b, count(*) AS ns,
-              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
-            FROM tok GROUP BY b),
-          tot AS (SELECT CAST(sum(ns) AS DOUBLE) AS ts, CAST(sum(nt) AS DOUBLE) AS tt FROM model),
-          w AS (SELECT b, ln((nt + 1.0) / (tt + 4096)) - ln((ns + 1.0) / (ts + 4096)) AS w
-            FROM model CROSS JOIN tot),
-          sc AS (SELECT t.doc_id, count(*) AS n_tok, round(avg(w.w), 6) AS log_ratio
-            FROM tok t JOIN w ON t.b = w.b GROUP BY t.doc_id)
+      ("q93_dsir_weights", (s: SparkSession, d: String) =>
+        dsirScores(t(s, d, "documents").select("doc_id", "lang", "text"))
+          .select(col("doc_id"), col("n_tok"), col("log_ratio"),
+            when(col("log_ratio") > 0.0, 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id"),
+        Some(s"""WITH src_dw AS (SELECT doc_id, lang, text FROM documents),
+          ${sqlDsir("src_dw")}
           SELECT doc_id, n_tok, log_ratio,
             CAST(CASE WHEN log_ratio > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM sc ORDER BY doc_id""")),
+          FROM sc_dw ORDER BY doc_id""")),
 
       // BPE merge learning, iteration 1 (Sennrich et al. 2016): the
       // corpus-weighted adjacent-character-pair counts over the distinct
@@ -2837,7 +2865,66 @@ object Queries {
             CAST(CASE WHEN nfc_normalize(dec) = pre THEN 1 ELSE 0 END AS BIGINT) AS eq_nfc,
             CAST(CASE WHEN strip_accents(dec) = text THEN 1 ELSE 0 END AS BIGINT) AS eq_strip,
             ${sqlContentHash("nfc_normalize(dec)")} AS nfc_hash
-          FROM v ORDER BY doc_id"""))
+          FROM v ORDER BY doc_id""")),
+
+      // The third-session stages composed end-to-end, with the
+      // normalize-FIRST ordering made load-bearing: the corpus is every
+      // doc in precomposed form plus a byte-different DECOMPOSED copy
+      // (+10M) of each — without NFC the copies look distinct to every
+      // hash; after NFC they are exact duplicates, so segment dedup
+      // (first occurrence wins) strips the copies, DSIR scores the
+      // survivors, and a per-language token budget is filled in
+      // descending-score order (q97's two-phase prefix sum, keyed by the
+      // ROUNDED DSIR score — the resampling step of the DSIR paper).
+      // Every stage is individually oracled (q99/q92/q93/q97); this row
+      // proves the composition, against an oracle that runs the naive
+      // single-window form over the same CTE chain.
+      ("q100_curation_v2", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "text")
+        val pre = docs.withColumn("text", regexp_replace(col("text"), "a", "\u00e0"))
+        val dec = docs.select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "a", "a\u0300").as("text"))
+        val corpus = pre.unionByName(dec)
+          .withColumn("text", TF.unicodeNormalize(col("text"), "nfc"))
+        val surv = corpus.join(
+          segRollup(corpus).filter(col("kept_frac") >= 0.5).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val scored = dsirScores(surv)
+          .withColumn("qb",
+            least(greatest(floor((lit(1.0) - col("log_ratio")) * 10).cast("long"),
+              lit(0L)), lit(19L)))
+          .persist()
+        val offsets = scored.groupBy("lang", "qb")
+          .agg(sum(col("n_tok")).as("btok"))
+          .withColumn("offset",
+            coalesce(sum(col("btok")).over(Window.partitionBy("lang")
+              .orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("lang", "qb", "offset")
+        val wIn = Window.partitionBy("lang", "qb")
+          .orderBy(desc("log_ratio"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored.join(broadcast(offsets), Seq("lang", "qb"))
+          .withColumn("cum", col("offset") + sum(col("n_tok")).over(wIn))
+          .select(col("doc_id"), col("lang"), col("n_tok"), col("log_ratio"), col("cum"),
+            when(col("cum") <= 3000L, 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH c0 AS (
+            SELECT doc_id, lang, regexp_replace(text, 'a', chr(224), 'g') AS text FROM documents
+            UNION ALL SELECT doc_id + 10000000, lang,
+              regexp_replace(text, 'a', 'a' || chr(768), 'g') FROM documents),
+          cn AS (SELECT doc_id, lang, nfc_normalize(text) AS text FROM c0),
+          ${sqlSeg("cn")},
+          surv AS (SELECT n.doc_id, n.lang, n.text FROM cn n
+            JOIN roll_sd r ON n.doc_id = r.doc_id WHERE r.kept_frac >= 0.5),
+          ${sqlDsir("surv")},
+          c_bud AS (SELECT doc_id, lang, n_tok, log_ratio,
+              CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY log_ratio DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM sc_dw)
+          SELECT doc_id, lang, n_tok, log_ratio, cum,
+            CAST(CASE WHEN cum <= 3000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM c_bud ORDER BY doc_id"""))
     )
   }
 
