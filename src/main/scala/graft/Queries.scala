@@ -2884,11 +2884,18 @@ object Queries {
         val pre = docs.withColumn("text", regexp_replace(col("text"), "a", "\u00e0"))
         val dec = docs.select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
           regexp_replace(col("text"), "a", "a\u0300").as("text"))
+        // both persists are load-bearing: corpus (fixture regex + NFC)
+        // feeds segRollup AND the semi-join left side; surv feeds
+        // dsirScores twice (model build + score join) — uncached, the
+        // whole upstream chain re-ran per consumer (measured 8–10 s vs
+        // ~3.5 s)
         val corpus = pre.unionByName(dec)
           .withColumn("text", TF.unicodeNormalize(col("text"), "nfc"))
+          .persist()
         val surv = corpus.join(
           segRollup(corpus).filter(col("kept_frac") >= 0.5).select("doc_id"),
           Seq("doc_id"), "left_semi")
+          .persist()
         val scored = dsirScores(surv)
           .withColumn("qb",
             least(greatest(floor((lit(1.0) - col("log_ratio")) * 10).cast("long"),
