@@ -31,6 +31,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries heavy hitters carry every token above the frequency bound") {
+    import org.apache.spark.sql.functions.udaf
+    val k = 64
+    val toks = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+    val mg = toks.groupBy("lang")
+      .agg(udaf(new graft.functions.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+        .apply(col("tok")).as("summary"))
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1)).toMap
+    val exact = toks.groupBy("lang", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupMapReduce(_._1._1)(_._2)(_ + _)
+    assert(mg.nonEmpty && mg.keySet == totals.keySet)
+    totals.foreach { case (lang, n) =>
+      val bound = n.toDouble / (k + 1)
+      val summary = mg(lang)
+      exact.foreach { case ((l, tok), c) =>
+        if (l == lang && c > bound) {
+          // the MG guarantee: heavy tokens survive, counts understate by
+          // at most n/(k+1) and never overstate
+          val got = summary.get(tok)
+          assert(got.nonEmpty, s"$lang '$tok' (freq $c > bound $bound) missing")
+          assert(got.get <= c && got.get >= c - bound,
+            s"$lang '$tok': reported ${got.get}, true $c, bound $bound")
+        }
+      }
+      assert(summary.size <= k)
+    }
+  }
+
   test("approx_percentile within one order-statistic gap of q80's exact percentiles") {
     // q80 pins EXACT interpolated percentiles against the DuckDB oracle;
     // this gates the sketch form (fixed-size KLL-style buffers, partial
