@@ -1859,6 +1859,21 @@ object Queries {
       curationPipeline(s, d, fastHash = true)),
     ("b84_classifier_xxh64", (s: SparkSession, d: String) =>
       classifierQuality(s, d, fastHash = true))
+    ,
+    // Sketch twin of q73: per-language heavy hitters via the Misra-Gries
+    // fixed-size mergeable summary instead of the exact (lang, token)
+    // aggregate — the O(groups × k) shuffle path for a vocabulary too
+    // large to exchange. Not oracle-able (the summary is approximate);
+    // SketchSpec gates its error bounds against the exact table.
+    ("b73_topk_mg", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.udaf
+      t(s, d, "documents")
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(udaf(new graft.functions.MisraGries(64), org.apache.spark.sql.Encoders.STRING)
+          .apply(col("tok")).as("summary"))
+        .select(col("lang"), explode(col("summary")).as(Seq("tok", "n")))
+    })
   )
 
   // ============== curation: corpus-quality / retrieval operators ==========
