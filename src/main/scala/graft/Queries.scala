@@ -1847,7 +1847,42 @@ object Queries {
     * sampling stage selects a (same-sized) different subset — these exist
     * to measure the md5→xxhash64 swap the production configuration makes.
     */
+  /** q75's shared gram stream: distinct 8-gram hashes of the doubled
+    * corpus, persisted (feeds the eval set and the train side), plus the
+    * eval-membership predicate. toks staged per NOTES_r7.
+    */
+  private def decontGrams(s: SparkSession, d: String): (DataFrame, Column) = {
+    val corpus = nearDupCorpus(t(s, d, "documents").select("doc_id", "text"))
+    val grams = graft.ops.Par.ensure(corpus, "doc_id")
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(TF.shingleHashes(TF.shingles(col("toks"), 8)))).as("g"))
+      .persist()
+    (grams, col("doc_id") % 97 === 0 && col("doc_id") < 10000000L)
+  }
+
+  /** Bloom-filter twin of q75: the eval-gram set arrives as a fixed-size
+    * Bloom filter instead of a broadcast hash set — the decontamination
+    * shape for an eval suite too large to broadcast exactly. Superset
+    * semantics (false positives only, rate = fpp; never a false
+    * negative — a leaked doc can never slip through); SketchSpec pins
+    * both properties against the exact q75 result.
+    */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val (grams, isEval) = decontGrams(s, d)
+    val bf = grams.filter(isEval).select("g").distinct()
+      .stat.bloomFilter("g", 100000L, 0.001)
+    val bc = s.sparkContext.broadcast(bf)
+    val might = udf((g: Long) => bc.value.mightContainLong(g))
+    grams.filter(!isEval)
+      .filter(might(col("g")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   lazy val benchOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    ("b75_decontaminate_bloom", (s: SparkSession, d: String) =>
+      decontaminateBloom(s, d)),
     ("b45_minhash_xxh64", (s: SparkSession, d: String) =>
       Dedup.minhashLsh(nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
         "doc_id", "text", shingleK = 3, numHashes = 12, bands = 4,
@@ -1948,23 +1983,12 @@ object Queries {
       // never shuffles: scan → hash-join against the broadcast set →
       // per-doc count with map-side combine.
       ("q75_decontaminate", (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents").select("doc_id", "text")
-        val corpus = nearDupCorpus(docs)
-        // Par.ensure + persist: the gram map over the doubled corpus is the
-        // dominant cost, `grams` feeds both the eval set and the train
-        // side, and a small parquet source arrives as one split. (persist
-        // with no matching unpersist is intentional across the registry:
-        // the returned DataFrame reads it lazily, so the harness's
-        // post-action clearCache owns the lifetime.) toks is
-        // staged as its own projection — the shingle lambda references it
-        // per element, and an inlined tokens() subtree would re-run the
-        // regex split once per 8-gram (~30× blowup, NOTES_r7).
-        val grams = graft.ops.Par.ensure(corpus, "doc_id")
-          .withColumn("toks", TF.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(array_distinct(TF.shingleHashes(TF.shingles(col("toks"), 8)))).as("g"))
-          .persist()
-        val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
+        // gram construction shared with the b75 Bloom twin (decontGrams —
+        // Par.ensure + persist: the gram map over the doubled corpus is
+        // the dominant cost and feeds both the eval set and the train
+        // side; persist-without-unpersist is the registry contract, the
+        // harness's post-action clearCache owns the lifetime)
+        val (grams, isEval) = decontGrams(s, d)
         val evalGrams = grams.filter(isEval).select("g").distinct()
         grams.filter(!isEval)
           .join(broadcast(evalGrams), "g")

@@ -61,6 +61,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Bloom decontamination is a strict superset of the exact path, no false negatives") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = Queries.queries("q75_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Queries.decontaminateBloom(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // a leaked doc can NEVER slip through the Bloom path, and per-doc hit
+    // counts can only grow (false positives add, never subtract)
+    exact.foreach { case (doc, n) =>
+      assert(bloom.contains(doc), s"doc $doc flagged exactly but not by bloom")
+      assert(bloom(doc) >= n, s"doc $doc: bloom ${bloom(doc)} < exact $n")
+    }
+    // and at fpp=0.001 the inflation stays small: few extra docs, few
+    // extra hits
+    assert(bloom.size <= exact.size + math.max(5, exact.size / 20),
+      s"bloom flagged ${bloom.size} docs vs exact ${exact.size}")
+    assert(bloom.values.sum <= (exact.values.sum * 1.05).toLong + 10)
+    spark.catalog.clearCache()
+  }
+
   test("approx_percentile within one order-statistic gap of q80's exact percentiles") {
     // q80 pins EXACT interpolated percentiles against the DuckDB oracle;
     // this gates the sketch form (fixed-size KLL-style buffers, partial
