@@ -2970,7 +2970,48 @@ object Queries {
             FROM sc_dw)
           SELECT doc_id, lang, n_tok, log_ratio, cum,
             CAST(CASE WHEN cum <= 3000 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM c_bud ORDER BY doc_id"""))
+          FROM c_bud ORDER BY doc_id""")),
+
+      // Character-entropy gibberish score — the quality dimension the
+      // length/stopword/punct trio (q43) and the LM bits (q83) both miss:
+      // keysmash ("asdfjkl…") carries healthy length and token shape but
+      // near-uniform character use, while "aaaa…" collapses to ~0 bits.
+      // ENTIRELY per-row: chars staged, then one fold over the SORTED
+      // distinct-char array — sorting fixes the float summation order, so
+      // Spark and DuckDB accumulate the same doubles in the same order
+      // and the rounded value is bit-identical (an unordered sum could
+      // flip the 6th decimal). O(distinct × len) per row on ~300-char
+      // docs; a single narrow map stage that rides the scan at 100 TB.
+      ("q101_char_entropy", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .withColumn("chars", filter(split(col("text"), ""), c => length(c) > 0))
+          .withColumn("n", size(col("chars")).cast("double"))
+        docs
+          .withColumn("entropy",
+            when(col("n") === 0, 0.0).otherwise(round(-aggregate(
+              array_sort(array_distinct(col("chars"))),
+              lit(0.0),
+              (acc, c) => {
+                val p = size(filter(col("chars"), x => x === c)).cast("double") / col("n")
+                acc + p * log(2.0, p)
+              }), 6)))
+          .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+            col("entropy"),
+            when(col("entropy") >= 2.0, 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+      },
+        Some("""WITH ch AS (SELECT doc_id, text,
+              list_filter(string_split(text, ''), c -> len(c) > 0) AS chars
+            FROM documents),
+          e AS (SELECT doc_id, CAST(len(chars) AS BIGINT) AS n_chars,
+              CASE WHEN len(chars) = 0 THEN 0.0 ELSE round(-list_sum(
+                list_transform(list_sort(list_distinct(chars)),
+                  c -> (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
+                    * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars)))), 6) END AS entropy
+            FROM ch)
+          SELECT doc_id, n_chars, entropy,
+            CAST(CASE WHEN entropy >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM e ORDER BY doc_id"""))
     )
   }
 
