@@ -2983,18 +2983,33 @@ object Queries {
       // flip the 6th decimal). O(distinct × len) per row on ~300-char
       // docs; a single narrow map stage that rides the scan at 100 TB.
       ("q101_char_entropy", (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
+        // H = log2(n) − (1/n)·Σ n_c·log2(n_c), the Σ computed by a
+        // RUN-LENGTH fold over the sorted char array — one O(n log n)
+        // pass per row (a first cut counted each distinct char with a
+        // nested filter: O(distinct × n) interpreted lambdas, 10 s at
+        // sf0.1 vs ~1.5 s for this shape). Each distinct char contributes
+        // its term exactly once, in ascending char order — the same term
+        // order as the oracle's sorted-distinct transform, so both
+        // engines accumulate identical doubles in identical order.
+        val runSum = (sorted: Column) => aggregate(
+          sorted,
+          struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("s")),
+          (acc, x) => {
+            val same = x === acc("prev")
+            val closed = when(!same && acc("run") > 0,
+              acc("run") * log(2.0, acc("run"))).otherwise(0.0)
+            struct(x.as("prev"),
+              when(same, acc("run") + 1.0).otherwise(1.0).as("run"),
+              (acc("s") + closed).as("s"))
+          },
+          acc => acc("s") + when(acc("run") > 0,
+            acc("run") * log(2.0, acc("run"))).otherwise(0.0))
+        t(s, d, "documents")
           .withColumn("chars", filter(split(col("text"), ""), c => length(c) > 0))
           .withColumn("n", size(col("chars")).cast("double"))
-        docs
           .withColumn("entropy",
-            when(col("n") === 0, 0.0).otherwise(round(-aggregate(
-              array_sort(array_distinct(col("chars"))),
-              lit(0.0),
-              (acc, c) => {
-                val p = size(filter(col("chars"), x => x === c)).cast("double") / col("n")
-                acc + p * log(2.0, p)
-              }), 6)))
+            when(col("n") === 0, 0.0).otherwise(
+              round(log(2.0, col("n")) - runSum(array_sort(col("chars"))) / col("n"), 6)))
           .select(col("doc_id"), col("n").cast("long").as("n_chars"),
             col("entropy"),
             when(col("entropy") >= 2.0, 1L).otherwise(0L).as("keep"))
@@ -3004,10 +3019,12 @@ object Queries {
               list_filter(string_split(text, ''), c -> len(c) > 0) AS chars
             FROM documents),
           e AS (SELECT doc_id, CAST(len(chars) AS BIGINT) AS n_chars,
-              CASE WHEN len(chars) = 0 THEN 0.0 ELSE round(-list_sum(
-                list_transform(list_sort(list_distinct(chars)),
-                  c -> (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
-                    * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars)))), 6) END AS entropy
+              CASE WHEN len(chars) = 0 THEN 0.0 ELSE round(
+                log2(CAST(len(chars) AS DOUBLE)) - list_sum(
+                  list_transform(list_sort(list_distinct(chars)),
+                    c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                      * log2(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE))))
+                  / CAST(len(chars) AS DOUBLE), 6) END AS entropy
             FROM ch)
           SELECT doc_id, n_chars, entropy,
             CAST(CASE WHEN entropy >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
