@@ -53,5 +53,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("l2sq", "squared L2 distance") {
       es => L2Sq(es(0), es(1))
     }
+    reg("ws_token_count", "whitespace token count (zero-allocation byte scan)", arity = 1) {
+      es => WsTokenCount(es(0))
+    }
+    reg("unicode_normalize", "unicode normalization: mode 'nfc' | 'nfkc' | 'strip'") {
+      es =>
+        val mode = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            "INVALID_PARAMETER_VALUE.NULL",
+            Map("parameter" -> "`mode`", "functionName" -> "`unicode_normalize`",
+              "expected" -> "a string literal 'nfc', 'nfkc' or 'strip'"),
+            None)
+        }
+        UnicodeNormalize(es(0), mode)
+    }
   }
 }

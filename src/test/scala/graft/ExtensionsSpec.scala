@@ -33,6 +33,15 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getDouble(3) == 0.0) // constant input -> den 0 -> 0
       assert(approx(r.getDouble(4), 25.0))
 
+      val r2 = ext.sql(
+        """SELECT ws_token_count(' a  b   c ') AS n,
+          |       unicode_normalize('café', 'nfc') AS nfc,
+          |       unicode_normalize('café', 'strip') AS st
+          |""".stripMargin).collect()(0)
+      assert(r2.getInt(0) == 3)
+      assert(r2.getString(1) == "café")
+      assert(r2.getString(2) == "cafe")
+
       // wrong arity from SQL -> clean AnalysisException naming the
       // function, not an IndexOutOfBoundsException from the builder
       val e = intercept[org.apache.spark.sql.AnalysisException] {
@@ -40,6 +49,12 @@ class ExtensionsSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("cosine01"))
       assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+
+      // a non-literal mode must fail analysis cleanly, not at runtime
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT unicode_normalize('x', concat('nf', 'c'))").collect()
+      }
+      assert(e2.getMessage.contains("unicode_normalize"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
