@@ -76,6 +76,7 @@ object Bench {
         // queries are measured cold, and collect the garbage NOW so heavy
         // queries don't tax their successor's measurement with GC debt
         spark.catalog.clearCache()
+        graft.ops.Caches.release()
         System.gc()
       }
     }

@@ -1,14 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
 
-/** Session extension registering the native similarity kernels as SQL
-  * functions, so `spark.sql("... cosine01(a, b) ...")` works next to the
-  * Column API. Enable with:
+/** Session extension registering the native kernels as SQL functions, so
+  * `spark.sql("... cosine01(a, b) ...")` works next to the Column API —
+  * similarity kernels, text kernels, and (VERDICT r7 #7) the sketch/dedup
+  * kernels that were previously Column-API-only: `minhash_sig`,
+  * `winnow_fps`, `token_stats`. Enable with:
   *
   * {{{
   * SparkSession.builder()
@@ -16,6 +19,45 @@ import graft.functions._
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Fold a required-foldable argument down to its literal value at
+    * registration time. Distinct failure conditions (ADVICE r7: a
+    * non-literal argument used to surface as INVALID_PARAMETER_VALUE.NULL
+    * even when provably non-null): a non-foldable expression →
+    * NON_FOLDABLE_ARGUMENT; a foldable-but-null one →
+    * INVALID_PARAMETER_VALUE.NULL. Foldable non-literals (e.g.
+    * `concat('nf','c')`) are EVALUATED, not rejected.
+    */
+  private def foldArg(e: Expression, fnName: String, param: String,
+                      paramType: String): Any = {
+    if (!e.foldable)
+      throw new AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map(
+          "funcName" -> s"`$fnName`",
+          "paramName" -> s"`$param`",
+          "paramType" -> s""""$paramType""""),
+        None)
+    val v = e.eval(InternalRow.empty)
+    if (v == null)
+      throw new AnalysisException(
+        "INVALID_PARAMETER_VALUE.NULL",
+        Map("parameter" -> s"`$param`", "functionName" -> s"`$fnName`"),
+        None)
+    v
+  }
+
+  private def foldInt(e: Expression, fnName: String, param: String): Int =
+    foldArg(e, fnName, param, "INT") match {
+      case n: Number => n.intValue()
+      case other => throw new AnalysisException(
+        "INVALID_PARAMETER_VALUE.INTEGER",
+        Map(
+          "parameter" -> s"`$param`",
+          "functionName" -> s"`$fnName`",
+          "invalidValue" -> s"'$other'"),
+        None)
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def reg(name: String, usage: String, arity: Int = 2)(
@@ -27,7 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // clean AnalysisException, not an IndexOutOfBoundsException
         es => {
           if (es.length != arity)
-            throw new org.apache.spark.sql.AnalysisException(
+            throw new AnalysisException(
               "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
               Map(
                 "functionName" -> s"`$name`",
@@ -57,17 +99,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => WsTokenCount(es(0))
     }
     reg("unicode_normalize", "unicode normalization: mode 'nfc' | 'nfkc' | 'strip'") {
-      es =>
-        val mode = es(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
-            v.toString
-          case other => throw new org.apache.spark.sql.AnalysisException(
-            "INVALID_PARAMETER_VALUE.NULL",
-            Map("parameter" -> "`mode`", "functionName" -> "`unicode_normalize`",
-              "expected" -> "a string literal 'nfc', 'nfkc' or 'strip'"),
-            None)
-        }
-        UnicodeNormalize(es(0), mode)
+      es => UnicodeNormalize(es(0),
+        foldArg(es(1), "unicode_normalize", "mode", "STRING").toString)
     }
+    reg("minhash_sig",
+      "minhash_sig(baseHashes array<bigint>, numHashes) - one-pass MinHash signature") {
+      es => MinhashSig(es(0), foldInt(es(1), "minhash_sig", "numHashes"))
+    }
+    reg("token_stats",
+      "token_stats(text) - struct(n_tokens, sum_tlen, fingerprint, simhash) in one byte scan",
+      arity = 1) {
+      es => TokenStats(es(0))
+    }
+    reg("winnow_fps",
+      "winnow_fps(gramHashes array<bigint>, window) - winnowing fingerprint selection; " +
+        "pass a materialized column, not a computed expression (re-evaluated per window otherwise)") {
+      es => winnowExpr(es(0), foldInt(es(1), "winnow_fps", "window"))
+    }
+  }
+
+  /** [[graft.functions.TextFunctions.winnowFps]] rebuilt from raw Catalyst
+    * nodes: a Column tree composed at injectFunction time never passes
+    * through the analyzer's column-node resolution (Spark 4 keeps Column
+    * and Expression as separate IRs), so the bridge form dies at codegen
+    * as an Unevaluable ColumnNodeExpression. ExtensionsSpec pins value
+    * equality between this and the Column form.
+    */
+  private def winnowExpr(h: Expression, w: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val j = UnresolvedNamedLambdaVariable(Seq("j"))
+    val mins = ArrayTransform(
+      Sequence(Literal(1), Subtract(Size(h), Literal(w - 1)), None),
+      LambdaFunction(ArrayMin(Slice(h, j, Literal(w))), Seq(j)))
+    CaseWhen(
+      Seq(
+        (EqualTo(Size(h), Literal(0)),
+          Cast(CreateArray(Seq.empty), ArrayType(LongType))),
+        (LessThan(Size(h), Literal(w)), CreateArray(Seq(ArrayMin(h))))),
+      Some(ArrayDistinct(mins)))
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{ProbMethods => PM, TextFunctions => TF, VectorFunctions => VF}
 import graft.ops.{CacheOps, Dedup, Graph, Upsert}
+import graft.ops.Caches.TrackedPersist
 import graft.search.SearchEngine
 
 /** The driver-facing query registry: every implemented operator from
@@ -921,7 +922,7 @@ object Queries {
         val docs = graft.ops.Par.ensure(
           t(s, d, "documents").select("doc_id", "text"), "doc_id")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-          .persist()
+          .persistTracked()
         val emptyPairs = array().cast("array<struct<tok:string,prev:string>>")
         val pos = docs.select(col("doc_id"), explode(
             // sequence(1, 0) is a DESCENDING [1, 0], not empty — guard
@@ -1724,7 +1725,7 @@ object Queries {
       if (fastHash) TF.hash32Fast(c) else TF.hash32(c)
     val docs = t(s, d, "documents").select("doc_id", "text", "lang")
     val corpus = graft.ops.Par.ensure(nearDupCorpus(docs), "doc_id")
-      .persist()
+      .persistTracked()
 
     // 1. near-dup cluster dedup: drop every non-representative member
     val pairs = Dedup.minhashLsh(corpus.select("doc_id", "text"), "doc_id", "text",
@@ -1742,7 +1743,7 @@ object Queries {
       .select(col("doc_id"),
         explode(array_distinct(
           TF.shingleHashes(TF.shingles(col("toks"), 8), fastHash))).as("g"))
-      .persist()
+      .persistTracked()
     val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
     val evalGrams = grams.filter(isEval).select("g").distinct()
     val contaminated = grams.filter(!isEval)
@@ -1762,7 +1763,7 @@ object Queries {
       .filter(TF.qualityScore(col("text")) >= 0.5)
       .select(col("doc_id"), col("text"), col("lang"),
         TF.tokenCount(col("text")).cast("long").as("n_tok0"))
-      .persist()
+      .persistTracked()
 
     // 4. mixture-aware downsample: per-language rate toward the shared
     // target weights over HALF the surviving token budget, capped at 1
@@ -1800,7 +1801,7 @@ object Queries {
     val docs = graft.ops.Par.ensure(
       t(s, d, "documents").select("doc_id", "text", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
-      .persist()
+      .persistTracked()
     val tokRows = docs.select(col("doc_id"), col("lang"),
       explode(col("toks")).as("tok"))
     val counts = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -1816,6 +1817,68 @@ object Queries {
       .groupBy("doc_id", "lang")
       .agg(round(avg(col("nll")), 6).as("bits_per_token"),
         count(lit(1)).as("n_tok"))
+  }
+
+  /** Shared final stage of the CCNet split (q88 + its approx twin b88):
+    * attach a per-language cutoff table (lang, t1, t2) — pass it
+    * pre-`broadcast` — and bucket each doc by VALUE comparison: head
+    * (<= t1) / middle (<= t2) / tail, keep = not-tail. Narrow after the
+    * broadcast join; no per-language sort anywhere downstream of scoring.
+    */
+  private def ccnetBucket(scored: DataFrame, cuts: DataFrame): DataFrame =
+    scored.join(cuts, "lang")
+      .select(col("doc_id"), col("lang"), col("bits_per_token"),
+        when(col("bits_per_token") <= col("t1"), "head")
+          .when(col("bits_per_token") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"),
+        when(col("bits_per_token") <= col("t2"), 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+
+  /** q97's two-phase token-budget prefix sum, with the quality-bucket
+    * count DERIVED FROM THE INPUT SIZE (VERDICT r7 #4 — a fixed 20
+    * buckets left an English-sized language / 20 as a multi-TB window
+    * partition at 100×): B = clamp(ceil(rows / rowsPerBucket), 20, 2^17)
+    * buckets over the rounded quality key, so the expected (lang, bucket)
+    * window partition stays ~rowsPerBucket rows at any corpus size. The
+    * count() that sizes B is one extra action over the already-persisted
+    * narrow projection — a scan-side aggregate, negligible next to the
+    * scoring pass. Result is provably B-invariant (bucket id is monotone
+    * in the quality key, every quality tie shares a bucket, so
+    * bucket-offset + within-bucket rank reproduces the global running sum
+    * exactly; ScaleOpsSpec pins invariance across rowsPerBucket). Residual
+    * skew: docs sharing ONE rounded quality value cannot be split further
+    * without changing the order contract — bounded by the value
+    * granularity (1e-6), and the within-bucket window orders by
+    * (q, doc_id), so a pathological single-value pile-up degrades to the
+    * naive shape only for that value's rows.
+    */
+  private[graft] def tokenBudgetSelect(s: SparkSession, d: String,
+      budget: Long, rowsPerBucket: Long): DataFrame = {
+    val base = graft.ops.Par.ensure(
+      t(s, d, "documents").select("doc_id", "lang", "text"), "doc_id")
+      .withColumn("q", TF.qualityScore(col("text")))
+      .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "lang", "q", "n_tok")
+      .persistTracked()
+    val nBuckets = math.max(20L,
+      math.min(1L << 17, (base.count() + rowsPerBucket - 1) / rowsPerBucket))
+    val bucketed = base.withColumn("qb",
+      least(floor((lit(1.0) - col("q")) * nBuckets).cast("long"),
+        lit(nBuckets - 1)))
+    val offsets = bucketed.groupBy("lang", "qb")
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("offset",
+        coalesce(sum(col("btok")).over(Window.partitionBy("lang")
+          .orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "qb", "offset")
+    val wIn = Window.partitionBy("lang", "qb")
+      .orderBy(desc("q"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq("lang", "qb"))
+      .withColumn("cum", col("offset") + sum(col("n_tok")).over(wIn))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum"),
+        when(col("cum") <= budget, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** q84's hashed-linear classifier, hash-parameterized like the dedup
@@ -1857,7 +1920,7 @@ object Queries {
       .withColumn("toks", TF.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(TF.shingleHashes(TF.shingles(col("toks"), 8)))).as("g"))
-      .persist()
+      .persistTracked()
     (grams, col("doc_id") % 97 === 0 && col("doc_id") < 10000000L)
   }
 
@@ -1908,6 +1971,21 @@ object Queries {
         .agg(udaf(new graft.functions.MisraGries(64), org.apache.spark.sql.Encoders.STRING)
           .apply(col("tok")).as("summary"))
         .select(col("lang"), explode(col("summary")).as(Seq("tok", "n")))
+    }),
+    // Sketch twin of q88: tercile cutoffs from approx_percentile (KLL-style
+    // fixed-size buffers, partial merges) instead of the exact score
+    // histogram — the path for a corpus whose DISTINCT score cardinality
+    // is itself too large to window. Not oracle-able (sketch cutoffs can
+    // sit on a neighbouring order statistic); SketchSpec pins that any
+    // divergence from q88 is confined to cutoff-adjacent docs.
+    ("b88_ccnet_approx", (s: SparkSession, d: String) => {
+      val scored = lmBits(s, d).persistTracked()
+      val cuts = scored.groupBy("lang")
+        .agg(expr("approx_percentile(bits_per_token, " +
+          "array(0.3333333333333333D, 0.6666666666666667D), 10000)").as("ts"))
+        .select(col("lang"), col("ts").getItem(0).as("t1"),
+          col("ts").getItem(1).as("t2"))
+      ccnetBucket(scored, broadcast(cuts))
     })
   )
 
@@ -2020,7 +2098,7 @@ object Queries {
         val base = t(s, d, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
           .withColumn("dl", size(col("toks")).cast("long"))
-          .persist()
+          .persistTracked()
         val scal = base.agg(
           count(lit(1)).cast("double").as("n_docs"),
           avg(col("dl").cast("double")).as("avgdl"))
@@ -2358,7 +2436,7 @@ object Queries {
         val docs = graft.ops.Par.ensure(
           t(s, d, "documents").select("doc_id", "text"), "doc_id")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-          .persist()
+          .persistTracked()
         val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
         val dfs = docs.select(explode(array_distinct(col("toks"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -2394,25 +2472,38 @@ object Queries {
           FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
       // CCNet's actual selection rule on top of q83's scores: per-language
-      // perplexity TERCILES (head / middle / tail), keep = not-tail. The
-      // split is an ntile window over (bits_per_token, doc_id) — ordering
-      // on the ROUNDED score plus the id makes the tercile assignment
-      // deterministic and identical across engines (a raw-double order key
-      // could rank ulp-divergent ties differently). Scale shape: one
-      // window sort per language partition on top of lmBits' narrow
-      // scoring — at 100 TB the per-lang sort would become an
-      // approx-quantile threshold (q80's sketch path) with the same
-      // bucket semantics.
+      // perplexity TERCILES (head / middle / tail), keep = not-tail —
+      // assigned CCNet-style by comparing each doc's bits_per_token
+      // against per-language tercile CUTOFF VALUES (so rounded-score ties
+      // share a bucket, exactly as docs compared against published cutoffs
+      // do). Scale shape (VERDICT r7 #1, replacing the per-lang ntile
+      // sort — a skewed-key single-reducer at 100×): the cutoffs come
+      // from a (lang, score) HISTOGRAM — a map-side-combined aggregate
+      // whose cardinality is DISTINCT ROUNDED SCORES per language, not
+      // rows — a cumulative window over that histogram (the only per-lang
+      // sort left in the plan sorts the histogram, bounded by score
+      // cardinality at any corpus size), and a min-when rollup to a
+      // 2-cutoff-per-lang table broadcast back onto the scored rows as a
+      // narrow `when` bucketing. Rank convention (identical in both
+      // engines, exact): t_i = min score whose cumulative count >=
+      // ceil(i·n/3.0). `b88_ccnet_approx` is the sketch-cutoff twin
+      // (approx_percentile — for when even the histogram is unwanted);
+      // SketchSpec pins its divergence to cutoff-adjacent docs only.
       ("q88_ccnet_buckets", (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("lang")
-          .orderBy(asc("bits_per_token"), asc("doc_id"))
-        lmBits(s, d)
-          .withColumn("nt", ntile(3).over(w))
-          .select(col("doc_id"), col("lang"), col("bits_per_token"),
-            element_at(array(lit("head"), lit("middle"), lit("tail")),
-              col("nt")).as("bucket"),
-            when(col("nt") =!= 3, 1L).otherwise(0L).as("keep"))
-          .orderBy("doc_id")
+        val scored = lmBits(s, d).persistTracked()
+        val hist = scored.groupBy("lang", "bits_per_token")
+          .agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy("lang").orderBy("bits_per_token")))
+        val nl = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        val cuts = cum.join(broadcast(nl), "lang")
+          .groupBy("lang")
+          .agg(
+            min(when(col("cum") >= ceil(col("n") / lit(3.0)),
+              col("bits_per_token"))).as("t1"),
+            min(when(col("cum") >= ceil(col("n") * 2 / lit(3.0)),
+              col("bits_per_token"))).as("t2"))
+        ccnetBucket(scored, broadcast(cuts))
       },
         Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
           cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
@@ -2423,13 +2514,22 @@ object Queries {
               round(avg(-log2(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / tot.total)), 6) AS bits_per_token
             FROM tok t LEFT JOIN v ON t.tok = v.tok CROSS JOIN tot
             GROUP BY t.doc_id, t.lang),
-          b AS (SELECT doc_id, lang, bits_per_token,
-              ntile(3) OVER (PARTITION BY lang ORDER BY bits_per_token, doc_id) AS nt
-            FROM sc)
-          SELECT doc_id, lang, bits_per_token,
-            CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
-            CAST(CASE WHEN nt <> 3 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM b ORDER BY doc_id""")),
+          nl AS (SELECT lang, count(*) AS n FROM sc GROUP BY lang),
+          hist AS (SELECT lang, bits_per_token, count(*) AS c
+            FROM sc GROUP BY lang, bits_per_token),
+          cm AS (SELECT lang, bits_per_token,
+              sum(c) OVER (PARTITION BY lang ORDER BY bits_per_token) AS cum
+            FROM hist),
+          cuts AS (SELECT cm.lang,
+              min(CASE WHEN cm.cum >= ceil(nl.n / 3.0) THEN bits_per_token END) AS t1,
+              min(CASE WHEN cm.cum >= ceil(nl.n * 2 / 3.0) THEN bits_per_token END) AS t2
+            FROM cm JOIN nl USING (lang) GROUP BY cm.lang)
+          SELECT sc.doc_id, sc.lang, sc.bits_per_token,
+            CASE WHEN sc.bits_per_token <= c.t1 THEN 'head'
+                 WHEN sc.bits_per_token <= c.t2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+            CAST(CASE WHEN sc.bits_per_token <= c.t2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM sc JOIN cuts c USING (lang) ORDER BY doc_id""")),
 
       // Per-source corpus health report — the audit table a curation run
       // ships with: volume, language spread, quality, repetition and
@@ -2586,15 +2686,21 @@ object Queries {
               sequence(lit(0), floor((size(col("toks")) - 1) / segW).cast("int")),
               j => concat_ws(" ", slice(col("toks"), j * segW + 1, lit(segW))))))
         .select(col("doc_id"), col("segs"))
-        .persist()
+        .persistTracked()
       val segs = segged
         .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
         .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("seg"))
+      // keeper = lexicographic min of (doc_id, seg_idx) as a STRUCT —
+      // structs order field-by-field, so "first occurrence wins" is exact
+      // for any segment count (ADVICE r7: the previous doc_id*1000+seg_idx
+      // encoding collided with neighbouring doc ids for docs >= 1000
+      // segments, i.e. >= 8000 tokens at segW=8, and the oracle shared the
+      // encoding so parity could not catch it)
       val keepers = segs.groupBy("seg")
-        .agg(min(col("doc_id") * 1000L + col("seg_idx")).as("keep_key"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep_key"))
       segs.join(keepers, "seg")
         .withColumn("kept",
-          when(col("doc_id") * 1000L + col("seg_idx") === col("keep_key"), 1L)
+          when(struct(col("doc_id"), col("seg_idx")) === col("keep_key"), 1L)
             .otherwise(0L))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_seg"), sum(col("kept")).as("n_kept"))
@@ -2609,11 +2715,13 @@ object Queries {
               array_to_string(list_transform(
                 range(u.j * 8 + 1, least((u.j + 1) * 8, len(toks)) + 1), i -> toks[i]), ' ') AS seg
             FROM tok_sd, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(j)),
-          k_sd AS (SELECT seg, min(doc_id * 1000 + seg_idx) AS keep_key
-            FROM seg_sd GROUP BY seg),
+          k_sd AS (SELECT seg, min(doc_id) AS kd FROM seg_sd GROUP BY seg),
+          k2_sd AS (SELECT s.seg, k.kd, min(s.seg_idx) AS ki
+            FROM seg_sd s JOIN k_sd k ON s.seg = k.seg AND s.doc_id = k.kd
+            GROUP BY s.seg, k.kd),
           m_sd AS (SELECT s.doc_id,
-              CASE WHEN s.doc_id * 1000 + s.seg_idx = k.keep_key THEN 1 ELSE 0 END AS kept
-            FROM seg_sd s JOIN k_sd k ON s.seg = k.seg),
+              CASE WHEN s.doc_id = k.kd AND s.seg_idx = k.ki THEN 1 ELSE 0 END AS kept
+            FROM seg_sd s JOIN k2_sd k ON s.seg = k.seg),
           roll_sd AS (SELECT doc_id, count(*) AS n_seg,
               CAST(sum(kept) AS BIGINT) AS n_kept,
               round(CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS kept_frac
@@ -2798,42 +2906,16 @@ object Queries {
       // Token-budget corpus selection: fill a fixed per-language token
       // budget in descending-quality order (the data-budget allocation
       // step that turns a mixture plan like q79 into an actual doc list).
-      // The running sum is computed TWO-PHASE: quality-range buckets →
-      // per-bucket totals (tiny: <= 20 rows per lang) → prefix offsets
-      // over the bucket table → within-bucket running sums, so no window
-      // ever sees a whole language in one partition — the naive
-      // per-lang-ordered window puts the largest language through ONE
-      // reducer, the classic prefix-sum scale wall. The bucketed and naive
-      // forms are provably identical (bucket id is monotone in the rounded
-      // quality key, so bucket-then-rank order IS the global order; the
-      // oracle runs the naive single-window form). Quality is rounded to 6
-      // BEFORE ordering on either engine — an ulp-divergent raw double in
-      // the ORDER BY could swap two docs across the budget line.
-      ("q97_token_budget", (s: SparkSession, d: String) => {
-        val budget = 3000L
-        val base = graft.ops.Par.ensure(
-          t(s, d, "documents").select("doc_id", "lang", "text"), "doc_id")
-          .withColumn("q", TF.qualityScore(col("text")))
-          .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
-          .withColumn("qb",
-            least(floor((lit(1.0) - col("q")) * 20).cast("long"), lit(19L)))
-          .select("doc_id", "lang", "q", "n_tok", "qb")
-          .persist()
-        val offsets = base.groupBy("lang", "qb")
-          .agg(sum(col("n_tok")).as("btok"))
-          .withColumn("offset",
-            coalesce(sum(col("btok")).over(Window.partitionBy("lang")
-              .orderBy("qb").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("lang", "qb", "offset")
-        val wIn = Window.partitionBy("lang", "qb")
-          .orderBy(desc("q"), asc("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.join(broadcast(offsets), Seq("lang", "qb"))
-          .withColumn("cum", col("offset") + sum(col("n_tok")).over(wIn))
-          .select(col("doc_id"), col("lang"), col("n_tok"), col("cum"),
-            when(col("cum") <= budget, 1L).otherwise(0L).as("keep"))
-          .orderBy("doc_id")
-      },
+      // See [[tokenBudgetSelect]] for the two-phase prefix sum and the
+      // input-derived bucket count (VERDICT r7 #4). The bucketed and naive
+      // forms are provably identical for ANY bucket count (bucket id is
+      // monotone in the rounded quality key, so bucket-then-rank order IS
+      // the global order; the oracle runs the naive single-window form and
+      // ScaleOpsSpec pins bucket-count invariance). Quality is rounded to
+      // 6 BEFORE ordering on either engine — an ulp-divergent raw double
+      // in the ORDER BY could swap two docs across the budget line.
+      ("q97_token_budget", (s: SparkSession, d: String) =>
+        tokenBudgetSelect(s, d, budget = 3000L, rowsPerBucket = 50000L),
         Some(s"""WITH base AS (SELECT doc_id, lang, $sqlQuality AS q,
               CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
           c AS (SELECT doc_id, lang, n_tok,
@@ -2930,16 +3012,16 @@ object Queries {
         // ~3.5 s)
         val corpus = pre.unionByName(dec)
           .withColumn("text", TF.unicodeNormalize(col("text"), "nfc"))
-          .persist()
+          .persistTracked()
         val surv = corpus.join(
           segRollup(corpus).filter(col("kept_frac") >= 0.5).select("doc_id"),
           Seq("doc_id"), "left_semi")
-          .persist()
+          .persistTracked()
         val scored = dsirScores(surv)
           .withColumn("qb",
             least(greatest(floor((lit(1.0) - col("log_ratio")) * 10).cast("long"),
               lit(0L)), lit(19L)))
-          .persist()
+          .persistTracked()
         val offsets = scored.groupBy("lang", "qb")
           .agg(sum(col("n_tok")).as("btok"))
           .withColumn("offset",

@@ -25,6 +25,16 @@ import graft.search.SearchEngine
   */
 object EngineApi {
 
+  /** Release the pipeline-scratch caches accumulated by query/dedup/
+    * curation dataflows since the last release (VERDICT r7 #6) — the
+    * serving-session cache-hygiene hook. Scoped: domain-level caches
+    * (`Domain.cache()`) and user caching are untouched, unlike
+    * `spark.catalog.clearCache()`. Call after each query cycle's results
+    * are materialized; ApiSpec pins that a cycle leaves no orphan blocks
+    * behind it.
+    */
+  def releaseCaches(): Unit = graft.ops.Caches.release()
+
   /** `POST /Searchdomain/Query?searchdomain&query&topN&returnAttributes`
     * (`SearchdomainController.cs:158-171`): embed the query under every
     * model in use, run the two-level scored search, optionally attach the

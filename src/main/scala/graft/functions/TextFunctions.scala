@@ -268,6 +268,23 @@ object TextFunctions {
     * portable to the SQL oracle — unlike a sequential rolling hash this is
     * a single associative aggregate, so it parallelizes).
     */
+  /** Winnowing fingerprint selection over a precomputed gram-hash array
+    * (Schleimer et al. '03 — see [[graft.ops.Dedup.winnowFingerprints]]
+    * for the positional-robustness guarantee): the min of each sliding
+    * `window` over the hash sequence, distinct. Empty input → empty
+    * array; fewer hashes than `window` → one fingerprint, the global min.
+    * Pass a MATERIALIZED column (withColumn-staged), not a computed
+    * expression: the window lambda references the array once per
+    * position, and an inlined computed subtree would re-evaluate per
+    * window (the HOF-capture trap, NOTES_r7).
+    */
+  def winnowFps(hashes: Column, window: Int): Column =
+    when(size(hashes) === 0, array().cast("array<bigint>"))
+      .when(size(hashes) < window, array(array_min(hashes)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(hashes) - (window - 1)),
+        j => array_min(slice(hashes, j, lit(window))))))
+
   def fingerprint(toks: Column): Column =
     // empty guard: sequence(1, 0) yields a DESCENDING [1,0] (not an empty
     // array), which would zip against null tokens and null the whole sum.

@@ -70,15 +70,100 @@ object Bpe {
     * the subword generalization BPE exists for). A chain of per-row HOF
     * folds, one per merge: narrow, no shuffle, rides the scan. For
     * production-sized merge tables (10k+) the chain exceeds what one
-    * projection should hold — there the merge table broadcasts to a
-    * mapPartitions encoder with the identical rank-order contract; this
-    * Column form is exact for the moderate tables the specs and
-    * registry exercise.
+    * projection should hold — use [[encodePartitions]], the broadcast
+    * mapPartitions form with the identical rank-order contract (BpeSpec
+    * pins the equality); this Column form is exact for the moderate
+    * tables the specs and registry exercise.
     */
   def encode(tok: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(symbolize(tok)) {
       case (syms, (a, b)) => mergeAdjacent(syms, a, b)
     }
+
+  /** One word through the rank-ordered greedy merge contract — the plain
+    * JVM twin of `merges.foldLeft(symbolize)(mergeAdjacent)`. The
+    * symbol-membership set makes rank m cost O(1) unless both of its
+    * symbols have ever appeared in this word (a conservative superset —
+    * symbols are added when a merge fires, never removed; a stale member
+    * costs one wasted scan, never a wrong merge): a 10k-rank table is
+    * ~20k set probes per word, not 10k full scans.
+    */
+  private[ops] def encodeWord(tok: String,
+      merges: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = tok.split("").filter(_.nonEmpty)
+    if (syms.length < 2) return syms
+    val present = new java.util.HashSet[String](syms.length * 2)
+    syms.foreach(present.add)
+    var m = 0
+    while (m < merges.length && syms.length > 1) {
+      val (a, b) = merges(m)
+      if (present.contains(a) && present.contains(b)) {
+        // greedy left-to-right, non-overlapping — after a merge the new
+        // tail is the FUSED symbol, which cannot re-match `a` (BpeSpec's
+        // reference form; equivalent to mergeAdjacent's fold)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        var fired = false
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); fired = true; i += 2
+          } else {
+            out += syms(i); i += 1
+          }
+        }
+        if (fired) {
+          syms = out.toArray
+          present.add(a + b)
+        }
+      }
+      m += 1
+    }
+    syms
+  }
+
+  /** Production encoder (VERDICT r7 #3): the merge table BROADCAST once
+    * and applied per partition in plain JVM code — [[encode]]'s HOF chain
+    * is exact but builds a merge-table-sized expression tree, which at
+    * production vocab sizes (10k+ merges) exceeds what one projection
+    * (and its codegen) should hold. Contract is IDENTICAL to [[encode]]
+    * (rank order, greedy left-to-right; BpeSpec pins equality on seen and
+    * unseen words at a 1k+ table). Per-partition memo on the token
+    * string: a corpus partition repeats words (Zipf), and identical input
+    * produces identical output, so each distinct word is segmented once
+    * per partition (capped — a pathological all-distinct partition stops
+    * memoizing rather than growing without bound).
+    *
+    * Adds `outCol` (array<string>; null for a null token) to `df`; all
+    * other columns pass through untouched. Narrow — no shuffle, rides
+    * the scan exactly like the Column form.
+    */
+  def encodePartitions(df: DataFrame, tokCol: String, outCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val bc = df.sparkSession.sparkContext.broadcast(merges.toArray)
+    val tokIdx = df.schema.fieldIndex(tokCol)
+    val schema = df.schema.add(outCol, ArrayType(StringType, containsNull = false))
+    val memoCap = 1 << 20
+    df.mapPartitions { it =>
+      val table = bc.value
+      val memo = new java.util.HashMap[String, Array[String]]()
+      it.map { row =>
+        val tok = row.getAs[String](tokIdx)
+        val enc =
+          if (tok == null) null
+          else {
+            var hit = memo.get(tok)
+            if (hit == null) {
+              hit = encodeWord(tok, table)
+              if (memo.size < memoCap) memo.put(tok, hit)
+            }
+            hit
+          }
+        Row.fromSeq(row.toSeq :+ enc)
+      }
+    }(Encoders.row(schema))
+  }
 
   /** Learn `k` merges from a word-frequency table (`tok`, `n`). Each
     * round reads ONE row on the driver (the argmax pair — it becomes the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.ops.Caches.TrackedPersist
 
 /** Deduplication pipelines for large-scale training-data curation — the
   * scale-critical property of every pipeline here is that candidate
@@ -14,12 +15,13 @@ import graft.functions.TextFunctions._
   * The expression primitives live in [[graft.functions.TextFunctions]]; this
   * module wires them into end-to-end DataFrame transforms.
   *
-  * Caching contract: the pipelines `persist()` their shared md5-heavy
-  * intermediates (each is read 2-6 times downstream) and deliberately do
-  * NOT unpersist — the cached blocks must outlive the returned (lazy)
-  * DataFrame. Callers that invoke these repeatedly in one long-lived
-  * session should `spark.catalog.clearCache()` between corpora (as
-  * Bench/Verify do) or the cache accretes.
+  * Caching contract: the pipelines persist their shared md5-heavy
+  * intermediates (each is read 2-6 times downstream) via
+  * [[Caches.TrackedPersist]] and deliberately do NOT unpersist inline —
+  * the cached blocks must outlive the returned (lazy) DataFrame. Callers
+  * release the scratch once the result is consumed: `Caches.release()`
+  * (scoped — leaves domain/user caches alone) or
+  * `spark.catalog.clearCache()` (as Bench/Verify do between queries).
   */
 object Dedup {
 
@@ -88,7 +90,7 @@ object Dedup {
       .withColumn("sh", shingles(col("toks"), shingleK))
       .withColumn("hashes", array_distinct(shingleHashes(col("sh"), fastHash)))
       .select("doc_id", "hashes")
-      .persist()
+      .persistTracked()
 
   /** Exploded LSH band keys (doc_id, band) of a [[shingleHashed]] table. */
   private def bandKeys(hashed: DataFrame, numHashes: Int, bands: Int, rows: Int): DataFrame =
@@ -177,7 +179,7 @@ object Dedup {
       .filter(col("st.n_tokens") > 0)
       .select(col("doc_id"), col("st.simhash").as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), bucketShift))
-      .persist()
+      .persistTracked()
 
     sims.as("a")
       .join(sims.as("b"),
@@ -218,7 +220,7 @@ object Dedup {
       .withColumn("gram_hashes",
         array_distinct(shingleHashes(shingles(col("toks"), n))))
       .select("doc_id", "gram_hashes")
-      .persist()
+      .persistTracked()
 
     val posting = grams
       .select(col("doc_id"), explode(col("gram_hashes")).as("gram"))
@@ -228,7 +230,7 @@ object Dedup {
       .select("gram")
     // Both sides of the candidate self-join read this; persist so the
     // df-cap groupBy runs once.
-    val rarePosting = posting.join(rare, "gram").persist()
+    val rarePosting = posting.join(rare, "gram").persistTracked()
 
     val cand = rarePosting.as("a")
       .join(rarePosting.as("b"),
@@ -305,13 +307,7 @@ object Dedup {
       // split once per window (the HOF-capture trap, NOTES_r7)
       .withColumn("toks", tokens(col("text")))
       .withColumn("hashes", shingleHashes(shingles(col("toks"), k), fastHash))
-      .select(col("doc_id"),
-        when(size(col("hashes")) === 0, array().cast("array<bigint>"))
-          .when(size(col("hashes")) < window, array(array_min(col("hashes"))))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), size(col("hashes")) - (window - 1)),
-            j => array_min(slice(col("hashes"), j, lit(window))))))
-          .as("fingerprints"))
+      .select(col("doc_id"), winnowFps(col("hashes"), window).as("fingerprints"))
 
   /** Cross-document overlap detection over winnowing fingerprints: explode
     * the per-doc fingerprint sets into a posting list, drop fingerprints
@@ -351,7 +347,7 @@ object Dedup {
     val spread = Par.ensure(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
     val fps = winnowFingerprints(spread, "doc_id", "text", k, window, fastHash)
-      .persist()
+      .persistTracked()
     val posting = fps.select(col("doc_id"), explode(col("fingerprints")).as("f"))
     val rare = posting.groupBy("f")
       .agg(count(lit(1)).as("df"))

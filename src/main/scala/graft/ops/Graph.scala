@@ -33,8 +33,9 @@ object Graph {
     *
     * Returns (id, component) with component = min node id reachable.
     * NOTE the returned DataFrame reads the final round's localCheckpoint
-    * blocks lazily — they stay pinned until the caller's terminal action
-    * + `spark.catalog.clearCache()` (or session end) releases them.
+    * blocks lazily — they stay pinned until the caller's terminal action;
+    * `Caches.release()` (registered here) frees them. `catalog.clearCache`
+    * does NOT: it only covers Dataset-level caches, not RDD storage.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -121,6 +122,10 @@ object Graph {
     } finally {
       sym.unpersist()
     }
+    // the final round's blocks back the RETURNED frame — released with the
+    // rest of the pipeline scratch, not here
+    val finalBlocks = labelBlocks
+    Caches.onRelease(() => free(finalBlocks))
     (labels, iter)
   }
 }

@@ -33,26 +33,38 @@ object TemporalJoin {
     * equal-time right row DOES match (right sorts before left at the same
     * instant). Contract: right must be unique per (key, time) — aggregate
     * ties away first, or the carried payload is pick-any among them.
+    *
+    * The payload travels as ONE non-null struct per right row through a
+    * single `last(ignoreNulls)` and is unpacked after the window (ADVICE
+    * r7: carrying each column independently skipped right rows whose
+    * payload value is legitimately NULL, and with several payload columns
+    * could stitch fields from DIFFERENT right rows into one that never
+    * existed). The struct is never null for a right row — even one whose
+    * fields are all null — so the carried state is always the most recent
+    * right ROW as a unit; field access on the null no-match struct yields
+    * the contracted nulls.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
            payload: Seq[String]): DataFrame = {
     val lExtra = left.columns.toSeq.filterNot(c => c == key || c == time)
+    val payStruct = struct(payload.map(col): _*)
     val lSide = left.select(
       Seq(col(key), col(time), lit(1).as("__side")) ++
-        lExtra.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lExtra.map(col) :+
+        lit(null).cast(right.select(payStruct).schema.head.dataType).as("__pay"): _*)
     val rSide = right.select(
       Seq(col(key), col(time), lit(0).as("__side")) ++
-        lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payStruct.as("__pay"): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
-      .select(Seq(col(key), col(time), col("__side")) ++ lExtra.map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(Seq(col(key), col(time), col("__side")) ++ lExtra.map(col) :+
+        last(col("__pay"), ignoreNulls = true).over(w).as("__pay"): _*)
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ payload.map(col): _*)
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__pay").getField(c).as(c)): _*)
   }
 
   /** Matched (left, right) pairs where right `time` lies in

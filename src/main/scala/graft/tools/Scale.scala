@@ -40,6 +40,27 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
 
     val outDir = s"target/scale$copies"
+
+    // ADVICE r7: the per-copy id shifts silently collide (corrupting the
+    // scaling measurement with no error) if the base dir — which is
+    // user-overridable via SPARK_GRAFT_SF_DIR — exceeds the shift
+    // cardinalities. Assert the headroom before writing anything.
+    def assertIdHeadroom(table: String, idCol: String, bound: Long): Unit = {
+      val m = spark.read.parquet(s"$sfDir/$table.parquet")
+        .agg(max(col(idCol).cast("long"))).first()
+      if (!m.isNullAt(0)) {
+        val v = m.getLong(0)
+        require(v < bound,
+          s"$sfDir/$table.parquet: max($idCol) = $v >= copy shift $bound — " +
+            "shifted copies would collide; use a smaller base or raise the shifts")
+      }
+    }
+    assertIdHeadroom("documents", "doc_id", 100000L)
+    assertIdHeadroom("embeddings", "vec_id", 100000L)
+    assertIdHeadroom("embeddings", "label", 1000L)
+    assertIdHeadroom("events", "event_id", 10000000L)
+    assertIdHeadroom("events", "user_id", 100000L)
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     (0 until copies).map { i =>
       val text = if (i == 0) col("text")
@@ -120,6 +141,7 @@ object Scale {
         fn(spark, outDir).write.format("noop").mode("overwrite").save()
         println(f"[scale] K=$copies $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         spark.catalog.clearCache()
+        graft.ops.Caches.release()
         System.gc()
       }
     }

@@ -28,6 +28,7 @@ object Scratch {
         .write.format("noop").mode("overwrite").save()
       println(f"[scratch] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       spark.catalog.clearCache()
+      graft.ops.Caches.release()
     }
     spark.stop()
   }

@@ -299,4 +299,26 @@ class ApiSpec extends SparkSpec {
     assert(s("entities")._1 == 3 && s("datapoints")._1 == 6 && s("embeddings")._1 == 6)
     assert(s.values.forall(_._2 > 0))
   }
+
+  test("a pipeline query cycle leaves no orphan cached blocks after releaseCaches") {
+    // VERDICT r7 #6: the pipelines' persist-without-unpersist contract is
+    // fine for the batch harness (clearCache between queries) but leaked
+    // in a long-lived serving session. q78 exercises BOTH scratch kinds:
+    // tracked Dataset persists (the dedup intermediates) AND the
+    // connected-components localCheckpoint blocks, which clearCache does
+    // NOT cover (the catalog only tracks Dataset-level caches).
+    val sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    graft.ops.Caches.release() // drain scratch left by earlier suites
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Queries.queries("q78_dup_clusters")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    assert(graft.ops.Caches.trackedCount > 0, "pipeline registered no scratch")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected the pipeline to persist scratch blocks")
+    EngineApi.releaseCaches()
+    val orphans = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(orphans.isEmpty, s"orphan cached blocks after release: $orphans")
+    assert(graft.ops.Caches.trackedCount == 0)
+  }
 }

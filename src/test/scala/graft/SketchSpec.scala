@@ -120,6 +120,54 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("b88 approx tercile cutoffs diverge from q88 only at cutoff-adjacent docs") {
+    // q88's graded form derives EXACT per-language cutoffs from the score
+    // histogram (oracled); b88 swaps in approx_percentile cutoffs — the
+    // path for a corpus whose distinct-score cardinality outgrows the
+    // histogram window. The sketch may land on a neighbouring order
+    // statistic, so bucket assignments may differ — but ONLY for docs
+    // whose score lies between the exact and approx cutoff of ONE
+    // boundary (never a head<->tail jump, never a doc far from a cutoff).
+    val sf = "/root/testdata/sf0.01"
+    val exact = Queries.queries("q88_ccnet_buckets")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    val approx = Queries.benchOnly.toMap.apply("b88_ccnet_approx")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+
+    // recompute both cutoff tables from the collected scores (the rank
+    // convention q88 defines: t_i = min score with cum count >= ceil(i*n/3))
+    val byLang = exact.values.groupBy(_._1).map { case (l, vs) =>
+      l -> vs.map(_._2).toSeq.sorted }
+    def exactCut(lang: String, third: Int): Double = {
+      val s = byLang(lang)
+      s(math.ceil(third * s.size / 3.0).toInt - 1)
+    }
+    val order = Map("head" -> 1, "middle" -> 2, "tail" -> 3)
+    val diffs = exact.collect {
+      case (id, (lang, bits, eb)) if approx(id) != eb => (id, lang, bits, eb, approx(id))
+    }.toSeq
+    diffs.foreach { case (id, lang, bits, eb, ab) =>
+      assert(math.abs(order(eb) - order(ab)) == 1,
+        s"doc $id jumped $eb -> $ab (non-adjacent)")
+      // the moved doc must sit within one order-statistic gap of the exact
+      // cutoff of the boundary it crossed (head<->middle: t1, else t2)
+      val third = if (order(eb).min(order(ab)) == 1) 1 else 2
+      val t = exactCut(lang, third)
+      val s = byLang(lang)
+      val i = s.indexWhere(_ >= t)
+      val lo = s(math.max(0, i - 1))
+      val hi = s(math.min(s.size - 1, i + 1))
+      assert(bits >= lo - 1e-9 && bits <= hi + 1e-9,
+        s"doc $id ($bits) moved $eb->$ab but is outside the cutoff band [$lo,$hi] around t$third=$t")
+    }
+    // and the divergence is a thin boundary set, not a reshuffle
+    assert(diffs.size <= math.max(5, exact.size / 20),
+      s"${diffs.size} of ${exact.size} docs changed bucket")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
   test("sketch aggregation plan carries partial HLL merge (no distinct-set shuffle)") {
     val toks = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))

@@ -52,6 +52,23 @@ class TemporalJoinSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("asOf carries the most recent right ROW as a unit, even with null payload fields") {
+    // ADVICE r7: per-column last(ignoreNulls) carry skipped a newer right
+    // row whose payload value is legitimately NULL, and with multiple
+    // payload columns could stitch fields from DIFFERENT right rows into
+    // one that never existed. The struct carry must return exactly the
+    // most recent row's fields.
+    val l = Seq((1L, "a", 300L)).toDF("id", "k", "t")
+    val r = Seq(
+      ("a", 100L, Some(7.0), Option.empty[String]), // older: (7.0, null)
+      ("a", 200L, Option.empty[Double], Some("x"))  // newest: (null, "x")
+    ).toDF("k", "t", "v", "s")
+    val got = TemporalJoin.asOf(l, r, "k", "t", Seq("v", "s")).collect()(0)
+    // newest row wins wholesale: v = null (NOT the stale 7.0), s = "x"
+    assert(got.isNullAt(3), got.toString)
+    assert(got.getString(4) == "x", got.toString)
+  }
+
   test("rangeJoin window boundaries: [t-W, t) — lower inclusive, upper exclusive") {
     val l = Seq((1L, "a", 1000L)).toDF("id", "k", "t")
     val r = Seq(
