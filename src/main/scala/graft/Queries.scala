@@ -3110,7 +3110,126 @@ object Queries {
             FROM ch)
           SELECT doc_id, n_chars, entropy,
             CAST(CASE WHEN entropy >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM e ORDER BY doc_id"""))
+          FROM e ORDER BY doc_id""")),
+
+      // Per-source cap (round 8) — the domain-balancing stage a web-scale
+      // curation run applies after dedup (RefinedWeb/FineWeb ship it as
+      // "domain capping": an over-represented host may contribute at most
+      // `cap` documents, best-first). Selection order is (rounded quality
+      // desc, doc_id) — deterministic across engines. Scale shape: the
+      // rank-filtered row_number is planned as WindowGroupLimit (map-side
+      // partial top-cap per partition BEFORE the shuffle, the q85/q96
+      // spec-pinned shape), so the exchange carries O(sources × cap)
+      // rows, never the corpus; a pathological mega-source costs one
+      // task cap rows, not its whole slice.
+      ("q102_source_cap", (s: SparkSession, d: String) => {
+        val cap = 15L
+        val w = Window.partitionBy("source").orderBy(desc("q"), asc("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TF.qualityScore(col("text")).as("q"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= cap)
+          .select(col("doc_id"), col("source"), col("q"), col("rnk"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH qs AS (SELECT doc_id, source, $sqlQuality AS q FROM documents),
+          r AS (SELECT doc_id, source, q,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rnk
+            FROM qs)
+          SELECT doc_id, source, q, rnk FROM r WHERE rnk <= 15
+          ORDER BY doc_id""")),
+
+      // Gopher quality-rule battery (round 8; Rae et al. 2021 §A1.1 —
+      // the named heuristic filter set production corpora run before any
+      // model-based scoring): word-count bounds, mean-word-length bounds,
+      // bullet-line and ellipsis-line fractions, symbol-to-word ratio,
+      // alphabetic-word fraction, minimum distinct-stopword presence.
+      // Every rule is a narrow per-row expression over the staged token/
+      // line arrays — the whole battery rides the scan, zero shuffle
+      // beyond the presentation orderBy. Flags are emitted as BIGINTs
+      // (no floats cross the oracle boundary; the internal ratios are
+      // exact small-int divisions, identical in IEEE on both engines).
+      // The stop list is the engine's standard one (qualityScore's),
+      // not the paper's 8 words — the synthetic corpus vocabulary
+      // contains only {the, a} of the paper's list, which would make the
+      // rule vacuously false; the RULE (>= 2 distinct stops present) is
+      // Gopher's, the lexicon is a parameter.
+      ("q103_gopher_rules", (s: SparkSession, d: String) => {
+        val stops = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+        val base = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("lines", split(col("text"), "\n"))
+        val nw = size(col("toks")).cast("double")
+        val nl = size(col("lines")).cast("double")
+        val meanLen = when(size(col("toks")) === 0, 0.0)
+          .otherwise(aggregate(col("toks"), lit(0.0),
+            (a, t2) => a + length(t2).cast("double")) / nw)
+        val bulletFrac = size(filter(col("lines"),
+          l => trim(l).rlike("^[-*•]"))).cast("double") / nl
+        val ellipsisFrac = size(filter(col("lines"),
+          l => l.rlike("\\.\\.\\.$"))).cast("double") / nl
+        val hashCount = (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("double")
+        val dotsCount = ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("double")
+        val symbolRatio = when(size(col("toks")) === 0, 0.0)
+          .otherwise((hashCount + dotsCount) / nw)
+        val alphaFrac = when(size(col("toks")) === 0, 0.0)
+          .otherwise(size(filter(col("toks"),
+            t2 => t2.rlike("[A-Za-z]"))).cast("double") / nw)
+        val stopHits = size(array_intersect(
+          transform(col("toks"), t2 => lower(t2)),
+          array(stops.map(lit): _*)))
+        def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+        base.select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          flag(size(col("toks")) >= 50 && size(col("toks")) <= 100000).as("r_words"),
+          flag(meanLen >= 3.0 && meanLen <= 10.0).as("r_meanlen"),
+          flag(bulletFrac <= 0.9).as("r_bullet"),
+          flag(ellipsisFrac <= 0.3).as("r_ellipsis"),
+          flag(symbolRatio <= 0.1).as("r_symbol"),
+          flag(alphaFrac >= 0.8).as("r_alpha"),
+          flag(stopHits >= 2).as("r_stop"))
+          .withColumn("keep",
+            when(col("r_words") + col("r_meanlen") + col("r_bullet") +
+              col("r_ellipsis") + col("r_symbol") + col("r_alpha") +
+              col("r_stop") === 7L, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH b AS (SELECT doc_id, text, $toks AS toks,
+              string_split(text, chr(10)) AS lines FROM documents),
+          m AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) END AS mean_wlen,
+              CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines) AS bullet_frac,
+              CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                  + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                  / len(toks) END AS symbol_ratio,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
+              len(list_intersect(list_transform(toks, x -> lower(x)),
+                ['the', 'a', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'for'])) AS stop_hits
+            FROM b)
+          SELECT doc_id, n_words,
+            CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+            CAST(CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+            CAST(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+            CAST(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+            CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+            CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+            CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+            CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+              AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+              AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+              AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM m ORDER BY doc_id"""))
     )
   }
 

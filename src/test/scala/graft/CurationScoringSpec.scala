@@ -210,4 +210,39 @@ class CurationScoringSpec extends SparkSpec {
       byCum.foreach { r => assert((r._3 <= 3000L) == (r._4 == 1L)) }
     }
   }
+
+  test("q102 source cap is rank-limited map-side (WindowGroupLimit) and caps every source") {
+    val df = Queries.queries("q102_source_cap")(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length <= 15, s"$src exceeded the cap: ${rs.length}")
+      // ranks are a contiguous best-first prefix and quality never
+      // increases with rank
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq, src)
+      rs.sortBy(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"$src rank order broken")
+        case _ => ()
+      }
+    }
+    // the q85/q96 scale shape: partial top-cap BEFORE the exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final WindowGroupLimit pair:\n$plan")
+  }
+
+  test("q103 gopher battery: keep is exactly the conjunction of its rule flags") {
+    val rows = Queries.queries("q103_gopher_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = (2 to 8).map(r.getLong)
+      assert(flags.forall(f => f == 0L || f == 1L))
+      assert(r.getLong(9) == (if (flags.forall(_ == 1L)) 1L else 0L))
+    }
+    // the battery must discriminate on this corpus, not rubber-stamp
+    val keeps = rows.map(_.getLong(9)).toSet
+    assert(keeps == Set(0L, 1L), s"keep does not split: $keeps")
+  }
 }
