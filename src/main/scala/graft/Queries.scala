@@ -1986,6 +1986,34 @@ object Queries {
         .select(col("lang"), col("ts").getItem(0).as("t1"),
           col("ts").getItem(1).as("t2"))
       ccnetBucket(scored, broadcast(cuts))
+    }),
+    // Production-BPE-encoder throughput twin (round 8): every corpus
+    // token through Bpe.encodePartitions under a deterministic 1.2k-rank
+    // merge table (synthetic, grown the way a learned table grows —
+    // later merges reference earlier fused symbols — over the full
+    // alphabet so rules actually fire on real words). Not oracle-able
+    // (the table is synthetic and DuckDB has no greedy-merge primitive);
+    // BpeSpec pins the encoder's semantics, this twin measures the
+    // mapPartitions + memo + membership-skip machinery at corpus scale —
+    // the load the Column form's 1.2k-deep fold chain could never run.
+    ("b94_bpe_encode", (s: SparkSession, d: String) => {
+      val rng = new scala.util.Random(20260813)
+      val pool = scala.collection.mutable.ArrayBuffer(('a' to 'z').map(_.toString): _*)
+      val seen = scala.collection.mutable.Set[(String, String)]()
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (merges.size < 1200) {
+        val p = (pool(rng.nextInt(pool.size)), pool(rng.nextInt(pool.size)))
+        if (!seen(p) && (p._1 + p._2).length <= 24) {
+          seen += p; merges += p; pool += (p._1 + p._2)
+        }
+      }
+      val toks = graft.ops.Par.ensure(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      graft.ops.Bpe.encodePartitions(toks, "tok", "enc", merges.toSeq)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(size(col("enc")).cast("long")).as("n_sym"))
     })
   )
 
