@@ -1721,8 +1721,13 @@ object Queries {
     * each query's terminal action).
     */
   private def curationPipeline(s: SparkSession, d: String, fastHash: Boolean): DataFrame = {
-    def sampleHash(c: Column): Column =
-      if (fastHash) TF.hash32Fast(c) else TF.hash32(c)
+    // The SAMPLING hash stays md5 in BOTH modes (round 8): it is one
+    // hash per doc — never a throughput lever — but it decides WHICH
+    // docs survive to the tail stages, so letting it follow `fastHash`
+    // made b81 measure a different survivor set instead of the
+    // md5→xxh64 swap on the volume stages (NOTES_r8: the r7 "b81 slower
+    // than q81" riddle was mostly this confound).
+    def sampleHash(c: Column): Column = TF.hash32(c)
     val docs = t(s, d, "documents").select("doc_id", "text", "lang")
     val corpus = graft.ops.Par.ensure(nearDupCorpus(docs), "doc_id")
       .persistTracked()
