@@ -3262,7 +3262,85 @@ object Queries {
               AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
               AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
               AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM m ORDER BY doc_id"""))
+          FROM m ORDER BY doc_id""")),
+
+      // ExactSubstr-style span duplication (round 8; Lee et al. 2022,
+      // "Deduplicating Training Data Makes Language Models Better" —
+      // the OVERLAPPING-window complement to q92's fixed segments):
+      // every k-token window (stride 1) is hashed; a window whose hash
+      // occurs >= 2 times corpus-wide is a duplicated span, and the
+      // per-doc metric is exact TOKEN COVERAGE — the fraction of tokens
+      // lying under at least one duplicated span (the paper's removal
+      // criterion), computed as an interval-union fold over the doc's
+      // SORTED duplicated-span starts (per-row, exact — not the
+      // window-count approximation). Scale shape: narrow window-hash
+      // map (staged toks/wins — the q95 Generate-trap rules), one
+      // hash-keyed df aggregate with map-side combine, join back, one
+      // per-doc aggregate; the coverage fold is per-row. The oracle
+      // computes coverage independently as COUNT(DISTINCT covered
+      // position) via a positions⋈spans range join — two different
+      // formulations agreeing is the correctness argument for the fold.
+      ("q104_substr_spans", (s: SparkSession, d: String) => {
+        val k = 5
+        val base = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("wins", TF.shingles(col("toks"), k))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+            transform(col("wins"), w => TF.hash32(w)).as("whs"))
+          .persistTracked()
+        val posting = base
+          .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "h")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("h"))
+        val dupH = posting.groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("h")
+        val dupStarts = posting.join(dupH, "h")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("ss"),
+            count(lit(1)).as("n_dup_win"))
+        val covered = aggregate(
+          col("ss"),
+          struct(lit(0L).as("pe"), lit(0L).as("acc")),
+          (st, x) => struct(
+            greatest(x + (k - 1), st("pe")).as("pe"),
+            (st("acc") + when(x > st("pe"), lit(k.toLong))
+              .otherwise(greatest(x + (k - 1) - st("pe"), lit(0L)))).as("acc")),
+          st => st("acc"))
+        base.join(dupStarts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            size(col("whs")).cast("long").as("n_win"),
+            coalesce(col("n_dup_win"), lit(0L)).as("n_dup_win"),
+            coalesce(covered, lit(0L)).as("covered_tok"))
+          .withColumn("dup_frac", round(when(col("n_tok") === 0, 0.0)
+            .otherwise(col("covered_tok").cast("double") / col("n_tok").cast("double")), 6))
+          .withColumn("keep", when(col("dup_frac") <= 0.2, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          wb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+              list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                i -> ${sqlHash32("array_to_string(list_transform(range(i, i+5), j -> toks[j]), ' ')")}) AS whs
+            FROM tok),
+          win AS (SELECT doc_id, CAST(u.i AS BIGINT) AS s, whs[u.i] AS h
+            FROM wb, unnest(range(1, len(whs) + 1)) AS u(i)),
+          dfc AS (SELECT h FROM (SELECT h, count(*) AS c FROM win GROUP BY h) WHERE c >= 2),
+          dup AS (SELECT w.doc_id, w.s FROM win w JOIN dfc ON w.h = dfc.h),
+          ag AS (SELECT doc_id, count(*) AS n_dup_win FROM dup GROUP BY doc_id),
+          cov AS (SELECT p.doc_id, count(DISTINCT p.t) AS covered_tok
+            FROM (SELECT doc_id, CAST(u.t AS BIGINT) AS t
+                FROM wb, unnest(range(1, n_tok + 1)) AS u(t)) p
+            JOIN dup d ON d.doc_id = p.doc_id AND p.t >= d.s AND p.t <= d.s + 4
+            GROUP BY p.doc_id)
+          SELECT wb.doc_id, wb.n_tok, CAST(len(wb.whs) AS BIGINT) AS n_win,
+            CAST(coalesce(ag.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+            CAST(coalesce(cov.covered_tok, 0) AS BIGINT) AS covered_tok,
+            round(CASE WHEN wb.n_tok = 0 THEN 0.0
+              ELSE CAST(coalesce(cov.covered_tok, 0) AS DOUBLE) / wb.n_tok END, 6) AS dup_frac,
+            CAST(CASE WHEN (CASE WHEN wb.n_tok = 0 THEN 0.0
+              ELSE round(CAST(coalesce(cov.covered_tok, 0) AS DOUBLE) / wb.n_tok, 6) END) <= 0.2
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM wb LEFT JOIN ag USING (doc_id) LEFT JOIN cov USING (doc_id)
+          ORDER BY doc_id"""))
     )
   }
 

@@ -245,4 +245,21 @@ class CurationScoringSpec extends SparkSpec {
     val keeps = rows.map(_.getLong(9)).toSet
     assert(keeps == Set(0L, 1L), s"keep does not split: $keeps")
   }
+
+  test("q104 span coverage obeys its interval-union bounds everywhere") {
+    val k = 5L
+    val rows = Queries.queries("q104_substr_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nWin, nDup, cov, frac, keep) =>
+      assert(nWin == math.max(nTok - (k - 1), 0L), s"doc $id window count")
+      assert(nDup <= nWin && cov <= nTok, s"doc $id bounds")
+      // one duplicated window covers exactly k tokens; unions only shrink
+      if (nDup > 0) assert(cov >= k && cov <= nDup * k, s"doc $id coverage $cov vs $nDup wins")
+      else assert(cov == 0L, s"doc $id phantom coverage")
+      assert(keep == (if (frac <= 0.2) 1L else 0L), s"doc $id keep flag")
+    }
+    graft.ops.Caches.release()
+  }
 }
