@@ -65,8 +65,15 @@ object Scale {
     (0 until copies).map { i =>
       val text = if (i == 0) col("text")
         else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1‿cp$i"))
+      // source scales HORIZONTALLY like events' user_id: each copy brings
+      // NEW sources (suffix marker), so per-source doc density — and with
+      // it every per-source window/cap — stays constant while source
+      // cardinality grows K×, matching a web corpus growing by new
+      // domains rather than by existing domains deepening
+      val source = if (i == 0) col("source")
+        else concat(col("source"), lit(s"-cp$i"))
       docs.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
-        text.as("text"), col("lang"))
+        text.as("text"), col("lang"), source.as("source"))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
