@@ -174,6 +174,55 @@ class PropertySpec extends SparkSpec {
     assert(got == exp, rows.zip(got.zip(exp)).filter(t => t._2._1 != t._2._2).take(5).toString)
   }
 
+  test("winnowFps equals brute-force window minima on random hash arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val w = 4
+    val rows = (0L until 120L).map { i =>
+      val n = rnd.nextInt(20) // includes empty and shorter-than-window
+      (i, Seq.fill(n)(rnd.nextLong().abs % 1000L)) // small range forces ties
+    }
+    val df = rows.toDF("id", "hashes")
+    val got = df.select(col("id"), TF.winnowFps(col("hashes"), w).as("f"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toList)
+    rows.sortBy(_._1).map(_._2).zip(got).zipWithIndex.foreach { case ((hs, g), i) =>
+      val exp =
+        if (hs.isEmpty) List.empty[Long]
+        else if (hs.length < w) List(hs.min)
+        else hs.sliding(w).map(_.min).toList.distinct
+      assert(g == exp, s"row $i: $g vs $exp (input $hs)")
+    }
+  }
+
+  test("q104's interval-union fold equals set coverage on random span starts") {
+    // the oracle cross-checks this on the corpus; the property pins it on
+    // adversarial inputs (dense overlaps, exact adjacency, singletons)
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val k = 5
+    val rows = (0L until 150L).map { i =>
+      val n = rnd.nextInt(12)
+      // sorted DISTINCT starts, as collect_list+sort_array over unique
+      // positions produces
+      (i, Seq.fill(n)(rnd.nextInt(30).toLong + 1L).distinct.sorted)
+    }
+    val df = rows.toDF("id", "ss")
+    val covered = aggregate(
+      col("ss"),
+      struct(lit(0L).as("pe"), lit(0L).as("acc")),
+      (st, x) => struct(
+        greatest(x + (k - 1), st("pe")).as("pe"),
+        (st("acc") + when(x > st("pe"), lit(k.toLong))
+          .otherwise(greatest(x + (k - 1) - st("pe"), lit(0L)))).as("acc")),
+      st => st("acc"))
+    val got = df.select(col("id"), covered.as("c"))
+      .orderBy("id").collect().map(_.getLong(1))
+    rows.sortBy(_._1).map(_._2).zip(got).zipWithIndex.foreach { case ((ss, g), i) =>
+      val exp = ss.flatMap(s => s until (s + k)).toSet.size.toLong
+      assert(g == exp, s"row $i: fold $g vs set $exp (starts $ss)")
+    }
+  }
+
   test("LSH banding: identical docs share every band, disjoint docs share none") {
     import spark.implicits._
     val a = "one two three four five six seven eight nine ten"
