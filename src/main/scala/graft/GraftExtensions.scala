@@ -49,7 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def foldInt(e: Expression, fnName: String, param: String): Int =
     foldArg(e, fnName, param, "INT") match {
-      case n: Number => n.intValue()
+      // integral check: 4.9 silently truncating to 4 would be a wrong
+      // sketch width with no error — reject non-integral numerics
+      case n: Number if n.doubleValue() == n.intValue().toDouble => n.intValue()
       case other => throw new AnalysisException(
         "INVALID_PARAMETER_VALUE.INTEGER",
         Map(
@@ -58,6 +60,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "invalidValue" -> s"'$other'"),
         None)
     }
+
+  /** Range-check a folded int at analysis time — the whole point of the
+    * foldArg machinery is that a bad parameter fails with a clean
+    * AnalysisException naming the function, never a mid-query runtime
+    * error (negative slice length) or silent garbage (window 0 → [null]).
+    */
+  private def foldIntIn(e: Expression, fnName: String, param: String,
+                        lo: Int, hi: Int): Int = {
+    val v = foldInt(e, fnName, param)
+    if (v < lo || v > hi)
+      throw new AnalysisException(
+        "INVALID_PARAMETER_VALUE.PATTERN",
+        Map(
+          "parameter" -> s"`$param`",
+          "functionName" -> s"`$fnName`",
+          "value" -> s"'$v' (expected an integer in [$lo, $hi])"),
+        None)
+    v
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def reg(name: String, usage: String, arity: Int = 2)(
@@ -104,7 +125,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     reg("minhash_sig",
       "minhash_sig(baseHashes array<bigint>, numHashes) - one-pass MinHash signature") {
-      es => MinhashSig(es(0), foldInt(es(1), "minhash_sig", "numHashes"))
+      es => MinhashSig(es(0),
+        foldIntIn(es(1), "minhash_sig", "numHashes", 1, 64))
     }
     reg("token_stats",
       "token_stats(text) - struct(n_tokens, sum_tlen, fingerprint, simhash) in one byte scan",
@@ -114,7 +136,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("winnow_fps",
       "winnow_fps(gramHashes array<bigint>, window) - winnowing fingerprint selection; " +
         "pass a materialized column, not a computed expression (re-evaluated per window otherwise)") {
-      es => winnowExpr(es(0), foldInt(es(1), "winnow_fps", "window"))
+      es => winnowExpr(es(0),
+        foldIntIn(es(1), "winnow_fps", "window", 1, 1 << 20))
     }
   }
 

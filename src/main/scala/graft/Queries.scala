@@ -2002,20 +2002,12 @@ object Queries {
     // mapPartitions + memo + membership-skip machinery at corpus scale —
     // the load the Column form's 1.2k-deep fold chain could never run.
     ("b94_bpe_encode", (s: SparkSession, d: String) => {
-      val rng = new scala.util.Random(20260813)
-      val pool = scala.collection.mutable.ArrayBuffer(('a' to 'z').map(_.toString): _*)
-      val seen = scala.collection.mutable.Set[(String, String)]()
-      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      while (merges.size < 1200) {
-        val p = (pool(rng.nextInt(pool.size)), pool(rng.nextInt(pool.size)))
-        if (!seen(p) && (p._1 + p._2).length <= 24) {
-          seen += p; merges += p; pool += (p._1 + p._2)
-        }
-      }
+      val merges = graft.ops.Bpe.syntheticMerges(
+        20260813L, ('a' to 'z').map(_.toString), 1200)
       val toks = graft.ops.Par.ensure(
         t(s, d, "documents").select("doc_id", "text"), "doc_id")
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-      graft.ops.Bpe.encodePartitions(toks, "tok", "enc", merges.toSeq)
+      graft.ops.Bpe.encodePartitions(toks, "tok", "enc", merges)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
           sum(size(col("enc")).cast("long")).as("n_sym"))
@@ -2528,7 +2520,8 @@ object Queries {
           .agg(count(lit(1)).as("c"))
         val cum = hist.withColumn("cum",
           sum(col("c")).over(Window.partitionBy("lang").orderBy("bits_per_token")))
-        val nl = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        // per-lang totals from the HISTOGRAM, not a second corpus pass
+        val nl = hist.groupBy("lang").agg(sum(col("c")).as("n"))
         val cuts = cum.join(broadcast(nl), "lang")
           .groupBy("lang")
           .agg(

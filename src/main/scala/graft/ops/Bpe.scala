@@ -165,6 +165,30 @@ object Bpe {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic synthetic merge table for specs and bench twins,
+    * grown the way a learned table grows: each rule pairs two symbols
+    * already in the pool, and the fused result joins the pool so later
+    * rules can reference it. NOT a trained tokenizer — it exists so the
+    * encoder's 1k+-rank contract can be exercised without 1k+ Spark
+    * training rounds (BpeSpec's 1.2k equality case, the b94 twin).
+    */
+  def syntheticMerges(seed: Long, alphabet: Seq[String],
+                      n: Int): Seq[(String, String)] = {
+    val rng = new scala.util.Random(seed)
+    val pool = scala.collection.mutable.ArrayBuffer(alphabet: _*)
+    val seen = scala.collection.mutable.Set[(String, String)]()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (merges.size < n) {
+      val p = (pool(rng.nextInt(pool.size)), pool(rng.nextInt(pool.size)))
+      if (!seen(p) && (p._1 + p._2).length <= 24) {
+        seen += p
+        merges += p
+        pool += (p._1 + p._2)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Learn `k` merges from a word-frequency table (`tok`, `n`). Each
     * round reads ONE row on the driver (the argmax pair — it becomes the
     * merge rule, i.e. the model itself); the vocabulary stays

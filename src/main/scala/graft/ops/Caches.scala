@@ -36,19 +36,44 @@ object Caches {
     */
   private[graft] def onRelease(f: () => Unit): Unit = cleanups.add(f)
 
+  /** Drop queue entries whose cache is already gone (a caller that used
+    * `spark.catalog.clearCache()` instead of [[release]] — which the
+    * pipelines' contract explicitly permits — freed the blocks but left
+    * the Dataset references, each retaining its analyzed plan, enqueued
+    * here forever). Called on every new registration, so a
+    * clearCache-only caller's queue stays bounded by one cycle's
+    * persists instead of growing for the life of the JVM.
+    */
+  private def purgeInert(): Unit =
+    tracked.removeIf(d =>
+      try d.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      catch { case _: Throwable => true }) // dead session -> drop the ref
+
   /** Unpersist every tracked pipeline intermediate. Safe to call at any
-    * time — but results of pipelines whose caches are released before
-    * materialization silently recompute (correct, just slow).
+    * time for plain persisted scratch — a pipeline released before
+    * materialization silently recomputes (correct, just slow). The ONE
+    * exception: a result backed by an iterative operator's
+    * localCheckpoint blocks (connectedComponents — q78 and the curation
+    * compositions) has its lineage truncated, so releasing BEFORE the
+    * caller's terminal action makes later actions on that frame fail
+    * with a missing-checkpoint-block error rather than recompute.
+    * Release at cycle boundaries, after results are consumed.
+    *
+    * Each entry drains under its own guard: one failing unpersist (e.g.
+    * scratch registered by a session that has since stopped) must not
+    * abort the drain or surface from a hygiene hook.
     */
   def release(): Unit = {
     var d = tracked.poll()
     while (d != null) {
-      d.unpersist(blocking = false)
+      try d.unpersist(blocking = false)
+      catch { case _: Throwable => () }
       d = tracked.poll()
     }
     var c = cleanups.poll()
     while (c != null) {
-      c()
+      try c()
+      catch { case _: Throwable => () }
       c = cleanups.poll()
     }
   }
@@ -56,6 +81,7 @@ object Caches {
   implicit class TrackedPersist[T](private val ds: Dataset[T]) extends AnyVal {
     /** `persist()` + registration with [[Caches.release]]. */
     def persistTracked(): Dataset[T] = {
+      purgeInert()
       val p = ds.persist()
       tracked.add(p)
       p

@@ -117,26 +117,16 @@ class BpeSpec extends SparkSpec {
     // table is built the way a learned one grows: later merges reference
     // earlier fused symbols (deterministic seed).
     import spark.implicits._
-    val rng = new scala.util.Random(20260813)
-    val pool = scala.collection.mutable.ArrayBuffer[String]("a", "b", "c", "d", "e", "f")
-    val seen = scala.collection.mutable.Set[(String, String)]()
-    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    while (merges.size < 1200) {
-      val p = (pool(rng.nextInt(pool.size)), pool(rng.nextInt(pool.size)))
-      if (!seen(p) && (p._1 + p._2).length <= 24) {
-        seen += p
-        merges += p
-        pool += (p._1 + p._2)
-      }
-    }
+    val merges = Bpe.syntheticMerges(20260813L, Seq("a", "b", "c", "d", "e", "f"), 1200)
     def refEncode(w: String): List[String] =
       merges.foldLeft(w.split("").filter(_.nonEmpty).toList) {
         case (syms, (a, b)) => refMerge(syms, a, b)
       }
+    val rng = new scala.util.Random(20260813)
     val words = (1 to 200).map(_ =>
       (1 to (1 + rng.nextInt(14))).map(_ => "abcdef"(rng.nextInt(6))).mkString) ++
       Seq("", "a", "abcdefabcdef", "aaaaaaaaaaaa")
-    val got = Bpe.encodePartitions(words.toDF("tok"), "tok", "enc", merges.toSeq)
+    val got = Bpe.encodePartitions(words.toDF("tok"), "tok", "enc", merges)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toList
     got.foreach { case (w, enc) =>
       assert(enc == refEncode(w), s"encodePartitions('$w'): $enc vs ${refEncode(w)}")

@@ -99,6 +99,21 @@ class ExtensionsSpec extends SparkSpec {
         ext.sql("SELECT minhash_sig(array(1L), 'four')").collect()
       }
       assert(e4.getCondition == "INVALID_PARAMETER_VALUE.INTEGER", e4.getCondition)
+      // out-of-range and non-integral int params fail analysis too —
+      // winnow_fps(h, 0) would otherwise return [null] garbage and a
+      // negative window would die mid-query in slice()
+      val e5 = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT winnow_fps(array(1L), 0)").collect()
+      }
+      assert(e5.getCondition == "INVALID_PARAMETER_VALUE.PATTERN", e5.getCondition)
+      val e6 = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT minhash_sig(array(1L), 65)").collect()
+      }
+      assert(e6.getCondition == "INVALID_PARAMETER_VALUE.PATTERN", e6.getCondition)
+      val e7 = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT minhash_sig(array(1L), 4.9)").collect()
+      }
+      assert(e7.getCondition == "INVALID_PARAMETER_VALUE.INTEGER", e7.getCondition)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
