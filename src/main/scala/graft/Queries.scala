@@ -1839,6 +1839,55 @@ object Queries {
         when(col("bits_per_token") <= col("t2"), 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
 
+  /** q103's Gopher rule battery over a (doc_id, text) frame — ENTIRELY
+    * stateless per-row expressions (no window, no aggregate across rows,
+    * no sort), which makes it directly usable on a streaming ingest:
+    * StreamingSpec pins batch == stream on the same documents. The batch
+    * registry entry adds only the presentation orderBy.
+    */
+  private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+    val base = docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("lines", split(col("text"), "\n"))
+    val nw = size(col("toks")).cast("double")
+    val nl = size(col("lines")).cast("double")
+    val meanLen = when(size(col("toks")) === 0, 0.0)
+      .otherwise(aggregate(col("toks"), lit(0.0),
+        (a, t2) => a + length(t2).cast("double")) / nw)
+    val bulletFrac = size(filter(col("lines"),
+      l => trim(l).rlike("^[-*•]"))).cast("double") / nl
+    val ellipsisFrac = size(filter(col("lines"),
+      l => l.rlike("\\.\\.\\.$"))).cast("double") / nl
+    val hashCount = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("double")
+    val dotsCount = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = when(size(col("toks")) === 0, 0.0)
+      .otherwise((hashCount + dotsCount) / nw)
+    val alphaFrac = when(size(col("toks")) === 0, 0.0)
+      .otherwise(size(filter(col("toks"),
+        t2 => t2.rlike("[A-Za-z]"))).cast("double") / nw)
+    val stopHits = size(array_intersect(
+      transform(col("toks"), t2 => lower(t2)),
+      array(stops.map(lit): _*)))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    base.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      flag(size(col("toks")) >= 50 && size(col("toks")) <= 100000).as("r_words"),
+      flag(meanLen >= 3.0 && meanLen <= 10.0).as("r_meanlen"),
+      flag(bulletFrac <= 0.9).as("r_bullet"),
+      flag(ellipsisFrac <= 0.3).as("r_ellipsis"),
+      flag(symbolRatio <= 0.1).as("r_symbol"),
+      flag(alphaFrac >= 0.8).as("r_alpha"),
+      flag(stopHits >= 2).as("r_stop"))
+      .withColumn("keep",
+        when(col("r_words") + col("r_meanlen") + col("r_bullet") +
+          col("r_ellipsis") + col("r_symbol") + col("r_alpha") +
+          col("r_stop") === 7L, 1L).otherwise(0L))
+  }
+
   /** q97's two-phase token-budget prefix sum, with the quality-bucket
     * count DERIVED FROM THE INPUT SIZE (VERDICT r7 #4 — a fixed 20
     * buckets left an English-sized language / 20 as a multi-TB window
@@ -3181,50 +3230,10 @@ object Queries {
       // contains only {the, a} of the paper's list, which would make the
       // rule vacuously false; the RULE (>= 2 distinct stops present) is
       // Gopher's, the lexicon is a parameter.
-      ("q103_gopher_rules", (s: SparkSession, d: String) => {
-        val stops = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
-        val base = graft.ops.Par.ensure(
-          t(s, d, "documents").select("doc_id", "text"), "doc_id")
-          .withColumn("toks", TF.tokens(col("text")))
-          .withColumn("lines", split(col("text"), "\n"))
-        val nw = size(col("toks")).cast("double")
-        val nl = size(col("lines")).cast("double")
-        val meanLen = when(size(col("toks")) === 0, 0.0)
-          .otherwise(aggregate(col("toks"), lit(0.0),
-            (a, t2) => a + length(t2).cast("double")) / nw)
-        val bulletFrac = size(filter(col("lines"),
-          l => trim(l).rlike("^[-*•]"))).cast("double") / nl
-        val ellipsisFrac = size(filter(col("lines"),
-          l => l.rlike("\\.\\.\\.$"))).cast("double") / nl
-        val hashCount = (length(col("text")) -
-          length(regexp_replace(col("text"), "#", ""))).cast("double")
-        val dotsCount = ((length(col("text")) -
-          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("double")
-        val symbolRatio = when(size(col("toks")) === 0, 0.0)
-          .otherwise((hashCount + dotsCount) / nw)
-        val alphaFrac = when(size(col("toks")) === 0, 0.0)
-          .otherwise(size(filter(col("toks"),
-            t2 => t2.rlike("[A-Za-z]"))).cast("double") / nw)
-        val stopHits = size(array_intersect(
-          transform(col("toks"), t2 => lower(t2)),
-          array(stops.map(lit): _*)))
-        def flag(c: Column): Column = when(c, 1L).otherwise(0L)
-        base.select(
-          col("doc_id"),
-          size(col("toks")).cast("long").as("n_words"),
-          flag(size(col("toks")) >= 50 && size(col("toks")) <= 100000).as("r_words"),
-          flag(meanLen >= 3.0 && meanLen <= 10.0).as("r_meanlen"),
-          flag(bulletFrac <= 0.9).as("r_bullet"),
-          flag(ellipsisFrac <= 0.3).as("r_ellipsis"),
-          flag(symbolRatio <= 0.1).as("r_symbol"),
-          flag(alphaFrac >= 0.8).as("r_alpha"),
-          flag(stopHits >= 2).as("r_stop"))
-          .withColumn("keep",
-            when(col("r_words") + col("r_meanlen") + col("r_bullet") +
-              col("r_ellipsis") + col("r_symbol") + col("r_alpha") +
-              col("r_stop") === 7L, 1L).otherwise(0L))
-          .orderBy("doc_id")
-      },
+      ("q103_gopher_rules", (s: SparkSession, d: String) =>
+        gopherFlags(graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id"))
+          .orderBy("doc_id"),
         Some(s"""WITH b AS (SELECT doc_id, text, $toks AS toks,
               string_split(text, chr(10)) AS lines FROM documents),
           m AS (SELECT doc_id,

@@ -285,6 +285,37 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == batchPairs)
   }
 
+  test("gopher rule battery on a stream equals the batch battery on the same docs") {
+    // the q103 battery is stateless per-row expressions — it must ride a
+    // streaming ingest unchanged (the curation-at-ingest story). Pin
+    // stream output == batch output row-for-row on identical docs,
+    // including the rule edge cases (empty text, bullets, ellipses).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a quick brown fox jumps over the lazy dog " * 6),
+      (2L, ""),
+      (3L, "- bullet one\n- bullet two\n- bullet three"),
+      (4L, "trailing thought...\nanother line...\nplain line"),
+      (5L, "### #### ##### hash heavy"),
+      (6L, ("the a " + Seq.fill(60)("word").mkString(" "))))
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Queries.gopherFlags(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("gopher")
+      .outputMode("append").start()
+    mem.addData(docs.take(3))
+    q.processAllAvailable()
+    mem.addData(docs.drop(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM gopher").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = Queries.gopherFlags(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("near-dup band state caps at maxPerBand and counts evictions") {
     import graft.streaming.DedupStream
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
