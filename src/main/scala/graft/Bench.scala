@@ -59,27 +59,68 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val diag = scala.collection.mutable.LinkedHashMap[String, String]()
+    // total stop-the-world GC time across all collectors — the delta over a
+    // timed rep tells suite-state debt (a predecessor's garbage collected
+    // inside MY window) apart from the query's own cost
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     // oracled registry + bench-only production-hash twins (Queries.benchOnly
     // — same dataflow, xxhash64 instead of the oracle-portable md5)
     (SparkEntry.queries.toSeq ++ Queries.benchOnly).sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      } finally {
-        // pipelines persist() shared intermediates; drop them so later
-        // queries are measured cold, and collect the garbage NOW so heavy
-        // queries don't tax their successor's measurement with GC debt
-        spark.catalog.clearCache()
-        graft.ops.Caches.release()
-        System.gc()
+      // One timed rep. Cleanup runs INSIDE the rep boundary so every rep
+      // starts from the same state: pipelines persist() shared
+      // intermediates; drop them so later reps/queries are measured cold,
+      // and collect the garbage NOW so heavy queries don't tax their
+      // successor's measurement with GC debt.
+      def rep(): Either[String, (Double, Long)] = {
+        val g0 = gcMs(); val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right(((System.nanoTime() - t0) / 1e9, gcMs() - g0))
+        } catch {
+          case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        } finally {
+          spark.catalog.clearCache()
+          graft.ops.Caches.release()
+          System.gc()
+        }
+      }
+      rep() match {
+        case Left(err) => errors(name) = err
+        case Right(first) =>
+          // Suite-robust timing (VERDICT r8 #1): four rounds of full-suite
+          // numbers 2-3x above the same query's isolated steady band (q81,
+          // q83, r7's q87) traced to suite state the cleanup can't fully
+          // undo (GC debt surfacing mid-window, JIT/codegen cache churn).
+          // Report min-of-reps for non-floor entries: rep 2 for anything
+          // >= 1 s, rep 3 when the first two disagree by > 1.5x (the
+          // bimodal signature). Sub-second entries sit at the scheduling
+          // floor and stay single-rep; > 60 s entries are not doubled.
+          val reps = scala.collection.mutable.ArrayBuffer(first)
+          if (first._1 >= 1.0 && first._1 <= 60.0) {
+            rep().foreach(reps += _)
+            val ts = reps.map(_._1)
+            if (ts.size == 2 && ts.min >= 2.0 && ts.max / ts.min > 1.5)
+              rep().foreach(reps += _)
+          }
+          timings(name) = reps.map(_._1).min
+          diag(name) = reps.map { case (t, g) => f"$t%.3fs/gc${g}ms" }.mkString(" ")
       }
     }
+    // per-rep diagnostics (times + GC-time deltas) to stderr + a file — the
+    // stdout contract stays ONE JSON line
+    val diagTxt = diag.map { case (k, v) => s"$k: $v" }.mkString("\n")
+    System.err.println(s"[bench-diag]\n$diagTxt")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_diag.txt"), diagTxt)
+    catch { case _: Throwable => () }
     // 100 TB-layout probe (bench-only entries, not in the oracle registry
     // — they measure a STORAGE LAYOUT, not new semantics): the flagship
     // search over (a) the plain parquet domain and (b) the entity_id-

@@ -21,6 +21,13 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Where q60 materializes the deterministic stub embeddings so the DuckDB
+    * oracle can replay the scoring from the identical float values. An
+    * absolute path: the oracle SQL is a static string executed by the
+    * driver from an unknown cwd.
+    */
+  private val q60FixtureBase = "/root/repo/target/verify_fixtures"
+
   // ====================== oracle SQL fragment helpers ======================
   // DuckDB dialect. Kept in one place so the Spark expression and the SQL
   // stay mechanically in sync.
@@ -1175,15 +1182,56 @@ object Queries {
           CAST(sum(len(${sqlTokens("dp_text")})) AS BIGINT) AS total_tokens
         FROM dp GROUP BY name ORDER BY name""")),
 
-      // Full engine flagship (no SQL oracle — the stub embedder is not
-      // SQL-expressible; verified instead by EngineSpec against a
-      // straight-line Scala oracle).
+      // Full engine flagship, STUB EMBEDDER INCLUDED, DuckDB-oracled
+      // (closes the r8 `no_oracle` waiver, VERDICT r8 #2): the stub
+      // embedder is not SQL-expressible, but it IS deterministic — so the
+      // query materializes its (model, text)->vector outputs (corpus
+      // datapoints with their per-datapoint similarity dispatch, and the
+      // query vectors) to a fixture parquet, and the oracle replays the
+      // two-level Mean scoring from those exact float values the way q65
+      // already oracles the flagship shape. Scores rounded to 6 before the
+      // final ordering on both sides (q65's convention); the top-10 cut
+      // itself orders on the raw double — gaps among distinct entities are
+      // ~1e-3, far above cross-engine ulp noise.
       ("q60_search_documents", (s: SparkSession, d: String) => {
         val domain = SearchEngine.buildDomain(s, t(s, d, "documents"),
           Seq("stub:alpha", "stub:beta"), dim = 32)
         val q = SearchEngine.queryEmbeddings(s, domain, "spark shuffle join window", 32)
+        val fixDir = s"$q60FixtureBase/${new java.io.File(d).getName}"
+        domain.embeddings
+          .join(domain.datapoints.select(
+            col("searchdomain"), col("entity_id"), col("datapoint_id"),
+            col("similaritymethod")),
+            Seq("searchdomain", "entity_id", "datapoint_id"))
+          .select(col("entity_id"), col("datapoint_id"), col("model"),
+            col("similaritymethod"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$fixDir/q60_corpus.parquet")
+        q.write.mode("overwrite").parquet(s"$fixDir/q60_query.parquet")
         SearchEngine.search(domain, q, 10)
-      }, None)
+          .select(col("name"), round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), asc("name"))
+      }, Some {
+        // the driver's verify contract runs at sf0.01; the fixture path is
+        // keyed by the sf dir's basename so bench (sf0.1) and the entry
+        // smoke (sf0.001) never clobber the oracled run's fixture
+        val base = s"$q60FixtureBase/sf0.01"
+        s"""WITH c AS (SELECT * FROM read_parquet('$base/q60_corpus.parquet/*.parquet')),
+        qv AS (SELECT * FROM read_parquet('$base/q60_query.parquet/*.parquet')),
+        scored AS (SELECT c.entity_id, c.datapoint_id,
+          (CASE c.similaritymethod
+            WHEN 'Cosine' THEN ${sqlCos01("c.embedding", "qv.query_vec")}
+            WHEN 'Euclidian' THEN ${sqlEuclid01("c.embedding", "qv.query_vec")}
+            WHEN 'Manhattan' THEN ${sqlManhattan01("c.embedding", "qv.query_vec")}
+            ELSE ${sqlPearson("c.embedding", "qv.query_vec")} END) AS sim
+          FROM c JOIN qv ON c.model = qv.model),
+        l1 AS (SELECT entity_id, datapoint_id, ${sqlPmMean("sim")} AS dp_score
+          FROM scored GROUP BY entity_id, datapoint_id),
+        l2 AS (SELECT entity_id, ${sqlPmMean("dp_score")} AS score
+          FROM l1 GROUP BY entity_id),
+        top AS (SELECT 'doc_' || CAST(entity_id AS VARCHAR) AS name, score
+          FROM l2 ORDER BY score DESC, name LIMIT 10)
+        SELECT name, round(score, 6) AS score FROM top ORDER BY score DESC, name"""
+      })
     )
   }
 
@@ -1839,14 +1887,41 @@ object Queries {
         when(col("bits_per_token") <= col("t2"), 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
 
+  /** Tunable thresholds and stop lexicon for the Gopher rule battery
+    * (VERDICT r8 #6 — a curation user tunes these first). Defaults are the
+    * paper's published bounds (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", table A1: 50..100k
+    * words, mean word length 3..10, <= 90% bullet lines, <= 30% ellipsis
+    * lines, <= 10% symbol ratio, >= 80% alphabetic words, >= 2 stop words)
+    * except the stop LEXICON, which stays an engine parameter: the
+    * synthetic corpus vocabulary contains only {the, a} of the paper's 8
+    * words, which would make the rule vacuously false — the RULE is
+    * Gopher's, the word list is config.
+    */
+  final case class GopherConfig(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+      stopLexicon: Seq[String] =
+        Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"))
+
   /** q103's Gopher rule battery over a (doc_id, text) frame — ENTIRELY
     * stateless per-row expressions (no window, no aggregate across rows,
     * no sort), which makes it directly usable on a streaming ingest:
     * StreamingSpec pins batch == stream on the same documents. The batch
-    * registry entry adds only the presentation orderBy.
+    * registry entry adds only the presentation orderBy. Thresholds and
+    * lexicon come from [[GopherConfig]] (q103 runs the defaults; q105
+    * oracles a non-default configuration).
     */
-  private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
-    val stops = Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for")
+  private[graft] def gopherFlags(docs: DataFrame,
+      cfg: GopherConfig = GopherConfig()): DataFrame = {
+    val stops = cfg.stopLexicon
     val base = docs
       .withColumn("toks", TF.tokens(col("text")))
       .withColumn("lines", split(col("text"), "\n"))
@@ -1875,13 +1950,14 @@ object Queries {
     base.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_words"),
-      flag(size(col("toks")) >= 50 && size(col("toks")) <= 100000).as("r_words"),
-      flag(meanLen >= 3.0 && meanLen <= 10.0).as("r_meanlen"),
-      flag(bulletFrac <= 0.9).as("r_bullet"),
-      flag(ellipsisFrac <= 0.3).as("r_ellipsis"),
-      flag(symbolRatio <= 0.1).as("r_symbol"),
-      flag(alphaFrac >= 0.8).as("r_alpha"),
-      flag(stopHits >= 2).as("r_stop"))
+      flag(size(col("toks")) >= cfg.minWords &&
+        size(col("toks")) <= cfg.maxWords).as("r_words"),
+      flag(meanLen >= cfg.minMeanWordLen && meanLen <= cfg.maxMeanWordLen).as("r_meanlen"),
+      flag(bulletFrac <= cfg.maxBulletFrac).as("r_bullet"),
+      flag(ellipsisFrac <= cfg.maxEllipsisFrac).as("r_ellipsis"),
+      flag(symbolRatio <= cfg.maxSymbolRatio).as("r_symbol"),
+      flag(alphaFrac >= cfg.minAlphaFrac).as("r_alpha"),
+      flag(stopHits >= cfg.minStopHits).as("r_stop"))
       .withColumn("keep",
         when(col("r_words") + col("r_meanlen") + col("r_bullet") +
           col("r_ellipsis") + col("r_symbol") + col("r_alpha") +
@@ -2514,11 +2590,28 @@ object Queries {
         val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
         val dfs = docs.select(explode(array_distinct(col("toks"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("df"))
+        // tf via SORTED RUN-LENGTH (VERDICT r8 #3): sort the row's tokens
+        // once, mark run starts, and each distinct token's tf is the gap to
+        // the next run start — O(L log L) per row. The previous
+        // explode(distinct) + size(filter(toks, == tok)) recounted the
+        // whole array per distinct term: O(L·D) per row, ~3e9 comparisons
+        // for a 100k-token/30k-distinct doc — a straggler generator even
+        // though the dataflow never exploded corpus-wide.
+        val srt = array_sort(col("toks"))
+        val nTok = size(srt)
+        val starts = filter(sequence(lit(1), nTok), i =>
+          // greatest() keeps the index >= 1 for i == 1 (where the left arm
+          // already decides) — element_at(_, 0) errors in either ANSI mode
+          i === 1 || element_at(srt, i) =!= element_at(srt, greatest(i - 1, lit(1))))
+        val runEnds = concat(
+          slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+          array(nTok + 1))
+        val runs = when(nTok === 0, array().cast("array<struct<tok:string,tf:bigint>>"))
+          .otherwise(zip_with(starts, runEnds, (s0, e0) =>
+            struct(element_at(srt, s0).as("tok"), (e0 - s0).cast("long").as("tf"))))
         val tfs = docs
-          .select(col("doc_id"), col("toks"),
-            explode(array_distinct(col("toks"))).as("tok"))
-          .select(col("doc_id"), col("tok"),
-            size(filter(col("toks"), x => x === col("tok"))).cast("long").as("tf"))
+          .select(col("doc_id"), explode(runs).as("r"))
+          .select(col("doc_id"), col("r.tok").as("tok"), col("r.tf").as("tf"))
         val w = Window.partitionBy("doc_id")
           .orderBy(desc("tf"), asc("df"), asc("tok"))
         tfs.join(broadcast(dfs), "tok")
@@ -3342,7 +3435,56 @@ object Queries {
               ELSE round(CAST(coalesce(cov.covered_tok, 0) AS DOUBLE) / wb.n_tok, 6) END) <= 0.2
               THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM wb LEFT JOIN ag USING (doc_id) LEFT JOIN cov USING (doc_id)
-          ORDER BY doc_id"""))
+          ORDER BY doc_id""")),
+
+      // The Gopher battery under a NON-DEFAULT configuration (VERDICT r8
+      // #6): every threshold moved off its paper default and a different
+      // stop lexicon — oracles that the config actually plumbs through to
+      // each rule (a hardcoded constant surviving the refactor would
+      // hash-mismatch here while q103 stayed green).
+      ("q105_gopher_custom", (s: SparkSession, d: String) =>
+        gopherFlags(
+          graft.ops.Par.ensure(
+            t(s, d, "documents").select("doc_id", "text"), "doc_id"),
+          GopherConfig(
+            minWords = 30, maxWords = 5000,
+            minMeanWordLen = 2.5, maxMeanWordLen = 12.0,
+            maxBulletFrac = 0.5, maxEllipsisFrac = 0.2,
+            maxSymbolRatio = 0.05, minAlphaFrac = 0.7,
+            minStopHits = 1,
+            stopLexicon = Seq("the", "of", "and", "with", "was")))
+          .orderBy("doc_id"),
+        Some(s"""WITH b AS (SELECT doc_id, text, $toks AS toks,
+              string_split(text, chr(10)) AS lines FROM documents),
+          m AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) END AS mean_wlen,
+              CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines) AS bullet_frac,
+              CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                  + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                  / len(toks) END AS symbol_ratio,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
+              len(list_intersect(list_transform(toks, x -> lower(x)),
+                ['the', 'of', 'and', 'with', 'was'])) AS stop_hits
+            FROM b)
+          SELECT doc_id, n_words,
+            CAST(CASE WHEN n_words >= 30 AND n_words <= 5000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+            CAST(CASE WHEN mean_wlen >= 2.5 AND mean_wlen <= 12.0 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+            CAST(CASE WHEN bullet_frac <= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+            CAST(CASE WHEN ellipsis_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+            CAST(CASE WHEN symbol_ratio <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+            CAST(CASE WHEN alpha_frac >= 0.7 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+            CAST(CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+            CAST(CASE WHEN n_words >= 30 AND n_words <= 5000
+              AND mean_wlen >= 2.5 AND mean_wlen <= 12.0
+              AND bullet_frac <= 0.5 AND ellipsis_frac <= 0.2
+              AND symbol_ratio <= 0.05 AND alpha_frac >= 0.7
+              AND stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM m ORDER BY doc_id"""))
     )
   }
 

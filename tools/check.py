@@ -26,8 +26,14 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # q60's oracle replays materialized stub embeddings from a fixture path
+    # keyed by the DRIVER's verify sf (sf0.01). For local runs at other SFs,
+    # rebase the path onto the sf under test (Verify wrote that fixture).
+    import os
+    sf_base = os.path.basename(sf_dir.rstrip("/"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        sql = sql.replace("/verify_fixtures/sf0.01/", f"/verify_fixtures/{sf_base}/")
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
