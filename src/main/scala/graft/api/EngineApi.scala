@@ -25,15 +25,31 @@ import graft.search.SearchEngine
   */
 object EngineApi {
 
-  /** Release the pipeline-scratch caches accumulated by query/dedup/
+  /** Release ALL pipeline-scratch caches accumulated by query/dedup/
     * curation dataflows since the last release (VERDICT r7 #6) — the
-    * serving-session cache-hygiene hook. Scoped: domain-level caches
-    * (`Domain.cache()`) and user caching are untouched, unlike
-    * `spark.catalog.clearCache()`. Call after each query cycle's results
-    * are materialized; ApiSpec pins that a cycle leaves no orphan blocks
-    * behind it.
+    * serving-session cache-hygiene hook. Scoped to pipeline scratch:
+    * domain-level caches (`Domain.cache()`) and user caching are
+    * untouched, unlike `spark.catalog.clearCache()`. Call after each
+    * query cycle's results are materialized; ApiSpec pins that a cycle
+    * leaves no orphan blocks behind it.
+    *
+    * CONCURRENCY CONTRACT (ADVICE r8): this is the global drain — it
+    * frees EVERY in-flight pipeline's scratch, including results backed
+    * by connectedComponents checkpoint blocks, whose later actions would
+    * then fail with missing-checkpoint-block errors (not just recompute).
+    * Do NOT call it while any other query cycle is in flight. Concurrent
+    * sessions should wrap each cycle in [[scopedCycle]] and release that
+    * cycle's handle instead.
     */
   def releaseCaches(): Unit = graft.ops.Caches.release()
+
+  /** Run one query cycle with its pipeline scratch captured into a
+    * private scope; returns (result, handle). `handle.release()` frees
+    * exactly this cycle's persists and checkpoint blocks — safe while
+    * other cycles are in flight (ApiSpec pins the isolation).
+    */
+  def scopedCycle[T](body: => T): (T, graft.ops.Caches.Scope) =
+    graft.ops.Caches.scoped(body)
 
   /** `POST /Searchdomain/Query?searchdomain&query&topN&returnAttributes`
     * (`SearchdomainController.cs:158-171`): embed the query under every

@@ -34,8 +34,11 @@ object Graph {
     * Returns (id, component) with component = min node id reachable.
     * NOTE the returned DataFrame reads the final round's localCheckpoint
     * blocks lazily — they stay pinned until the caller's terminal action;
-    * `Caches.release()` (registered here) frees them. `catalog.clearCache`
-    * does NOT: it only covers Dataset-level caches, not RDD storage.
+    * `Caches.release()` — or releasing the enclosing `Caches.scoped`
+    * handle — frees them (registered here). `catalog.clearCache` does
+    * NOT: it only covers Dataset-level caches, not RDD storage — so
+    * callers MUST eventually release via Caches; clearCache alone leaks
+    * the final round's blocks for the life of the session.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -123,9 +126,13 @@ object Graph {
       sym.unpersist()
     }
     // the final round's blocks back the RETURNED frame — released with the
-    // rest of the pipeline scratch, not here
+    // rest of the pipeline scratch, not here. The inert predicate lets
+    // Caches purge this entry once the blocks are gone by any other path
+    // (a clearCache-only session otherwise accumulates cleanup closures
+    // for the life of the JVM — ADVICE r8).
     val finalBlocks = labelBlocks
-    Caches.onRelease(() => free(finalBlocks))
+    Caches.onRelease(() => free(finalBlocks),
+      () => finalBlocks.forall(id => !sc.getPersistentRDDs.contains(id)))
     (labels, iter)
   }
 }

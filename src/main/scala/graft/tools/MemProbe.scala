@@ -65,10 +65,23 @@ object MemProbe {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); "ok" }
           catch { case e: Throwable => s"FAILED ${e.getClass.getSimpleName}: ${e.getMessage}" }
         val secs = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; settle before reading
-        // (listenerBus.waitUntilEmpty is private[spark] — a short settle
-        // is enough for a reporting tool)
-        Thread.sleep(500)
+        // listener events drain asynchronously; poll until the counters
+        // hold still across two consecutive reads (ADVICE r8 — a fixed
+        // sleep under-reported late TaskEnd events on task-heavy runs and
+        // let them bleed into the next rep's window after the reset).
+        // listenerBus.waitUntilEmpty is private[spark]; counter
+        // stabilization observes the same quiescence from outside.
+        def snap() = (memSpilled.sum(), diskSpilled.sum(),
+          spilledTasks.sum(), peakTaskMem.get())
+        var prev = snap()
+        var stable = false
+        var waited = 0
+        while (!stable && waited < 10000) {
+          Thread.sleep(200); waited += 200
+          val cur = snap()
+          stable = cur == prev
+          prev = cur
+        }
         println(f"[memprobe] frac=$frac $name run $i: $secs%.3f s  " +
           f"spill_mem=${memSpilled.sum() / 1048576}%d MiB  " +
           f"spill_disk=${diskSpilled.sum() / 1048576}%d MiB  " +

@@ -84,6 +84,50 @@ class AnnSpec extends SparkSpec {
     assert(multi >= 0.5, s"multi-probe recall collapsed: $multi")
   }
 
+  test("two-stage compressed scan + exact re-rank: recall@10 >= 0.9 at a <= 35% pool") {
+    // VERDICT r8 #5: bucket gating alone cannot reach retrieval-grade
+    // recall on this near-uniform fixture (multi-probe ceiling ~0.6 at
+    // ~31% probed) — the production answer is a compressed-tier full scan
+    // feeding an exact fp32 re-rank of a small pool. Gate: recall@10 >=
+    // 0.9 while the re-rank touches <= 35% of the fp32 corpus per query.
+    val n = embs.count()
+    val pool = (n * 0.30).toInt // 30% of corpus at full precision
+    val quantized = Ann.quantizeInt8(embs)
+    val got = Ann.compressedSearch(quantized, embs, queries, k = 10, pool = pool)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = recallOf(got)
+    info(s"two-stage recall@10 = $recall at pool = $pool/$n")
+    assert(recall >= 0.9, s"two-stage recall@10 below gate: $recall")
+  }
+
+  test("int8 tier alone: compressed-recall datapoint and memory ratio") {
+    // the PLANS.md vector-memory datapoint: how much recall the 4x-smaller
+    // tier gives WITHOUT any fp32 re-rank (top-10 straight from the
+    // quantized scan), plus the exact storage ratio per vector.
+    val quantized = Ann.quantizeInt8(embs)
+    val got = Ann.compressedSearch(quantized, embs, queries, k = 10, pool = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // pool == k: the "re-rank" re-orders but cannot add candidates, so
+    // this measures the quantized ranking itself
+    val recall = recallOf(got)
+    info(s"int8-only recall@10 = $recall")
+    assert(recall >= 0.8, s"int8 ranking fidelity collapsed: $recall")
+
+    // round-trip fidelity: dequantized values within one quantization
+    // step (scale/127) of the original
+    val maxErr = embs.limit(50)
+      .join(quantized.withColumnRenamed("vec_id", "vid"), col("vec_id") === col("vid"))
+      .select(aggregate(
+        zip_with(col("embedding"), Ann.dequantizeInt8(col("qscale"), col("qvec")),
+          (a, b) => abs(a - b) / greatest(col("qscale"), lit(1e-9f))),
+        lit(0.0), (m, e) => greatest(m, e.cast("double"))).as("relerr"))
+      .agg(max("relerr")).collect()(0).getDouble(0)
+    info(s"max per-dim error = $maxErr quantization steps (x scale)")
+    assert(maxErr <= (1.0 / 127.0) * 1.01, s"int8 round-trip error too large: $maxErr")
+  }
+
   test("sign-LSH: recall@10 within the query's own bucket") {
     val got = Ann.lshSearch(embs, queries, signBits = 4, k = 10)
       .select("query_id", "vec_id").collect()

@@ -321,4 +321,35 @@ class ApiSpec extends SparkSpec {
     assert(orphans.isEmpty, s"orphan cached blocks after release: $orphans")
     assert(graft.ops.Caches.trackedCount == 0)
   }
+
+  test("scoped cycles release independently: one cycle's release leaves " +
+      "another in-flight cycle's scratch and checkpoint blocks intact") {
+    // ADVICE r8: the global releaseCaches() drains EVERY pipeline's
+    // scratch — in a concurrent serving session one request's hygiene
+    // nuked another's in-flight connectedComponents checkpoint blocks
+    // (missing-block failures, not recompute). scopedCycle captures each
+    // cycle's registrations into a private handle.
+    val sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+    // cycle A: the checkpoint-backed dedup pipeline, NOT yet materialized
+    // — its result must survive cycle B's release
+    val (dfA, scopeA) = EngineApi.scopedCycle {
+      Queries.queries("q78_dup_clusters")(spark, sf)
+    }
+    assert(scopeA.size > 0, "cycle A registered no scratch")
+    // cycle B: same pipeline, materialized, then released via ITS handle
+    val (dfB, scopeB) = EngineApi.scopedCycle {
+      Queries.queries("q78_dup_clusters")(spark, sf)
+    }
+    dfB.write.format("noop").mode("overwrite").save()
+    scopeB.release()
+    assert(scopeB.size == 0)
+    assert(scopeA.size > 0, "cycle B's release drained cycle A's scope")
+    // cycle A's checkpoint-backed result still materializes (the blocks
+    // its lineage-truncated plan reads were not freed by B's release)
+    assert(dfA.count() > 0)
+    scopeA.release()
+    assert(graft.ops.Caches.trackedCount == 0)
+  }
 }
