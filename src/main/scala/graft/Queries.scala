@@ -2596,21 +2596,33 @@ object Queries {
         // explode(distinct) + size(filter(toks, == tok)) recounted the
         // whole array per distinct term: O(L·D) per row, ~3e9 comparisons
         // for a 100k-token/30k-distinct doc — a straggler generator even
-        // though the dataflow never exploded corpus-wide.
-        val srt = array_sort(col("toks"))
-        val nTok = size(srt)
-        val starts = filter(sequence(lit(1), nTok), i =>
-          // greatest() keeps the index >= 1 for i == 1 (where the left arm
-          // already decides) — element_at(_, 0) errors in either ANSI mode
-          i === 1 || element_at(srt, i) =!= element_at(srt, greatest(i - 1, lit(1))))
-        val runEnds = concat(
-          slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
-          array(nTok + 1))
-        val runs = when(nTok === 0, array().cast("array<struct<tok:string,tf:bigint>>"))
-          .otherwise(zip_with(starts, runEnds, (s0, e0) =>
-            struct(element_at(srt, s0).as("tok"), (e0 - s0).cast("long").as("tf"))))
+        // though the dataflow never exploded corpus-wide. Each array is
+        // STAGED as its own projection (the q95/q104 Generate rules):
+        // srt/starts/ends are non-cheap and multiply referenced, and an
+        // inlined form re-evaluates the whole sort per reference — the
+        // first cut of this rework cost 2x the O(L·D) form it replaced.
+        val srtCol = array_sort(col("toks"))
+        val startsCol = when(size(col("srt")) === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), size(col("srt"))), i =>
+            // greatest() keeps the index >= 1 for i == 1 (where the left
+            // arm already decides) — element_at(_, 0) errors either way
+            i === 1 ||
+              element_at(col("srt"), i) =!=
+                element_at(col("srt"), greatest(i - 1, lit(1)))))
+        // empty-doc guard: zip_with pads the shorter side with nulls, so
+        // ends must be empty exactly when starts is (not [nTok+1])
+        val endsCol = when(size(col("starts")) === 0, array().cast("array<int>"))
+          .otherwise(concat(
+            slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+            array(size(col("srt")) + 1)))
         val tfs = docs
-          .select(col("doc_id"), explode(runs).as("r"))
+          .select(col("doc_id"), srtCol.as("srt"))
+          .select(col("doc_id"), col("srt"), startsCol.as("starts"))
+          .select(col("doc_id"), col("srt"), col("starts"), endsCol.as("ends"))
+          .select(col("doc_id"),
+            explode(zip_with(col("starts"), col("ends"), (s0, e0) =>
+              struct(element_at(col("srt"), s0).as("tok"),
+                (e0 - s0).cast("long").as("tf")))).as("r"))
           .select(col("doc_id"), col("r.tok").as("tok"), col("r.tf").as("tf"))
         val w = Window.partitionBy("doc_id")
           .orderBy(desc("tf"), asc("df"), asc("tok"))
