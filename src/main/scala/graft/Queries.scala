@@ -3496,7 +3496,69 @@ object Queries {
               AND bullet_frac <= 0.5 AND ellipsis_frac <= 0.2
               AND symbol_ratio <= 0.05 AND alpha_frac >= 0.7
               AND stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM m ORDER BY doc_id"""))
+          FROM m ORDER BY doc_id""")),
+
+      // Product-quantization ADC search + exact re-rank (round 9 — the
+      // 32x end of the vector-memory trade next to int8's 4x): a
+      // deterministic seed codebook (first 16 vectors, 8 subspaces x 8
+      // dims) encodes every vector to 8 one-byte codes; stage 1 ranks the
+      // corpus from the codes alone via a per-query broadcast (sub, code)
+      // lookup table of partial dots/norms (cosine decomposes additively
+      // over subspaces); stage 2 exact-fp32 re-ranks a 40-row pool. The
+      // oracle rebuilds the identical codebook/codes/table in SQL; sums
+      // are in ascending-sub order on both engines.
+      ("q106_pq_search", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val cb = graft.search.Ann.pqSeedCodebook(e, m = 8, dsub = 8, ksub = 16)
+        val enc = graft.search.Ann.pqEncode(e, cb, m = 8, dsub = 8)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        graft.search.Ann.pqSearch(enc, cb, e, qs, m = 8, dsub = 8, ksub = 16,
+          k = 10, pool = 40)
+          .orderBy("query_id", "rnk")
+      },
+        Some {
+          val esub = "list_slice(e.embedding, c.sub*8+1, c.sub*8+8)"
+          val qsub = "list_slice(q.qe, c.sub*8+1, c.sub*8+8)"
+          s"""WITH seeds AS (
+            SELECT embedding, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+          cb AS (SELECT CAST(t.sub AS INT) AS sub, seeds.code,
+              list_slice(seeds.embedding, t.sub*8+1, t.sub*8+8) AS cvec
+            FROM seeds CROSS JOIN range(8) t(sub)),
+          enc AS (SELECT vec_id, sub, code FROM (
+              SELECT e.vec_id, c.sub, c.code,
+                row_number() OVER (PARTITION BY e.vec_id, c.sub
+                  ORDER BY round(${sqlL2sq(esub, "c.cvec")}, 6), c.code) AS rn
+              FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          tab AS (SELECT q.query_id, c.sub, c.code,
+              ${sqlDot(qsub, "c.cvec")} AS pdot,
+              ${sqlDot("c.cvec", "c.cvec")} AS pn2
+            FROM q CROSS JOIN cb c),
+          adc AS (SELECT t.query_id, en.vec_id,
+              list_sum(list(t.pdot ORDER BY t.sub)) AS dotsum,
+              list_sum(list(t.pn2 ORDER BY t.sub)) AS n2sum
+            FROM enc en JOIN tab t ON en.sub = t.sub AND en.code = t.code
+            GROUP BY t.query_id, en.vec_id),
+          qn AS (SELECT query_id, ${sqlDot("qe", "qe")} AS qn2 FROM q),
+          pool AS (SELECT query_id, vec_id FROM (
+              SELECT a.query_id, a.vec_id,
+                row_number() OVER (PARTITION BY a.query_id ORDER BY
+                  round(CASE WHEN a.n2sum = 0 THEN 0.0
+                    ELSE (a.dotsum / (sqrt(qn.qn2) * sqrt(a.n2sum)) + 1.0) / 2.0 END, 6) DESC,
+                  a.vec_id) AS rn
+              FROM adc a JOIN qn ON a.query_id = qn.query_id) WHERE rn <= 40),
+          rer AS (SELECT p.query_id, e.vec_id,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim
+            FROM pool p JOIN embeddings e ON p.vec_id = e.vec_id
+              JOIN q ON p.query_id = q.query_id),
+          ranked AS (SELECT query_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk, sim
+            FROM rer)
+          SELECT query_id, vec_id, rnk, sim FROM ranked WHERE rnk <= 10
+          ORDER BY query_id, rnk"""
+        })
     )
   }
 

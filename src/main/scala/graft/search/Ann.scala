@@ -212,6 +212,158 @@ object Ann {
     reRank(candidates, corpus, queries, k)
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization codebook seed: the first `ksub` corpus vectors
+    * (vec_id ascending) donate their sub-vectors to every subspace — the
+    * deterministic role [[sampleCentroids]] plays for IVF, so the q106
+    * oracle can rebuild the identical codebook in SQL. Output: one row per
+    * (sub ∈ [0,m), code ∈ [0,ksub)) with `cvec` of length `dsub`.
+    */
+  def pqSeedCodebook(corpus: DataFrame, m: Int, dsub: Int, ksub: Int): DataFrame = {
+    val seeds = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(ksub)
+      .select(col("embedding"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("code"))
+    seeds.select(col("code"), explode(array((0 until m).map(sIdx =>
+        struct(lit(sIdx).as("sub"),
+          slice(col("embedding"), sIdx * dsub + 1, dsub).as("cvec"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.cvec").as("cvec"))
+  }
+
+  /** Codebook packed to ONE broadcastable row: subs[s].cb = the id-sorted
+    * (code, cvec) array of subspace s — the same collapse ivfAssign uses so
+    * assignment stays a narrow per-row fold, never a shuffle. */
+  private def pqPack(codebook: DataFrame): DataFrame =
+    codebook.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("code"), col("cvec")))).as("cb"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("cb")))).as("subs"))
+
+  /** Nearest codeword of one subspace: argmin fold over the packed (code,
+    * cvec) array — rounded distances + strict `<` over code-ascending
+    * entries, the [[ivfAssign]] reproducibility contract per subspace. */
+  private def pqNearest(sv: org.apache.spark.sql.Column,
+      cb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(cb,
+      struct(lit(null).cast("int").as("code"), lit(Double.MaxValue).as("dist2")),
+      (acc, c) => {
+        val d2 = round(VectorFunctions.l2sq(sv, c.getField("cvec")), 6)
+        when(d2 < acc.getField("dist2"),
+          struct(c.getField("code").cast("int").as("code"), d2.as("dist2")))
+          .otherwise(acc)
+      }).getField("code")
+
+  /** PQ encode: m codes per vector, each the nearest codeword of its
+    * subspace. ONE narrow projection against the broadcast packed codebook
+    * — the corpus never shuffles and nothing explodes; the whole codes
+    * array is built inside the scan. Codes are tinyint (ksub <= 127 in
+    * this impl — nbits=7): a 64-dim fp32 vector's 256 B becomes m=8 B,
+    * 32×, the far end of the trade [[quantizeInt8]] (4×) anchors.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(pqPack(codebook)))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), sIdx =>
+          pqNearest(
+            slice(col("embedding"), sIdx * dsub + 1, lit(dsub)),
+            element_at(col("subs"), sIdx + 1).getField("cb"))
+            .cast("tinyint")).as("codes"))
+
+  /** Sub-vector → nearest-codeword assignment in exploded form (vec_id,
+    * sub, code, svec) — the TRAINING dataflow only (E×m rows feed the
+    * per-(sub, code, dim) means); serving uses the narrow [[pqEncode]]. */
+  def pqAssign(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(pqPack(codebook)))
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)), sIdx => {
+        val sv = slice(col("embedding"), sIdx * dsub + 1, lit(dsub))
+        struct(sIdx.cast("int").as("sub"),
+          pqNearest(sv, element_at(col("subs"), sIdx + 1).getField("cb")).as("code"),
+          sv.as("svec"))
+      })).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.svec").as("svec"))
+
+  /** Lloyd refinement of a PQ codebook — every subspace trained at once:
+    * one broadcast-assign (E×m sub-vector rows) plus one aggregation keyed
+    * by (sub, code, dim) per iteration, no driver-side math (the
+    * [[kmeansRefine]] dataflow with `sub` joined into the key). Codewords
+    * that lose all members drop out (ksub may shrink); the objective is
+    * non-increasing per round (AnnSpec pins it via [[pqCost]]).
+    */
+  def pqTrain(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int,
+      iters: Int): DataFrame = {
+    var cb = codebook
+    (1 to iters).foreach { _ =>
+      cb = pqAssign(corpus, cb, m, dsub)
+        .select(col("sub"), col("code"), posexplode(col("svec")))
+        .groupBy("sub", "code", "pos").agg(avg(col("col")).as("v"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("sub"), col("code"),
+          transform(col("pv"), x => x.getField("v").cast("float")).as("cvec"))
+    }
+    cb
+  }
+
+  /** Total sub-vector quantization error of a codebook — the PQ Lloyd
+    * objective (AnnSpec pins per-round non-increase). */
+  def pqCost(corpus: DataFrame, codebook: DataFrame, m: Int, dsub: Int): Double =
+    pqAssign(corpus, codebook, m, dsub)
+      .join(codebook, Seq("sub", "code"))
+      .agg(sum(VectorFunctions.l2sq(col("svec"), col("cvec"))))
+      .collect()(0).getDouble(0)
+
+  /** PQ ADC (asymmetric-distance) search + exact re-rank: stage 1 ranks
+    * the ENTIRE corpus from the m-byte codes alone — cosine decomposes
+    * additively over subspaces (dot(q,x) = Σ_s dot(q_s, x_s), ‖x‖² =
+    * Σ_s ‖x_s‖²), so a per-query (m × ksub) lookup table of partial dots
+    * + codeword norms built once against the codebook turns each row's
+    * score into m table lookups; no float vector is read in the scan.
+    * Stage 2 exact-fp32 re-ranks a per-query `pool` ([[reRank]]). At
+    * 100 TB the serving tier holds m bytes/vector (8 B at m=8 — 32×
+    * under fp32) and the fp32 tier is read for pool/N of the corpus.
+    * The per-row fold accumulates in ascending-sub order and the q106
+    * oracle sums `list(x ORDER BY sub)` — bit-identical doubles across
+    * engines, same trick as the similarity kernels.
+    */
+  def pqSearch(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
+      queries: DataFrame, m: Int, dsub: Int, ksub: Int, k: Int,
+      pool: Int): DataFrame = {
+    val qtab = queries.select(col("query_id"), col("qe"))
+      .crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("qe"), col("sub"), col("code"),
+        VectorFunctions.dot(
+          slice(col("qe"), col("sub") * dsub + 1, lit(dsub)), col("cvec")).as("pdot"),
+        VectorFunctions.norm2(col("cvec")).as("pn2"))
+      .groupBy("query_id", "qe")
+      .agg(array_sort(collect_list(struct(
+        (col("sub") * ksub + col("code")).cast("int").as("idx"),
+        struct(col("pdot").as("pdot"), col("pn2").as("pn2")).as("v")))).as("kv"))
+      .select(col("query_id"), col("qe"),
+        transform(col("kv"), x => x.getField("v")).as("tab"))
+    val w = Window.partitionBy("query_id").orderBy(desc("qsim"), asc("vec_id"))
+    val cands = encoded.crossJoin(broadcast(qtab))
+      .withColumn("a", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, sIdx) =>
+          element_at(col("tab"), sIdx * ksub + c.cast("int") + 1)),
+        struct(lit(0.0).as("dot"), lit(0.0).as("n2")),
+        (acc, e) => struct(
+          (acc.getField("dot") + e.getField("pdot")).as("dot"),
+          (acc.getField("n2") + e.getField("pn2")).as("n2"))))
+      .withColumn("qsim", round(
+        when(col("a.n2") === 0.0, lit(0.0)).otherwise(
+          (col("a.dot") /
+            (sqrt(VectorFunctions.norm2(col("qe"))) * sqrt(col("a.n2"))) + 1.0) / 2.0),
+        6))
+      .withColumn("prnk", row_number().over(w))
+      .filter(col("prnk") <= pool)
+      .select(col("query_id"), col("vec_id"))
+    reRank(cands, corpus, queries, k)
+  }
+
   /** IVF top-k search: probe the `nprobe` nearest cells per query, score
     * only vectors in those cells (cosine01, matching the engine's default
     * similarity), rank per query. `queries` carries (query_id, qe).
