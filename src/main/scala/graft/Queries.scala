@@ -3558,7 +3558,54 @@ object Queries {
             FROM rer)
           SELECT query_id, vec_id, rnk, sim FROM ranked WHERE rnk <= 10
           ORDER BY query_id, rnk"""
-        })
+        }),
+
+      // In-Spark classifier TRAINING (round 9 — q84's missing half): two
+      // full-batch logistic-regression GD steps over length-normalized
+      // hashed bag-of-words (64 features + intercept at f=64), labels
+      // y = lang in {en, de}. Gradients and weights round to 9 decimals
+      // each step on BOTH engines, so the oracle replays the training
+      // unrolled in SQL and the final weights hash-match exactly.
+      ("q107_train_classifier", (s: SparkSession, d: String) => {
+        import s.implicits._
+        val docs = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text", "lang"), "doc_id")
+        val feats = graft.ops.Classifier.featurize(
+          docs.select("doc_id", "text"), nFeatures = 64).persistTracked()
+        val labels = docs.select(col("doc_id"),
+          when(col("lang").isin("en", "de"), 1.0).otherwise(0.0).as("y"))
+        val w = graft.ops.Classifier.train(feats, labels, nFeatures = 64,
+          iters = 2, lr = 0.5)
+        w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("f", "w")
+          .select(col("f"), round(col("w"), 6).as("w"))
+          .orderBy("f")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+          lab AS (SELECT doc_id,
+              CASE WHEN lang IN ('en', 'de') THEN 1.0 ELSE 0.0 END AS y FROM tok),
+          base AS (SELECT doc_id, toks,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n FROM tok),
+          ex AS (SELECT doc_id, n, unnest(toks) AS tok FROM base),
+          feat AS (
+            SELECT doc_id, f, cnt / n AS x FROM (
+              SELECT doc_id, n, ${sqlHash32("'w|' || tok")} % 64 AS f,
+                CAST(count(*) AS DOUBLE) AS cnt
+              FROM ex GROUP BY doc_id, n, f)
+            UNION ALL SELECT doc_id, 64 AS f, 1.0 AS x FROM base),
+          g1 AS (SELECT f, round(sum((0.5 - y) * x), 9) AS g
+            FROM feat JOIN lab USING (doc_id) GROUP BY f),
+          w1 AS (SELECT f, round(-0.5 * g, 9) AS w FROM g1),
+          z2 AS (SELECT feat.doc_id, sum(w1.w * feat.x) AS z
+            FROM feat JOIN w1 USING (f) GROUP BY feat.doc_id),
+          r2 AS (SELECT z2.doc_id, 1.0 / (1.0 + exp(-z)) - lab.y AS r
+            FROM z2 JOIN lab USING (doc_id)),
+          g2 AS (SELECT f, round(sum(r * x), 9) AS g
+            FROM feat JOIN r2 USING (doc_id) GROUP BY f),
+          w2 AS (SELECT w1.f, round(w1.w - 0.5 * g2.g, 9) AS w
+            FROM w1 JOIN g2 ON w1.f = g2.f)
+          SELECT CAST(t.f AS BIGINT) AS f, round(coalesce(w2.w, 0.0), 6) AS w
+          FROM range(65) t(f) LEFT JOIN w2 ON t.f = w2.f ORDER BY f"""))
     )
   }
 
