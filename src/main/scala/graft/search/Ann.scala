@@ -364,6 +364,17 @@ object Ann {
     reRank(cands, corpus, queries, k)
   }
 
+  /** Write the IVF-assigned corpus partitioned by cell — the 100 TB layout
+    * [[ivfSearch]] assumes: each centroid_id is its own partition
+    * directory, so probing nprobe cells reads nprobe/|C| of the data. The
+    * pruning is DYNAMIC: ivfSearch's broadcast join against the
+    * (query × probed-cell) frame plants a dynamic-pruning subquery in the
+    * scan's PartitionFilters — no driver-side cell list is collected
+    * (ScaleOpsSpec pins the filter on the plan).
+    */
+  def writeIvfLayout(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
   /** IVF top-k search: probe the `nprobe` nearest cells per query, score
     * only vectors in those cells (cosine01, matching the engine's default
     * similarity), rank per query. `queries` carries (query_id, qe).

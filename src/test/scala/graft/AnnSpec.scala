@@ -167,6 +167,18 @@ class AnnSpec extends SparkSpec {
       s"lossless PQ diverged from exact:\n got=${got.toSeq}\n exp=${exact5.toSeq}")
   }
 
+  test("PQ encode is shuffle-free: narrow fold against the broadcast codebook") {
+    // same contract as ivfAssign: the corpus side of the index build must
+    // carry NO exchange and no window — the codes fold runs inside the scan
+    val cb = Ann.pqSeedCodebook(embs, m = 8, dsub = 8, ksub = 16)
+    val enc = Ann.pqEncode(embs, cb, m = 8, dsub = 8)
+    enc.collect()
+    val plan = enc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in pqEncode plan:\n$plan")
+  }
+
   test("PQ Lloyd training: objective non-increasing, codes stay tinyint") {
     val cb0 = Ann.pqSeedCodebook(embs, m = 8, dsub = 8, ksub = 16)
     val cost0 = Ann.pqCost(embs, cb0, m = 8, dsub = 8)

@@ -53,6 +53,43 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell layout: the probed cells reach the scan as a partition filter") {
+    import graft.search.Ann
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Ann.sampleCentroids(embs, 25)
+    val assigned = Ann.ivfAssign(embs, centroids)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivf-").toString
+    Ann.writeIvfLayout(assigned, dir)
+
+    val onDisk = spark.read.parquet(dir)
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val got = Ann.ivfSearch(onDisk, centroids, queries, k = 5, nprobe = 3)
+
+    // identical results to searching the in-memory assignment
+    val want = Ann.ivfSearch(assigned, centroids, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got.orderBy("query_id", "rnk").collect().toSeq == want)
+
+    // and the partitioned scan is PRUNED to the probed cells: the join
+    // against the broadcast (query x probed-cell) frame must reach the
+    // parquet source as a dynamic partition filter — at 100 TB this is
+    // the difference between reading nprobe/|C| of the corpus and all
+    // of it. (Static proof that the layout prunes at all: an isin filter
+    // must also show up as PartitionFilters, checked second.)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("dynamicpruning"),
+      s"probed-cell join did not become a dynamic partition filter:\n$plan")
+
+    val static = onDisk.filter(col("centroid_id").isin(0L, 25L, 50L))
+      .select(count(lit(1))).queryExecution.executedPlan.toString
+    assert(static.contains("PartitionFilters") && static.contains("centroid_id"),
+      s"static cell filter not pushed to partitions:\n$static")
+  }
+
   test("salted join: equals the plain join, spreads the hot key") {
     import spark.implicits._
     // one pathological key (90% of rows) + a long tail
