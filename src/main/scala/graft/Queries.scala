@@ -167,6 +167,43 @@ object Queries {
             FROM verified_mh WHERE jaccard >= $threshold)"""
   }
 
+  /** The q103 oracle's Gopher-rule flag computation as named CTEs ending
+    * in `flags` (doc_id, n_words, r_* flags, keep) — shared by q103 and
+    * q109's rejection-attribution rollup.
+    */
+  private def sqlGopherFlagCtes: String =
+    s"""b AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks,
+              string_split(text, chr(10)) AS lines FROM documents),
+          m AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) END AS mean_wlen,
+              CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines) AS bullet_frac,
+              CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                  + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                  / len(toks) END AS symbol_ratio,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
+              len(list_intersect(list_transform(toks, x -> lower(x)),
+                ['the', 'a', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'for'])) AS stop_hits
+            FROM b),
+          flags AS (SELECT doc_id, n_words,
+            CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+            CAST(CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+            CAST(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+            CAST(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+            CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+            CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+            CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+            CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+              AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+              AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+              AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM m)"""
+
   /** Spark twin of [[sqlDupCorpus]]: every doc plus a near-identical copy
     * (id + 10M, text + " zzz"), all other columns preserved. One
     * definition on each side so the near-dup queries (q45/q46/q47/q75/
@@ -3339,37 +3376,8 @@ object Queries {
         gopherFlags(graft.ops.Par.ensure(
           t(s, d, "documents").select("doc_id", "text"), "doc_id"))
           .orderBy("doc_id"),
-        Some(s"""WITH b AS (SELECT doc_id, text, $toks AS toks,
-              string_split(text, chr(10)) AS lines FROM documents),
-          m AS (SELECT doc_id,
-              CAST(len(toks) AS BIGINT) AS n_words,
-              CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) END AS mean_wlen,
-              CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines) AS bullet_frac,
-              CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
-              CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-                  + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
-                  / len(toks) END AS symbol_ratio,
-              CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
-              len(list_intersect(list_transform(toks, x -> lower(x)),
-                ['the', 'a', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'for'])) AS stop_hits
-            FROM b)
-          SELECT doc_id, n_words,
-            CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
-            CAST(CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
-            CAST(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
-            CAST(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
-            CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
-            CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
-            CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
-            CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
-              AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-              AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
-              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-              AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
-          FROM m ORDER BY doc_id""")),
+        Some(s"""WITH $sqlGopherFlagCtes
+          SELECT * FROM flags ORDER BY doc_id""")),
 
       // ExactSubstr-style span duplication (round 8; Lee et al. 2022,
       // "Deduplicating Training Data Makes Language Models Better" —
@@ -3605,7 +3613,97 @@ object Queries {
           w2 AS (SELECT w1.f, round(w1.w - 0.5 * g2.g, 9) AS w
             FROM w1 JOIN g2 ON w1.f = g2.f)
           SELECT CAST(t.f AS BIGINT) AS f, round(coalesce(w2.w, 0.0), 6) AS w
-          FROM range(65) t(f) LEFT JOIN w2 ON t.f = w2.f ORDER BY f"""))
+          FROM range(65) t(f) LEFT JOIN w2 ON t.f = w2.f ORDER BY f""")),
+
+      // Cross-source overlap governance (round 9): which sources duplicate
+      // each other. Per-source MinHash signature = component-wise min of
+      // the per-doc signatures (min is associative, so the source sketch
+      // is exactly the signature of the source's unioned shingle set —
+      // PERFECTLY MERGEABLE: O(sources × 12) state at any corpus size, new
+      // shards fold in without touching old data). Pairwise overlap is the
+      // fraction of equal components — the standard MinHash estimate of
+      // source-level Jaccard, 190 output rows for 20 sources.
+      ("q108_source_overlap", (s: SparkSession, d: String) => {
+        val hashed = graft.ops.Par.ensure(
+          t(s, d, "documents").select("source", "doc_id", "text"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("sh", TF.shingles(col("toks"), 3))
+          .filter(size(col("sh")) > 0)
+          .withColumn("hashes", array_distinct(TF.shingleHashes(col("sh"))))
+          .withColumn("sig", TF.minhashSignature(col("hashes"), 12))
+        val srcSig = hashed
+          .select(col("source"), posexplode(col("sig")))
+          .groupBy("source", "pos").agg(min("col").as("v"))
+          .groupBy("source")
+          .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+          .select(col("source"), transform(col("pv"), x => x.getField("v")).as("sig"))
+        srcSig.as("a").join(srcSig.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            round(size(filter(zip_with(col("a.sig"), col("b.sig"),
+              (x, y) => x === y), p => p)).cast("double") / 12.0, 6).as("overlap"))
+          .orderBy("src_a", "src_b")
+      },
+        Some {
+          val sigExprs = (0 until 12).map { k =>
+            val (mult, add) = TF.minhashConsts(k)
+            s"list_min(list_transform(hashes, h -> (h * $mult + $add) % 4294967296))"
+          }.mkString("[", ", ", "]")
+          s"""WITH tok AS (SELECT source, doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT source, doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok),
+          hs AS (SELECT source, doc_id,
+              list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS hashes
+            FROM sh WHERE len(shingles) > 0),
+          sg AS (SELECT source, doc_id, $sigExprs AS sig FROM hs),
+          ex AS (SELECT source, CAST(p.p AS INT) AS pos, sig[p.p + 1] AS v
+            FROM sg CROSS JOIN range(12) p(p)),
+          mn AS (SELECT source, pos, min(v) AS v FROM ex GROUP BY source, pos),
+          ssig AS (SELECT source, list(v ORDER BY pos) AS sig FROM mn GROUP BY source)
+          SELECT a.source AS src_a, b.source AS src_b,
+            round(CAST(len(list_filter(range(1, 13), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 12.0, 6) AS overlap
+          FROM ssig a JOIN ssig b ON a.source < b.source
+          ORDER BY src_a, src_b"""
+        }),
+
+      // Filter-rejection attribution (round 9): which Gopher rule is
+      // eating the corpus — per rule, how many documents fail it at all
+      // (n_fail) and how many fail ONLY it (n_sole: the docs that rule
+      // alone removes — the marginal cost of keeping it). The first thing
+      // a curation user asks when the keep-rate drops; one aggregation
+      // over the q103 flags, 7 output rows.
+      ("q109_rule_attribution", (s: SparkSession, d: String) => {
+        val rules = Seq("r_words", "r_meanlen", "r_bullet", "r_ellipsis",
+          "r_symbol", "r_alpha", "r_stop")
+        val flags = gopherFlags(graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id"))
+        val aggs = rules.flatMap { r =>
+          val others = rules.filterNot(_ == r).map(o => col(o) === 1).reduce(_ && _)
+          Seq(
+            sum(when(col(r) === 0, 1L).otherwise(0L)).as(s"f_$r"),
+            sum(when(col(r) === 0 && others, 1L).otherwise(0L)).as(s"s_$r"))
+        }
+        flags.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rules.map(r =>
+            struct(lit(r).as("rule"), col(s"f_$r").as("n_fail"),
+              col(s"s_$r").as("n_sole"))): _*)).as("e"))
+          .select(col("e.rule").as("rule"), col("e.n_fail").as("n_fail"),
+            col("e.n_sole").as("n_sole"))
+          .orderBy("rule")
+      },
+        Some {
+          val rules = Seq("r_words", "r_meanlen", "r_bullet", "r_ellipsis",
+            "r_symbol", "r_alpha", "r_stop")
+          val arms = rules.map { r =>
+            val others = rules.filterNot(_ == r).map(o => s"$o = 1").mkString(" AND ")
+            s"""SELECT '$r' AS rule,
+              CAST(count(*) FILTER (WHERE $r = 0) AS BIGINT) AS n_fail,
+              CAST(count(*) FILTER (WHERE $r = 0 AND $others) AS BIGINT) AS n_sole
+            FROM flags"""
+          }.mkString("\n          UNION ALL ")
+          s"""WITH $sqlGopherFlagCtes
+          $arms
+          ORDER BY rule"""
+        })
     )
   }
 

@@ -13,6 +13,33 @@ import graft.functions.{TextFunctions => TF}
   */
 class SketchSpec extends SparkSpec {
 
+  test("q108 source sketch is mergeable: per-doc min rollup == union-set signature") {
+    // the scale contract of the source-overlap sketch: component-wise min
+    // over per-doc signatures must equal the signature of the source's
+    // UNIONED shingle-hash set (min is associative) — new shards fold into
+    // an existing source sketch without touching old data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("sh", TF.shingles(col("toks"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hashes", array_distinct(TF.shingleHashes(col("sh"))))
+    val viaDocs = docs
+      .withColumn("sig", TF.minhashSignature(col("hashes"), 12))
+      .select(col("source"), posexplode(col("sig")))
+      .groupBy("source", "pos").agg(min("col").as("v"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("source"), transform(col("pv"), x => x.getField("v")).as("sig"))
+    val viaUnion = docs
+      .select(col("source"), explode(col("hashes")).as("h"))
+      .groupBy("source").agg(collect_set(col("h")).as("hashes"))
+      .select(col("source"), TF.minhashSignature(col("hashes"), 12).as("sig"))
+    val a = viaDocs.orderBy("source").collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    val b = viaUnion.orderBy("source").collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(a.toSeq == b.toSeq, "rollup sketch diverged from union-set signature")
+  }
+
   test("HLL vocab estimate within the configured error of the exact count") {
     val toks = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
