@@ -88,7 +88,12 @@ object DedupStream {
     docs
       .withColumn("toks", TF.tokens(col("text")))
       .withColumn("hashes", array_distinct(TF.shingleHashes(TF.shingles(col("toks"), shingleK))))
-      .filter(size(col("hashes")) > 0)
+      // NO size(hashes) pre-filter: a HOF chain in a Filter condition
+      // drops the whole stage to interpreted eval, which re-evaluates the
+      // tokenize/shingle subtree per reference (the q108 finding, 8× at
+      // sf0.1). Shingle-less docs carry a null signature and lshBands
+      // already gives them ZERO band keys, so the explode drops them —
+      // same output, no interpreted filter.
       .withColumn("sig", TF.minhashSignature(col("hashes"), numHashes))
       .withColumn("band", explode(TF.lshBands(col("sig"), bands, rows)))
       .select(col("band"), col("doc_id").as("docId"), col("sig"))
