@@ -2123,7 +2123,13 @@ object Queries {
     ("b81_curation_xxh64", (s: SparkSession, d: String) =>
       curationPipeline(s, d, fastHash = true)),
     ("b84_classifier_xxh64", (s: SparkSession, d: String) =>
-      classifierQuality(s, d, fastHash = true))
+      classifierQuality(s, d, fastHash = true)),
+    ("b108_overlap_xxh64", (s: SparkSession, d: String) => {
+      val sketch = Dedup.sourceSketch(
+        t(s, d, "documents"), "source", "doc_id", "text", fastHash = true)
+        .persistTracked()
+      Dedup.sourceOverlap(sketch).orderBy("src_a", "src_b")
+    })
     ,
     // Sketch twin of q73: per-language heavy hitters via the Misra-Gries
     // fixed-size mergeable summary instead of the exact (lang, token)
@@ -3624,38 +3630,9 @@ object Queries {
       // fraction of equal components — the standard MinHash estimate of
       // source-level Jaccard, 190 output rows for 20 sources.
       ("q108_source_overlap", (s: SparkSession, d: String) => {
-        // The signature frame is MATERIALIZED before the rollup, and the
-        // shingle-less-doc filter runs on the CACHED sig (null first
-        // component — the lshBands convention), NOT on size(sh) mid-chain:
-        // a HOF chain inside a Filter CONDITION falls back to interpreted
-        // evaluation, which re-evaluates the token-split subtree per
-        // element_at reference (~52 positions × 3 refs per row) — measured
-        // 11 s for the filter ALONE at sf0.1 vs 0.8 s for this whole frame
-        // inside codegen. Same keep-set either way.
-        val sig = graft.ops.Par.ensure(
-          t(s, d, "documents").select("source", "doc_id", "text"), "doc_id")
-          .withColumn("toks", TF.tokens(col("text")))
-          .withColumn("sh", TF.shingles(col("toks"), 3))
-          .withColumn("hashes", array_distinct(TF.shingleHashes(col("sh"))))
-          .withColumn("sig", TF.minhashSignature(col("hashes"), 12))
-          .select("source", "doc_id", "sig")
-          .persistTracked()
-          .filter(element_at(col("sig"), 1).isNotNull)
-        // component-wise min in ONE map-side-combined aggregation (no
-        // posexplode, no second shuffle); the 20-row sketch is persisted so
-        // the pairwise self-join cannot recompute the corpus scan twice
-        val srcSig = sig
-          .groupBy("source")
-          .agg((1 to 12).map(i => min(element_at(col("sig"), i)).as(s"v$i")).head,
-            (2 to 12).map(i => min(element_at(col("sig"), i)).as(s"v$i")): _*)
-          .select(col("source"),
-            array((1 to 12).map(i => col(s"v$i")): _*).as("sig"))
-          .persistTracked()
-        srcSig.as("a").join(srcSig.as("b"), col("a.source") < col("b.source"))
-          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
-            round(size(filter(zip_with(col("a.sig"), col("b.sig"),
-              (x, y) => x === y), p => p)).cast("double") / 12.0, 6).as("overlap"))
-          .orderBy("src_a", "src_b")
+        val sketch = Dedup.sourceSketch(
+          t(s, d, "documents"), "source", "doc_id", "text").persistTracked()
+        Dedup.sourceOverlap(sketch).orderBy("src_a", "src_b")
       },
         Some {
           val sigExprs = (0 until 12).map { k =>

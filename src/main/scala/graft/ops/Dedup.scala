@@ -361,4 +361,59 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  // ------------------------------------------------- source-level overlap
+
+  private def componentMins(grouped: DataFrame, numHashes: Int): DataFrame =
+    grouped.groupBy("source")
+      .agg((1 to numHashes).map(i => min(element_at(col("sig"), i)).as(s"v$i")).head,
+        (2 to numHashes).map(i => min(element_at(col("sig"), i)).as(s"v$i")): _*)
+      .select(col("source"),
+        array((1 to numHashes).map(i => col(s"v$i")): _*).as("sig"))
+
+  /** Per-source MinHash sketch (q108): the component-wise min of the
+    * per-doc signatures — min is associative, so this EXACTLY equals the
+    * signature of the source's unioned shingle set (SketchSpec pins the
+    * equality) and sketches merge shard-by-shard
+    * ([[mergeSourceSketches]]) with O(sources × numHashes) state at any
+    * corpus size. Output: (source, sig array<bigint>). The doc-signature
+    * frame is materialized before the rollup and the shingle-less filter
+    * reads the CACHED null marker — a HOF chain in a Filter condition
+    * drops the stage to interpreted evaluation (the q108 finding,
+    * NOTES_r9; ~8× at sf0.1).
+    */
+  def sourceSketch(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, shingleK: Int = 3, numHashes: Int = 12,
+      fastHash: Boolean = false): DataFrame = {
+    val sig = Par.ensure(
+      docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        col(textCol).as("text")), "doc_id")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks"), shingleK))
+      .withColumn("hashes", array_distinct(shingleHashes(col("sh"), fastHash)))
+      .withColumn("sig", minhashSignature(col("hashes"), numHashes))
+      .select("source", "doc_id", "sig")
+      .persistTracked()
+      .filter(element_at(col("sig"), 1).isNotNull)
+    componentMins(sig, numHashes)
+  }
+
+  /** Fold sketches together WITHOUT touching the data that produced them
+    * (associativity of min): the incremental-maintenance path — sketch
+    * each arriving shard, merge into the standing per-source sketch.
+    * SketchSpec pins merge(half sketches) == full-corpus sketch. */
+  def mergeSourceSketches(a: DataFrame, b: DataFrame,
+      numHashes: Int = 12): DataFrame =
+    componentMins(a.unionByName(b), numHashes)
+
+  /** Pairwise source-overlap estimates from a sketch: the equal-component
+    * fraction (the standard MinHash Jaccard estimator) for every source
+    * pair. Persist the (|sources|-row) sketch before calling — both join
+    * sides read it. */
+  def sourceOverlap(sketch: DataFrame, numHashes: Int = 12): DataFrame =
+    sketch.as("a").join(sketch.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        round(size(filter(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => x === y), p => p)).cast("double") / numHashes.toDouble, 6)
+          .as("overlap"))
 }

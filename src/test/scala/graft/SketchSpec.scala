@@ -40,6 +40,18 @@ class SketchSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "rollup sketch diverged from union-set signature")
   }
 
+  test("source sketch merges shard-by-shard: merge(half sketches) == full sketch") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    val full = rows(Dedup.sourceSketch(docs, "source", "doc_id", "text"))
+    val merged = rows(Dedup.mergeSourceSketches(
+      Dedup.sourceSketch(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "source", "doc_id", "text"),
+      Dedup.sourceSketch(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "source", "doc_id", "text")))
+    assert(merged == full, "incremental sketch maintenance diverged from full recompute")
+  }
+
   test("HLL vocab estimate within the configured error of the exact count") {
     val toks = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
