@@ -55,6 +55,12 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("IVF cell layout: the probed cells reach the scan as a partition filter") {
     import graft.search.Ann
+    // plan stringification truncates the PartitionFilters metadata at 100
+    // chars by default — with the longer attribute ids of a full-suite run
+    // the "dynamicpruning" token itself gets cut. Widen for this test.
+    val prevLen = spark.conf.getOption("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Ann.sampleCentroids(embs, 25)
     val assigned = Ann.ivfAssign(embs, centroids)
@@ -88,6 +94,12 @@ class ScaleOpsSpec extends SparkSpec {
       .select(count(lit(1))).queryExecution.executedPlan.toString
     assert(static.contains("PartitionFilters") && static.contains("centroid_id"),
       s"static cell filter not pushed to partitions:\n$static")
+    } finally {
+      prevLen match {
+        case Some(v) => spark.conf.set("spark.sql.maxMetadataStringLength", v)
+        case None => spark.conf.unset("spark.sql.maxMetadataStringLength")
+      }
+    }
   }
 
   test("salted join: equals the plain join, spreads the hot key") {
