@@ -1842,18 +1842,24 @@ object Queries {
       .join(contaminated, Seq("doc_id"), "left_anti")
 
     // 3. repetition filter (q74 rule, rounded before compare) +
-    // quality floor (q43/q71 rule)
-    val filtered = clean
+    // quality floor (q43/q71 rule). The metric columns are MATERIALIZED
+    // before filtering (round-9 rule, NOTES_r9): dup_tri_frac and
+    // qualityScore are HOF chains, and a HOF chain inside a Filter
+    // condition drops the stage to interpreted evaluation with
+    // per-reference subtree re-runs — the filters now read CACHED columns.
+    val scored = clean
       .withColumn("toks", TF.tokens(col("text")))
       .withColumn("tri", TF.shingles(col("toks"), 3))
       .withColumn("dup_tri_frac", round(when(size(col("tri")) === 0, 0.0)
         .otherwise(lit(1.0) -
           size(array_distinct(col("tri"))).cast("double") / size(col("tri")).cast("double")), 6))
-      .filter(col("dup_tri_frac") <= 0.11)
-      .filter(TF.qualityScore(col("text")) >= 0.5)
-      .select(col("doc_id"), col("text"), col("lang"),
+      .select(col("doc_id"), col("text"), col("lang"), col("dup_tri_frac"),
+        TF.qualityScore(col("text")).as("quality"),
         TF.tokenCount(col("text")).cast("long").as("n_tok0"))
       .persistTracked()
+    val filtered = scored
+      .filter(col("dup_tri_frac") <= 0.11 && col("quality") >= 0.5)
+      .select("doc_id", "text", "lang", "n_tok0")
 
     // 4. mixture-aware downsample: per-language rate toward the shared
     // target weights over HALF the surviving token budget, capped at 1

@@ -47,12 +47,23 @@ object TextFunctions {
 
   /** k-word shingles joined by a single space. Documents shorter than k
     * tokens yield an empty array.
+    *
+    * Built as a zip of k shifted slices, NOT a positional lambda doing
+    * element_at(toks, i+j): a lambda body that references the `toks`
+    * SUBTREE re-evaluates it per element whenever the expression runs
+    * interpreted (HOFs are CodegenFallback — in a Filter condition, or
+    * under nesting that defeats codegen), turning one tokenize into
+    * ~positions × k tokenizes per row (the round-9 q108/q81 cliff,
+    * NOTES_r9). Here every lambda touches only its own lambda variables;
+    * `toks` is referenced a bounded k+2 times per row in any mode.
     */
-  def shingles(toks: Column, k: Int): Column =
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks) - (k - 1)
+    val parts = (0 until k).map(j => slice(toks, lit(j + 1), n))
     when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(parts.reduce((acc, p) =>
+        zip_with(acc, p, (x, y) => concat_ws(" ", x, y))))
+  }
 
   /** Base hash per shingle — computed ONCE per shingle; the k minhash
     * functions are derived from it with cheap affine mixes (standard

@@ -5,15 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
 
-/** Demonstrates the interpreted-filter cliff behind the round-9 q108 fix:
-  * a higher-order-function chain inside a Filter CONDITION disables
-  * whole-stage codegen for the filter, and interpreted expression trees
-  * re-evaluate shared subtrees per reference — `filter(size(shingles) >
-  * 0)` re-runs the whitespace tokenizer for every element_at inside the
-  * shingle lambda (~52 positions × 3 refs per row). The same chain inside
-  * a codegen'd Project is ~15× cheaper; the fix is to filter on a cheap
-  * predicate of the MATERIALIZED column (null signature) instead.
-  * Usage: HofFilterProbe [sfDir]
+/** Demonstrates the interpreted-filter cliff behind the round-9 q108/q81
+  * fixes: HOFs are CodegenFallback, so a HOF chain inside a Filter
+  * CONDITION runs interpreted, and an interpreted lambda body that
+  * references a COMPUTED SUBTREE (the old shingles did element_at(toks,
+  * i+j) per position) re-evaluates that subtree per element — one
+  * tokenize became ~positions × k tokenizes per row (filter alone: 10 s
+  * at sf0.1 for 5000 docs vs 1.6 s for the whole chain in codegen).
+  * Fixed at BOTH levels: shingles is now a zip of k shifted slices
+  * (lambdas touch only lambda variables — bounded toks references in any
+  * mode; this probe's filter leg dropped 10 s → 1.4 s), and the
+  * governance queries still filter on cheap predicates of MATERIALIZED
+  * columns rather than HOF chains. Usage: HofFilterProbe [sfDir]
   */
 object HofFilterProbe {
   def main(args: Array[String]): Unit = {
