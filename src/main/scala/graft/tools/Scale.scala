@@ -101,11 +101,14 @@ object Scale {
     // hash-stage microbenchmarks: the tokenize→shingle→hash map stage of
     // the minhash pipeline in isolation (no banding/join/verify), so the
     // md5↔xxhash64 swap is measured without downstream noise
-    // NOTE: stage toks/sh as separate projections (withColumn), as Dedup
-    // does. Nesting shingles(tokens(text), k) in ONE expression makes the
-    // optimizer inline the tokens() regex split into the shingle lambda,
-    // where element_at(toks, …) re-evaluates it per element — a ~30×
-    // blowup this probe originally measured by accident (NOTES_r7).
+    // NOTE: toks/sh staged as separate projections (withColumn), as Dedup
+    // does. Historical: nesting shingles(tokens(text), k) in ONE
+    // expression once inlined the tokens() regex split into the shingle
+    // lambda, where element_at(toks, …) re-evaluated it per element — a
+    // ~30× blowup this probe measured by accident (NOTES_r7). Round 9
+    // removed that failure mode at the root (shingles is now a zip of
+    // shifted slices — bounded toks references in any evaluation mode,
+    // NOTES_r9); the staging is kept as plain good hygiene.
     def shingled(sp: SparkSession, dir: String) = {
       import graft.functions.TextFunctions._
       graft.ops.Par.ensure(
