@@ -113,4 +113,32 @@ object DedupStream {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(threshold, maxPerBand))
   }
+
+  /** Continuous per-source MinHash sketch — the streaming form of
+    * [[graft.ops.Dedup.sourceSketch]] (q108's governance view maintained
+    * at ingest). Per-doc signatures ride the scan (narrow, same fused
+    * kernel as batch); the per-source component-wise min is a PLAIN
+    * streaming aggregation — min is associative AND monotone, so state is
+    * exactly one row of numHashes longs per source (O(sources ×
+    * numHashes), never grows with documents) and no custom state function
+    * is needed. Sources whose every doc is shingle-less aggregate to null
+    * components and are dropped AFTER the agg (min ignores nulls, so for
+    * mixed sources this equals the batch path's per-doc filter — and the
+    * post-agg predicate is cheap, per the round-9 Filter/HOF rule).
+    * Run with outputMode complete (or update); StreamingSpec pins
+    * stream == batch and the state bound.
+    */
+  def sourceSketchStream(docs: DataFrame, shingleK: Int = 3,
+      numHashes: Int = 12): DataFrame =
+    docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("hashes",
+        array_distinct(TF.shingleHashes(TF.shingles(col("toks"), shingleK))))
+      .withColumn("sig", TF.minhashSignature(col("hashes"), numHashes))
+      .groupBy("source")
+      .agg((1 to numHashes).map(i => min(element_at(col("sig"), i)).as(s"v$i")).head,
+        (2 to numHashes).map(i => min(element_at(col("sig"), i)).as(s"v$i")): _*)
+      .filter(col("v1").isNotNull)
+      .select(col("source"),
+        array((1 to numHashes).map(i => col(s"v$i")): _*).as("sig"))
 }

@@ -316,6 +316,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming source sketch equals the batch sketch with one state row per source") {
+    // q108's governance sketch maintained at ingest: component-min is a
+    // plain streaming aggregation, so state is exactly one row per source
+    // regardless of document volume. Pin stream(complete) == batch on the
+    // same docs across micro-batches, and the state-operator row count.
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source", "doc_id", "text").limit(120)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val out = graft.streaming.DedupStream.sourceSketchStream(
+      mem.toDF().toDF("source", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("srcsketch")
+      .outputMode("complete").start()
+    mem.addData(docs.take(50))
+    q.processAllAvailable()
+    mem.addData(docs.drop(50))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM srcsketch").orderBy("source")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    val batchDf = docs.toDF("source", "doc_id", "text")
+    val batch = graft.ops.Dedup.sourceSketch(batchDf, "source", "doc_id", "text")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream sketch diverged from batch:\n stream=$streamed\n batch=$batch")
+
+    val nSources = batchDf.select("source").distinct().count()
+    assert(stateRows == nSources,
+      s"state should hold exactly one row per source: $stateRows vs $nSources")
+  }
+
   test("near-dup band state caps at maxPerBand and counts evictions") {
     import graft.streaming.DedupStream
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
