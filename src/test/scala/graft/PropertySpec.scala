@@ -18,6 +18,28 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("shingles(zip-of-slices form) == sliding(k) for arbitrary token lists") {
+    // the round-9 rebuild (bounded toks references) must stay value-equal
+    // to the definition: k-grams joined by one space, < k tokens -> empty
+    import spark.implicits._
+    val tokGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    val cases = Gen.listOfN(60, Gen.zip(tokGen, Gen.choose(1, 5))).sample.get
+    val df = cases.zipWithIndex
+      .map { case ((toks, k), i) => (i.toLong, toks, k) }
+      .toDF("id", "toks", "k")
+    (1 to 5).foreach { k =>
+      val got = df.filter(col("k") === k)
+        .select(col("id"), TF.shingles(col("toks"), k).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.zipWithIndex.filter(_._1._2 == k).foreach { case ((toks, _), i) =>
+        val want = if (toks.length < k) Seq.empty[String]
+          else toks.sliding(k).map(_.mkString(" ")).toSeq
+        assert(got(i.toLong) == want,
+          s"k=$k toks=$toks: got ${got(i.toLong)}, want $want")
+      }
+    }
+  }
+
   test("parseWeights inverts JSON rendering (keys may contain colons)") {
     val keyGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(':'), Gen.const('/')))
       .map(_.mkString)
