@@ -332,7 +332,23 @@ object Ann {
   def pqSearch(encoded: DataFrame, codebook: DataFrame, corpus: DataFrame,
       queries: DataFrame, m: Int, dsub: Int, ksub: Int, k: Int,
       pool: Int): DataFrame = {
-    val qtab = queries.select(col("query_id"), col("qe"))
+    val qtab = pqQueryTables(queries, codebook, dsub, ksub)
+    val w = Window.partitionBy("query_id").orderBy(desc("qsim"), asc("vec_id"))
+    val cands = encoded.crossJoin(broadcast(qtab))
+      .withColumn("a", pqAdcFold(m, ksub))
+      .withColumn("qsim", pqAdcSim)
+      .withColumn("prnk", row_number().over(w))
+      .filter(col("prnk") <= pool)
+      .select(col("query_id"), col("vec_id"))
+    reRank(cands, corpus, queries, k)
+  }
+
+  /** Per-query ADC lookup table: (query_id, qe, tab) where tab[sub*ksub +
+    * code] = (partial dot of the query's sub-slice with the codeword,
+    * codeword squared norm) — m × ksub entries, broadcastable. */
+  private def pqQueryTables(queries: DataFrame, codebook: DataFrame,
+      dsub: Int, ksub: Int): DataFrame =
+    queries.select(col("query_id"), col("qe"))
       .crossJoin(broadcast(codebook))
       .select(col("query_id"), col("qe"), col("sub"), col("code"),
         VectorFunctions.dot(
@@ -344,20 +360,72 @@ object Ann {
         struct(col("pdot").as("pdot"), col("pn2").as("pn2")).as("v")))).as("kv"))
       .select(col("query_id"), col("qe"),
         transform(col("kv"), x => x.getField("v")).as("tab"))
+
+  /** The m-lookup ADC accumulator over (codes, tab): ascending-sub fold of
+    * (partial dot, partial norm) — bit-reproducible summation order. */
+  private def pqAdcFold(m: Int, ksub: Int): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, sIdx) =>
+        element_at(col("tab"), sIdx * ksub + c.cast("int") + 1)),
+      struct(lit(0.0).as("dot"), lit(0.0).as("n2")),
+      (acc, e) => struct(
+        (acc.getField("dot") + e.getField("pdot")).as("dot"),
+        (acc.getField("n2") + e.getField("pn2")).as("n2")))
+
+  /** Cosine01 from the ADC accumulator `a` and the query vector `qe`. */
+  private def pqAdcSim: org.apache.spark.sql.Column =
+    round(
+      when(col("a.n2") === 0.0, lit(0.0)).otherwise(
+        (col("a.dot") /
+          (sqrt(VectorFunctions.norm2(col("qe"))) * sqrt(col("a.n2"))) + 1.0) / 2.0),
+      6)
+
+  /** IVF-PQ search — the canonical billion-scale layout (coarse cells ×
+    * product codes, the FAISS IVFADC shape) composed from the two tiers
+    * this module already pins: probe the `nprobe` nearest cells per query
+    * ([[ivfSearch]]'s gate), ADC-score ONLY those cells' m-byte codes
+    * against the per-query lookup table ([[pqSearch]]'s stage 1), exact
+    * fp32 re-rank of the pool ([[reRank]]). At 100 TB: the corpus is
+    * written partitioned by centroid_id ([[writeIvfLayout]] — the probe
+    * is a dynamic-partition-pruned read of nprobe/|C| of the table), the
+    * scanned representation is 8 B/vector, and full-precision vectors are
+    * touched for pool/N only. `assigned` carries (vec_id, centroid_id);
+    * `encoded` carries (vec_id, codes).
+    */
+  def ivfPqSearch(assigned: DataFrame, encoded: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, corpus: DataFrame,
+      queries: DataFrame, m: Int, dsub: Int, ksub: Int, k: Int, pool: Int,
+      nprobe: Int): DataFrame = {
+    val wCell = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("centroid_id"))
+    val cells = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2", round(VectorFunctions.l2sq(col("qe"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    // restrict the code scan to the probed cells per query: the join with
+    // the broadcast (query × cell) frame is exactly the gate ivfSearch
+    // uses — against the partitioned layout it arrives as a dynamic
+    // partition filter — then ADC-score the survivors
+    val gated = assigned.select(col("vec_id"), col("centroid_id"))
+      .join(encoded, "vec_id")
+      .join(broadcast(cells), "centroid_id")
+      .select(col("query_id"), col("vec_id"), col("codes"))
+    pqSearchGated(gated, codebook, corpus, queries, m, dsub, ksub, k, pool)
+  }
+
+  /** ADC scoring + re-rank over a pre-gated (query_id, vec_id, codes)
+    * frame — the shared tail of [[pqSearch]] (whole-corpus gate) and
+    * [[ivfPqSearch]] (cell gate). */
+  private def pqSearchGated(gated: DataFrame, codebook: DataFrame,
+      corpus: DataFrame, queries: DataFrame, m: Int, dsub: Int, ksub: Int,
+      k: Int, pool: Int): DataFrame = {
+    val qtab = pqQueryTables(queries, codebook, dsub, ksub)
     val w = Window.partitionBy("query_id").orderBy(desc("qsim"), asc("vec_id"))
-    val cands = encoded.crossJoin(broadcast(qtab))
-      .withColumn("a", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, sIdx) =>
-          element_at(col("tab"), sIdx * ksub + c.cast("int") + 1)),
-        struct(lit(0.0).as("dot"), lit(0.0).as("n2")),
-        (acc, e) => struct(
-          (acc.getField("dot") + e.getField("pdot")).as("dot"),
-          (acc.getField("n2") + e.getField("pn2")).as("n2"))))
-      .withColumn("qsim", round(
-        when(col("a.n2") === 0.0, lit(0.0)).otherwise(
-          (col("a.dot") /
-            (sqrt(VectorFunctions.norm2(col("qe"))) * sqrt(col("a.n2"))) + 1.0) / 2.0),
-        6))
+    val cands = gated
+      .join(broadcast(qtab), "query_id")
+      .withColumn("a", pqAdcFold(m, ksub))
+      .withColumn("qsim", pqAdcSim)
       .withColumn("prnk", row_number().over(w))
       .filter(col("prnk") <= pool)
       .select(col("query_id"), col("vec_id"))

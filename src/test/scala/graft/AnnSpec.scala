@@ -215,6 +215,41 @@ class AnnSpec extends SparkSpec {
     assert(pooled >= codeOnly - 1e-9, "a larger pool must not lose recall")
   }
 
+  test("IVF-PQ: probing all cells equals whole-corpus PQ; nprobe gate cuts cost, keeps recall") {
+    // the FAISS-IVFADC composition of the two tiers already pinned here:
+    // coarse cells gate WHICH codes are scanned, ADC scores them, fp32
+    // re-ranks the pool. With nprobe == |cells| the gate admits everything
+    // and the result must EQUAL pqSearch on the same codebook.
+    val centroids = Ann.sampleCentroids(embs, 25) // 20 cells
+    val assigned = Ann.ivfAssign(embs, centroids)
+    val cb = Ann.pqTrain(embs, Ann.pqSeedCodebook(embs, m = 8, dsub = 8, ksub = 16),
+      m = 8, dsub = 8, iters = 2)
+    val enc = Ann.pqEncode(embs, cb, m = 8, dsub = 8)
+    val n = embs.count()
+    val pool = (n * 0.30).toInt
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val allCells = rows(Ann.ivfPqSearch(assigned, enc, centroids, cb, embs, queries,
+      m = 8, dsub = 8, ksub = 16, k = 10, pool = pool, nprobe = 20))
+    val wholePq = rows(Ann.pqSearch(enc, cb, embs, queries,
+      m = 8, dsub = 8, ksub = 16, k = 10, pool = pool))
+    assert(allCells == wholePq, "nprobe == |cells| must reduce to whole-corpus PQ")
+
+    val gated = Ann.ivfPqSearch(assigned, enc, centroids, cb, embs, queries,
+      m = 8, dsub = 8, ksub = 16, k = 10, pool = pool, nprobe = 8)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = recallOf(gated)
+    info(s"ivf-pq recall@10 at nprobe=8/20 cells = $recall " +
+      s"(scans ~40% of the 8 B/vector codes, fp32 pool unchanged)")
+    // the cell gate can only remove candidates the coarse quantizer
+    // misroutes; on the near-uniform fixture 8/20 cells keeps recall
+    // in the compressed-tier band (measured vs the 0.98 ungated figure)
+    assert(recall >= 0.6, s"ivf-pq recall collapsed: $recall")
+  }
+
   test("sign-LSH: recall@10 within the query's own bucket") {
     val got = Ann.lshSearch(embs, queries, signBits = 4, k = 10)
       .select("query_id", "vec_id").collect()
