@@ -167,6 +167,36 @@ object Queries {
             FROM verified_mh WHERE jaccard >= $threshold)"""
   }
 
+  /** The q107 oracle's unrolled 2-step classifier training as named CTEs
+    * ending in `w2` (f, w) — shared by q107 (weight dump) and q110's
+    * train-then-filter composition. Gradients/weights round to 9 decimals
+    * per step, matching `ops/Classifier`'s driver arithmetic bit-for-bit.
+    */
+  private def sqlClassifierTrainCtes: String =
+    s"""tok AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+          lab AS (SELECT doc_id,
+              CASE WHEN lang IN ('en', 'de') THEN 1.0 ELSE 0.0 END AS y FROM tok),
+          base AS (SELECT doc_id, toks,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n FROM tok),
+          ex AS (SELECT doc_id, n, unnest(toks) AS tok FROM base),
+          feat AS (
+            SELECT doc_id, f, cnt / n AS x FROM (
+              SELECT doc_id, n, ${sqlHash32("'w|' || tok")} % 64 AS f,
+                CAST(count(*) AS DOUBLE) AS cnt
+              FROM ex GROUP BY doc_id, n, f)
+            UNION ALL SELECT doc_id, 64 AS f, 1.0 AS x FROM base),
+          g1 AS (SELECT f, round(sum((0.5 - y) * x), 9) AS g
+            FROM feat JOIN lab USING (doc_id) GROUP BY f),
+          w1 AS (SELECT f, round(-0.5 * g, 9) AS w FROM g1),
+          z2 AS (SELECT feat.doc_id, sum(w1.w * feat.x) AS z
+            FROM feat JOIN w1 USING (f) GROUP BY feat.doc_id),
+          r2 AS (SELECT z2.doc_id, 1.0 / (1.0 + exp(-z)) - lab.y AS r
+            FROM z2 JOIN lab USING (doc_id)),
+          g2 AS (SELECT f, round(sum(r * x), 9) AS g
+            FROM feat JOIN r2 USING (doc_id) GROUP BY f),
+          w2 AS (SELECT w1.f, round(w1.w - 0.5 * g2.g, 9) AS w
+            FROM w1 JOIN g2 ON w1.f = g2.f)"""
+
   /** The q103 oracle's Gopher-rule flag computation as named CTEs ending
     * in `flags` (doc_id, n_words, r_* flags, keep) — shared by q103 and
     * q109's rejection-attribution rollup.
@@ -3601,31 +3631,38 @@ object Queries {
           .select(col("f"), round(col("w"), 6).as("w"))
           .orderBy("f")
       },
-        Some(s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
-          lab AS (SELECT doc_id,
-              CASE WHEN lang IN ('en', 'de') THEN 1.0 ELSE 0.0 END AS y FROM tok),
-          base AS (SELECT doc_id, toks,
-              CAST(greatest(len(toks), 1) AS DOUBLE) AS n FROM tok),
-          ex AS (SELECT doc_id, n, unnest(toks) AS tok FROM base),
-          feat AS (
-            SELECT doc_id, f, cnt / n AS x FROM (
-              SELECT doc_id, n, ${sqlHash32("'w|' || tok")} % 64 AS f,
-                CAST(count(*) AS DOUBLE) AS cnt
-              FROM ex GROUP BY doc_id, n, f)
-            UNION ALL SELECT doc_id, 64 AS f, 1.0 AS x FROM base),
-          g1 AS (SELECT f, round(sum((0.5 - y) * x), 9) AS g
-            FROM feat JOIN lab USING (doc_id) GROUP BY f),
-          w1 AS (SELECT f, round(-0.5 * g, 9) AS w FROM g1),
-          z2 AS (SELECT feat.doc_id, sum(w1.w * feat.x) AS z
-            FROM feat JOIN w1 USING (f) GROUP BY feat.doc_id),
-          r2 AS (SELECT z2.doc_id, 1.0 / (1.0 + exp(-z)) - lab.y AS r
-            FROM z2 JOIN lab USING (doc_id)),
-          g2 AS (SELECT f, round(sum(r * x), 9) AS g
-            FROM feat JOIN r2 USING (doc_id) GROUP BY f),
-          w2 AS (SELECT w1.f, round(w1.w - 0.5 * g2.g, 9) AS w
-            FROM w1 JOIN g2 ON w1.f = g2.f)
+        Some(s"""WITH $sqlClassifierTrainCtes
           SELECT CAST(t.f AS BIGINT) AS f, round(coalesce(w2.w, 0.0), 6) AS w
           FROM range(65) t(f) LEFT JOIN w2 ON t.f = w2.f ORDER BY f""")),
+
+      // Train-then-filter composition (round 9): the q107-trained model
+      // applied as the q84-shaped quality gate in ONE dataflow — train two
+      // GD steps, score every document with the trained broadcast weights,
+      // keep score >= 0.5. Proves the trained coefficients plug straight
+      // into the serving path; the oracle extends q107's unrolled CTEs
+      // with the scoring join (weights are bit-identical per q107, scores
+      // rounded before the keep decision on both engines).
+      ("q110_train_filter", (s: SparkSession, d: String) => {
+        val docs = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text", "lang"), "doc_id")
+        val feats = graft.ops.Classifier.featurize(
+          docs.select("doc_id", "text"), nFeatures = 64).persistTracked()
+        val labels = docs.select(col("doc_id"),
+          when(col("lang").isin("en", "de"), 1.0).otherwise(0.0).as("y"))
+        val w = graft.ops.Classifier.train(feats, labels, nFeatures = 64,
+          iters = 2, lr = 0.5)
+        graft.ops.Classifier.predict(feats, w)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .withColumn("keep", when(col("score") >= 0.5, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH $sqlClassifierTrainCtes,
+          sc AS (SELECT feat.doc_id,
+              round(1.0 / (1.0 + exp(-(sum(w2.w * feat.x)))), 6) AS score
+            FROM feat JOIN w2 USING (f) GROUP BY feat.doc_id)
+          SELECT doc_id, score,
+            CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM sc ORDER BY doc_id""")),
 
       // Cross-source overlap governance (round 9): which sources duplicate
       // each other. Per-source MinHash signature = component-wise min of
