@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for the engine's trained artifacts — classifier
+  * coefficients ([[Classifier.train]]), BPE merge tables
+  * ([[Bpe.learnMerges]]/[[Bpe.learnMergesBatched]]), and PQ codebooks
+  * ([[graft.search.Ann.pqTrain]]). Training is periodic; serving reads
+  * the artifacts every run — so each is stored as a small parquet table
+  * (partition-count 1: every artifact is driver-tiny by construction —
+  * a coefficient vector, ≤ some-thousand merges, m × ksub codewords)
+  * that broadcasts on load exactly like its in-memory form. Round-trip
+  * equality is ModelsSpec-pinned for all three.
+  */
+object Models {
+
+  /** Classifier coefficients → parquet (f, w). Dense: every index of the
+    * vector is written, so load reconstructs the exact array. */
+  def saveWeights(spark: SparkSession, w: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("f", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: SparkSession, path: String): Array[Double] = {
+    val rows = spark.read.parquet(path).orderBy("f")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    require(rows.nonEmpty && rows.map(_._1).toSeq == (0 until rows.length),
+      s"weights at $path are not a dense 0..n-1 vector")
+    rows.map(_._2)
+  }
+
+  /** BPE merge table → parquet (rank, pa, pb, n), rank-ordered — the
+    * exact shape [[Bpe.encodePartitions]] broadcasts. */
+  def saveMerges(spark: SparkSession, merges: Seq[(Int, String, String, Long)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "pa", "pb", "n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: SparkSession, path: String): Seq[(Int, String, String, Long)] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  /** PQ codebook (sub, code, cvec) → parquet. Already a DataFrame; the
+    * writer just pins layout + overwrite semantics. */
+  def saveCodebook(codebook: DataFrame, path: String): Unit =
+    codebook.select(col("sub").cast("int"), col("code").cast("int"), col("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadCodebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
