@@ -2037,6 +2037,71 @@ object Queries {
           col("r_stop") === 7L, 1L).otherwise(0L))
   }
 
+  /** q112's per-row repetition statistics over a (doc_id, text) frame:
+    * ONE sorted run-length fold per array (lines `ls`, bigrams `bs`,
+    * 5-grams `gs`), each emitting every statistic the metrics need as a
+    * struct — n (total), d (distinct values), extra (Σ (c-1)·len over
+    * repeated values: each repeat element pays its own length), dup
+    * (Σ c·len over values with c >= 2: the 2nd occurrence pays for the
+    * 1st retroactively), top (max c·len: run·len is monotone within a
+    * run), mass (Σ len). Each input array is referenced by EXACTLY ONE
+    * fold, so projection collapse can never re-evaluate a sort/tokenize
+    * per metric (the round-9 interpreted-HOF lesson, NOTES_r9); the
+    * batch registry entry persists the fold frame before field
+    * extraction, the streaming form (entirely stateless per-row — no
+    * window, no cross-row aggregate) skips the persist.
+    */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    val chars = (x: Column) => length(x).cast("long")
+    val runStats = (arr: Column) => aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("n"), lit(0L).as("d"), lit(0L).as("extra"),
+        lit(0L).as("dup"), lit(0L).as("top"), lit(0L).as("mass")),
+      (a, x) => {
+        val rep = x <=> a("prev")
+        val run = when(rep, a("run") + 1L).otherwise(lit(1L))
+        val dupAdd = when(rep && a("run") === 1L, chars(x) * 2)
+          .when(rep, chars(x)).otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"),
+          (a("n") + 1L).as("n"),
+          (a("d") + when(rep, 0L).otherwise(1L)).as("d"),
+          (a("extra") + when(rep, chars(x)).otherwise(0L)).as("extra"),
+          (a("dup") + dupAdd).as("dup"),
+          greatest(a("top"), run * chars(x)).as("top"),
+          (a("mass") + chars(x)).as("mass"))
+      },
+      a => a.dropFields("prev", "run"))
+    docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"), runStats(col("lines")).as("ls"),
+        runStats(TF.shingles(col("toks"), 2)).as("bs"),
+        runStats(TF.shingles(col("toks"), 5)).as("gs"))
+  }
+
+  /** Metric extraction over [[repetitionStats]]'s fold frame (see q112's
+    * registry comment for the metric definitions; thresholds compare the
+    * ROUNDED values, the house rule).
+    */
+  private[graft] def repetitionMetrics(stats: DataFrame): DataFrame = {
+    val frac = (num: Column, den: Column) =>
+      round(when(den === 0L, 0.0)
+        .otherwise(num.cast("double") / den.cast("double")), 6)
+    stats
+      .select(col("doc_id"),
+        col("ls.n").as("n_lines"),
+        round(lit(1.0) - col("ls.d").cast("double") /
+          col("ls.n").cast("double"), 6).as("dup_line_frac"),
+        frac(col("ls.extra"), col("ls.mass")).as("dup_line_char_frac"),
+        frac(col("bs.top"), col("bs.mass")).as("top2_char_frac"),
+        frac(col("gs.dup"), col("gs.mass")).as("dup5_char_frac"))
+      .withColumn("keep",
+        when(col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+          col("top2_char_frac") <= 0.20 && col("dup5_char_frac") <= 0.15, 1L)
+          .otherwise(0L))
+  }
+
   /** q97's two-phase token-budget prefix sum, with the quality-bucket
     * count DERIVED FROM THE INPUT SIZE (VERDICT r7 #4 — a fixed 20
     * buckets left an English-sized language / 20 as a multi-TB window
@@ -3737,7 +3802,226 @@ object Queries {
           s"""WITH $sqlGopherFlagCtes
           $arms
           ORDER BY rule"""
-        })
+        }),
+
+      // Duplicate-span REMOVAL (round 9 — the rewrite half of q104's
+      // ExactSubstr metric, Lee et al. 2022's actual training-set edit):
+      // every token lying under a corpus-duplicated k-window is dropped
+      // and the document is re-emitted from its surviving tokens. The
+      // dataflow stays fully distributed — no per-row interval scan over
+      // an unbounded dup list (the q85 straggler shape): duplicated
+      // window starts explode into exactly k covered positions each
+      // (bounded k× blow-up of the DUP rows only), survivors are a
+      // (doc_id, position) anti-join, and the text is rebuilt with one
+      // per-doc sort of its kept tokens. Shuffles are all doc_id/hash
+      // keyed with map-side combine; at 100 TB the k-factor rides only
+      // the duplicated fraction, not the corpus.
+      ("q111_span_removal", (s: SparkSession, d: String) => {
+        val k = 5
+        val base = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("long").as("n_tok"),
+            transform(TF.shingles(col("toks"), k), w => TF.hash32(w)).as("whs"))
+          .persistTracked()
+        val posting = base
+          .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "h")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("h"))
+        val dupH = posting.groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select("h")
+        val covered = posting.join(dupH, "h")
+          .select(col("doc_id"),
+            explode(sequence(col("s"), col("s") + lit(k - 1).cast("long"))).as("p"))
+          .distinct()
+        val tokpos = base
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+        val kept = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("kept_tok"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")), " ").as("clean_text"))
+        base.join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("kept_tok"), lit(0L)).as("kept_tok"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          wb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+              list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                i -> ${sqlHash32("array_to_string(list_transform(range(i, i+5), j -> toks[j]), ' ')")}) AS whs
+            FROM tok),
+          win AS (SELECT doc_id, CAST(u.i AS BIGINT) AS s, whs[u.i] AS h
+            FROM wb, unnest(range(1, len(whs) + 1)) AS u(i)),
+          dfc AS (SELECT h FROM (SELECT h, count(*) AS c FROM win GROUP BY h) WHERE c >= 2),
+          dup AS (SELECT w.doc_id, w.s FROM win w JOIN dfc ON w.h = dfc.h),
+          cov AS (SELECT DISTINCT d.doc_id, d.s + u.j AS p
+            FROM dup d, unnest(range(0, 5)) AS u(j)),
+          pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, toks[u.p] AS tok
+            FROM wb, unnest(range(1, n_tok + 1)) AS u(p)),
+          kept AS (SELECT p.doc_id, p.p, p.tok FROM pos p
+            WHERE NOT EXISTS (SELECT 1 FROM cov c
+              WHERE c.doc_id = p.doc_id AND c.p = p.p)),
+          ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
+              array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+            FROM kept GROUP BY doc_id)
+          SELECT wb.doc_id, wb.n_tok,
+            CAST(coalesce(ag.kept_tok, 0) AS BIGINT) AS kept_tok,
+            coalesce(ag.clean_text, '') AS clean_text
+          FROM wb LEFT JOIN ag USING (doc_id) ORDER BY doc_id""")),
+
+      // Char-weighted repetition battery (round 9 — Gopher §A1.2's second
+      // half; q74 carries the COUNT-weighted trigram/top-bigram rules,
+      // this adds the CHARACTER-weighted line and n-gram rules the paper
+      // applies alongside them). Definitions, fixed identically on both
+      // engines: dup_line_frac = 1 - distinct/total lines;
+      // dup_line_char_frac = chars in repeat occurrences BEYOND THE FIRST
+      // of each line value / total line chars; top2_char_frac = max over
+      // bigrams of count*len / total bigram char mass; dup5_char_frac =
+      // char mass of 5-grams occurring >= 2 times / total 5-gram mass
+      // (ties need no break — the statistics are value-max/sums, not
+      // argmax grams). Every metric is a per-row O(L log L) sorted
+      // run-length fold (the q74/q85 pattern) — zero shuffle; the oracle
+      // recomputes them via the INDEPENDENT explode→group formulation.
+      ("q112_repetition_chars", (s: SparkSession, d: String) =>
+        repetitionMetrics(repetitionStats(
+          graft.ops.Par.ensure(
+            t(s, d, "documents").select("doc_id", "text"), "doc_id"))
+          .persistTracked())
+          .orderBy("doc_id"),
+        Some {
+          val bi2 = "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), " +
+            "i -> toks[i] || ' ' || toks[i+1])"
+          val g5 = "list_transform(range(1, greatest(len(toks) - 4, 0) + 1), " +
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])"
+          s"""WITH tok AS (SELECT doc_id, $toks AS toks,
+              string_split(text, chr(10)) AS lines FROM documents),
+          ln AS (SELECT doc_id, u.l AS v FROM tok, unnest(lines) AS u(l)),
+          lc AS (SELECT doc_id, v, count(*) AS c, length(v) AS len
+            FROM ln GROUP BY doc_id, v),
+          lm AS (SELECT doc_id, sum(c * len) AS mass,
+              sum(CASE WHEN c >= 2 THEN (c - 1) * len ELSE 0 END) AS dup_extra,
+              CAST(sum(c) AS BIGINT) AS n_lines, count(*) AS d_lines
+            FROM lc GROUP BY doc_id),
+          bg AS (SELECT doc_id, u.g AS g
+            FROM (SELECT doc_id, $bi2 AS bis FROM tok), unnest(bis) AS u(g)),
+          bc AS (SELECT doc_id, g, count(*) AS c, length(g) AS len
+            FROM bg GROUP BY doc_id, g),
+          bm AS (SELECT doc_id, sum(c * len) AS mass, max(c * len) AS top
+            FROM bc GROUP BY doc_id),
+          fg AS (SELECT doc_id, u.g AS g
+            FROM (SELECT doc_id, $g5 AS g5s FROM tok), unnest(g5s) AS u(g)),
+          fc AS (SELECT doc_id, g, count(*) AS c, length(g) AS len
+            FROM fg GROUP BY doc_id, g),
+          fm AS (SELECT doc_id, sum(c * len) AS mass,
+              sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS dup_mass
+            FROM fc GROUP BY doc_id),
+          m AS (SELECT t.doc_id, lm.n_lines,
+              round(1.0 - CAST(lm.d_lines AS DOUBLE) / lm.n_lines, 6) AS dup_line_frac,
+              round(CASE WHEN coalesce(lm.mass, 0) = 0 THEN 0.0
+                ELSE CAST(lm.dup_extra AS DOUBLE) / lm.mass END, 6) AS dup_line_char_frac,
+              round(CASE WHEN coalesce(bm.mass, 0) = 0 THEN 0.0
+                ELSE CAST(bm.top AS DOUBLE) / bm.mass END, 6) AS top2_char_frac,
+              round(CASE WHEN coalesce(fm.mass, 0) = 0 THEN 0.0
+                ELSE CAST(fm.dup_mass AS DOUBLE) / fm.mass END, 6) AS dup5_char_frac
+            FROM tok t
+            LEFT JOIN lm ON t.doc_id = lm.doc_id
+            LEFT JOIN bm ON t.doc_id = bm.doc_id
+            LEFT JOIN fm ON t.doc_id = fm.doc_id)
+          SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+            top2_char_frac, dup5_char_frac,
+            CAST(CASE WHEN dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+              AND top2_char_frac <= 0.20 AND dup5_char_frac <= 0.15
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM m ORDER BY doc_id"""
+        }),
+
+      // Fractional-epoch upsampling (round 9 — the INVERSE of q81's
+      // mixture downsample: the LLaMA/DoReMi-style data-multiplicity
+      // recipe where high-value sources repeat for >1 epoch and low-value
+      // ones for <1). Per-language epoch factors are carried as exact
+      // integer per-mille (1.7 epochs = 1700pm) so NO fractional literal
+      // ever crosses the engine boundary: n_copies = pm div 1000 + one
+      // extra copy iff hash(doc) mod 1000 < pm mod 1000 — deterministic,
+      // stable across runs/partitionings, and in expectation exactly the
+      // configured epoch count. Output is the expanded corpus (doc_id,
+      // copy) with a deterministic 32-way training shard per COPY (copies
+      // of one doc spread across shards). Entirely narrow: per-row
+      // expressions + a bounded explode (the epoch factor), no shuffle
+      // before the presentation orderBy.
+      ("q113_epoch_upsample", (s: SparkSession, d: String) => {
+        val pmCol = coalesce(element_at(
+          map(Seq("en" -> 1700L, "de" -> 2300L, "es" -> 600L,
+            "fr" -> 1000L, "zh" -> 1250L)
+            .flatMap { case (l, w) => Seq(lit(l), lit(w)) }: _*),
+          col("lang")), lit(1000L))
+        t(s, d, "documents").select(col("doc_id"), col("lang"))
+          .withColumn("pm", pmCol)
+          .withColumn("n_copies", expr("pm div 1000") +
+            when(pmod(TF.hash32(concat(lit("ep|"), col("doc_id").cast("string"))),
+              lit(1000L)) < col("pm") % 1000L, 1L).otherwise(0L))
+          .withColumn("copy", explode(when(col("n_copies") >= 1L,
+            sequence(lit(1L), col("n_copies")))
+            .otherwise(array().cast("array<bigint>"))))
+          .select(col("doc_id"), col("lang"), col("copy"),
+            pmod(TF.hash32(concat(lit("shard|"), col("doc_id").cast("string"),
+              lit("#"), col("copy").cast("string"))), lit(32L)).as("shard"))
+          .orderBy("doc_id", "copy")
+      },
+        Some(s"""WITH e AS (SELECT doc_id, lang,
+            (CASE lang WHEN 'en' THEN 1700 WHEN 'de' THEN 2300 WHEN 'es' THEN 600
+              WHEN 'fr' THEN 1000 WHEN 'zh' THEN 1250 ELSE 1000 END) AS pm
+          FROM documents),
+          c AS (SELECT doc_id, lang, pm // 1000 +
+              (CASE WHEN ${sqlHash32("'ep|' || CAST(doc_id AS VARCHAR)")} % 1000 < pm % 1000
+                THEN 1 ELSE 0 END) AS n
+            FROM e),
+          x AS (SELECT doc_id, lang, CAST(u.copy AS BIGINT) AS copy
+            FROM c, unnest(range(1, n + 1)) AS u(copy))
+          SELECT doc_id, lang, copy,
+            CAST(${sqlHash32("'shard|' || CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)")} % 32 AS BIGINT) AS shard
+          FROM x ORDER BY doc_id, copy""")),
+
+      // Incremental IVF index maintenance (round 9): a frozen coarse
+      // quantizer (centroids sampled from the EXISTING corpus half) takes
+      // a new vector batch without touching old data — assignment is
+      // stateless per vector, so growing the index is one narrow
+      // broadcast-fold pass over ONLY the new rows, and the partitioned
+      // layout (writeIvfLayout) appends new cell files while old
+      // partitions stay byte-identical. Output is the per-cell growth
+      // report (n_old, n_new) an index operator watches for cell skew
+      // after each ingest; AnnSpec pins the underlying invariant
+      // assign(old ∪ new) == assign(old) ∪ assign(new).
+      ("q114_ivf_increment", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val old = e.filter(col("vec_id") < 250)
+        val fresh = e.filter(col("vec_id") >= 250)
+        val cents = graft.search.Ann.sampleCentroids(old, step = 25)
+        val oldA = graft.search.Ann.ivfAssign(old, cents)
+          .groupBy("centroid_id").agg(count(lit(1)).as("n_old"))
+        val newA = graft.search.Ann.ivfAssign(fresh, cents)
+          .groupBy("centroid_id").agg(count(lit(1)).as("n_new"))
+        oldA.join(newA, Seq("centroid_id"), "full")
+          .select(col("centroid_id"),
+            coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .orderBy("centroid_id")
+      },
+        Some(s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < 250 AND vec_id % 25 = 0),
+          a AS (SELECT e.vec_id, c.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.centroid_id) AS rn,
+              CASE WHEN e.vec_id < 250 THEN 1 ELSE 0 END AS is_old
+            FROM embeddings e CROSS JOIN cents c),
+          b AS (SELECT vec_id, centroid_id, is_old FROM a WHERE rn = 1)
+          SELECT centroid_id,
+            CAST(count(*) FILTER (WHERE is_old = 1) AS BIGINT) AS n_old,
+            CAST(count(*) FILTER (WHERE is_old = 0) AS BIGINT) AS n_new
+          FROM b GROUP BY centroid_id ORDER BY centroid_id"""))
     )
   }
 

@@ -443,6 +443,18 @@ object Ann {
   def writeIvfLayout(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Incremental ingest into an existing IVF layout: append a NEW batch's
+    * assignments (same frozen centroid set — assignment is stateless per
+    * vector, so batch-wise assignment provably equals full-rebuild
+    * assignment; AnnSpec pins it). Dynamic-partition append touches only
+    * the cells the new batch lands in — at 100 TB an ingest rewrites
+    * zero bytes of the existing index, and cell files stay prunable by
+    * the same dynamicpruning PartitionFilters (q114 is the growth-report
+    * query an operator watches for cell skew after each ingest).
+    */
+  def appendIvfLayout(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
   /** IVF top-k search: probe the `nprobe` nearest cells per query, score
     * only vectors in those cells (cosine01, matching the engine's default
     * similarity), rank per query. `queries` carries (query_id, qe).

@@ -261,4 +261,51 @@ class AnnSpec extends SparkSpec {
     // cluster structure is the hard case for ANN) — gate pins collapse
     assert(recall >= 0.18, s"LSH recall@10 degraded: $recall")
   }
+
+  test("incremental IVF: batch-wise assignment equals full-rebuild assignment") {
+    // the invariant q114 and appendIvfLayout ride on: assignment is
+    // stateless per vector, so ingesting a new batch against FROZEN
+    // centroids produces exactly the rows a full rebuild would
+    val old = embs.filter(col("vec_id") < 250)
+    val fresh = embs.filter(col("vec_id") >= 250)
+    val cents = Ann.sampleCentroids(old, 25)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batched = rows(Ann.ivfAssign(old, cents)) ++ rows(Ann.ivfAssign(fresh, cents))
+    val rebuilt = rows(Ann.ivfAssign(embs, cents))
+    assert(batched == rebuilt, "batch-wise assignment diverged from full rebuild")
+  }
+
+  test("incremental IVF layout: append touches only the new batch's cells") {
+    val old = embs.filter(col("vec_id") < 250)
+    val fresh = embs.filter(col("vec_id") >= 250).limit(40)
+    val cents = Ann.sampleCentroids(old, 25)
+    val path = "target/annspec-ivf-append"
+    Ann.writeIvfLayout(Ann.ivfAssign(old, cents), path)
+    def cellFiles(): Map[String, Set[String]] = {
+      val base = new java.io.File(path)
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = cellFiles()
+    val freshAssigned = Ann.ivfAssign(fresh, cents)
+    val freshCells = freshAssigned.select("centroid_id").distinct()
+      .collect().map(r => s"centroid_id=${r.getLong(0)}").toSet
+    Ann.appendIvfLayout(freshAssigned, path)
+    val after = cellFiles()
+    // old cells that got no new vectors: file sets byte-identical
+    (before.keySet -- freshCells).foreach { cell =>
+      assert(after(cell) == before(cell), s"append rewrote untouched cell $cell")
+    }
+    // and the appended layout reads back as the full batched assignment
+    // partition-column values read back type-inferred (int when they fit)
+    val readBack = spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (Ann.ivfAssign(old, cents).select("vec_id", "centroid_id").collect() ++
+      freshAssigned.select("vec_id", "centroid_id").collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(readBack == expected, "appended layout does not read back as old ∪ new")
+  }
 }

@@ -25,6 +25,29 @@ class QueriesSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("q111 span removal is consistent with q104's coverage metric") {
+    // the two queries share the duplicated-window definition but compute
+    // independent aggregates (interval-union fold vs survivor anti-join);
+    // for every doc the removed-token count must equal the covered-token
+    // count, and the rebuilt text's token count must equal kept_tok
+    val dir = "/root/testdata/sf0.001"
+    val cov = Queries.queries("q104_substr_spans")(spark, dir)
+      .select("doc_id", "n_tok", "covered_tok").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rem = Queries.queries("q111_span_removal")(spark, dir).collect()
+    assert(rem.nonEmpty)
+    rem.foreach { r =>
+      val (nTok, covered) = cov(r.getLong(0))
+      assert(r.getLong(1) == nTok)
+      assert(r.getLong(2) == nTok - covered,
+        s"doc ${r.getLong(0)}: kept ${r.getLong(2)} != n_tok $nTok - covered $covered")
+      val rebuiltToks = r.getString(3).split("\\s+").count(_.nonEmpty)
+      assert(rebuiltToks.toLong == r.getLong(2),
+        s"doc ${r.getLong(0)}: clean_text has $rebuiltToks tokens, kept_tok says ${r.getLong(2)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("flagship entry() runs and returns rows with (name, score) schema") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()

@@ -316,6 +316,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("repetition-char battery on a stream equals the batch battery on the same docs") {
+    // q112's char-weighted repetition metrics are per-row sorted folds —
+    // stateless like the gopher battery, so they ride a streaming ingest
+    // unchanged (the streaming form skips only the batch entry's persist).
+    // Docs cover the fold edge cases: repeated lines (incl. repeated
+    // EMPTY lines — the null-init <=> guard), a dominant bigram, repeated
+    // 5-grams, and texts too short for any gram.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same line\nsame line\nsame line\nother"),
+      (2L, ""),
+      (3L, "a\n\n\nb"),
+      (4L, "spark shuffle " * 12),
+      (5L, "one two three four five one two three four five six"),
+      (6L, "short"))
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Queries.repetitionMetrics(
+      Queries.repetitionStats(mem.toDF().toDF("doc_id", "text")))
+    val q = out.writeStream.format("memory").queryName("repchars")
+      .outputMode("append").start()
+    mem.addData(docs.take(3))
+    q.processAllAvailable()
+    mem.addData(docs.drop(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM repchars").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = Queries.repetitionMetrics(
+      Queries.repetitionStats(docs.toDF("doc_id", "text")))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // hand-check the headline metric on doc 1: 3 of 4 lines are the value
+    // "same line" -> dup_line_frac = 1 - 2/4; repeats beyond first carry
+    // 2*9 of the 9*3+5=32 line chars
+    val d1 = streamed.find(_.head == 1L).get
+    assert(d1(2) == 0.5, s"dup_line_frac: ${d1(2)}")
+    assert(d1(3) == 0.5625, s"dup_line_char_frac: ${d1(3)}")
+  }
+
   test("streaming source sketch equals the batch sketch with one state row per source") {
     // q108's governance sketch maintained at ingest: component-min is a
     // plain streaming aggregation, so state is exactly one row per source
