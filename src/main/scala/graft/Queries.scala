@@ -199,11 +199,12 @@ object Queries {
 
   /** The q103 oracle's Gopher-rule flag computation as named CTEs ending
     * in `flags` (doc_id, n_words, r_* flags, keep) — shared by q103 and
-    * q109's rejection-attribution rollup.
+    * q109's rejection-attribution rollup, and (via `src`) by q115's
+    * composition over the span-cleaned corpus.
     */
-  private def sqlGopherFlagCtes: String =
+  private def sqlGopherFlagCtes(src: String = "documents"): String =
     s"""b AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks,
-              string_split(text, chr(10)) AS lines FROM documents),
+              string_split(text, chr(10)) AS lines FROM $src),
           m AS (SELECT doc_id,
               CAST(len(toks) AS BIGINT) AS n_words,
               CASE WHEN len(toks) = 0 THEN 0.0
@@ -233,6 +234,35 @@ object Queries {
               AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
               AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM m)"""
+
+  /** The q111 oracle's duplicate-span-removal chain as named CTEs ending
+    * in `clean` (doc_id, n_tok, kept_tok, clean_text) — shared by q111
+    * (the dump) and q115's clean-then-filter composition.
+    */
+  private def sqlSpanRemovalCtes: String =
+    s"""tok_sr AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+          wb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+              list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                i -> ${sqlHash32("array_to_string(list_transform(range(i, i+5), j -> toks[j]), ' ')")}) AS whs
+            FROM tok_sr),
+          win AS (SELECT doc_id, CAST(u.i AS BIGINT) AS s, whs[u.i] AS h
+            FROM wb, unnest(range(1, len(whs) + 1)) AS u(i)),
+          dfc AS (SELECT h FROM (SELECT h, count(*) AS c FROM win GROUP BY h) WHERE c >= 2),
+          dup AS (SELECT w.doc_id, w.s FROM win w JOIN dfc ON w.h = dfc.h),
+          cov AS (SELECT DISTINCT d.doc_id, d.s + u.j AS p
+            FROM dup d, unnest(range(0, 5)) AS u(j)),
+          pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, toks[u.p] AS tok
+            FROM wb, unnest(range(1, n_tok + 1)) AS u(p)),
+          kept AS (SELECT p.doc_id, p.p, p.tok FROM pos p
+            WHERE NOT EXISTS (SELECT 1 FROM cov c
+              WHERE c.doc_id = p.doc_id AND c.p = p.p)),
+          ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
+              array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+            FROM kept GROUP BY doc_id),
+          clean AS (SELECT wb.doc_id, wb.n_tok,
+              CAST(coalesce(ag.kept_tok, 0) AS BIGINT) AS kept_tok,
+              coalesce(ag.clean_text, '') AS clean_text
+            FROM wb LEFT JOIN ag USING (doc_id))"""
 
   /** Spark twin of [[sqlDupCorpus]]: every doc plus a near-identical copy
     * (id + 10M, text + " zzz"), all other columns preserved. One
@@ -2080,6 +2110,55 @@ object Queries {
         runStats(TF.shingles(col("toks"), 5)).as("gs"))
   }
 
+  /** q111's duplicate-span removal dataflow (see the registry comment for
+    * the scale argument), hash-parameterized like the dedup family: the
+    * per-window hash is the map stage's entire per-byte cost, so the
+    * md5↔xxhash64 swap is the production lever (`b111_span_xxh64`
+    * measures it; the oracle stays on md5). Returns (doc_id, n_tok,
+    * kept_tok, clean_text) UNORDERED — callers add presentation sorts.
+    */
+  private def spanRemoval(s: SparkSession, d: String,
+      fastHash: Boolean): DataFrame =
+    spanRemovalDocs(graft.ops.Par.ensure(
+      t(s, d, "documents").select("doc_id", "text"), "doc_id"), fastHash)
+
+  /** [[spanRemoval]] over an arbitrary (doc_id, text) frame — the form
+    * PropertySpec pins against a brute-force reference on random corpora.
+    */
+  private[graft] def spanRemovalDocs(docs: DataFrame,
+      fastHash: Boolean): DataFrame = {
+    val k = 5
+    val whash = (c: Column) => if (fastHash) TF.hash32Fast(c) else TF.hash32(c)
+    val base = docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"),
+        transform(TF.shingles(col("toks"), k), w => whash(w)).as("whs"))
+      .persistTracked()
+    val posting = base
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("h"))
+    val dupH = posting.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val covered = posting.join(dupH, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(k - 1).cast("long"))).as("p"))
+      .distinct()
+    val tokpos = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val kept = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("kept_tok"), lit(0L)).as("kept_tok"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Metric extraction over [[repetitionStats]]'s fold frame (see q112's
     * registry comment for the metric definitions; thresholds compare the
     * ROUNDED values, the house rule).
@@ -2225,6 +2304,8 @@ object Queries {
       curationPipeline(s, d, fastHash = true)),
     ("b84_classifier_xxh64", (s: SparkSession, d: String) =>
       classifierQuality(s, d, fastHash = true)),
+    ("b111_span_xxh64", (s: SparkSession, d: String) =>
+      spanRemoval(s, d, fastHash = true).orderBy("doc_id")),
     ("b108_overlap_xxh64", (s: SparkSession, d: String) => {
       val sketch = Dedup.sourceSketch(
         t(s, d, "documents"), "source", "doc_id", "text", fastHash = true)
@@ -3483,7 +3564,7 @@ object Queries {
         gopherFlags(graft.ops.Par.ensure(
           t(s, d, "documents").select("doc_id", "text"), "doc_id"))
           .orderBy("doc_id"),
-        Some(s"""WITH $sqlGopherFlagCtes
+        Some(s"""WITH ${sqlGopherFlagCtes()}
           SELECT * FROM flags ORDER BY doc_id""")),
 
       // ExactSubstr-style span duplication (round 8; Lee et al. 2022,
@@ -3799,7 +3880,7 @@ object Queries {
               CAST(count(*) FILTER (WHERE $r = 0 AND $others) AS BIGINT) AS n_sole
             FROM flags"""
           }.mkString("\n          UNION ALL ")
-          s"""WITH $sqlGopherFlagCtes
+          s"""WITH ${sqlGopherFlagCtes()}
           $arms
           ORDER BY rule"""
         }),
@@ -3816,62 +3897,11 @@ object Queries {
       // per-doc sort of its kept tokens. Shuffles are all doc_id/hash
       // keyed with map-side combine; at 100 TB the k-factor rides only
       // the duplicated fraction, not the corpus.
-      ("q111_span_removal", (s: SparkSession, d: String) => {
-        val k = 5
-        val base = graft.ops.Par.ensure(
-          t(s, d, "documents").select("doc_id", "text"), "doc_id")
-          .withColumn("toks", TF.tokens(col("text")))
-          .select(col("doc_id"), col("toks"),
-            size(col("toks")).cast("long").as("n_tok"),
-            transform(TF.shingles(col("toks"), k), w => TF.hash32(w)).as("whs"))
-          .persistTracked()
-        val posting = base
-          .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "h")))
-          .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("h"))
-        val dupH = posting.groupBy("h").agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select("h")
-        val covered = posting.join(dupH, "h")
-          .select(col("doc_id"),
-            explode(sequence(col("s"), col("s") + lit(k - 1).cast("long"))).as("p"))
-          .distinct()
-        val tokpos = base
-          .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
-        val kept = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("kept_tok"),
-            array_join(transform(
-              array_sort(collect_list(struct(col("p"), col("tok")))),
-              x => x.getField("tok")), " ").as("clean_text"))
-        base.join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tok"),
-            coalesce(col("kept_tok"), lit(0L)).as("kept_tok"),
-            coalesce(col("clean_text"), lit("")).as("clean_text"))
-          .orderBy("doc_id")
-      },
-        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
-          wb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
-              list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
-                i -> ${sqlHash32("array_to_string(list_transform(range(i, i+5), j -> toks[j]), ' ')")}) AS whs
-            FROM tok),
-          win AS (SELECT doc_id, CAST(u.i AS BIGINT) AS s, whs[u.i] AS h
-            FROM wb, unnest(range(1, len(whs) + 1)) AS u(i)),
-          dfc AS (SELECT h FROM (SELECT h, count(*) AS c FROM win GROUP BY h) WHERE c >= 2),
-          dup AS (SELECT w.doc_id, w.s FROM win w JOIN dfc ON w.h = dfc.h),
-          cov AS (SELECT DISTINCT d.doc_id, d.s + u.j AS p
-            FROM dup d, unnest(range(0, 5)) AS u(j)),
-          pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, toks[u.p] AS tok
-            FROM wb, unnest(range(1, n_tok + 1)) AS u(p)),
-          kept AS (SELECT p.doc_id, p.p, p.tok FROM pos p
-            WHERE NOT EXISTS (SELECT 1 FROM cov c
-              WHERE c.doc_id = p.doc_id AND c.p = p.p)),
-          ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
-              array_to_string(list(tok ORDER BY p), ' ') AS clean_text
-            FROM kept GROUP BY doc_id)
-          SELECT wb.doc_id, wb.n_tok,
-            CAST(coalesce(ag.kept_tok, 0) AS BIGINT) AS kept_tok,
-            coalesce(ag.clean_text, '') AS clean_text
-          FROM wb LEFT JOIN ag USING (doc_id) ORDER BY doc_id""")),
+      ("q111_span_removal", (s: SparkSession, d: String) =>
+        spanRemoval(s, d, fastHash = false).orderBy("doc_id"),
+        Some(s"""WITH $sqlSpanRemovalCtes
+          SELECT doc_id, n_tok, kept_tok, clean_text
+          FROM clean ORDER BY doc_id""")),
 
       // Char-weighted repetition battery (round 9 — Gopher §A1.2's second
       // half; q74 carries the COUNT-weighted trigram/top-bigram rules,
@@ -4021,7 +4051,70 @@ object Queries {
           SELECT centroid_id,
             CAST(count(*) FILTER (WHERE is_old = 1) AS BIGINT) AS n_old,
             CAST(count(*) FILTER (WHERE is_old = 0) AS BIGINT) AS n_new
-          FROM b GROUP BY centroid_id ORDER BY centroid_id"""))
+          FROM b GROUP BY centroid_id ORDER BY centroid_id""")),
+
+      // Quality-based cluster representatives (round 9): q78 keeps each
+      // near-dup cluster's min-id root — the graph-canonical survivor.
+      // Production pipelines keep the BEST member (highest quality score,
+      // doc_id tie-break), so losing a crawl-order lottery cannot discard
+      // the cleanest copy. Same banded LSH + O(log d) CC dataflow; the
+      // selection adds one broadcast-sized quality join and a per-cluster
+      // row_number whose partition is a near-dup cluster (bounded by
+      // cluster size, not corpus size). Oracle: q78's recursive-CTE CC
+      // extended with the q102-style rounded-quality ranking.
+      ("q116_cluster_best", (s: SparkSession, d: String) => {
+        val corpus = graft.ops.Par.ensure(
+          nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
+          "doc_id").persistTracked()
+        val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5,
+          fastHash = false)
+        val cc = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        val quality = corpus.select(col("doc_id"),
+          TF.qualityScore(col("text")).as("q"))
+        val w = Window.partitionBy("cluster").orderBy(desc("q"), asc("doc_id"))
+        cc.select(col("id").as("doc_id"), col("component").as("cluster"))
+          .join(quality, "doc_id")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("cluster"), col("q"),
+            when(col("rnk") === 1L, 1L).otherwise(0L).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          qual AS (SELECT doc_id, $sqlQuality AS q FROM corpus),
+          ranked AS (SELECT cc.id AS doc_id, cc.lab AS cluster, qual.q,
+              row_number() OVER (PARTITION BY cc.lab
+                ORDER BY qual.q DESC, cc.id) AS rnk
+            FROM cc JOIN qual ON cc.id = qual.doc_id)
+          SELECT doc_id, cluster, q,
+            CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+          FROM ranked ORDER BY doc_id""")),
+
+      // Clean-then-filter composition (round 9): q111's span removal
+      // feeding the q103 Gopher battery over the REWRITTEN text in one
+      // dataflow — the order production pipelines run them in (dedup
+      // edits change word counts, so filtering before removal grades the
+      // wrong document). Stage boundary is the persisted span-removal
+      // frame; the battery itself stays entirely narrow. The oracle
+      // composes the two stages' shared CTE chains, so neither stage's
+      // semantics can drift from its standalone query.
+      ("q115_clean_filter", (s: SparkSession, d: String) =>
+        gopherFlags(
+          spanRemoval(s, d, fastHash = false)
+            .select(col("doc_id"), col("clean_text").as("text")))
+          .orderBy("doc_id"),
+        Some(s"""WITH $sqlSpanRemovalCtes,
+          cleaned AS (SELECT doc_id, clean_text AS text FROM clean),
+          ${sqlGopherFlagCtes("cleaned")}
+          SELECT * FROM flags ORDER BY doc_id"""))
     )
   }
 

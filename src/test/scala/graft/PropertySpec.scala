@@ -245,6 +245,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span removal equals brute force on a random small-alphabet corpus") {
+    // q111's distributed formulation (posting → df>=2 → position explode →
+    // anti-join → ordered rebuild) against a straight-line reference: a
+    // token survives iff no duplicated 5-window covers it. Tiny alphabet
+    // forces cross-doc window collisions; both hash modes must agree with
+    // the string-equality reference (md5/xxh64 collisions are negligible
+    // at this scale, and a collision would fail loudly here).
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val k = 5
+    val words = Array("aa", "bb", "cc")
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(15)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val wins = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      t.sliding(k).filter(_.length == k).zipWithIndex
+        .map { case (w, s0) => (id, s0 + 1, w.mkString(" ")) }
+    }
+    val dfCount = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val covered = wins.filter(w => dfCount(w._3) >= 2).groupBy(_._1)
+      .view.mapValues(_.flatMap { case (_, s, _) => s until s + k }.toSet).toMap
+    val expected = docs.map { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val kept = t.zipWithIndex.collect { case (tok, i0) if !cov(i0 + 1) => tok }
+      (id, t.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    Seq(false, true).foreach { fast =>
+      val got = Queries.spanRemovalDocs(docs.toDF("doc_id", "text"), fastHash = fast)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == expected, s"fastHash=$fast diverged from brute force")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("LSH banding: identical docs share every band, disjoint docs share none") {
     import spark.implicits._
     val a = "one two three four five six seven eight nine ten"
