@@ -2144,6 +2144,44 @@ object Queries {
       .select(col("doc_id"),
         explode(sequence(col("s"), col("s") + lit(k - 1).cast("long"))).as("p"))
       .distinct()
+    rebuildSansCovered(base, covered)
+  }
+
+  /** q113's fractional-epoch expansion over a (doc_id, lang) frame —
+    * per-row expressions + a bounded explode, no cross-row state, so it
+    * runs unchanged on a streaming ingest (StreamingSpec pins batch ==
+    * stream; the registry entry adds only the presentation orderBy).
+    * Epoch factors are exact integer per-mille (1.7 epochs = 1700pm):
+    * n_copies = pm div 1000, plus one iff hash(doc) mod 1000 < pm mod
+    * 1000 — deterministic and in expectation exactly the configured
+    * epoch count; a doc's copies spread over 32 shards by per-copy hash.
+    */
+  private[graft] def epochUpsample(docs: DataFrame): DataFrame = {
+    val pmCol = coalesce(element_at(
+      map(Seq("en" -> 1700L, "de" -> 2300L, "es" -> 600L,
+        "fr" -> 1000L, "zh" -> 1250L)
+        .flatMap { case (l, w) => Seq(lit(l), lit(w)) }: _*),
+      col("lang")), lit(1000L))
+    docs
+      .withColumn("pm", pmCol)
+      .withColumn("n_copies", expr("pm div 1000") +
+        when(pmod(TF.hash32(concat(lit("ep|"), col("doc_id").cast("string"))),
+          lit(1000L)) < col("pm") % 1000L, 1L).otherwise(0L))
+      .withColumn("copy", explode(when(col("n_copies") >= 1L,
+        sequence(lit(1L), col("n_copies")))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("lang"), col("copy"),
+        pmod(TF.hash32(concat(lit("shard|"), col("doc_id").cast("string"),
+          lit("#"), col("copy").cast("string"))), lit(32L)).as("shard"))
+  }
+
+  /** The survivor rebuild shared by q111 and q117: anti-join token
+    * positions against a (doc_id, p) covered set, re-emit each doc's
+    * text from its kept tokens via one per-doc sort. `base` must carry
+    * (doc_id, toks, n_tok); docs with nothing kept come back with
+    * kept_tok 0 and empty text (never dropped).
+    */
+  private def rebuildSansCovered(base: DataFrame, covered: DataFrame): DataFrame = {
     val tokpos = base
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
@@ -3982,25 +4020,9 @@ object Queries {
       // of one doc spread across shards). Entirely narrow: per-row
       // expressions + a bounded explode (the epoch factor), no shuffle
       // before the presentation orderBy.
-      ("q113_epoch_upsample", (s: SparkSession, d: String) => {
-        val pmCol = coalesce(element_at(
-          map(Seq("en" -> 1700L, "de" -> 2300L, "es" -> 600L,
-            "fr" -> 1000L, "zh" -> 1250L)
-            .flatMap { case (l, w) => Seq(lit(l), lit(w)) }: _*),
-          col("lang")), lit(1000L))
-        t(s, d, "documents").select(col("doc_id"), col("lang"))
-          .withColumn("pm", pmCol)
-          .withColumn("n_copies", expr("pm div 1000") +
-            when(pmod(TF.hash32(concat(lit("ep|"), col("doc_id").cast("string"))),
-              lit(1000L)) < col("pm") % 1000L, 1L).otherwise(0L))
-          .withColumn("copy", explode(when(col("n_copies") >= 1L,
-            sequence(lit(1L), col("n_copies")))
-            .otherwise(array().cast("array<bigint>"))))
-          .select(col("doc_id"), col("lang"), col("copy"),
-            pmod(TF.hash32(concat(lit("shard|"), col("doc_id").cast("string"),
-              lit("#"), col("copy").cast("string"))), lit(32L)).as("shard"))
-          .orderBy("doc_id", "copy")
-      },
+      ("q113_epoch_upsample", (s: SparkSession, d: String) =>
+        epochUpsample(t(s, d, "documents").select("doc_id", "lang"))
+          .orderBy("doc_id", "copy"),
         Some(s"""WITH e AS (SELECT doc_id, lang,
             (CASE lang WHEN 'en' THEN 1700 WHEN 'de' THEN 2300 WHEN 'es' THEN 600
               WHEN 'fr' THEN 1000 WHEN 'zh' THEN 1250 ELSE 1000 END) AS pm
@@ -4097,6 +4119,154 @@ object Queries {
           SELECT doc_id, cluster, q,
             CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
           FROM ranked ORDER BY doc_id""")),
+
+      // Surgical decontamination (round 9): q75 DROPS any training doc
+      // sharing an 8-gram with the eval set; this rewrites it instead —
+      // only the tokens under eval-overlapping windows are removed (the
+      // span-level scrub used when whole-doc removal would throw away too
+      // much long-tail data). Same corpus/eval recipe as q75 (doubled
+      // corpus guarantees leaked copies; eval = id % 97 originals); same
+      // rebuild machinery as q111, but the covered set comes from a
+      // BROADCAST semi-join against the eval gram set — benchmarks are
+      // tiny next to a training corpus, so the corpus-side gram stream
+      // never shuffles to find its contamination.
+      ("q117_decontam_rewrite", (s: SparkSession, d: String) => {
+        val k = 8
+        val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 10000000L
+        val base = graft.ops.Par.ensure(
+          nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
+          "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("doc_id"), col("toks"), isEval.as("is_eval"),
+            size(col("toks")).cast("long").as("n_tok"),
+            transform(TF.shingles(col("toks"), k), w => TF.hash32(w)).as("whs"))
+          .persistTracked()
+        val evalGrams = base.filter(col("is_eval"))
+          .select(explode(col("whs")).as("h")).distinct()
+        val train = base.filter(!col("is_eval"))
+        val covered = train
+          .select(col("doc_id"), posexplode(col("whs")).as(Seq("p0", "h")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("s"), col("h"))
+          .join(broadcast(evalGrams), "h")
+          .select(col("doc_id"),
+            explode(sequence(col("s"), col("s") + lit(k - 1).cast("long"))).as("p"))
+          .distinct()
+        rebuildSansCovered(train, covered).orderBy("doc_id")
+      },
+        Some {
+          val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+          s"""WITH $sqlDupCorpus,
+          tok AS (SELECT doc_id, $toks AS toks,
+              (doc_id % 97 = 0 AND doc_id < 10000000) AS is_eval FROM corpus),
+          wb AS (SELECT doc_id, toks, is_eval,
+              CAST(len(toks) AS BIGINT) AS n_tok,
+              list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+                i -> ${sqlHash32(s"($gram8)")}) AS whs
+            FROM tok),
+          win AS (SELECT doc_id, is_eval, CAST(u.i AS BIGINT) AS s, whs[u.i] AS h
+            FROM wb, unnest(range(1, len(whs) + 1)) AS u(i)),
+          ev AS (SELECT DISTINCT h FROM win WHERE is_eval),
+          dup AS (SELECT w.doc_id, w.s FROM win w JOIN ev USING (h)
+            WHERE NOT w.is_eval),
+          cov AS (SELECT DISTINCT d.doc_id, d.s + u.j AS p
+            FROM dup d, unnest(range(0, 8)) AS u(j)),
+          pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, toks[u.p] AS tok
+            FROM wb, unnest(range(1, n_tok + 1)) AS u(p) WHERE NOT is_eval),
+          kept AS (SELECT p.doc_id, p.p, p.tok FROM pos p
+            WHERE NOT EXISTS (SELECT 1 FROM cov c
+              WHERE c.doc_id = p.doc_id AND c.p = p.p)),
+          ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tok,
+              array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+            FROM kept GROUP BY doc_id)
+          SELECT wb.doc_id, wb.n_tok,
+            CAST(coalesce(ag.kept_tok, 0) AS BIGINT) AS kept_tok,
+            coalesce(ag.clean_text, '') AS clean_text
+          FROM wb LEFT JOIN ag USING (doc_id)
+          WHERE NOT wb.is_eval ORDER BY doc_id"""
+        }),
+
+      // Exact-quota stratified split (round 9): per-language 80/10/10
+      // train/val/test with EXACT counts — the eval-set recipe, where
+      // q62's rate sampling (binomial counts) is not acceptable. Docs are
+      // ordered by a deterministic hash within language; the global
+      // per-lang rank is computed WITHOUT a per-lang sort via the
+      // q88/q97 histogram-offset pattern: bucket by the hash's high bits
+      // (monotone in the order key, 128 buckets), broadcast cumulative
+      // bucket offsets, rank = offset + within-bucket row_number — the
+      // largest window partition is ~n/128 at any corpus size. Quotas are
+      // integer arithmetic ((n*8) div 10) so no fractional literal
+      // crosses the engine boundary. The oracle computes the rank with a
+      // plain per-lang window — two formulations, one answer.
+      ("q118_exact_split", (s: SparkSession, d: String) => {
+        val base = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+          .withColumn("h",
+            TF.hash32(concat(lit("split|"), col("doc_id").cast("string"))))
+          .withColumn("hb", expr("h div 33554432")) // 2^25 -> 128 buckets
+          .persistTracked()
+        val counts = base.groupBy("lang").agg(count(lit(1)).as("n"))
+        val offsets = base.groupBy("lang", "hb").agg(count(lit(1)).as("c"))
+          .withColumn("offset",
+            coalesce(sum(col("c")).over(Window.partitionBy("lang")
+              .orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("lang", "hb", "offset")
+        val wIn = Window.partitionBy("lang", "hb").orderBy(asc("h"), asc("doc_id"))
+        base.join(broadcast(offsets), Seq("lang", "hb"))
+          .withColumn("rnk", (col("offset") + row_number().over(wIn)).cast("long"))
+          .join(broadcast(counts), "lang")
+          .withColumn("split",
+            when(col("rnk") <= expr("(n * 8) div 10"), "train")
+              .when(col("rnk") <= expr("(n * 9) div 10"), "val")
+              .otherwise("test"))
+          .select(col("doc_id"), col("lang"), col("rnk"), col("split"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH b AS (SELECT doc_id, lang,
+            ${sqlHash32("'split|' || CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+          r AS (SELECT doc_id, lang,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rnk,
+              count(*) OVER (PARTITION BY lang) AS n
+            FROM b)
+          SELECT doc_id, lang, rnk,
+            CASE WHEN rnk <= (n * 8) // 10 THEN 'train'
+              WHEN rnk <= (n * 9) // 10 THEN 'val'
+              ELSE 'test' END AS split
+          FROM r ORDER BY doc_id""")),
+
+      // Cluster-stratified diversity sampling (round 9): a representative
+      // subsample that preserves embedding-space coverage — cap each IVF
+      // cell at `cap` deterministically-chosen vectors instead of
+      // hash-sampling the corpus uniformly (which oversamples dense
+      // regions and can empty sparse ones; the coreset-flavored recipe
+      // for seeding eval or distillation sets). Same frozen-quantizer
+      // assignment as q114; the per-cell pick is a WindowGroupLimit-
+      // friendly row_number capped at a constant, exchange O(cells×cap).
+      ("q119_diverse_sample", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val cents = graft.search.Ann.sampleCentroids(e, step = 25)
+        val cap = 8L
+        val w = Window.partitionBy("centroid_id").orderBy(asc("pick"), asc("vec_id"))
+        graft.search.Ann.ivfAssign(e, cents)
+          .withColumn("pick",
+            TF.hash32(concat(lit("div|"), col("vec_id").cast("string"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= cap)
+          .select(col("centroid_id"), col("vec_id"), col("rnk"))
+          .orderBy("centroid_id", "rnk")
+      },
+        Some(s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          a AS (SELECT e.vec_id, c.centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cents c),
+          asg AS (SELECT vec_id, centroid_id FROM a WHERE rn = 1),
+          p AS (SELECT centroid_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY centroid_id
+                ORDER BY ${sqlHash32("'div|' || CAST(vec_id AS VARCHAR)")}, vec_id) AS BIGINT) AS rnk
+            FROM asg)
+          SELECT centroid_id, vec_id, rnk FROM p WHERE rnk <= 8
+          ORDER BY centroid_id, rnk""")),
 
       // Clean-then-filter composition (round 9): q111's span removal
       // feeding the q103 Gopher battery over the REWRITTEN text in one

@@ -140,4 +140,37 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("q118 exact split: every rank window is bucketed, never a whole language") {
+    // the q88/q97 histogram-offset pattern applied to ranks: the proof
+    // obligation on the PLAN side is that no Window partitions by lang
+    // alone (which would sort an entire language in one task at any
+    // corpus size). Every window spec must carry the hash-prefix bucket
+    // key next to lang.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Queries.queries("q118_exact_split")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE
+    // AQE wraps materialized subtrees in QueryStageExec nodes whose
+    // children are empty — recurse through them explicitly
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    // the row_number (rank) window rides corpus rows — it must carry the
+    // bucket key; the cumulative-offset window rides the 128-row-per-lang
+    // bucket HISTOGRAM and is allowed its lang-only key (the q88 shape)
+    val rankWs = ws.filter(_.windowExpression.exists(_.toString.contains("row_number")))
+    assert(rankWs.nonEmpty, "expected a row_number window in the q118 plan")
+    rankWs.foreach { w =>
+      val keys = w.partitionSpec.map(_.toString).mkString(",")
+      assert(w.partitionSpec.size >= 2,
+        s"rank window partitions by a corpus-growing key alone: $keys")
+    }
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }

@@ -357,6 +357,38 @@ class StreamingSpec extends SparkSpec {
     assert(d1(3) == 0.5625, s"dup_line_char_frac: ${d1(3)}")
   }
 
+  test("epoch upsampling on a stream equals the batch expansion on the same docs") {
+    // q113's fractional-epoch explode is per-row + stateless, so the
+    // multiplicity recipe applies AT INGEST (each arriving doc emits its
+    // copies immediately). Docs cover >1-epoch, <1-epoch (copies may be
+    // zero), and default-epoch languages.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en"), (2L, "de"), (3L, "es"), (4L, "es"), (5L, "fr"),
+      (6L, "zh"), (7L, "xx"), (8L, "en"), (9L, "de"), (10L, "es"))
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Queries.epochUpsample(mem.toDF().toDF("doc_id", "lang"))
+    val q = out.writeStream.format("memory").queryName("epochs")
+      .outputMode("append").start()
+    mem.addData(docs.take(5))
+    q.processAllAvailable()
+    mem.addData(docs.drop(5))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM epochs").orderBy("doc_id", "copy")
+      .collect().map(_.toSeq).toSeq
+    val batch = Queries.epochUpsample(docs.toDF("doc_id", "lang"))
+      .orderBy("doc_id", "copy").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // structural floor: every de doc contributes >= 2 copies (2300pm),
+    // every en doc >= 1 (1700pm)
+    val byDoc = streamed.groupBy(_.head.asInstanceOf[Long]).view.mapValues(_.size)
+    assert(byDoc(2L) >= 2 && byDoc(9L) >= 2)
+    assert(byDoc(1L) >= 1 && byDoc(8L) >= 1)
+  }
+
   test("streaming source sketch equals the batch sketch with one state row per source") {
     // q108's governance sketch maintained at ingest: component-min is a
     // plain streaming aggregation, so state is exactly one row per source
