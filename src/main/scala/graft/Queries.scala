@@ -2175,6 +2175,31 @@ object Queries {
           lit("#"), col("copy").cast("string"))), lit(32L)).as("shard"))
   }
 
+  /** q121's robust outlier dataflow, percentile-parameterized: `exact`
+    * uses `percentile` (oracle-reproducible), the production twin swaps
+    * `approx_percentile` (KLL-style sketch, mergeable partials — the
+    * path when even one source's value buffer is too big) with the SAME
+    * joins and rule.
+    */
+  private def lengthOutliers(s: SparkSession, d: String,
+      exact: Boolean): DataFrame = {
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+    val med = docs.groupBy("source")
+      .agg(expr(s"$pct(n_chars, 0.5)").cast("double").as("med"))
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("adev", abs(col("n_chars") - col("med")))
+    val mad = dev.groupBy("source")
+      .agg(expr(s"$pct(adev, 0.5)").cast("double").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        when(round(col("mad"), 6) > 0.0 &&
+          round(col("adev"), 6) > round(col("mad") * 3, 6), 0L)
+          .otherwise(1L).as("keep"))
+  }
+
   /** The survivor rebuild shared by q111 and q117: anti-join token
     * positions against a (doc_id, p) covered set, re-emit each doc's
     * text from its kept tokens via one per-doc sort. `base` must carry
@@ -2344,6 +2369,8 @@ object Queries {
       classifierQuality(s, d, fastHash = true)),
     ("b111_span_xxh64", (s: SparkSession, d: String) =>
       spanRemoval(s, d, fastHash = true).orderBy("doc_id")),
+    ("b121_outliers_approx", (s: SparkSession, d: String) =>
+      lengthOutliers(s, d, exact = false).orderBy("doc_id")),
     ("b108_overlap_xxh64", (s: SparkSession, d: String) => {
       val sketch = Dedup.sourceSketch(
         t(s, d, "documents"), "source", "doc_id", "text", fastHash = true)
@@ -4267,6 +4294,96 @@ object Queries {
             FROM asg)
           SELECT centroid_id, vec_id, rnk FROM p WHERE rnk <= 8
           ORDER BY centroid_id, rnk""")),
+
+      // C4 line-level cleaning (round 9 — Raffel et al. 2020 §2.2, the
+      // OTHER canonical filter paper next to Gopher's doc-level rules:
+      // C4 EDITS each page line-by-line before any doc-level decision).
+      // A line survives iff it ends in terminal punctuation, has >= 3
+      // words, contains no curly brace, and mentions neither
+      // "javascript" nor "lorem ipsum" (case-insensitive); the doc is
+      // re-emitted from surviving lines and kept iff >= 3 survive (the
+      // paper's >= 3-sentence floor, at line granularity). The synthetic
+      // corpus is single-line with no punctuation — every rule would be
+      // vacuously false — so the query derives a LINED corpus first (the
+      // q75 doubled-corpus precedent, same recipe both engines): 8-token
+      // lines, every odd line given a terminal period, so the terminal-
+      // punct and word-count rules genuinely discriminate. Entirely
+      // per-row HOFs over staged projections — zero shuffle; the kept
+      // array is computed by ONE filter and reused from a staged
+      // projection (the collapse rules from NOTES_r9).
+      ("q120_c4_lines", (s: SparkSession, d: String) => {
+        val keepLine = (l: Column) =>
+          trim(l).rlike("[.!?]$") &&
+          size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 3 &&
+          !l.contains("{") && !l.contains("}") &&
+          !lower(l).contains("javascript") &&
+          !lower(l).contains("lorem ipsum")
+        graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("jmax", expr("cast((size(toks) - 1) div 8 as bigint)"))
+          .select(col("doc_id"), transform(
+            sequence(lit(0L), col("jmax")),
+            j => concat(
+              array_join(slice(col("toks"), (j * 8 + 1).cast("int"), lit(8)), " "),
+              when(pmod(j, lit(2L)) === 0L, lit(".")).otherwise(lit(""))))
+            .as("lines"))
+          .select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"),
+            filter(col("lines"), keepLine).as("kept"))
+          .select(col("doc_id"), col("n_lines"),
+            size(col("kept")).cast("long").as("kept_lines"),
+            array_join(col("kept"), "\n").as("clean_text"))
+          .withColumn("keep",
+            when(col("kept_lines") >= 3L, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tokc AS (SELECT doc_id, $toks AS toks FROM documents),
+          b AS (SELECT doc_id, list_transform(
+                range(0, (greatest(len(toks), 1) - 1) // 8 + 1),
+                j -> array_to_string(list_slice(toks, j*8 + 1, j*8 + 8), ' ')
+                  || (CASE WHEN j % 2 = 0 THEN '.' ELSE '' END)) AS lines
+            FROM tokc),
+          k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+              list_filter(lines, l ->
+                regexp_matches(trim(l), '[.!?]$$')
+                AND len(list_filter(string_split_regex(l, '\\s+'), w -> len(w) > 0)) >= 3
+                AND NOT contains(l, '{') AND NOT contains(l, '}')
+                AND NOT contains(lower(l), 'javascript')
+                AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+            FROM b)
+          SELECT doc_id, n_lines,
+            CAST(len(kept) AS BIGINT) AS kept_lines,
+            coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+            CAST(CASE WHEN len(kept) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM k ORDER BY doc_id""")),
+
+      // Robust per-source length-outlier filter (round 9): median/MAD
+      // instead of mean/stddev — the outlier rule that survives the very
+      // outliers it hunts (a handful of giant pages shift a mean filter's
+      // own threshold; the median doesn't move). keep=0 iff
+      // |len − median| > 3·MAD with MAD > 0 (all-equal sources keep
+      // everything); comparisons on ROUNDED values, the house rule. Two
+      // tiny source-keyed aggregates broadcast back — the corpus never
+      // shuffles. The exact percentile is an object aggregate (per-group
+      // value buffer) — fine for per-SOURCE groups, and the production
+      // sketch path is the same dataflow on approx_percentile
+      // (`b121_outliers_approx` benches it; not oracle-able, as sketch
+      // cutoffs may sit on a neighbouring order statistic).
+      ("q121_length_outliers", (s: SparkSession, d: String) =>
+        lengthOutliers(s, d, exact = true).orderBy("doc_id"),
+        Some(s"""WITH med AS (SELECT source, median(n_chars) AS med
+            FROM documents GROUP BY source),
+          dev AS (SELECT d.doc_id, d.source, d.n_chars, med.med,
+              abs(d.n_chars - med.med) AS adev
+            FROM documents d JOIN med USING (source)),
+          mad AS (SELECT source, median(adev) AS mad FROM dev GROUP BY source)
+          SELECT dev.doc_id, dev.source,
+            CAST(dev.n_chars AS BIGINT) AS n_chars,
+            round(dev.med, 6) AS med, round(mad.mad, 6) AS mad,
+            CAST(CASE WHEN round(mad.mad, 6) > 0
+                AND round(dev.adev, 6) > round(3 * mad.mad, 6)
+              THEN 0 ELSE 1 END AS BIGINT) AS keep
+          FROM dev JOIN mad USING (source) ORDER BY dev.doc_id""")),
 
       // Clean-then-filter composition (round 9): q111's span removal
       // feeding the q103 Gopher battery over the REWRITTEN text in one
