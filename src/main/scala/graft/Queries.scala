@@ -61,6 +61,13 @@ object Queries {
     s"to_base64(unhex(sha256($s)))"
   private def sqlTokens(s: String): String =
     s"list_filter(string_split_regex($s, '\\s+'), x -> len(x) > 0)"
+  /** k-shingle list over a preceding `toks` column (space-joined token
+    * windows), shared by the curation and training oracle chains.
+    */
+  private def sqlShingleList(k: Int): String = {
+    val cat = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len(toks) - ${k - 1}, 0) + 1), i -> $cat)"
+  }
 
   // probmethod aggregate fragments over a per-row SQL expression x
   private def sqlPmMean(x: String) = s"avg($x)"
@@ -2434,10 +2441,6 @@ object Queries {
   // retrieval, PII redaction, dup-cluster resolution, mixture planning.
   private lazy val curation: Seq[Q] = {
     val toks = sqlTokens("text")
-    def sqlShingleList(k: Int): String = {
-      val cat = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-      s"list_transform(range(1, greatest(len(toks) - ${k - 1}, 0) + 1), i -> $cat)"
-    }
 
     Seq(
       // Gopher/C4-style repetition filters: fraction of duplicated word
@@ -4401,7 +4404,193 @@ object Queries {
         Some(s"""WITH $sqlSpanRemovalCtes,
           cleaned AS (SELECT doc_id, clean_text AS text FROM clean),
           ${sqlGopherFlagCtes("cleaned")}
-          SELECT * FROM flags ORDER BY doc_id"""))
+          SELECT * FROM flags ORDER BY doc_id""")),
+
+      // Boilerplate line removal (round 9 — the CCNet/RefinedWeb
+      // line-frequency strip: a line repeated across many documents of
+      // one SOURCE is chrome — header, nav, footer, cookie banner — not
+      // content, and no per-document rule can see that; the signal IS
+      // the cross-document frequency). A line is boilerplate iff it
+      // appears in >= 2 docs AND >= 30% of its source's docs (integer
+      // arithmetic: n_with*10 >= n_docs*3); docs are re-emitted from
+      // surviving lines. The synthetic corpus is single-line, so the
+      // query derives a lined corpus (q120's 8-token recipe) and PLANTS
+      // per-source header/footer lines on every doc — the planted chrome
+      // is then found by frequency, not by pattern. Scale shape: ONE
+      // corpus-sized aggregate keys (source, line) for the frequency
+      // table; the boilerplate set that survives the threshold is tiny
+      // (per-source chrome is bounded) and comes back as a broadcast
+      // per-source array; the rebuild is a narrow HOF filter on the
+      // staged lines array — the corpus is never re-shuffled and no
+      // positional explode/rebuild is needed. Lines join on their full
+      // text (collision-free); a production corpus would key the
+      // frequency table on xxhash64(line) to shrink the shuffle.
+      ("q122_boilerplate_lines", (s: SparkSession, d: String) => {
+        val lined = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "source", "text"), "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("jmax", expr("cast((size(toks) - 1) div 8 as bigint)"))
+          .select(col("doc_id"), col("source"),
+            concat(
+              array(concat(col("source"), lit(" site header navigation menu"))),
+              transform(sequence(lit(0L), col("jmax")),
+                j => array_join(slice(col("toks"), (j * 8 + 1).cast("int"), lit(8)), " ")),
+              array(concat(col("source"), lit(" footer copyright notice"))))
+              .as("lines"))
+          .persistTracked()
+        val srcDocs = lined.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val bad = lined
+          .select(col("source"), explode(array_distinct(col("lines"))).as("line"))
+          .groupBy("source", "line").agg(count(lit(1)).as("n_with"))
+          .join(broadcast(srcDocs), "source")
+          .filter(col("n_with") >= 2L && col("n_with") * 10L >= col("n_docs") * 3L)
+          .groupBy("source").agg(collect_list(col("line")).as("bad"))
+        lined.join(broadcast(bad), Seq("source"), "left")
+          .select(col("doc_id"), col("source"),
+            size(col("lines")).cast("long").as("n_lines"),
+            filter(col("lines"),
+              l => !coalesce(array_contains(col("bad"), l), lit(false))).as("kept"))
+          .select(col("doc_id"), col("source"), col("n_lines"),
+            size(col("kept")).cast("long").as("kept_lines"),
+            array_join(col("kept"), "\n").as("clean_text"))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH tokc AS (SELECT doc_id, source, $toks AS toks FROM documents),
+          b AS (SELECT doc_id, source,
+              [source || ' site header navigation menu'] ||
+              list_transform(range(0, (greatest(len(toks), 1) - 1) // 8 + 1),
+                j -> array_to_string(list_slice(toks, j*8 + 1, j*8 + 8), ' ')) ||
+              [source || ' footer copyright notice'] AS lines
+            FROM tokc),
+          lf AS (SELECT source, line, CAST(count(*) AS BIGINT) AS n_with FROM
+              (SELECT doc_id, source, unnest(list_distinct(lines)) AS line FROM b)
+            GROUP BY source, line),
+          sd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY source),
+          bad AS (SELECT lf.source, list(lf.line) AS bad
+            FROM lf JOIN sd USING (source)
+            WHERE lf.n_with >= 2 AND lf.n_with * 10 >= sd.n_docs * 3
+            GROUP BY lf.source),
+          k AS (SELECT b.doc_id, b.source, CAST(len(b.lines) AS BIGINT) AS n_lines,
+              CASE WHEN bad.bad IS NULL THEN b.lines
+                ELSE list_filter(b.lines, l -> NOT list_contains(bad.bad, l)) END AS kept
+            FROM b LEFT JOIN bad USING (source))
+          SELECT doc_id, source, n_lines,
+            CAST(len(kept) AS BIGINT) AS kept_lines,
+            coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+          FROM k ORDER BY doc_id""")),
+
+      // Contamination audit report (round 9 — the GPT-3 appendix-C view
+      // of what q75 deletes and q117 rewrites): per EVAL doc, how much of
+      // it leaked into the training set — distinct 8-grams, grams found
+      // in any train doc, distinct train docs sharing >= 1 gram, overlap
+      // per-mille, and a contaminated flag at the 12.5% dirty-gram
+      // threshold (n_hit*8 >= n_grams — integer-exact, no float crosses
+      // the boundary). An eval steward reads THIS before deciding
+      // between q75's delete and q117's rewrite. Same gram construction
+      // and broadcast-eval shape as q75 (decontGrams); the per-gram
+      // eval×train fan-out is bounded by gram document-frequency — the
+      // dup corpus's planted copy pairs dominate it here, and a
+      // production run would cap or sketch ultra-common grams (they are
+      // stop-phrase noise, not leakage signal). Eval docs with no
+      // 8-grams cannot leak by this metric and are out of scope (the
+      // gram CTE drops them on both sides). countDistinct compiles to
+      // two-phase partial aggregation keyed by eval doc — no
+      // driver-side set.
+      ("q123_contam_report", (s: SparkSession, d: String) => {
+        val (grams, isEval) = decontGrams(s, d)
+        val evalGrams = grams.filter(isEval)
+        val ng = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val hitAgg = grams.filter(!isEval)
+          .select(col("g"), col("doc_id").as("train_doc"))
+          .join(broadcast(evalGrams.select(col("g"), col("doc_id").as("eval_doc"))), "g")
+          .groupBy("eval_doc").agg(
+            countDistinct(col("g")).as("n_hit"),
+            countDistinct(col("train_doc")).as("n_train_docs"))
+        ng.join(hitAgg, ng("doc_id") === hitAgg("eval_doc"), "left")
+          .select(ng("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+          .withColumn("hit_permille",
+            expr("cast((n_hit * 1000) div n_grams as bigint)"))
+          .withColumn("contaminated",
+            when(col("n_hit") * 8L >= col("n_grams"), 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          tok AS (SELECT doc_id, $toks AS toks FROM corpus),
+          sh AS (SELECT doc_id, ${sqlShingleList(8)} AS shingles FROM tok),
+          g AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS grams
+            FROM sh WHERE len(shingles) > 0),
+          p AS (SELECT doc_id, unnest(grams) AS g FROM g),
+          ev AS (SELECT doc_id AS eval_doc, g FROM p
+            WHERE doc_id % 97 = 0 AND doc_id < 10000000),
+          tr AS (SELECT doc_id AS train_doc, g FROM p
+            WHERE NOT (doc_id % 97 = 0 AND doc_id < 10000000)),
+          ng AS (SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_grams
+            FROM ev GROUP BY eval_doc),
+          hits AS (SELECT ev.eval_doc,
+              CAST(count(DISTINCT ev.g) AS BIGINT) AS n_hit,
+              CAST(count(DISTINCT tr.train_doc) AS BIGINT) AS n_train_docs
+            FROM ev JOIN tr ON ev.g = tr.g GROUP BY ev.eval_doc)
+          SELECT ng.eval_doc AS doc_id, ng.n_grams,
+            coalesce(hits.n_hit, 0) AS n_hit,
+            coalesce(hits.n_train_docs, 0) AS n_train_docs,
+            CAST((coalesce(hits.n_hit, 0) * 1000) // ng.n_grams AS BIGINT) AS hit_permille,
+            CAST(CASE WHEN coalesce(hits.n_hit, 0) * 8 >= ng.n_grams
+              THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+          FROM ng LEFT JOIN hits ON ng.eval_doc = hits.eval_doc
+          ORDER BY doc_id""")),
+
+      // Dedup audit rollup (round 9): the cluster-size histogram of
+      // q78's near-dup components, plus the singleton line (docs that
+      // never entered a candidate pair — corpus size minus CC nodes;
+      // CC components are always >= 2, so size 1 is exclusively
+      // theirs). This is the governance readout a dedup run ships
+      // with: reduction ratio = sum(n_docs) - sum(n_clusters) over
+      // total, and a heavy tail in cluster_size is the mirror-site /
+      // template-farm smell that says "inspect before deleting".
+      // Scale shape: the histogram is two hash aggregates over the
+      // cluster assignment (each output row counts a SIZE, so the
+      // result is tiny at any corpus scale); the singleton row is an
+      // arithmetic difference of two count scalars. The cluster frame
+      // is persisted — it feeds both the histogram and the node count.
+      ("q124_dedup_audit", (s: SparkSession, d: String) => {
+        val clusters = dupClusters(s, d, fastHash = false).persistTracked()
+        val hist = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"))
+        val singles = nearDupCorpus(t(s, d, "documents").select("doc_id", "text"))
+          .agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(clusters.agg(count(lit(1)).as("n_in"))))
+          .select(lit(1L).as("cluster_size"),
+            (col("n_total") - col("n_in")).as("n_clusters"),
+            (col("n_total") - col("n_in")).as("n_docs"))
+          .filter(col("n_clusters") > 0L)
+        hist.unionByName(singles).orderBy("cluster_size")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          szs AS (SELECT lab, CAST(count(*) AS BIGINT) AS sz FROM cc GROUP BY lab),
+          hist AS (SELECT sz AS cluster_size,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(sz * count(*) AS BIGINT) AS n_docs
+            FROM szs GROUP BY sz),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM corpus),
+          inc AS (SELECT CAST(count(*) AS BIGINT) AS n_in FROM cc),
+          sing AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+              (tot.n_total - inc.n_in) AS n_clusters,
+              (tot.n_total - inc.n_in) AS n_docs
+            FROM tot, inc WHERE tot.n_total > inc.n_in)
+          SELECT * FROM hist UNION ALL SELECT * FROM sing
+          ORDER BY cluster_size"""))
     )
   }
 

@@ -72,8 +72,13 @@ object Scale {
       // domains rather than by existing domains deepening
       val source = if (i == 0) col("source")
         else concat(col("source"), lit(s"-cp$i"))
+      // n_chars rides along (q121's input): verbatim on copy 0, recomputed
+      // on suffixed copies so the length column stays true to the text
+      val nChars = if (i == 0) col("n_chars")
+        else length(text).cast("long")
       docs.select((col("doc_id") + lit(i * 100000L)).as("doc_id"),
-        text.as("text"), col("lang"), source.as("source"))
+        text.as("text"), col("lang"), source.as("source"),
+        nChars.as("n_chars"))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
