@@ -68,6 +68,19 @@ object Queries {
     val cat = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"list_transform(range(1, greatest(len(toks) - ${k - 1}, 0) + 1), i -> $cat)"
   }
+  /** The q84 hash-weight classifier's scoring chain, ending in `sc`
+    * (doc_id, lang, score) — shared by q84 and q125's calibration
+    * report so the scorer cannot drift between them.
+    */
+  private def sqlHashClassifierCtes: String =
+    s"""tok AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+          z AS (SELECT doc_id, lang,
+              coalesce(list_sum(list_transform(toks,
+                t -> (CAST(${sqlHash32("'w|' || t")} % 2001 AS DOUBLE) - 1000.0) / 1000.0)), 0.0) AS z,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n
+            FROM tok),
+          sc AS (SELECT doc_id, lang,
+              round(1.0 / (1.0 + exp(-8.0 * z / n)), 6) AS score FROM z)"""
 
   // probmethod aggregate fragments over a per-row SQL expression x
   private def sqlPmMean(x: String) = s"avg($x)"
@@ -144,24 +157,39 @@ object Queries {
     * `pairs_mh` (doc_a, doc_b, jaccard rounded to 6, threshold-filtered);
     * compose as `WITH $sqlDupCorpus, ${sqlMinhashPairCtes(th)} SELECT …`.
     */
-  private def sqlMinhashPairCtes(threshold: Double): String = {
-    val numHashes = 12; val bands = 4; val rows = 3
+  /** The shared tokenize→shingle→hash→12-hash-signature chain of
+    * [[graft.ops.Dedup.minhashLsh]] over a preceding `corpus` CTE, ending
+    * in `sg_mh` (doc_id, hashes, sig). [[sqlMinhashPairCtes]] continues
+    * it to verified pairs at the 4×3 banding; q127 re-bands `sg_mh`
+    * under multiple configurations.
+    */
+  private def sqlMinhashSigCtes: String = {
+    val numHashes = 12
     val sigExprs = (0 until numHashes).map { k =>
       val (mult, add) = TF.minhashConsts(k)
       s"list_min(list_transform(hashes, h -> (h * $mult + $add) % 4294967296))"
     }
     val sig = sigExprs.mkString("[", ", ", "]")
-    val bandExprs = (0 until bands).map { b =>
-      val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)").mkString(", ")
-      s"concat_ws(',', '$b', $vals)"
-    }.mkString("[", ", ", "]")
     s"""tok_mh AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus),
           sh_mh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok_mh),
           hs_mh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${sqlHash32("s")})) AS hashes
             FROM sh_mh WHERE len(shingles) > 0),
-          sg_mh AS (SELECT doc_id, hashes, $sig AS sig FROM hs_mh),
-          bands_mh AS (SELECT doc_id, unnest($bandExprs) AS band FROM sg_mh),
+          sg_mh AS (SELECT doc_id, hashes, $sig AS sig FROM hs_mh)"""
+  }
+
+  /** SQL array literal of LSH band keys over a preceding `sig` column —
+    * the (bands × rowsPerBand) sequential split `TF.lshBands` computes.
+    */
+  private def sqlBandArray(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)").mkString(", ")
+      s"concat_ws(',', '$b', $vals)"
+    }.mkString("[", ", ", "]")
+
+  private def sqlMinhashPairCtes(threshold: Double): String =
+    s"""$sqlMinhashSigCtes,
+          bands_mh AS (SELECT doc_id, unnest(${sqlBandArray(4, 3)}) AS band FROM sg_mh),
           cand_mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands_mh a JOIN bands_mh b ON a.band = b.band AND a.doc_id < b.doc_id),
           verified_mh AS (SELECT c.doc_a, c.doc_b,
@@ -172,7 +200,6 @@ object Queries {
             JOIN hs_mh hb ON hb.doc_id = c.doc_b),
           pairs_mh AS (SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
             FROM verified_mh WHERE jaccard >= $threshold)"""
-  }
 
   /** The q107 oracle's unrolled 2-step classifier training as named CTEs
     * ending in `w2` (f, w) — shared by q107 (weight dump) and q110's
@@ -2853,14 +2880,7 @@ object Queries {
       // order on both engines; score is rounded before the keep compare.
       ("q84_quality_classifier", (s: SparkSession, d: String) =>
         classifierQuality(s, d, fastHash = false),
-        Some(s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
-          z AS (SELECT doc_id, lang,
-              coalesce(list_sum(list_transform(toks,
-                t -> (CAST(${sqlHash32("'w|' || t")} % 2001 AS DOUBLE) - 1000.0) / 1000.0)), 0.0) AS z,
-              CAST(greatest(len(toks), 1) AS DOUBLE) AS n
-            FROM tok),
-          sc AS (SELECT doc_id, lang,
-              round(1.0 / (1.0 + exp(-8.0 * z / n)), 6) AS score FROM z)
+        Some(s"""WITH $sqlHashClassifierCtes
           SELECT doc_id, lang, score,
             CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM sc ORDER BY doc_id""")),
@@ -4590,7 +4610,135 @@ object Queries {
               (tot.n_total - inc.n_in) AS n_docs
             FROM tot, inc WHERE tot.n_total > inc.n_in)
           SELECT * FROM hist UNION ALL SELECT * FROM sing
-          ORDER BY cluster_size"""))
+          ORDER BY cluster_size""")),
+
+      // Classifier calibration report (round 9): the reliability diagram
+      // for the q84 quality classifier — scores bucketed into deciles,
+      // per-bucket observed positive rate vs mean predicted score. A
+      // well-calibrated filter has pos_permille ≈ mean_score·1000 per
+      // bucket; a miscalibrated one tells the curation owner their
+      // keep-threshold is not the probability they think it is. Labels
+      // follow q107's training convention (lang ∈ {en, de} = positive).
+      // Bucketing is on the ROUNDED score (floor(score·10) capped at 9),
+      // the observed rate is integer per-mille — only mean_score is
+      // float, rounded after one bounded per-bucket avg. Scale shape:
+      // the scorer is q84's zero-shuffle HOF fold; the report is ONE
+      // 10-row hash aggregate.
+      ("q125_score_calibration", (s: SparkSession, d: String) =>
+        classifierQuality(s, d, fastHash = false)
+          .withColumn("label",
+            when(col("lang").isin("en", "de"), 1L).otherwise(0L))
+          .withColumn("bucket",
+            least(floor(col("score") * 10).cast("long"), lit(9L)))
+          .groupBy("bucket").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("label")).as("n_pos"),
+            round(avg(col("score")), 6).as("mean_score"))
+          .withColumn("pos_permille",
+            expr("cast((n_pos * 1000) div n_docs as bigint)"))
+          .orderBy("bucket"),
+        Some(s"""WITH $sqlHashClassifierCtes,
+          lab AS (SELECT score,
+              CAST(CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS BIGINT) AS label,
+              CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket
+            FROM sc)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(label) AS BIGINT) AS n_pos,
+            round(avg(score), 6) AS mean_score,
+            CAST((sum(label) * 1000) // count(*) AS BIGINT) AS pos_permille
+          FROM lab GROUP BY bucket ORDER BY bucket""")),
+
+      // Temperature-scaled language mixture (round 9 — the mT5/XLM
+      // "alpha sampling" rule, w_l ∝ p_l^α with α = 0.5: upsample rare
+      // languages, damp dominant ones — the OTHER canonical mixture next
+      // to q79's explicit target weights). The only floats are sqrt and
+      // two divisions of IDENTICAL inputs on both engines: p rounds to
+      // 6 dp, the alpha weight is stored in integer MICRO-units
+      // (round(sqrt(p)·1e6) — IEEE sqrt is correctly rounded, so the
+      // integer is bit-determined), and the normalizer z is an exact
+      // integer sum — no float ever crosses an aggregation boundary.
+      // rate > 1 means the language is repeated (q113's epoch machinery
+      // applies it); rate < 1 is a q62-style downsample. Scale shape:
+      // one token-count aggregate, then arithmetic over |langs| rows.
+      ("q126_alpha_mixture", (s: SparkSession, d: String) => {
+        val nl = t(s, d, "documents")
+          .select(col("lang"), size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
+        val tot = nl.agg(sum(col("n_tokens")).as("total"))
+        val w = nl.crossJoin(broadcast(tot))
+          .withColumn("p", round(col("n_tokens").cast("double") /
+            col("total").cast("double"), 6))
+          .withColumn("w_micro",
+            round(sqrt(col("p")) * 1000000.0).cast("long"))
+        val z = w.agg(sum(col("w_micro")).as("z"))
+        w.crossJoin(broadcast(z))
+          .select(col("lang"), col("n_tokens"), col("p"),
+            col("w_micro"),
+            round(col("w_micro").cast("double") / col("z").cast("double"), 6).as("q"),
+            round(col("w_micro").cast("double") / col("z").cast("double") /
+              col("p"), 6).as("rate"))
+          .orderBy("lang")
+      },
+        Some(s"""WITH nl AS (SELECT lang,
+              CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM nl),
+          w AS (SELECT lang, n_tokens,
+              round(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS p
+            FROM nl CROSS JOIN tot),
+          wm AS (SELECT lang, n_tokens, p,
+              CAST(round(sqrt(p) * 1000000.0) AS BIGINT) AS w_micro FROM w),
+          z AS (SELECT CAST(sum(w_micro) AS BIGINT) AS z FROM wm)
+          SELECT lang, n_tokens, p, w_micro,
+            round(CAST(w_micro AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS q,
+            round(CAST(w_micro AS DOUBLE) / CAST(z.z AS DOUBLE) / p, 6) AS rate
+          FROM wm CROSS JOIN z ORDER BY lang""")),
+
+      // LSH banding tuning report (round 9): the same 12-hash signature
+      // split three ways — (3 bands × 4 rows), (4 × 3), (6 × 2) — with
+      // MEASURED candidate volume, verified true pairs at the 0.5
+      // threshold, precision per-mille, and the analytic S-curve detect
+      // probability 1-(1-t^r)^b. Banding is THE dedup cost/recall knob
+      // (more bands = higher recall = more candidate pairs to verify);
+      // this report prices it on the corpus's true shingle statistics
+      // before a full run commits to one. p_detect is computed once
+      // driver-side and embedded as the identical rounded literal in
+      // both plans — no cross-engine pow() ulp races. Scale shape: one
+      // shared persisted hash/signature map stage; per config, the same
+      // bucketed band join q45 runs — the report costs what it prices.
+      ("q127_lsh_tuning", (s: SparkSession, d: String) =>
+        Dedup.lshTuning(
+          nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
+          "doc_id", "text", shingleK = 3, numHashes = 12, threshold = 0.5,
+          configs = Seq((3, 4), (4, 3), (6, 2)), fastHash = false),
+        Some {
+          val cfgs = Seq((3, 4, "c1"), (4, 3, "c2"), (6, 2, "c3"))
+          val cfgCtes = cfgs.map { case (b, r, sfx) =>
+            val pd = math.rint((1.0 - math.pow(1.0 - math.pow(0.5, r), b)) * 1e6) / 1e6
+            s"""bands_$sfx AS (SELECT doc_id, unnest(${sqlBandArray(b, r)}) AS band FROM sg_mh),
+          cand_$sfx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_$sfx a JOIN bands_$sfx b ON a.band = b.band AND a.doc_id < b.doc_id),
+          agg_$sfx AS (SELECT CAST($b AS BIGINT) AS bands,
+              CAST($r AS BIGINT) AS rows_per_band,
+              (SELECT CAST(count(*) AS BIGINT) FROM cand_$sfx) AS n_candidates,
+              (SELECT CAST(count(*) AS BIGINT) FROM cand_$sfx c
+                JOIN hs_mh ha ON ha.doc_id = c.doc_a
+                JOIN hs_mh hb ON hb.doc_id = c.doc_b
+                WHERE CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+                  / CAST(len(list_distinct(ha.hashes || hb.hashes)) AS DOUBLE) >= 0.5) AS n_true,
+              CAST($pd AS DOUBLE) AS p_detect)"""
+          }.mkString(",\n          ")
+          s"""WITH $sqlDupCorpus,
+          $sqlMinhashSigCtes,
+          $cfgCtes
+          SELECT bands, rows_per_band, n_candidates, n_true,
+            CAST(CASE WHEN n_candidates = 0 THEN 0
+              ELSE (n_true * 1000) // n_candidates END AS BIGINT) AS precision_permille,
+            p_detect
+          FROM (SELECT * FROM agg_c1 UNION ALL SELECT * FROM agg_c2
+            UNION ALL SELECT * FROM agg_c3)
+          ORDER BY bands"""
+        })
     )
   }
 

@@ -74,6 +74,45 @@ object Dedup {
     verifyJaccard(cand, hashed, threshold)
   }
 
+  /** LSH banding-parameter tuning report: for each (bands, rowsPerBand)
+    * split of the SAME `numHashes`-hash signature, the measured candidate
+    * volume, the verified true-pair count at `threshold`, the resulting
+    * precision (integer per-mille), and the analytic S-curve detection
+    * probability 1-(1-t^r)^b at the threshold — the number a dedup owner
+    * reads to pick banding before paying for a full run. The signature is
+    * computed once (shared persisted hash stage); each config re-bands
+    * it, so the report costs |configs| band joins over one map stage —
+    * exactly the candidate-generation cost the report is there to
+    * predict, at the corpus's true shingle statistics rather than a
+    * uniformity assumption. p_detect is computed driver-side and embedded
+    * as a literal so both engines carry the identical rounded double.
+    */
+  def lshTuning(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, threshold: Double,
+      configs: Seq[(Int, Int)], fastHash: Boolean = false): DataFrame = {
+    val hashed = shingleHashed(docs, idCol, textCol, shingleK, fastHash)
+    configs.map { case (b, r) =>
+      require(b * r == numHashes,
+        s"config ($b, $r) does not tile the $numHashes-hash signature")
+      val banded = bandKeys(hashed, numHashes, b, r)
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .persistTracked()
+      val pd = math.rint((1.0 - math.pow(1.0 - math.pow(threshold, r), b)) * 1e6) / 1e6
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verifyJaccard(cand, hashed, threshold)
+          .agg(count(lit(1)).as("n_true")))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_true"),
+          expr("cast(case when n_candidates = 0 then 0 else (n_true * 1000) div n_candidates end as bigint)")
+            .as("precision_permille"),
+          lit(pd).as("p_detect"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
   /** The shingle-hash map stage shared by the minhash pipelines: spread it
     * over the cluster (Par.ensure — a small source arrives as one split)
     * and compute it ONCE (persist) — it is read repeatedly downstream
