@@ -2278,6 +2278,47 @@ object Queries {
           .otherwise(0L))
   }
 
+  /** q122's boilerplate-line dataflow, hash-parameterized like
+    * [[dupClusters]]: the oracle path joins frequency table and bad-set
+    * membership on the full line STRING (collision-free, replayable in
+    * SQL); `fastHash` keys both on xxhash64(line) — the production
+    * configuration that shrinks the frequency shuffle to 8-byte keys
+    * (`b122_lines_xxh64` measures the swap).
+    */
+  private def boilerplateLines(s: SparkSession, d: String,
+      fastHash: Boolean): DataFrame = {
+    val lineKey = (l: Column) => if (fastHash) xxhash64(l) else l
+    val lined = graft.ops.Par.ensure(
+      t(s, d, "documents").select("doc_id", "source", "text"), "doc_id")
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("jmax", expr("cast((size(toks) - 1) div 8 as bigint)"))
+      .select(col("doc_id"), col("source"),
+        concat(
+          array(concat(col("source"), lit(" site header navigation menu"))),
+          transform(sequence(lit(0L), col("jmax")),
+            j => array_join(slice(col("toks"), (j * 8 + 1).cast("int"), lit(8)), " ")),
+          array(concat(col("source"), lit(" footer copyright notice"))))
+          .as("lines"))
+      .persistTracked()
+    val srcDocs = lined.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val bad = lined
+      .select(col("source"),
+        explode(array_distinct(transform(col("lines"), lineKey))).as("line"))
+      .groupBy("source", "line").agg(count(lit(1)).as("n_with"))
+      .join(broadcast(srcDocs), "source")
+      .filter(col("n_with") >= 2L && col("n_with") * 10L >= col("n_docs") * 3L)
+      .groupBy("source").agg(collect_list(col("line")).as("bad"))
+    lined.join(broadcast(bad), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        size(col("lines")).cast("long").as("n_lines"),
+        filter(col("lines"),
+          l => !coalesce(array_contains(col("bad"), lineKey(l)), lit(false))).as("kept"))
+      .select(col("doc_id"), col("source"), col("n_lines"),
+        size(col("kept")).cast("long").as("kept_lines"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** q97's two-phase token-budget prefix sum, with the quality-bucket
     * count DERIVED FROM THE INPUT SIZE (VERDICT r7 #4 — a fixed 20
     * buckets left an English-sized language / 20 as a multi-TB window
@@ -2405,6 +2446,8 @@ object Queries {
       spanRemoval(s, d, fastHash = true).orderBy("doc_id")),
     ("b121_outliers_approx", (s: SparkSession, d: String) =>
       lengthOutliers(s, d, exact = false).orderBy("doc_id")),
+    ("b122_lines_xxh64", (s: SparkSession, d: String) =>
+      boilerplateLines(s, d, fastHash = true)),
     ("b108_overlap_xxh64", (s: SparkSession, d: String) => {
       val sketch = Dedup.sourceSketch(
         t(s, d, "documents"), "source", "doc_id", "text", fastHash = true)
@@ -4445,36 +4488,8 @@ object Queries {
       // positional explode/rebuild is needed. Lines join on their full
       // text (collision-free); a production corpus would key the
       // frequency table on xxhash64(line) to shrink the shuffle.
-      ("q122_boilerplate_lines", (s: SparkSession, d: String) => {
-        val lined = graft.ops.Par.ensure(
-          t(s, d, "documents").select("doc_id", "source", "text"), "doc_id")
-          .withColumn("toks", TF.tokens(col("text")))
-          .withColumn("jmax", expr("cast((size(toks) - 1) div 8 as bigint)"))
-          .select(col("doc_id"), col("source"),
-            concat(
-              array(concat(col("source"), lit(" site header navigation menu"))),
-              transform(sequence(lit(0L), col("jmax")),
-                j => array_join(slice(col("toks"), (j * 8 + 1).cast("int"), lit(8)), " ")),
-              array(concat(col("source"), lit(" footer copyright notice"))))
-              .as("lines"))
-          .persistTracked()
-        val srcDocs = lined.groupBy("source").agg(count(lit(1)).as("n_docs"))
-        val bad = lined
-          .select(col("source"), explode(array_distinct(col("lines"))).as("line"))
-          .groupBy("source", "line").agg(count(lit(1)).as("n_with"))
-          .join(broadcast(srcDocs), "source")
-          .filter(col("n_with") >= 2L && col("n_with") * 10L >= col("n_docs") * 3L)
-          .groupBy("source").agg(collect_list(col("line")).as("bad"))
-        lined.join(broadcast(bad), Seq("source"), "left")
-          .select(col("doc_id"), col("source"),
-            size(col("lines")).cast("long").as("n_lines"),
-            filter(col("lines"),
-              l => !coalesce(array_contains(col("bad"), l), lit(false))).as("kept"))
-          .select(col("doc_id"), col("source"), col("n_lines"),
-            size(col("kept")).cast("long").as("kept_lines"),
-            array_join(col("kept"), "\n").as("clean_text"))
-          .orderBy("doc_id")
-      },
+      ("q122_boilerplate_lines", (s: SparkSession, d: String) =>
+        boilerplateLines(s, d, fastHash = false),
         Some(s"""WITH tokc AS (SELECT doc_id, source, $toks AS toks FROM documents),
           b AS (SELECT doc_id, source,
               [source || ' site header navigation menu'] ||
@@ -4738,7 +4753,49 @@ object Queries {
           FROM (SELECT * FROM agg_c1 UNION ALL SELECT * FROM agg_c2
             UNION ALL SELECT * FROM agg_c3)
           ORDER BY bands"""
-        })
+        }),
+
+      // Sequence-length histogram in power-of-two buckets (round 9): the
+      // batch-shape planning readout — how many docs and how much token
+      // mass sit in each [2^b, 2^(b+1)) length band, with cumulative
+      // columns. This is the table a packing run (q63/q66/q69) and a
+      // max_seq_len decision are priced from: mass above the cutoff is
+      // what truncation discards, mass in the short bands is what padding
+      // or packing must absorb. The bucket index is the binary-digit
+      // count of n_tok (len(bin(n)) - 1) — integer-exact on both engines,
+      // deliberately NOT floor(log2(n)): ln(x)/ln(2) rounds DOWN through
+      // exact powers of two on some libm paths, and the two engines need
+      // not agree on which. Scale shape: one narrow map + a histogram
+      // aggregate; the cumulative window runs over |buckets| rows (~20
+      // at any corpus size).
+      ("q128_length_histogram", (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0L)
+          .withColumn("bucket", (length(expr("bin(n_tok)")) - 1).cast("long"))
+          .groupBy("bucket").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"))
+          .select(col("bucket"),
+            expr("cast(shiftleft(cast(1 as bigint), cast(bucket as int)) as bigint)").as("lo"),
+            expr("cast(shiftleft(cast(1 as bigint), cast(bucket as int) + 1) - 1 as bigint)").as("hi"),
+            col("n_docs"), col("n_tokens"),
+            expr("cast(sum(n_docs) over (order by bucket) as bigint)").as("cum_docs"),
+            expr("cast(sum(n_tokens) over (order by bucket) as bigint)").as("cum_tokens"))
+          .orderBy("bucket"),
+        Some(s"""WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n_tok
+            FROM documents WHERE len($toks) > 0),
+          b AS (SELECT CAST(len(printf('%b', n_tok)) - 1 AS BIGINT) AS bucket, n_tok FROM t),
+          h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM b GROUP BY bucket)
+          SELECT bucket,
+            CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo,
+            CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS hi,
+            n_docs, n_tokens,
+            CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+            CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+          FROM h ORDER BY bucket"""))
     )
   }
 

@@ -389,6 +389,43 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(1L) >= 1 && byDoc(8L) >= 1)
   }
 
+  test("streaming language token counts equal batch with one state row per language") {
+    // q126's alpha mixture reads per-language token counts; maintained at
+    // ingest they are a plain streaming aggregation whose state is exactly
+    // one row per language — the mixture arithmetic then runs over the
+    // complete-mode output at planning time. Pin stream == batch across
+    // micro-batches, and the bounded state-row count.
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
+    val q = counts(mem.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("langtok")
+      .outputMode("complete").start()
+    mem.addData(docs.take(60))
+    q.processAllAvailable()
+    mem.addData(docs.drop(60))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM langtok").orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = counts(docs.toDF("doc_id", "lang", "text")).orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream counts diverged from batch:\n stream=$streamed\n batch=$batch")
+    val nLangs = docs.map(_._2).distinct.size
+    assert(stateRows == nLangs,
+      s"state should hold exactly one row per language: $stateRows vs $nLangs")
+  }
+
   test("streaming source sketch equals the batch sketch with one state row per source") {
     // q108's governance sketch maintained at ingest: component-min is a
     // plain streaming aggregation, so state is exactly one row per source
