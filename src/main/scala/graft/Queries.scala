@@ -21,6 +21,23 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` as epoch-ns BIGINT regardless of the fixture's
+    * physical type. The driver has shipped events.parquet both as
+    * TIMESTAMP(NANOS) (which Spark reads as long ns under the
+    * `nanosAsLong` flag) and as TIMESTAMP(MICROS) (which Spark reads as
+    * TIMESTAMP_NTZ). The DuckDB oracles use epoch_ns(ts)/epoch_us(ts) on
+    * the timestamp form; with the session timezone pinned to UTC the
+    * NTZ→TIMESTAMP cast here yields the identical epoch values.
+    */
+  private def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev
+      case _ => ev.withColumn("ts",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    }
+  }
+
   /** Where q60 materializes the deterministic stub embeddings so the DuckDB
     * oracle can replay the scoring from the identical float values. An
     * absolute path: the oracle SQL is a static string executed by the
@@ -1450,7 +1467,7 @@ object Queries {
     // 1-hour event-time windows (ns-precision integer bucketing via SQL
     // `div` — a double division would lose low bits of the ns epoch).
     ("q56_windowed_events", (s: SparkSession, d: String) =>
-      t(s, d, "events")
+      eventsNs(s, d)
         .withColumn("window_id", expr("ts div 3600000000000"))
         .groupBy("window_id", "event_type")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
@@ -3121,12 +3138,12 @@ object Queries {
     // purchases are pre-aggregated to one row per (user, ts) so equal-ts
     // ties cannot make the carried payload pick-any.
     ("q86_asof_purchase", (s: SparkSession, d: String) => {
-      // µs-truncated time on BOTH sides: the parquet carries
-      // TIMESTAMP(NANOS), which Spark reads as full ns (nanosAsLong) but
-      // DuckDB truncates to µs — ns arithmetic would mismatch in the last
-      // three digits. Integer `div` (not /1000.0) — double division loses
-      // low bits of a 2^61 epoch.
-      val e = t(s, d, "events")
+      // µs-truncated time on BOTH sides (eventsNs normalizes the physical
+      // type to ns first): DuckDB computes in µs — ns arithmetic would
+      // mismatch in the last three digits on a NANOS fixture. Integer
+      // `div` (not /1000.0) — double division loses low bits of a 2^61
+      // epoch.
+      val e = eventsNs(s, d)
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000L").as("ts"), col("event_type"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
@@ -3161,7 +3178,7 @@ object Queries {
       // µs-truncated time for the same cross-engine reason as q86: a view
       // landing exactly on the window boundary within the truncated µs
       // would otherwise be included by one engine and not the other
-      val e = t(s, d, "events")
+      val e = eventsNs(s, d)
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000L").as("ts"), col("event_type"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
