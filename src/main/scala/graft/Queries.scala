@@ -4816,9 +4816,135 @@ object Queries {
     )
   }
 
+  // ============ round 10: multimodal near-dup / negative mining ==========
+  // The remaining first-class gaps a 100 TB training-data pipeline hits
+  // after text dedup and ANN are in place: near-duplicate detection over
+  // the MEDIA payloads themselves (perceptual fingerprint + banded
+  // Hamming), hard-negative mining for contrastive embedding training,
+  // and a deterministic mixture-ordered global training stream (the
+  // ordering twin of q126's alpha-sampling).
+  private lazy val roundTen: Seq[Q] = Seq(
+
+    // Perceptual-hash near-duplicate pairs over the multimodal payloads:
+    // blockhash-style 64-bit fingerprint (Multimodal.pHash64) + 4-band
+    // Hamming LSH. maxHamming=3 < 4 bands → pigeonhole makes the banded
+    // join's recall EXACT, so the all-pairs SQL oracle must agree pair
+    // for pair. The fixture plants re-encoded variants (same length,
+    // 4 bytes overwritten mid-payload) every 37th doc — each lands
+    // within Hamming 2 of its original and MUST be found.
+    ("q129_phash_near_dup", (s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.attachMedia(
+        t(s, d, "documents"), "doc_id", "text")
+      val variants = graft.multimodal.Multimodal.reencodeVariant(
+        media, everyN = 37, idOffset = 100000000L)
+      graft.multimodal.Multimodal.phashPairs(
+          media.unionByName(variants), maxHamming = 3, bands = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH m AS (SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+          hex(encode(text)) AS hx
+        FROM documents),
+        v AS (SELECT doc_id + 100000000 AS doc_id, modality,
+          substr(hx, 1, 2 * ((len(hx) // 2) // 2)) || '5A5A5A5A' ||
+            substr(hx, 2 * ((len(hx) // 2) // 2) + 9, len(hx)) AS hx
+          FROM m WHERE doc_id % 37 = 0 AND len(hx) // 2 >= 256),
+        u AS (SELECT * FROM m UNION ALL SELECT * FROM v),
+        px AS (SELECT doc_id, modality, list_transform(range(0, 64), i ->
+            CAST(concat('0x', substr(md5(substring(hx,
+              CAST(2 * (i * (len(hx) // 2) // 64) AS INT) + 1,
+              CAST(2 * ((i + 1) * (len(hx) // 2) // 64
+                - i * (len(hx) // 2) // 64) AS INT))), 1, 8)) AS BIGINT)
+              % 256) AS pix
+          FROM u),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.modality AS modality,
+            len(list_filter(range(1, 65),
+              i -> (a.pix[i] >= 128) != (b.pix[i] >= 128))) AS hamming
+          FROM px a JOIN px b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, modality, CAST(hamming AS BIGINT) AS hamming
+        FROM pr WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
+
+    // Hard-negative mining (Ann.hardNegatives): per query vector, top-5
+    // most-similar DIFFERENT-label vectors, with a false-negative guard
+    // (cosine01 >= 0.98 excluded). The fixture plants an exact copy of
+    // every query under a different label and id — without the guard
+    // each would be its query's rank-1 "negative"; the guard must drop
+    // all of them.
+    ("q130_hard_negatives", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(pmod(col("vec_id"), lit(100L)) === 0L)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"))
+      val planted = e.filter(pmod(col("vec_id"), lit(100L)) === 0L)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          (col("label") + lit(1)).cast("int").as("label"))
+      graft.search.Ann.hardNegatives(
+          e.unionByName(planted), qs, k = 5, dupCos = 0.98)
+        .select(col("query_id"), col("vec_id"), col("rnk"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("query_id", "rnk")
+    },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+          embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+        c AS (SELECT vec_id, embedding, label FROM embeddings
+          UNION ALL SELECT vec_id + 1000000, embedding,
+            CAST(label + 1 AS INT) FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (SELECT q.query_id, c.vec_id,
+            ${sqlCos01("c.embedding", "q.qe")} AS sim
+          FROM c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id AND c.label <> q.qlabel),
+        f AS (SELECT * FROM scored WHERE sim < 0.98),
+        r AS (SELECT query_id, vec_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk,
+            round(sim, 6) AS sim
+          FROM f)
+        SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 5
+        ORDER BY query_id, rnk""")),
+
+    // Deterministic mixture-ordered training stream: every doc gets a
+    // virtual position u_doc * sqrt(n_source) where u_doc is an exact
+    // hash-derived uniform in (0,1) — so ANY prefix of the global order
+    // has expected per-source composition ∝ sqrt(n_s), i.e. α=0.5
+    // temperature mixing as a reproducible ORDER rather than a sample
+    // (q126's alpha-sampling is the keep/drop twin). Fully narrow: only
+    // the per-source counts aggregate and broadcast back; the head of
+    // the stream is TakeOrderedAndProject, never a global sort. u is
+    // exact in double ((h + 0.5) / 2^20 — a power-of-two divisor) and
+    // sqrt/multiply are correctly rounded, so the order is bit-identical
+    // across engines.
+    ("q131_curriculum_order", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      docs.join(broadcast(counts), "source")
+        .withColumn("u",
+          (pmod(TF.hash32(concat(lit("u|"), col("doc_id").cast("string"))),
+            lit(1048576L)).cast("double") + lit(0.5)) / lit(1048576.0))
+        .withColumn("pos", col("u") * sqrt(col("n_src").cast("double")))
+        .orderBy(asc("pos"), asc("doc_id")).limit(200)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(asc("pos"), asc("doc_id"))).cast("long"))
+        .select(col("rnk"), col("doc_id"), col("source"),
+          round(col("pos"), 6).as("pos"))
+        .orderBy("rnk")
+    },
+      Some(s"""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+          FROM documents GROUP BY source),
+        p AS (SELECT d.doc_id, d.source,
+            ((${sqlHash32("'u|' || CAST(d.doc_id AS VARCHAR)")} % 1048576)
+              + 0.5) / 1048576.0 * sqrt(CAST(n.n_src AS DOUBLE)) AS pos
+          FROM documents d JOIN n ON d.source = n.source),
+        r AS (SELECT doc_id, source, pos,
+            CAST(row_number() OVER (ORDER BY pos, doc_id) AS BIGINT) AS rnk
+          FROM p)
+        SELECT rnk, doc_id, source, round(pos, 6) AS pos FROM r
+        WHERE rnk <= 200 ORDER BY rnk"""))
+  )
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
-      extended ++ curation ++ temporal ++ training
+      extended ++ curation ++ temporal ++ training ++ roundTen
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

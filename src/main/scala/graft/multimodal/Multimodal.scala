@@ -2,8 +2,10 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.ops.Caches.TrackedPersist
 
 /** Multimodal columns for a training-data pipeline: image/audio/video
   * content carried as opaque `binary` columns next to a typed metadata
@@ -103,5 +105,103 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(StubDecoder.BatchSize).flatMap(b => StubDecoder.decodeBatch(b.toArray))
       }
+  }
+
+  /** 64-bit blockhash-style perceptual fingerprint over an opaque media
+    * payload, computed from its HEX encoding (`hxCol` must hold
+    * `hex(content)` — hex because the SQL oracle's md5 only accepts
+    * strings, and hex round-trips bytes identically in every dialect).
+    *
+    * Stub "decode": the payload is split into 64 position-proportional
+    * byte chunks (the blockhash grid); pixel_i = hash32(chunk_i hex) mod
+    * 256; bit_i = pixel_i >= 128 (a FIXED threshold, not the mean — a
+    * local edit must only flip the bits of the chunks it touches, never
+    * borderline bits elsewhere). Like a real blockhash, the fingerprint
+    * is stable under small same-length edits: an edit inside one chunk
+    * flips at most that chunk's bit. A real image decoder would replace
+    * the chunk-hash "pixels" with downsampled luma; everything downstream
+    * (banding, Hamming verify) is representation-independent.
+    *
+    * Single expression: the 64 md5s run inside one transform lambda and
+    * the bit-pack is an aggregate over that transform's RESULT (the
+    * collection argument is evaluated once — no computed alias is
+    * referenced inside a lambda body, the round-9 interpreted-HOF
+    * re-evaluation cliff). `hxCol` is referenced from the lambda as a
+    * plain attribute (multi-use, so CollapseProject keeps it staged).
+    */
+  def pHash64(hxCol: String): Column = {
+    val nb = s"(CAST(length($hxCol) AS BIGINT) div 2L)"
+    val lo = s"(i * $nb div 64L)"
+    val hi = s"((i + 1L) * $nb div 64L)"
+    val chunk = s"substring($hxCol, CAST(2L * $lo AS INT) + 1, " +
+      s"CAST(2L * ($hi - $lo) AS INT))"
+    val pixel = s"(CAST(conv(substring(md5($chunk), 1, 8), 16, 10) AS BIGINT) % 256L)"
+    expr(s"""aggregate(
+      transform(sequence(0L, 63L),
+        i -> IF($pixel >= 128L, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), 0L)),
+      0L, (acc, x) -> acc | x)""")
+  }
+
+  /** Deterministic "re-encode" of a slice of the media set: every
+    * `everyN`th payload of >= 256 bytes gets a 4-byte span at its midpoint
+    * overwritten, same total length — the shape of a metadata rewrite or
+    * lossy re-encode that leaves the content perceptually identical. Used
+    * by the near-dup fixture: a same-length local edit touches at most 2
+    * of the 64 blockhash chunks, so original and variant are guaranteed
+    * within Hamming 2.
+    */
+  def reencodeVariant(media: DataFrame, everyN: Int, idOffset: Long): DataFrame =
+    media
+      .filter(pmod(col("doc_id"), lit(everyN.toLong)) === 0L &&
+        octet_length(col("content")) >= 256)
+      .withColumn("doc_id", col("doc_id") + lit(idOffset))
+      .withColumn("content", expr(
+        """concat(
+             substring(content, 1, CAST(octet_length(content) div 2 AS INT)),
+             encode('ZZZZ', 'UTF-8'),
+             substring(content, CAST(octet_length(content) div 2 AS INT) + 5,
+               octet_length(content)))"""))
+
+  /** Perceptual near-duplicate pairs over a media frame (doc_id, modality,
+    * content:binary) via banded Hamming LSH on [[pHash64]]: fingerprints
+    * are cut into `bands` disjoint bit-bands and candidates must share one
+    * band — a bucketed equi-join, never all-pairs. With
+    * `maxHamming < bands` the pigeonhole principle makes recall EXACT
+    * (any pair within maxHamming differs in at most maxHamming bands, so
+    * at least one band matches): banded output == brute-force output, not
+    * an approximation — which is what lets a plain all-pairs SQL oracle
+    * pin this end to end.
+    *
+    * Scale shape: one narrow signature pass over the scan (binary never
+    * shuffles on), O(n × bands) band keys, shuffle O(candidates);
+    * signature frame persisted because both sides of the self-join read
+    * it. Returns (doc_a, doc_b, modality, hamming), modality of the
+    * lower-id side.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = graft.ops.Par.ensure(media, "doc_id")
+      .withColumn("hx", hex(col("content")))
+      .select(col("doc_id"), col("modality"), pHash64("hx").as("phash"))
+      .persistTracked()
+    val banded = sig.select(col("doc_id"), col("modality"), col("phash"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(phash, b * $bandBits) & ${mask}L)")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.modality").as("modality"),
+        graft.functions.TextFunctions.hammingDistance(
+          col("a.phash"), col("b.phash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

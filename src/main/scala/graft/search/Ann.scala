@@ -159,6 +159,36 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector, the top-k most SIMILAR corpus vectors with a DIFFERENT
+    * label, excluding near-duplicates (cosine01 >= `dupCos` — a
+    * lookalike of the anchor is an unlabeled positive or a copy, and
+    * training on it as a negative poisons the objective; this is the
+    * standard false-negative guard).
+    *
+    * `queries` must carry (query_id, qlabel, qe); `corpus`
+    * (vec_id, label, embedding). Scale shape: the query batch broadcasts
+    * (training batches are tiny vs the corpus), the corpus side stays
+    * narrow through scoring and both filters, and the per-query top-k is
+    * a rank window partitioned by query_id — the same plan as the
+    * flagship search join. For corpus-scale query sets, gate candidates
+    * with [[ivfSearch]]/[[lshSearch]] first and re-rank the pool here.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dupCos: Double): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("sim", VectorFunctions.cosine01(col("embedding"), col("qe")))
+      .filter(col("sim") < dupCos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the vector-MEMORY
     * answer for 100 TB (VERDICT r8 #5): per-vector max-abs scale + one
     * signed byte per dimension, ~4x smaller than fp32 (64-dim: 256 B ->

@@ -308,4 +308,35 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(readBack == expected, "appended layout does not read back as old ∪ new")
   }
+
+  test("hard negatives: same-label and near-duplicate candidates are excluded") {
+    import spark.implicits._
+    // anchor q0 (label 0): a same-label lookalike (excluded by label), an
+    // exact copy under another label (excluded by the dupCos guard), and
+    // three genuine negatives of descending similarity
+    val base = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    def mix(w: Float): Seq[Float] = Seq(w, math.sqrt(1.0 - w * w).toFloat, 0.0f, 0.0f)
+    val corpus = Seq(
+      (10L, base, 0),          // same label as the query: excluded
+      (11L, base, 1),          // exact copy, different label: dupCos guard
+      (12L, mix(0.9f), 1),     // hardest genuine negative
+      (13L, mix(0.5f), 2),
+      (14L, mix(0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val qs = Seq((0L, 0, base)).toDF("query_id", "qlabel", "qe")
+    val got = Ann.hardNegatives(corpus, qs, k = 5, dupCos = 0.98)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((12L, 1L), (13L, 2L), (14L, 3L)),
+      s"expected the three genuine negatives hardest-first, got ${got.toSeq}")
+    // k truncates: with k=2 only the two hardest survive
+    val top2 = Ann.hardNegatives(corpus, qs, k = 2, dupCos = 0.98)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(12L, 13L))
+    // the query batch side is broadcast in the scoring join
+    val plan = Ann.hardNegatives(corpus, qs, k = 5, dupCos = 0.98)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
 }

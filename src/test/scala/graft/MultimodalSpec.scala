@@ -51,6 +51,92 @@ class MultimodalSpec extends SparkSpec {
     assert(v.duration_ms == v.n_frames * 40)
   }
 
+  /** Independent JVM reference of the blockhash fingerprint — same
+    * definition as [[Multimodal.pHash64]] but built from scratch on
+    * byte arrays, so the SQL expression is pinned against code sharing
+    * nothing with it.
+    */
+  private def phashRef(bytes: Array[Byte]): Long = {
+    val hx = bytes.map(b => f"$b%02X").mkString
+    val nb = hx.length / 2
+    (0 until 64).foldLeft(0L) { (acc, i) =>
+      val lo = i.toLong * nb / 64
+      val hi = (i + 1).toLong * nb / 64
+      val chunk = hx.substring(2 * lo.toInt, 2 * hi.toInt)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(chunk.getBytes(StandardCharsets.UTF_8))
+      val pixel = java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 256
+      if (pixel >= 128) acc | (1L << i) else acc
+    }
+  }
+
+  test("pHash64 matches an independent byte-level reference implementation") {
+    val texts = Seq(
+      "an image doc with several words and a bit more content to chunk",
+      "z" * 300,
+      "short",
+      "héllo wörld — multibyte UTF-8 content repeated " * 8)
+    val df = {
+      import spark.implicits._
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    }
+    val got = Multimodal.attachMedia(df, "doc_id", "text")
+      .withColumn("hx", hex(col("content")))
+      .select(col("doc_id"), Multimodal.pHash64("hx").as("phash"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val want = texts.map(t => phashRef(t.getBytes(StandardCharsets.UTF_8)))
+    assert(got.toSeq == want)
+  }
+
+  test("reencodeVariant stays within Hamming 2 of its original") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i =>
+      (i * 37L, s"doc $i " + (s"content block $i " * 40))).toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val variants = Multimodal.reencodeVariant(media, everyN = 37, idOffset = 1000L)
+    assert(variants.count() == 8) // all ids are multiples of 37, all >= 256 bytes
+    // same byte length, different bytes
+    val both = media.select(col("doc_id"), octet_length(col("content")).as("n"))
+      .join(variants.select((col("doc_id") - 1000L).as("doc_id"),
+        octet_length(col("content")).as("vn")), "doc_id")
+    assert(both.filter(col("n") =!= col("vn")).count() == 0)
+    val sig = media.unionByName(variants)
+      .withColumn("hx", hex(col("content")))
+      .select(col("doc_id"), Multimodal.pHash64("hx").as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 8L).map(_ * 37L).foreach { id =>
+      val h = java.lang.Long.bitCount(sig(id) ^ sig(id + 1000L))
+      assert(h <= 2, s"variant of $id drifted to hamming $h")
+    }
+  }
+
+  test("phashPairs banded join equals brute-force pairs (pigeonhole exactness)") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"document number $i with " + (s"body text $i segment " * 30)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val variants = Multimodal.reencodeVariant(media, everyN = 5, idOffset = 1000L)
+    val all = media.unionByName(variants)
+    val banded = Multimodal.phashPairs(all, maxHamming = 3, bands = 4)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = all.withColumn("hx", hex(col("content")))
+      .select(col("doc_id"), Multimodal.pHash64("hx").as("phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute)
+    // the planted variants must all be found
+    val planted = sig.map(_._1).filter(id => id < 1000 && id % 5 == 0)
+      .map(id => (id, id + 1000L)).toSet
+    assert(planted.forall { case (a, b) => banded.exists(p => p._1 == a && p._2 == b) })
+    spark.catalog.clearCache()
+  }
+
   test("distributed extractFeatures matches the straight-line decoder") {
     val media = Multimodal.attachMedia(docsDf, "doc_id", "text")
     val dist = Multimodal.extractFeatures(spark, media)
