@@ -4865,6 +4865,43 @@ object Queries {
         SELECT doc_a, doc_b, modality, CAST(hamming AS BIGINT) AS hamming
         FROM pr WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
 
+    // Incremental arrival of the re-encoded variants against the already
+    // indexed base set: only (old×new) ∪ (new×new) candidates are
+    // generated (the q98 contract, extended to media); the oracle is the
+    // q129 all-pairs computation restricted to pairs touching a new id.
+    ("q132_phash_increment", (s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.attachMedia(
+        t(s, d, "documents"), "doc_id", "text")
+      val variants = graft.multimodal.Multimodal.reencodeVariant(
+        media, everyN = 37, idOffset = 100000000L)
+      graft.multimodal.Multimodal.phashIncremental(
+          media, variants, maxHamming = 3, bands = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH m AS (SELECT doc_id,
+          hex(encode(text)) AS hx
+        FROM documents),
+        v AS (SELECT doc_id + 100000000 AS doc_id,
+          substr(hx, 1, 2 * ((len(hx) // 2) // 2)) || '5A5A5A5A' ||
+            substr(hx, 2 * ((len(hx) // 2) // 2) + 9, len(hx)) AS hx
+          FROM m WHERE doc_id % 37 = 0 AND len(hx) // 2 >= 256),
+        u AS (SELECT * FROM m UNION ALL SELECT * FROM v),
+        px AS (SELECT doc_id, list_transform(range(0, 64), i ->
+            CAST(concat('0x', substr(md5(substring(hx,
+              CAST(2 * (i * (len(hx) // 2) // 64) AS INT) + 1,
+              CAST(2 * ((i + 1) * (len(hx) // 2) // 64
+                - i * (len(hx) // 2) // 64) AS INT))), 1, 8)) AS BIGINT)
+              % 256) AS pix
+          FROM u),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_filter(range(1, 65),
+              i -> (a.pix[i] >= 128) != (b.pix[i] >= 128))) AS hamming
+          FROM px a JOIN px b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pr WHERE hamming <= 3
+          AND (doc_a >= 100000000 OR doc_b >= 100000000)
+        ORDER BY doc_a, doc_b""")),
+
     // Hard-negative mining (Ann.hardNegatives): per query vector, top-5
     // most-similar DIFFERENT-label vectors, with a false-negative guard
     // (cosine01 >= 0.98 excluded). The fixture plants an exact copy of

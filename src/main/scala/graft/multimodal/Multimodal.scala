@@ -178,6 +178,55 @@ object Multimodal {
     * it. Returns (doc_a, doc_b, modality, hamming), modality of the
     * lower-id side.
     */
+  /** Incremental perceptual near-dup: pairs involving at least one NEW
+    * media row, against an already-indexed old set whose fingerprints are
+    * assumed stored (at scale: the band-keyed phash index is a table;
+    * old×old never recomputes or rejoins — the same contract as
+    * [[graft.ops.Dedup.minhashIncremental]]). Candidates are
+    * (old band ⋈ new band) ∪ (new band ⋈ new band); with
+    * `maxHamming < bands` recall over the emitted pair universe is exact
+    * by pigeonhole, identical to [[phashPairs]] minus old×old.
+    */
+  def phashIncremental(
+      oldMedia: DataFrame,
+      newMedia: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    def sigOf(media: DataFrame): DataFrame =
+      graft.ops.Par.ensure(media, "doc_id")
+        .withColumn("hx", hex(col("content")))
+        .select(col("doc_id"), col("modality"), pHash64("hx").as("phash"))
+        .persistTracked()
+    def bandsOf(sig: DataFrame): DataFrame =
+      sig.select(col("doc_id"), col("phash"),
+          posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> shiftright(phash, b * $bandBits) & ${mask}L)")))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_val")
+    val oldBanded = bandsOf(sigOf(oldMedia))
+    val newBanded = bandsOf(sigOf(newMedia))
+    def pairsOf(a: DataFrame, b: DataFrame, halfOpen: Boolean): DataFrame = {
+      val cond = col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        (if (halfOpen) col("a.doc_id") < col("b.doc_id")
+         else col("a.doc_id") =!= col("b.doc_id"))
+      a.as("a").join(b.as("b"), cond)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          graft.functions.TextFunctions.hammingDistance(
+            col("a.phash"), col("b.phash")).as("hamming"))
+    }
+    pairsOf(oldBanded, newBanded, halfOpen = false)
+      .unionByName(pairsOf(newBanded, newBanded, halfOpen = true))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def phashPairs(media: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")

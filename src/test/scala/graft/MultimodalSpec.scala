@@ -137,6 +137,28 @@ class MultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("phashIncremental equals full pairs minus old×old") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"document number $i with " + (s"body text $i segment " * 30)))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val newMedia = Multimodal.reencodeVariant(media, everyN = 5, idOffset = 1000L)
+    val inc = Multimodal.phashIncremental(media, newMedia, maxHamming = 3, bands = 4)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Multimodal.phashPairs(media.unionByName(newMedia),
+        maxHamming = 3, bands = 4)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oldIds = (0L until 30L).toSet
+    val fullMinusOldOld = full.filterNot(p => oldIds(p._1) && oldIds(p._2))
+    assert(inc == fullMinusOldOld)
+    // every planted variant pair is an (old, new) pair and must survive
+    assert(inc.exists { case (a, b, _) => a == 0L && b == 1000L })
+    spark.catalog.clearCache()
+  }
+
   test("distributed extractFeatures matches the straight-line decoder") {
     val media = Multimodal.attachMedia(docsDf, "doc_id", "text")
     val dist = Multimodal.extractFeatures(spark, media)
