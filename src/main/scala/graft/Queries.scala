@@ -4940,6 +4940,52 @@ object Queries {
         SELECT query_id, vec_id, rnk, sim FROM r WHERE rnk <= 5
         ORDER BY query_id, rnk""")),
 
+    // Water-filling token-budget allocation (Mixture.waterFill): spend
+    // half the corpus's tokens across sources ∝ sqrt(avail) (α=0.5
+    // weights, q126's recipe) but never more than a source has; capped
+    // sources' surplus flows to the rest at the closed-form common fill
+    // rate. Totals are taken as the max of an ORDERED running sum so
+    // both engines produce bit-identical doubles (a parallel aggregate's
+    // summation order would not be reproducible).
+    ("q133_budget_waterfill", (s: SparkSession, d: String) => {
+      val perSource = t(s, d, "documents")
+        .select(col("source"), size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum(col("n_tok")).cast("double").as("avail"))
+        .withColumn("weight", sqrt(col("avail")))
+      graft.ops.Mixture.waterFill(perSource, col("tot_avail") * lit(0.5))
+        .select(col("source"), col("avail").cast("long").as("avail"),
+          round(col("alloc"), 6).as("alloc"))
+        .orderBy("source")
+    },
+      Some(s"""WITH tk AS (SELECT source,
+          CAST(CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS DOUBLE) AS avail
+        FROM documents GROUP BY source),
+        s AS (SELECT source, avail, sqrt(avail) AS weight,
+          avail / sqrt(avail) AS ratio FROM tk),
+        st AS (SELECT source, avail, weight, ratio,
+            sum(avail) OVER (ORDER BY ratio, source) AS cum_avail,
+            sum(weight) OVER (ORDER BY ratio, source) AS cum_w,
+            lead(ratio) OVER (ORDER BY ratio, source) AS next_ratio
+          FROM s),
+        t AS (SELECT max(cum_avail) AS tot_avail, max(cum_w) AS tot_w,
+          min(ratio) AS min_ratio FROM st),
+        ck AS (SELECT (t.tot_avail * 0.5 - st.cum_avail)
+              / (t.tot_w - st.cum_w) AS r
+          FROM st, t
+          WHERE st.cum_w < t.tot_w
+            AND (t.tot_avail * 0.5 - st.cum_avail)
+              / (t.tot_w - st.cum_w) >= st.ratio
+            AND (st.next_ratio IS NULL OR (t.tot_avail * 0.5 - st.cum_avail)
+              / (t.tot_w - st.cum_w) <= st.next_ratio)),
+        c0 AS (SELECT t.tot_avail * 0.5 / t.tot_w AS r FROM t
+          WHERE t.tot_avail * 0.5 / t.tot_w <= t.min_ratio),
+        rs AS (SELECT min(r) AS rstar
+          FROM (SELECT r FROM ck UNION ALL SELECT r FROM c0))
+        SELECT s.source, CAST(s.avail AS BIGINT) AS avail,
+          round(least(s.avail,
+            coalesce(rs.rstar, 1.7976931348623157e308) * s.weight), 6) AS alloc
+        FROM s, rs ORDER BY source""")),
+
     // Deterministic mixture-ordered training stream: every doc gets a
     // virtual position u_doc * sqrt(n_source) where u_doc is an exact
     // hash-derived uniform in (0,1) — so ANY prefix of the global order

@@ -141,4 +141,89 @@ object DedupStream {
       .filter(col("v1").isNotNull)
       .select(col("source"),
         array((1 to numHashes).map(i => col(s"v$i")): _*).as("sig"))
+
+  // ================= streaming perceptual (media) near-dup =================
+
+  /** One row per (media doc, Hamming band key). */
+  case class PBanded(band: String, docId: Long, phash: Long)
+
+  /** Emitted when an arriving payload's fingerprint is within the Hamming
+    * threshold of a stored one. EXACT (unlike [[DupHit]]'s estimate): the
+    * 64-bit fingerprint IS the verification object, so streaming and
+    * batch [[graft.multimodal.Multimodal.phashPairs]] agree pair-for-pair
+    * within retained state.
+    */
+  case class PHit(docA: Long, docB: Long, band: String, hamming: Long)
+
+  /** Per-band state: bounded fingerprint history + eviction count. */
+  case class PBandState(entries: Vector[(Long, Long)], dropped: Long)
+
+  private[graft] def phashUpdate(maxHamming: Int, maxPerBand: Int)(
+      band: String,
+      rows: Iterator[PBanded],
+      state: GroupState[PBandState]): Iterator[PHit] = {
+    var st = state.getOption.getOrElse(PBandState(Vector.empty, 0L))
+    val out = Vector.newBuilder[PHit]
+    rows.toSeq.sortBy(_.docId).foreach { b =>
+      st.entries.foreach { case (oldId, oldHash) =>
+        if (oldId != b.docId) {
+          val h = java.lang.Long.bitCount(oldHash ^ b.phash)
+          if (h <= maxHamming)
+            out += PHit(math.min(oldId, b.docId), math.max(oldId, b.docId),
+              band, h.toLong)
+        }
+      }
+      st = PBandState(st.entries :+ (b.docId -> b.phash), st.dropped)
+      if (st.entries.length > maxPerBand)
+        st = PBandState(st.entries.drop(st.entries.length - maxPerBand),
+          st.dropped + (st.entries.length - maxPerBand))
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Band a (doc_id, content:binary) media stream with the batch
+    * fingerprint kernel ([[graft.multimodal.Multimodal.pHash64]]) — same
+    * fingerprints, same band cuts, so stream and batch bucket
+    * identically.
+    */
+  def phashBanded(media: DataFrame, bands: Int = 4): Dataset[PBanded] = {
+    import media.sparkSession.implicits._
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    media
+      .withColumn("hx", hex(col("content")))
+      .withColumn("phash", graft.multimodal.Multimodal.pHash64("hx"))
+      .withColumn("bv", explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS bi, shiftright(phash, b * $bandBits) & ${mask}L AS v))")))
+      .select(
+        concat(col("bv.bi").cast("string"), lit("|"),
+          col("bv.v").cast("string")).as("band"),
+        col("doc_id").as("docId"), col("phash"))
+      .as[PBanded]
+  }
+
+  /** Continuous perceptual near-dup flags over a streaming media frame —
+    * the streaming form of [[graft.multimodal.Multimodal.phashPairs]],
+    * with the same bounded-band-state trade as [[detect]]: each arrival
+    * is verified against exactly the fingerprints sharing one of its
+    * bands (state O(bands × maxPerBand) per populated band key, never
+    * the corpus), pairs can be emitted once per shared band (consumer
+    * dedups), and saturation evicts oldest-first with a visible
+    * `dropped` count.
+    */
+  def phashDetect(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxPerBand: Int = 64): Dataset[PHit] = {
+    import media.sparkSession.implicits._
+    phashBanded(media, bands)
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        phashUpdate(maxHamming, maxPerBand))
+  }
 }

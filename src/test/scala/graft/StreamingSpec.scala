@@ -285,6 +285,47 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == batchPairs)
   }
 
+  test("streaming perceptual near-dup flags arrivals across batches, equals batch pairs") {
+    import graft.streaming.DedupStream
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = (0L until 12L).map(i =>
+      (i, s"media doc $i " + (s"payload block $i " * 30)))
+    val mediaOf = (rows: Seq[(Long, String)]) =>
+      Multimodal.attachMedia(rows.toDF("doc_id", "text"), "doc_id", "text")
+    val variants = Multimodal.reencodeVariant(mediaOf(docs), everyN = 4, idOffset = 1000L)
+      .select(col("doc_id"), col("content"))
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = DedupStream.phashDetect(
+      input.toDF().toDF("doc_id", "content"), maxHamming = 3, bands = 4)
+    val q = out.writeStream.format("memory").queryName("phashdup")
+      .outputMode("append").start()
+    // batch 1: the originals — no pairs expected among distinct docs
+    val orig = mediaOf(docs).select(col("doc_id"), col("content")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    input.addData(orig.toSeq)
+    q.processAllAvailable()
+    // batch 2: the re-encoded variants must each match their original
+    val vs = variants.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    input.addData(vs.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("phashdup").as[DedupStream.PHit].collect()
+      .map(h => (h.docA, h.docB)).toSet
+    q.stop()
+
+    val batch = Multimodal.phashPairs(
+        mediaOf(docs).unionByName(
+          Multimodal.reencodeVariant(mediaOf(docs), everyN = 4, idOffset = 1000L)),
+        maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // every planted (original, variant) pair present
+    assert((0L until 12L by 4L).forall(i => streamed.contains((i, i + 1000L))))
+    spark.catalog.clearCache()
+  }
+
   test("gopher rule battery on a stream equals the batch battery on the same docs") {
     // the q103 battery is stateless per-row expressions — it must ride a
     // streaming ingest unchanged (the curation-at-ingest story). Pin
