@@ -4986,6 +4986,78 @@ object Queries {
             coalesce(rs.rstar, 1.7976931348623157e308) * s.weight), 6) AS alloc
         FROM s, rs ORDER BY source""")),
 
+    // Recipe materialization: q133's per-source token allocation applied
+    // to q131's deterministic order — each source contributes the PREFIX
+    // of its curriculum-ordered docs whose running token sum fits its
+    // water-filled allocation (the final "cut the corpus to the recipe"
+    // step). Per-source cumulative window (shuffle on source, the q102
+    // size class), one broadcast of the |sources|-row allocation table;
+    // reported as a per-source rollup.
+    ("q134_recipe_materialize", (s: SparkSession, d: String) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+      val perSource = toks.groupBy("source")
+        .agg(sum(col("n_tok")).cast("double").as("avail"))
+        .withColumn("weight", sqrt(col("avail")))
+      val alloc = graft.ops.Mixture.waterFill(perSource, col("tot_avail") * lit(0.5))
+        .select(col("source"), col("alloc"))
+      val w = Window.partitionBy("source")
+        .orderBy(asc("u"), asc("doc_id"))
+      toks
+        .withColumn("u",
+          (pmod(TF.hash32(concat(lit("u|"), col("doc_id").cast("string"))),
+            lit(1048576L)).cast("double") + lit(0.5)) / lit(1048576.0))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .join(broadcast(alloc), "source")
+        .filter(col("cum") <= col("alloc"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          round(max(col("alloc")), 6).as("alloc"))
+        .orderBy("source")
+    },
+      Some(s"""WITH tk0 AS (SELECT doc_id, source,
+          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
+        tk AS (SELECT source,
+          CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) AS avail
+        FROM tk0 GROUP BY source),
+        s AS (SELECT source, avail, sqrt(avail) AS weight,
+          avail / sqrt(avail) AS ratio FROM tk),
+        st AS (SELECT source, avail, weight, ratio,
+            sum(avail) OVER (ORDER BY ratio, source) AS cum_avail,
+            sum(weight) OVER (ORDER BY ratio, source) AS cum_w,
+            lead(ratio) OVER (ORDER BY ratio, source) AS next_ratio
+          FROM s),
+        t AS (SELECT max(cum_avail) AS tot_avail, max(cum_w) AS tot_w,
+          min(ratio) AS min_ratio FROM st),
+        ck AS (SELECT (t.tot_avail * 0.5 - st.cum_avail)
+              / (t.tot_w - st.cum_w) AS r
+          FROM st, t
+          WHERE st.cum_w < t.tot_w
+            AND (t.tot_avail * 0.5 - st.cum_avail)
+              / (t.tot_w - st.cum_w) >= st.ratio
+            AND (st.next_ratio IS NULL OR (t.tot_avail * 0.5 - st.cum_avail)
+              / (t.tot_w - st.cum_w) <= st.next_ratio)),
+        c0 AS (SELECT t.tot_avail * 0.5 / t.tot_w AS r FROM t
+          WHERE t.tot_avail * 0.5 / t.tot_w <= t.min_ratio),
+        rs AS (SELECT min(r) AS rstar
+          FROM (SELECT r FROM ck UNION ALL SELECT r FROM c0)),
+        al AS (SELECT s.source,
+          least(s.avail, coalesce(rs.rstar, 1.7976931348623157e308)
+            * s.weight) AS alloc FROM s, rs),
+        cu AS (SELECT d.doc_id, d.source, d.n_tok,
+            sum(d.n_tok) OVER (PARTITION BY d.source ORDER BY
+              ((${sqlHash32("'u|' || CAST(d.doc_id AS VARCHAR)")} % 1048576)
+                + 0.5) / 1048576.0, d.doc_id) AS cum
+          FROM tk0 d)
+        SELECT cu.source, CAST(count(*) AS BIGINT) AS n_kept,
+          CAST(sum(cu.n_tok) AS BIGINT) AS tok_kept,
+          round(max(al.alloc), 6) AS alloc
+        FROM cu JOIN al ON cu.source = al.source
+        WHERE cu.cum <= al.alloc
+        GROUP BY cu.source ORDER BY cu.source""")),
+
     // Deterministic mixture-ordered training stream: every doc gets a
     // virtual position u_doc * sqrt(n_source) where u_doc is an exact
     // hash-derived uniform in (0,1) — so ANY prefix of the global order
