@@ -2470,6 +2470,19 @@ object Queries {
         t(s, d, "documents"), "source", "doc_id", "text", fastHash = true)
         .persistTracked()
       Dedup.sourceOverlap(sketch).orderBy("src_a", "src_b")
+    }),
+    // Production-hash twin of q129: xxhash64 chunk pixels instead of md5
+    // (same fingerprint structure and locality, codegen'd hash — the
+    // md5-vs-xxh64 delta measured on the media near-dup path).
+    ("b129_phash_xxh64", (s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.attachMedia(
+        t(s, d, "documents"), "doc_id", "text")
+      val variants = graft.multimodal.Multimodal.reencodeVariant(
+        media, everyN = 37, idOffset = 100000000L)
+      graft.multimodal.Multimodal.phashPairs(
+          media.unionByName(variants), maxHamming = 3, bands = 4,
+          fastHash = true)
+        .orderBy("doc_a", "doc_b")
     })
     ,
     // Sketch twin of q73: per-language heavy hitters via the Misra-Gries
@@ -4901,6 +4914,42 @@ object Queries {
         FROM pr WHERE hamming <= 3
           AND (doc_a >= 100000000 OR doc_b >= 100000000)
         ORDER BY doc_a, doc_b""")),
+
+    // Aspect-preserving resize plan over the decoded image features
+    // (Multimodal.resizePlan): fit inside 320×240, never upscale, ALL
+    // integer arithmetic (cross-multiplied limiting side + integer-div
+    // scale) so the plan is engine-exact. The planning stage a real
+    // pipeline hands to the batched decoder as resize instructions —
+    // a narrow projection over the features frame.
+    ("q135_resize_plan", (s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.attachMedia(
+        t(s, d, "documents"), "doc_id", "text")
+      val feats = graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+      graft.multimodal.Multimodal.resizePlan(feats, maxW = 320, maxH = 240)
+        .select(col("doc_id"), col("modality"), col("width"), col("height"),
+          col("new_width"), col("new_height"), col("resized"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH m AS (SELECT doc_id,
+          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+          ${sqlHash32("text")} AS h
+        FROM documents),
+        f AS (SELECT doc_id, modality,
+          CASE WHEN modality = 'image' THEN h % 640 + 16 ELSE 0 END AS width,
+          CASE WHEN modality = 'image' THEN (h // 640) % 480 + 16 ELSE 0 END AS height
+        FROM m),
+        r AS (SELECT doc_id, modality, width, height,
+          (modality != 'image' OR (width <= 320 AND height <= 240)) AS fits,
+          (320 * height > 240 * width) AS hlim
+        FROM f)
+        SELECT doc_id, modality,
+          CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+          CAST(CASE WHEN fits THEN width WHEN hlim THEN (width * 240) // height
+            ELSE 320 END AS BIGINT) AS new_width,
+          CAST(CASE WHEN fits THEN height WHEN hlim THEN 240
+            ELSE (height * 320) // width END AS BIGINT) AS new_height,
+          CAST(NOT fits AS BIGINT) AS resized
+        FROM r ORDER BY doc_id""")),
 
     // Hard-negative mining (Ann.hardNegatives): per query vector, top-5
     // most-similar DIFFERENT-label vectors, with a false-negative guard

@@ -129,13 +129,24 @@ object Multimodal {
     * re-evaluation cliff). `hxCol` is referenced from the lambda as a
     * plain attribute (multi-use, so CollapseProject keeps it staged).
     */
-  def pHash64(hxCol: String): Column = {
+  def pHash64(hxCol: String): Column = pHash64(hxCol, fast = false)
+
+  /** `fast = true` swaps the md5 pixel hash for codegen'd xxhash64 — the
+    * production path (same contract as
+    * [[graft.functions.TextFunctions.hash32Fast]]): different fingerprint
+    * VALUES, identical structure and locality, not oracle-reproducible
+    * (DuckDB has no xxhash64), so oracled queries keep md5 and the b129
+    * bench twin measures this form.
+    */
+  def pHash64(hxCol: String, fast: Boolean): Column = {
     val nb = s"(CAST(length($hxCol) AS BIGINT) div 2L)"
     val lo = s"(i * $nb div 64L)"
     val hi = s"((i + 1L) * $nb div 64L)"
     val chunk = s"substring($hxCol, CAST(2L * $lo AS INT) + 1, " +
       s"CAST(2L * ($hi - $lo) AS INT))"
-    val pixel = s"(CAST(conv(substring(md5($chunk), 1, 8), 16, 10) AS BIGINT) % 256L)"
+    val pixel =
+      if (fast) s"(xxhash64($chunk) & 255L)"
+      else s"(CAST(conv(substring(md5($chunk), 1, 8), 16, 10) AS BIGINT) % 256L)"
     expr(s"""aggregate(
       transform(sequence(0L, 63L),
         i -> IF($pixel >= 128L, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), 0L)),
@@ -178,6 +189,32 @@ object Multimodal {
     * it. Returns (doc_a, doc_b, modality, hamming), modality of the
     * lower-id side.
     */
+  /** Aspect-preserving resize plan over the decoded image features:
+    * fit each image inside a `maxW` × `maxH` box, never upscale. All
+    * INTEGER arithmetic (the limiting side is chosen by cross-multiplying
+    * `maxW·h` vs `maxH·w`; the other side is an integer-div scale), so
+    * the plan is exactly reproducible in any engine — no float rounding
+    * at box boundaries. A real pipeline feeds the (doc_id, new_w, new_h)
+    * plan to the batched decoder as resize instructions; the planning
+    * stage itself is a narrow projection. Non-image modalities pass
+    * through unresized (their width/height are 0).
+    */
+  def resizePlan(features: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    require(maxW > 0 && maxH > 0, "target box must be positive")
+    val fits = s"(modality != 'image' OR (width <= ${maxW}L AND height <= ${maxH}L))"
+    val heightLimited = s"(${maxW}L * height > ${maxH}L * width)"
+    features
+      .withColumn("new_width", expr(
+        s"""CASE WHEN $fits THEN width
+            WHEN $heightLimited THEN (width * ${maxH}L) div height
+            ELSE ${maxW}L END"""))
+      .withColumn("new_height", expr(
+        s"""CASE WHEN $fits THEN height
+            WHEN $heightLimited THEN ${maxH}L
+            ELSE (height * ${maxW}L) div width END"""))
+      .withColumn("resized", expr(s"CAST(NOT $fits AS BIGINT)"))
+  }
+
   /** Incremental perceptual near-dup: pairs involving at least one NEW
     * media row, against an already-indexed old set whose fingerprints are
     * assumed stored (at scale: the band-keyed phash index is a table;
@@ -227,7 +264,8 @@ object Multimodal {
       .distinct()
   }
 
-  def phashPairs(media: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+  def phashPairs(media: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      fastHash: Boolean = false): DataFrame = {
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
     require(bands > 0 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
@@ -235,7 +273,7 @@ object Multimodal {
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sig = graft.ops.Par.ensure(media, "doc_id")
       .withColumn("hx", hex(col("content")))
-      .select(col("doc_id"), col("modality"), pHash64("hx").as("phash"))
+      .select(col("doc_id"), col("modality"), pHash64("hx", fastHash).as("phash"))
       .persistTracked()
     val banded = sig.select(col("doc_id"), col("modality"), col("phash"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +

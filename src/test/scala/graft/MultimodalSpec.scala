@@ -159,6 +159,44 @@ class MultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("resizePlan: integer-exact aspect fit, no upscale, non-images pass through") {
+    import spark.implicits._
+    val feats = Seq(
+      (0L, "image", 640L, 480L),  // width-limited (ratios equal): 320×240
+      (1L, "image", 100L, 400L),  // height-limited portrait: 60×240
+      (2L, "image", 50L, 50L),    // fits: untouched
+      (3L, "audio", 0L, 0L))      // non-image: untouched
+      .toDF("doc_id", "modality", "width", "height")
+    val got = Multimodal.resizePlan(feats, maxW = 320, maxH = 240)
+      .select("doc_id", "new_width", "new_height", "resized")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 320L, 240L, 1L), (1L, 60L, 240L, 1L),
+      (2L, 50L, 50L, 0L), (3L, 0L, 0L, 0L)))
+  }
+
+  test("fast (xxhash64) fingerprint keeps the local-edit Hamming bound") {
+    import spark.implicits._
+    val docs = (0L until 6L).map(i =>
+      (i * 37L, s"doc $i " + (s"content block $i " * 40))).toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val variants = Multimodal.reencodeVariant(media, everyN = 37, idOffset = 1000L)
+    val sig = media.unionByName(variants)
+      .withColumn("hx", hex(col("content")))
+      .select(col("doc_id"), Multimodal.pHash64("hx", fast = true).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 6L).map(_ * 37L).foreach { id =>
+      val h = java.lang.Long.bitCount(sig(id) ^ sig(id + 1000L))
+      assert(h <= 2, s"fast variant of $id drifted to hamming $h")
+    }
+    // and the fast fingerprints are NOT the md5 ones (different hash family)
+    val slow = media.withColumn("hx", hex(col("content")))
+      .select(col("doc_id"), Multimodal.pHash64("hx").as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 6L).map(_ * 37L).exists(id => slow(id) != sig(id)))
+  }
+
   test("distributed extractFeatures matches the straight-line decoder") {
     val media = Multimodal.attachMedia(docsDf, "doc_id", "text")
     val dist = Multimodal.extractFeatures(spark, media)
