@@ -4951,6 +4951,23 @@ object Queries {
           CAST(NOT fits AS BIGINT) AS resized
         FROM r ORDER BY doc_id""")),
 
+    // Deterministic output sharding (Shards.shardStats): the write-side
+    // layout audit — 16 hash-assigned shards with doc/token/source
+    // rollups. Assignment is a narrow id-hash (append-stable: existing
+    // docs never move shards when the corpus grows); the physical
+    // partitionBy write is spec-pinned (ApiSpec-style fs assertions in
+    // MultimodalSpec's sibling ShardsSpec), this query oracles the
+    // layout itself.
+    ("q136_shard_plan", (s: SparkSession, d: String) =>
+      graft.ops.Shards.shardStats(
+          t(s, d, "documents"), "doc_id", "text", "source", nShards = 16)
+        .orderBy("shard"),
+      Some(s"""SELECT ${sqlHash32("'s|' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+          count(*) AS n_docs,
+          CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents GROUP BY shard ORDER BY shard""")),
+
     // Hard-negative mining (Ann.hardNegatives): per query vector, top-5
     // most-similar DIFFERENT-label vectors, with a false-negative guard
     // (cosine01 >= 0.98 excluded). The fixture plants an exact copy of
