@@ -64,6 +64,43 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  /** Independent reference solver: bisection on the monotone spend
+    * function f(r) = Σ min(avail, r·w). Shares no algorithm with the
+    * closed-form sorted-threshold implementation.
+    */
+  private def waterFillRef(rows: Seq[(String, Double, Double)],
+      budget: Double): Map[String, Double] = {
+    if (budget >= rows.map(_._2).sum) return rows.map(r => r._1 -> r._2).toMap
+    var lo = 0.0
+    var hi = rows.map(r => r._2 / r._3).max + 1.0
+    (0 until 200).foreach { _ =>
+      val mid = (lo + hi) / 2
+      if (rows.map(r => math.min(r._2, mid * r._3)).sum < budget) lo = mid
+      else hi = mid
+    }
+    val r = (lo + hi) / 2
+    rows.map(x => x._1 -> math.min(x._2, r * x._3)).toMap
+  }
+
+  test("closed form equals an independent bisection solver on random frames") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val rows = (1 to (5 + rng.nextInt(30))).map { i =>
+        val avail = 1.0 + rng.nextInt(5000)
+        (s"s$i", avail, math.pow(avail, 0.3 + 0.4 * rng.nextDouble()))
+      }
+      val budget = rows.map(_._2).sum * (0.05 + 0.9 * rng.nextDouble())
+      val got = Mixture.waterFill(rows.toDF("source", "avail", "weight"), budget)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val want = waterFillRef(rows, budget)
+      rows.foreach { case (s, _, _) =>
+        assert(math.abs(got(s) - want(s)) < 1e-5,
+          s"trial $trial source $s: closed ${got(s)} vs bisection ${want(s)}")
+      }
+    }
+  }
+
   test("budget as a Column may reference the ordered-cumsum totals") {
     val out = Mixture.waterFill(frame, col("tot_avail") * lit(0.5)).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap

@@ -326,6 +326,31 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("phash stream: band state caps at maxPerBand, oldest evicted first") {
+    import graft.streaming.DedupStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // identical payloads -> identical fingerprints -> same bands; cap 2
+    val payload = ("same bytes " * 40).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = DedupStream.phashDetect(
+      input.toDF().toDF("doc_id", "content"),
+      maxHamming = 3, bands = 4, maxPerBand = 2)
+    val q = out.writeStream.format("memory").queryName("phashevict")
+      .outputMode("append").start()
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      input.addData((id, payload)); q.processAllAvailable()
+    }
+    val pairs = spark.table("phashevict").as[DedupStream.PHit].collect()
+      .map(h => (h.docA, h.docB)).toSet
+    q.stop()
+    // arrival 2 saw 1; arrival 3 saw {1,2}; arrival 4 saw {2,3} — doc 1
+    // evicted by then (cap 2), so (1,4) must be MISSING and (2,4) present
+    assert(pairs((1L, 2L)) && pairs((1L, 3L)) && pairs((2L, 3L)))
+    assert(pairs((2L, 4L)) && pairs((3L, 4L)))
+    assert(!pairs((1L, 4L)), s"evicted entry still matched: $pairs")
+  }
+
   test("gopher rule battery on a stream equals the batch battery on the same docs") {
     // the q103 battery is stateless per-row expressions — it must ride a
     // streaming ingest unchanged (the curation-at-ingest story). Pin
