@@ -4968,6 +4968,49 @@ object Queries {
           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         FROM documents GROUP BY shard ORDER BY shard""")),
 
+    // Frame-level video clip detection (Multimodal.frameDedup): every
+    // 13th video gets a half-length CLIPPED copy — whole-payload phash
+    // (q129) cannot see these (the length change shifts every
+    // position-proportional chunk) but the clip's 256-byte frames are
+    // byte-identical at the same offsets, so frame-fingerprint matching
+    // must find each (clip, original) pair. Frame sampling capped at 8,
+    // fingerprint df capped at 10 (the rare-gram rule for media).
+    ("q137_video_clip_dedup", (s: SparkSession, d: String) => {
+      val videos = graft.multimodal.Multimodal.attachMedia(
+          t(s, d, "documents"), "doc_id", "text")
+        .filter(col("modality") === "video")
+      val clips = videos
+        .filter(pmod(col("doc_id"), lit(13L)) === 2L &&
+          octet_length(col("content")) >= 512)
+        .withColumn("doc_id", col("doc_id") + lit(200000000L))
+        .withColumn("content", expr(
+          "substring(content, 1, CAST(octet_length(content) div 2 AS INT))"))
+      graft.multimodal.Multimodal.frameDedup(
+          videos.unionByName(clips),
+          frameBytes = 128, maxFrames = 8, minShared = 2, maxDf = 10)
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx
+          FROM documents WHERE doc_id % 3 = 2),
+        cl AS (SELECT doc_id + 200000000 AS doc_id,
+            substr(hx, 1, 2 * ((len(hx) // 2) // 2)) AS hx
+          FROM m WHERE doc_id % 13 = 2 AND len(hx) // 2 >= 512),
+        u AS (SELECT * FROM m UNION ALL SELECT * FROM cl),
+        fr AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              range(0, CAST(least((len(hx) // 256), 8) AS INT)),
+              i -> CAST(concat('0x', substr(md5(substring(hx,
+                i * 256 + 1, 256)), 1, 8)) AS BIGINT)))) AS fp
+          FROM u WHERE len(hx) >= 512),
+        rare AS (SELECT fp FROM fr GROUP BY fp HAVING count(*) <= 10),
+        fr2 AS (SELECT fr.doc_id, fr.fp FROM fr JOIN rare ON fr.fp = rare.fp),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM fr2 a JOIN fr2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+        ORDER BY doc_a, doc_b""")),
+
     // Hard-negative mining (Ann.hardNegatives): per query vector, top-5
     // most-similar DIFFERENT-label vectors, with a false-negative guard
     // (cosine01 >= 0.98 excluded). The fixture plants an exact copy of

@@ -215,6 +215,61 @@ object Multimodal {
       .withColumn("resized", expr(s"CAST(NOT $fits AS BIGINT)"))
   }
 
+  /** Frame-level video duplicate detection: the payload is cut into
+    * fixed-size frames (the stub's 256-byte "frames", matching the
+    * [[StubDecoder]] frame model), up to `maxFrames` sampled per video,
+    * each fingerprinted exactly; two videos pair when they share at
+    * least `minShared` distinct frame fingerprints. This catches what
+    * whole-payload fingerprints structurally cannot: a CLIPPED copy
+    * (prefix/excerpt) changes the payload length, which shifts every
+    * position-proportional blockhash chunk — but its frames are
+    * byte-identical at the same offsets, so frame matching finds it.
+    *
+    * Scale levers, both from the text-dedup playbook: per-video frame
+    * count capped (`maxFrames` — frame SAMPLING, the q61 contract) and a
+    * document-frequency cap on fingerprints (`maxDf` — a ubiquitous
+    * boilerplate frame would otherwise contribute O(df²) candidate
+    * pairs, the ngramJaccard rare-gram rule). Candidate generation is a
+    * bucketed equi-join on the fingerprint; payloads never shuffle.
+    *
+    * Returns (doc_a, doc_b, n_shared).
+    */
+  def frameDedup(
+      media: DataFrame,
+      frameBytes: Int = 256,
+      maxFrames: Int = 8,
+      minShared: Int = 2,
+      maxDf: Int = 10): DataFrame = {
+    require(frameBytes > 0 && maxFrames > 0 && minShared > 0 && maxDf > 0)
+    val fhex = 2 * frameBytes
+    // one expression: hx is referenced twice (bound + slice), so it stays
+    // a staged attribute under CollapseProject; the guard also enforces
+    // the >= minShared-frames minimum payload without a HOF in a Filter
+    val fpsExpr =
+      s"""CASE WHEN length(hx) >= ${fhex.toLong * minShared}L THEN
+            array_distinct(transform(
+              sequence(0L, least(CAST(length(hx) AS BIGINT) div ${fhex}L,
+                ${maxFrames}L) - 1L),
+              i -> CAST(conv(substring(md5(substring(hx,
+                CAST(i * ${fhex}L AS INT) + 1, $fhex)), 1, 8), 16, 10)
+                AS BIGINT)))
+          ELSE array() END"""
+    val frames = graft.ops.Par.ensure(media, "doc_id")
+      .withColumn("hx", hex(col("content")))
+      .select(col("doc_id"), explode(expr(fpsExpr)).as("fp"))
+      .persistTracked()
+    val rare = frames.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val indexed = frames.join(rare, "fp")
+    indexed.as("a").join(indexed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Incremental perceptual near-dup: pairs involving at least one NEW
     * media row, against an already-indexed old set whose fingerprints are
     * assumed stored (at scale: the band-keyed phash index is a table;

@@ -197,6 +197,58 @@ class MultimodalSpec extends SparkSpec {
     assert((0L until 6L).map(_ * 37L).exists(id => slow(id) != sig(id)))
   }
 
+  test("frameDedup finds clipped copies that whole-payload phash cannot") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i =>
+      (i, s"video $i " + (s"scene $i frame content block " * 60))) // ~1.6 KB
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+      .withColumn("modality", lit("video"))
+    val clips = media.filter(col("doc_id") < 4L)
+      .withColumn("doc_id", col("doc_id") + 100L)
+      .withColumn("content", expr(
+        "substring(content, 1, CAST(octet_length(content) div 2 AS INT))"))
+    val all = media.unionByName(clips)
+    val pairs = Multimodal.frameDedup(all, frameBytes = 256, maxFrames = 8,
+        minShared = 2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 4L).foreach { i =>
+      assert(pairSet((i, i + 100L)), s"clip of $i not found: $pairSet")
+    }
+    // shared count is the clip's full (capped) frame complement
+    pairs.filter(p => p._2 >= 100L).foreach { case (a, b, n) =>
+      assert(n >= 2, s"pair ($a,$b) shares only $n frames")
+    }
+    // the motivation: whole-payload phash misses every clip pair (length
+    // change shifts all position-proportional chunks)
+    val phash = Multimodal.phashPairs(all, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 4L).foreach { i =>
+      assert(!phash((i, i + 100L)), s"phash unexpectedly caught the clip of $i")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("frameDedup df cap suppresses ubiquitous boilerplate frames") {
+    import spark.implicits._
+    // 20 payloads of the SAME bytes: every frame has df=20 > maxDf=10
+    val docs = (0L until 20L).map(i => (i, "identical content " * 120))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+      .withColumn("modality", lit("video"))
+    val pairs = Multimodal.frameDedup(media, frameBytes = 256, maxFrames = 8,
+      minShared = 2, maxDf = 10)
+    assert(pairs.count() == 0,
+      "ubiquitous frames must be dropped by the df cap, not pair O(n^2)")
+    // with the cap lifted the same corpus pairs freely (sanity check
+    // that the cap, not the fingerprints, did the suppression)
+    val uncapped = Multimodal.frameDedup(media, frameBytes = 256, maxFrames = 8,
+      minShared = 2, maxDf = 1000)
+    assert(uncapped.count() == 20L * 19L / 2L)
+    spark.catalog.clearCache()
+  }
+
   test("distributed extractFeatures matches the straight-line decoder") {
     val media = Multimodal.attachMedia(docsDf, "doc_id", "text")
     val dist = Multimodal.extractFeatures(spark, media)
