@@ -309,6 +309,37 @@ class AnnSpec extends SparkSpec {
     assert(readBack == expected, "appended layout does not read back as old ∪ new")
   }
 
+  test("IVF-gated hard negatives recover the brute-force set from probed cells only") {
+    val corpus = embs.select(col("vec_id"), col("embedding"), col("label"))
+    val qs = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val brute = Ann.hardNegatives(corpus, qs, k = 10, dupCos = 0.98)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val cents = Ann.sampleCentroids(embs, 25)
+    val assigned = Ann.ivfAssign(corpus, cents)
+    val gated = Ann.hardNegativesGated(assigned, cents,
+        corpus.select("vec_id", "label"), qs,
+        k = 10, dupCos = 0.98, poolK = 50, nprobe = 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = brute.map { case (q, truth) =>
+      gated.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }.sum / brute.size
+    info(f"gated hard-negative recall@10 = $recall%.2f at nprobe=5/20 cells")
+    assert(recall >= 0.5, f"gated recall collapsed: $recall%.2f")
+    // and the gate respects the guards: no same-label, no near-dup
+    val full = Ann.hardNegativesGated(assigned, cents,
+      corpus.select("vec_id", "label"), qs,
+      k = 10, dupCos = 0.98, poolK = 50, nprobe = 5)
+    val joined = full.join(
+      corpus.select(col("vec_id"), col("label").as("clabel")), "vec_id")
+      .join(qs.select(col("query_id"), col("qlabel")), "query_id")
+    assert(joined.filter(col("clabel") === col("qlabel")).count() == 0)
+    assert(joined.filter(col("sim") >= 0.98).count() == 0)
+  }
+
   test("hard negatives: same-label and near-duplicate candidates are excluded") {
     import spark.implicits._
     // anchor q0 (label 0): a same-label lookalike (excluded by label), an
