@@ -4951,6 +4951,65 @@ object Queries {
           CAST(NOT fits AS BIGINT) AS resized
         FROM r ORDER BY doc_id""")),
 
+    // DoReMi-style domain reweighting (Xie et al. 2023): domains whose
+    // proxy-model loss exceeds the reference baseline get upweighted,
+    // weight ∝ exp(excess/τ). The q83 unigram LM stands in as the proxy
+    // and the corpus-global mean bits as the reference baseline — the
+    // softmax step of the published algorithm under a fixed proxy (the
+    // iterative minimax reduces to exactly this per round). Excess is
+    // computed from ROUNDED per-source means so the keep/weight
+    // arithmetic starts from identical doubles in both engines; the
+    // softmax denominator is the max of an ORDERED running sum (the
+    // q133 determinism rule). Downstream, these weights slot into
+    // Mixture.waterFill as the `weight` column.
+    ("q138_doremi_weights", (s: SparkSession, d: String) => {
+      val tau = 0.5
+      val bits = lmBits(s, d)
+      val src = t(s, d, "documents").select("doc_id", "source")
+      val perSrc = bits.join(src, "doc_id")
+        .groupBy("source").agg(
+          round(avg(col("bits_per_token")), 6).as("src_bits"),
+          count(lit(1)).as("n_docs"))
+      val global = bits.agg(round(avg(col("bits_per_token")), 6).as("global_bits"))
+      val wdw = Window.orderBy("source")
+      val staged = perSrc.crossJoin(broadcast(global))
+        .withColumn("excess",
+          greatest(lit(0.0), col("src_bits") - col("global_bits")))
+        .withColumn("w", exp(col("excess") / lit(tau)))
+        .withColumn("cum_w", sum(col("w")).over(wdw))
+      val denom = staged.agg(max(col("cum_w")).as("denom"))
+      staged.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"), col("src_bits"),
+          round(col("excess"), 6).as("excess"),
+          round(col("w") / col("denom"), 6).as("weight"))
+        .orderBy("source")
+    },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+        v AS (SELECT tok, cnt FROM cnt CROSS JOIN tot
+          WHERE CAST(cnt AS DOUBLE) >= 0.001 * total),
+        sc AS (SELECT t.doc_id,
+            round(avg(-log2(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / tot.total)), 6) AS bits_per_token
+          FROM tok t LEFT JOIN v ON t.tok = v.tok CROSS JOIN tot
+          GROUP BY t.doc_id),
+        ps AS (SELECT d.source, round(avg(sc.bits_per_token), 6) AS src_bits,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+          GROUP BY d.source),
+        g AS (SELECT round(avg(bits_per_token), 6) AS global_bits FROM sc),
+        st AS (SELECT ps.source, ps.n_docs, ps.src_bits,
+            greatest(0.0, ps.src_bits - g.global_bits) AS excess,
+            exp(greatest(0.0, ps.src_bits - g.global_bits) / 0.5) AS w,
+            sum(exp(greatest(0.0, ps.src_bits - g.global_bits) / 0.5))
+              OVER (ORDER BY ps.source) AS cum_w
+          FROM ps, g),
+        dn AS (SELECT max(cum_w) AS denom FROM st)
+        SELECT st.source, st.n_docs, st.src_bits,
+          round(st.excess, 6) AS excess,
+          round(st.w / dn.denom, 6) AS weight
+        FROM st, dn ORDER BY st.source""")),
+
     // Deterministic output sharding (Shards.shardStats): the write-side
     // layout audit — 16 hash-assigned shards with doc/token/source
     // rollups. Assignment is a narrow id-hash (append-stable: existing
