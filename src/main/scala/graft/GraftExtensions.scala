@@ -139,6 +139,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => winnowExpr(es(0),
         foldIntIn(es(1), "winnow_fps", "window", 1, 1 << 20))
     }
+    reg("phash64",
+      "phash64(hx string) - 64-bit blockhash perceptual fingerprint over a " +
+        "hex-encoded payload (pass hex(content)); pass a materialized column, " +
+        "not a computed expression",
+      arity = 1) {
+      es => phashExpr(es(0))
+    }
   }
 
   /** [[graft.functions.TextFunctions.winnowFps]] rebuilt from raw Catalyst
@@ -161,5 +168,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(CreateArray(Seq.empty), ArrayType(LongType))),
         (LessThan(Size(h), Literal(w)), CreateArray(Seq(ArrayMin(h))))),
       Some(ArrayDistinct(mins)))
+  }
+
+  /** [[graft.multimodal.Multimodal.pHash64]] rebuilt from raw Catalyst
+    * nodes (same Column-vs-Expression IR reason as [[winnowExpr]]).
+    * ExtensionsSpec pins value equality with the Column form.
+    */
+  private def phashExpr(hx: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
+    val i = UnresolvedNamedLambdaVariable(Seq("i"))
+    val nb = IntegralDivide(Cast(Length(hx), LongType), Literal(2L))
+    val lo = IntegralDivide(Multiply(i, nb), Literal(64L))
+    val hi = IntegralDivide(Multiply(Add(i, Literal(1L)), nb), Literal(64L))
+    val chunk = Substring(hx,
+      Cast(Add(Multiply(Literal(2L), lo), Literal(1L)), IntegerType),
+      Cast(Multiply(Literal(2L), Subtract(hi, lo)), IntegerType))
+    val pixel = Remainder(
+      Cast(Conv(Substring(Md5(Cast(chunk, BinaryType)), Literal(1), Literal(8)),
+        Literal(16), Literal(10)), LongType),
+      Literal(256L))
+    val bit = If(GreaterThanOrEqual(pixel, Literal(128L)),
+      ShiftLeft(Literal(1L), Cast(i, IntegerType)), Literal(0L))
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val id = UnresolvedNamedLambdaVariable(Seq("id"))
+    ArrayAggregate(
+      ArrayTransform(
+        Sequence(Literal(0L), Literal(63L), None),
+        LambdaFunction(bit, Seq(i))),
+      Literal(0L),
+      LambdaFunction(BitwiseOr(acc, x), Seq(acc, x)),
+      LambdaFunction(id, Seq(id)))
   }
 }

@@ -72,6 +72,22 @@ class ExtensionsSpec extends SparkSpec {
         .collect()(0).getSeq[Long](0)
       assert(r3.getSeq[Long](2) == wfCol)
 
+      // phash64 raw-Catalyst registration tracks the Column form on
+      // payloads exercising empty-chunk, short, and multi-chunk paths
+      Seq("", "short", "a longer payload with enough bytes to fill chunks " * 8)
+        .foreach { payload =>
+        val phSql = ext.sql(
+          s"SELECT phash64(hex(encode('${payload.replace("'", "")}', 'UTF-8'))) AS p")
+          .collect()(0).getLong(0)
+        val phCol = ext.range(1)
+          .select(org.apache.spark.sql.functions.hex(
+            org.apache.spark.sql.functions.encode(
+              org.apache.spark.sql.functions.lit(payload), "UTF-8")).as("hx"))
+          .select(graft.multimodal.Multimodal.pHash64("hx").as("p"))
+          .collect()(0).getLong(0)
+        assert(phSql == phCol, s"phash64 SQL != Column for payload len ${payload.length}")
+      }
+
       // wrong arity from SQL -> clean AnalysisException naming the
       // function, not an IndexOutOfBoundsException from the builder
       val e = intercept[org.apache.spark.sql.AnalysisException] {
