@@ -4964,7 +4964,11 @@ object Queries {
     // Mixture.waterFill as the `weight` column.
     ("q138_doremi_weights", (s: SparkSession, d: String) => {
       val tau = 0.5
-      val bits = lmBits(s, d)
+      // four consumers reach the LM chain (per-source rollup, global
+      // baseline, and the softmax frame twice via the denominator) —
+      // without the persist the token aggregate runs 4x (measured 4.5 s
+      // vs 1.1 s in the sf0.1 suite)
+      val bits = lmBits(s, d).persistTracked()
       val src = t(s, d, "documents").select("doc_id", "source")
       val perSrc = bits.join(src, "doc_id")
         .groupBy("source").agg(
@@ -4977,6 +4981,7 @@ object Queries {
           greatest(lit(0.0), col("src_bits") - col("global_bits")))
         .withColumn("w", exp(col("excess") / lit(tau)))
         .withColumn("cum_w", sum(col("w")).over(wdw))
+        .persistTracked()
       val denom = staged.agg(max(col("cum_w")).as("denom"))
       staged.crossJoin(broadcast(denom))
         .select(col("source"), col("n_docs"), col("src_bits"),
