@@ -5075,6 +5075,66 @@ object Queries {
         SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
         ORDER BY doc_a, doc_b""")),
 
+    // Media cluster resolution — q129's detection closed out the way
+    // text dedup resolves (q78/q116): connected components over the
+    // perceptual pair graph, keeper = the LARGEST payload per cluster
+    // (the keep-highest-resolution rule; ties to the lowest id). Only
+    // clustered docs appear (singletons need no resolution).
+    ("q139_media_keeper", (s: SparkSession, d: String) => {
+      val media = graft.multimodal.Multimodal.attachMedia(
+        t(s, d, "documents"), "doc_id", "text")
+      val variants = graft.multimodal.Multimodal.reencodeVariant(
+        media, everyN = 37, idOffset = 100000000L)
+      val all = media.unionByName(variants)
+      val pairs = graft.multimodal.Multimodal.phashPairs(
+        all, maxHamming = 3, bands = 4).select("doc_a", "doc_b")
+      val cc = graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      val sizes = all.select(col("doc_id"),
+        octet_length(col("content")).cast("long").as("bytes"))
+      val w = Window.partitionBy("cluster").orderBy(desc("bytes"), asc("doc_id"))
+      cc.select(col("id").as("doc_id"), col("component").as("cluster"))
+        .join(sizes, "doc_id")
+        .withColumn("rnk", row_number().over(w))
+        .select(col("doc_id"), col("cluster"), col("bytes"),
+          when(col("rnk") === 1, 1L).otherwise(0L).as("is_keeper"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH RECURSIVE m AS (SELECT doc_id,
+          hex(encode(text)) AS hx
+        FROM documents),
+        v AS (SELECT doc_id + 100000000 AS doc_id,
+          substr(hx, 1, 2 * ((len(hx) // 2) // 2)) || '5A5A5A5A' ||
+            substr(hx, 2 * ((len(hx) // 2) // 2) + 9, len(hx)) AS hx
+          FROM m WHERE doc_id % 37 = 0 AND len(hx) // 2 >= 256),
+        u AS (SELECT * FROM m UNION ALL SELECT * FROM v),
+        px AS (SELECT doc_id, len(hx) // 2 AS bytes,
+            list_transform(range(0, 64), i ->
+            CAST(concat('0x', substr(md5(substring(hx,
+              CAST(2 * (i * (len(hx) // 2) // 64) AS INT) + 1,
+              CAST(2 * ((i + 1) * (len(hx) // 2) // 64
+                - i * (len(hx) // 2) // 64) AS INT))), 1, 8)) AS BIGINT)
+              % 256) AS pix
+          FROM u),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM px a JOIN px b ON a.doc_id < b.doc_id
+          WHERE len(list_filter(range(1, 65),
+            i -> (a.pix[i] >= 128) != (b.pix[i] >= 128))) <= 3),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+        reach(id, lab) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+        ranked AS (SELECT cc.id AS doc_id, cc.lab AS cluster,
+            CAST(px.bytes AS BIGINT) AS bytes,
+            row_number() OVER (PARTITION BY cc.lab
+              ORDER BY px.bytes DESC, cc.id) AS rnk
+          FROM cc JOIN px ON cc.id = px.doc_id)
+        SELECT doc_id, cluster, bytes,
+          CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        FROM ranked ORDER BY doc_id""")),
+
     // Hard-negative mining (Ann.hardNegatives): per query vector, top-5
     // most-similar DIFFERENT-label vectors, with a false-negative guard
     // (cosine01 >= 0.98 excluded). The fixture plants an exact copy of
