@@ -5075,6 +5075,57 @@ object Queries {
         SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
         ORDER BY doc_a, doc_b""")),
 
+    // Dedup-adjusted source sizing: the per-source token mass that
+    // SURVIVES near-dup resolution (non-keeper docs' tokens subtracted)
+    // — the "effective unique tokens" a mixture planner (q133/q138)
+    // should weight by instead of raw counts, since a source inflated
+    // by internal duplication contributes less novel data than its raw
+    // size claims. Clone ids map back to their source via the corpus
+    // id-offset; docs outside any cluster are keepers by definition.
+    ("q140_effective_tokens", (s: SparkSession, d: String) => {
+      val clusters = dupClusters(s, d, fastHash = false)
+        .select(col("doc_id"), col("is_keeper"))
+      val corpus = nearDupCorpus(t(s, d, "documents").select("doc_id", "text"))
+      val srcMap = t(s, d, "documents")
+        .select(col("doc_id").as("real_id"), col("source"))
+      corpus.select(col("doc_id"),
+          pmod(col("doc_id"), lit(10000000L)).as("real_id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("dup_tok",
+          when(coalesce(col("is_keeper"), lit(1L)) === 0L, col("n_tok"))
+            .otherwise(0L))
+        .join(srcMap, "real_id")
+        .groupBy("source").agg(
+          sum(col("n_tok")).as("tok_total"),
+          sum(col("dup_tok")).as("tok_dup"),
+          (sum(col("n_tok")) - sum(col("dup_tok"))).as("tok_effective"))
+        .orderBy("source")
+    },
+      Some(s"""WITH RECURSIVE $sqlDupCorpus,
+        ${sqlMinhashPairCtes(0.5)},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+          UNION SELECT doc_b, doc_a FROM pairs_mh),
+        reach(id, lab) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+        keep AS (SELECT id AS doc_id,
+            CASE WHEN id = lab THEN 1 ELSE 0 END AS is_keeper FROM cc),
+        tk AS (SELECT doc_id, doc_id % 10000000 AS real_id,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM corpus),
+        fl AS (SELECT tk.real_id, tk.n_tok,
+            CASE WHEN coalesce(k.is_keeper, 1) = 0 THEN tk.n_tok
+              ELSE 0 END AS dup_tok
+          FROM tk LEFT JOIN keep k ON tk.doc_id = k.doc_id)
+        SELECT d.source,
+          CAST(sum(fl.n_tok) AS BIGINT) AS tok_total,
+          CAST(sum(fl.dup_tok) AS BIGINT) AS tok_dup,
+          CAST(sum(fl.n_tok) - sum(fl.dup_tok) AS BIGINT) AS tok_effective
+        FROM fl JOIN documents d ON fl.real_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source""")),
+
     // Media cluster resolution — q129's detection closed out the way
     // text dedup resolves (q78/q116): connected components over the
     // perceptual pair graph, keeper = the LARGEST payload per cluster
