@@ -182,7 +182,20 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    // Complete machine-readable artifact (VERDICT r10 #2): the driver's
+    // BENCH_r{N}.json has truncated the stdout tail (60 of 153 entries at
+    // r10), so the harness itself writes every entry — plus run metadata
+    // — to the repo root, making round-over-round comparison cover 100%
+    // of entries regardless of how much of stdout survives.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${timings.size},""" +
+      s""""env":{"cpus":${jstr(cpus)},"sf_dir":${jstr(sfDir)},"reps":"min-of-reps; per-rep detail in target/bench_diag.txt"},""" +
+      s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), full)
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions.{col, udf}
 trait Embedder extends Serializable {
   def dim: Int
   def embed(model: String, text: String): Array[Float]
+
+  /** One provider call per (model, batch). The default delegates per-item
+    * (right for pure-function embedders); transports that are genuinely
+    * batched — the HTTP POST of [[HttpEmbedder]], mirroring the
+    * reference's per-model batch requests (`AIProvider.cs:39-133`) —
+    * override this with a single wire call. Must return one vector per
+    * input text, in input order.
+    */
+  def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(embed(model, _))
 }
 
 final class StubEmbedder(val dim: Int) extends Embedder {
@@ -87,9 +97,20 @@ object StubEmbedder {
       spark: SparkSession,
       pairs: DataFrame,
       dim: Int,
+      parallelPrefetch: Boolean = true): DataFrame =
+    embedBatchedWith(spark, pairs, new StubEmbedder(dim), parallelPrefetch)
+
+  /** [[embedBatched]] generalized over the provider (round 11): the same
+    * batched mapPartitions dataflow runs any [[Embedder]] — the
+    * deterministic stub or the real HTTP [[HttpEmbedder]] — so swapping
+    * providers changes ONE constructor argument, never the pipeline.
+    */
+  def embedBatchedWith(
+      spark: SparkSession,
+      pairs: DataFrame,
+      embedder: Embedder,
       parallelPrefetch: Boolean = true): DataFrame = {
     import spark.implicits._
-    val embedder = new StubEmbedder(dim)
     val acc = embedCounter // capture so the closure serializes the accumulator
     // ParallelEmbeddingsPrefetch (`SearchdomainHelper.cs:61-93`): off =
     // the reference's sequential per-model prefetch loop — each model's
@@ -111,10 +132,13 @@ object StubEmbedder {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.groupBy(_._1).iterator.flatMap { case (model, rows) =>
-            // one provider call per (model, batch) — swap this loop body
-            // for the HTTP POST to make it a real inference source
+            // one provider call per (model, batch): embedBatch is a single
+            // HTTP POST on the real provider, a pure map on the stub
             acc.foreach(_.add(rows.size.toLong))
-            rows.map { case (_, text) => (model, text, embedder.embed(model, text)) }
+            val texts = rows.map(_._2)
+            texts.lazyZip(embedder.embedBatch(model, texts)).map {
+              case (text, vec) => (model, text, vec)
+            }
           }
         }
       }

@@ -173,22 +173,6 @@ object Multimodal {
              substring(content, CAST(octet_length(content) div 2 AS INT) + 5,
                octet_length(content)))"""))
 
-  /** Perceptual near-duplicate pairs over a media frame (doc_id, modality,
-    * content:binary) via banded Hamming LSH on [[pHash64]]: fingerprints
-    * are cut into `bands` disjoint bit-bands and candidates must share one
-    * band — a bucketed equi-join, never all-pairs. With
-    * `maxHamming < bands` the pigeonhole principle makes recall EXACT
-    * (any pair within maxHamming differs in at most maxHamming bands, so
-    * at least one band matches): banded output == brute-force output, not
-    * an approximation — which is what lets a plain all-pairs SQL oracle
-    * pin this end to end.
-    *
-    * Scale shape: one narrow signature pass over the scan (binary never
-    * shuffles on), O(n × bands) band keys, shuffle O(candidates);
-    * signature frame persisted because both sides of the self-join read
-    * it. Returns (doc_a, doc_b, modality, hamming), modality of the
-    * lower-id side.
-    */
   /** Aspect-preserving resize plan over the decoded image features:
     * fit each image inside a `maxW` × `maxH` box, never upscale. All
     * INTEGER arithmetic (the limiting side is chosen by cross-multiplying
@@ -292,7 +276,7 @@ object Multimodal {
     def sigOf(media: DataFrame): DataFrame =
       graft.ops.Par.ensure(media, "doc_id")
         .withColumn("hx", hex(col("content")))
-        .select(col("doc_id"), col("modality"), pHash64("hx").as("phash"))
+        .select(col("doc_id"), pHash64("hx").as("phash"))
         .persistTracked()
     def bandsOf(sig: DataFrame): DataFrame =
       sig.select(col("doc_id"), col("phash"),
@@ -319,6 +303,22 @@ object Multimodal {
       .distinct()
   }
 
+  /** Perceptual near-duplicate pairs over a media frame (doc_id, modality,
+    * content:binary) via banded Hamming LSH on [[pHash64]]: fingerprints
+    * are cut into `bands` disjoint bit-bands and candidates must share one
+    * band — a bucketed equi-join, never all-pairs. With
+    * `maxHamming < bands` the pigeonhole principle makes recall EXACT
+    * (any pair within maxHamming differs in at most maxHamming bands, so
+    * at least one band matches): banded output == brute-force output, not
+    * an approximation — which is what lets a plain all-pairs SQL oracle
+    * pin this end to end.
+    *
+    * Scale shape: one narrow signature pass over the scan (binary never
+    * shuffles on), O(n × bands) band keys, shuffle O(candidates);
+    * signature frame persisted because both sides of the self-join read
+    * it. Returns (doc_a, doc_b, modality, hamming), modality of the
+    * lower-id side.
+    */
   def phashPairs(media: DataFrame, maxHamming: Int = 3, bands: Int = 4,
       fastHash: Boolean = false): DataFrame = {
     require(maxHamming < bands,

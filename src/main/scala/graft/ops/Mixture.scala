@@ -34,12 +34,19 @@ object Mixture {
     * summation order is partition-dependent. `budget` is a Column and
     * may reference `tot_avail`/`tot_w` (e.g. `col("tot_avail") * 0.5`).
     *
-    * Input: (source, avail: double, weight: double), weight > 0.
+    * Input: (source, avail: double, weight: double), weight > 0 —
+    * ENFORCED: a null or non-positive weight raises at evaluation time
+    * (with ANSI off it would otherwise null the ratio and silently
+    * corrupt the window ordering and r* computation).
     * Output: (source, avail, weight, alloc).
     */
   def waterFill(perSource: DataFrame, budget: Column): DataFrame = {
+    val checked = perSource.withColumn("weight",
+      when(col("weight") > 0, col("weight")).otherwise(raise_error(concat(
+        lit("waterFill: weight must be > 0 (source="),
+        col("source").cast("string"), lit(")")))))
     val w = Window.orderBy(col("ratio"), col("source"))
-    val st = perSource
+    val st = checked
       .withColumn("ratio", col("avail") / col("weight"))
       .withColumn("cum_avail", sum(col("avail")).over(w))
       .withColumn("cum_w", sum(col("weight")).over(w))
@@ -60,7 +67,7 @@ object Mixture {
       .filter(col("r") <= col("min_ratio"))
       .select(col("r"))
     val rstar = candK.unionByName(cand0).agg(min(col("r")).as("rstar"))
-    perSource.crossJoin(broadcast(rstar))
+    checked.crossJoin(broadcast(rstar))
       .withColumn("alloc",
         least(col("avail"),
           coalesce(col("rstar"), lit(Double.MaxValue)) * col("weight")))

@@ -52,4 +52,24 @@ object Models {
 
   def loadCodebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Near-dup cluster assignment (doc_id, cluster, is_keeper) — the
+    * materialize-once output of ONE LSH+CC dedup pass
+    * ([[Graph.connectedComponents]] over the minhash pair graph). Unlike
+    * the other artifacts this one is CORPUS-sized, so it is written
+    * partitioned (no coalesce) and consumed as a table: at 100 TB the
+    * dedup chain runs once and every downstream consumer (best-member
+    * re-rank, audit rollups, effective source sizing, curation stage 1)
+    * reads the persisted frame instead of recomputing the chain.
+    * Reference analogue: the persisted-store pattern of
+    * `CacheHelper.cs:44-137` (compute once, sync to a store, reload).
+    * Round-trip equality is ModelsSpec-pinned (long columns only — the
+    * parquet round trip is exact).
+    */
+  def saveClusters(clusters: DataFrame, path: String): Unit =
+    clusters.select(col("doc_id").cast("long"), col("cluster").cast("long"),
+      col("is_keeper").cast("long")).write.mode("overwrite").parquet(path)
+
+  def loadClusters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("doc_id", "cluster", "is_keeper")
 }

@@ -213,10 +213,17 @@ object Ann {
     val pool = ivfSearch(assigned, centroids,
       queries.select(col("query_id"), col("qe")), poolK, nprobe)
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
-    pool.select(col("query_id"), col("vec_id"), col("sim"))
+    // Re-rank on UNROUNDED cosine (ivfSearch's sim is rounded to 6
+    // decimals for oracle stability) so the dupCos guard sees the same
+    // values as the brute-force [[hardNegatives]] path — the pool-sized
+    // joins here are the documented fp32 re-rank step.
+    pool.select(col("query_id"), col("vec_id"))
       .join(labels.select(col("vec_id"), col("label")), "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("qlabel"))), "query_id")
+      .join(assigned.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(
+        col("query_id"), col("qlabel"), col("qe"))), "query_id")
       .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("sim", VectorFunctions.cosine01(col("embedding"), col("qe")))
       .filter(col("sim") < dupCos)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

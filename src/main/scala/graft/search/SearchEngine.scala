@@ -78,7 +78,23 @@ object SearchEngine {
       docs: DataFrame,
       models: Seq[String],
       dim: Int,
-      domainName: String = "docs"): Domain = {
+      domainName: String = "docs"): Domain =
+    buildDomain(spark, docs, models, dim, domainName,
+      new graft.core.StubEmbedder(dim))
+
+  /** [[buildDomain]] with an explicit provider (round 11): the assembly is
+    * provider-agnostic — the deterministic stub and the real HTTP
+    * [[graft.core.HttpEmbedder]] flow through the identical batched
+    * mapPartitions source, so switching to a live endpoint changes one
+    * argument (HttpEmbedderSpec pins value-identical domains).
+    */
+  def buildDomain(
+      spark: SparkSession,
+      docs: DataFrame,
+      models: Seq[String],
+      dim: Int,
+      domainName: String,
+      embedder: graft.core.Embedder): Domain = {
     val entities = docEntities(docs, domainName)
     val datapoints = docDatapoints(docs, domainName)
 
@@ -87,7 +103,7 @@ object SearchEngine {
     // a per-row UDF spliced into the assembly stage's codegen.
     val pairs = datapoints.select(col("text")).distinct()
       .crossJoin(spark.createDataFrame(models.map(Tuple1(_))).toDF("model"))
-    val distinctTexts = StubEmbedder.embedBatched(spark, pairs, dim)
+    val distinctTexts = StubEmbedder.embedBatchedWith(spark, pairs, embedder)
     val embeddings = datapoints
       .join(distinctTexts, "text")
       .select(

@@ -48,6 +48,33 @@ class ModelsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("dedup cluster artifact round-trips exactly and drives identical keeper sets") {
+    import graft.ops.{Dedup, Graph}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text", concat(col("text"), lit(" zzz"))))
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5, fastHash = true)
+    val built = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster"),
+        when(col("id") === col("component"), 1L).otherwise(0L).as("is_keeper"))
+    val rows = built.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val dir = tmp("clusters-")
+    Models.saveClusters(built, dir)
+    graft.ops.Caches.release() // artifact read must not depend on CC scratch
+    val loaded = Models.loadClusters(spark, dir)
+    assert(loaded.columns.toSeq == Seq("doc_id", "cluster", "is_keeper"))
+    assert(loaded.orderBy("doc_id").collect().map(_.toSeq).toSeq == rows)
+    // downstream consumer shape: the loser anti-join (q81 stage 1) over
+    // the LOADED table equals the one over the in-memory frame
+    val losersLoaded = loaded.filter(col("is_keeper") === 0L)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val losersBuilt = rows.filter(_(2) == 0L).map(_(0).asInstanceOf[Long])
+    assert(losersLoaded == losersBuilt && losersLoaded.nonEmpty)
+  }
+
   test("PQ codebook round-trips and the ADC search is unchanged") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Ann.pqTrain(embs, Ann.pqSeedCodebook(embs, 8, 8, 16), 8, 8, iters = 1)
