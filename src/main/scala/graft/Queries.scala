@@ -325,6 +325,53 @@ object Queries {
       .withColumn("doc_id", col("doc_id") + 10000000L)
       .withColumn("text", concat(col("text"), lit(" zzz"))))
 
+  /** Planted crawl-URL fixture for the URL-curation operators (q142/q143):
+    * every doc_id % 5 == 1 row carries a noisy VARIANT of its
+    * predecessor's URL (uppercase scheme+host, explicit :443, www.,
+    * tracking params, trailing slash, fragment) that must canonicalize
+    * onto the predecessor's key; everything else is a clean base URL on
+    * one of 7 hosts.
+    */
+  private def urlCorpus(docs: DataFrame): DataFrame = {
+    val isVar = pmod(col("doc_id"), lit(5L)) === 1L
+    val baseId = when(isVar, col("doc_id") - 1).otherwise(col("doc_id"))
+    docs.select(col("doc_id"),
+      when(isVar,
+        concat(lit("HTTPS://WWW.EXAMPLE-"), pmod(baseId, lit(7L)),
+          lit(".COM:443/item/"), baseId,
+          lit("/?utm_source=rss&utm_medium=feed#frag")))
+        .otherwise(
+          concat(lit("https://www.example-"), pmod(baseId, lit(7L)),
+            lit(".com/item/"), baseId)).as("url"))
+  }
+
+  /** DuckDB twin of [[urlCorpus]] — one CTE body over `documents`. */
+  private val sqlUrlCorpus: String =
+    """SELECT doc_id,
+      CASE WHEN doc_id % 5 = 1
+        THEN 'HTTPS://WWW.EXAMPLE-' || CAST((doc_id - 1) % 7 AS VARCHAR)
+          || '.COM:443/item/' || CAST(doc_id - 1 AS VARCHAR)
+          || '/?utm_source=rss&utm_medium=feed#frag'
+        ELSE 'https://www.example-' || CAST(doc_id % 7 AS VARCHAR)
+          || '.com/item/' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents"""
+
+  /** DuckDB twin of [[graft.ops.Urls.canonicalize]] over a column `url` —
+    * the identical regex chain (DuckDB needs the explicit 'g' flag where
+    * Spark's regexp_replace is global by default).
+    */
+  private val sqlCanonUrl: String =
+    """lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+      regexp_replace(regexp_replace(lower(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', ''),
+        ':(443|80)$', '') ||
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', ''),
+        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+        '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
+        '\?$', ''), '/+$', '')"""
+
   /** Target mixture weights shared by q79 (planning) and q81 (the applied
     * downsample) — one definition, Spark + SQL forms. An unlisted
     * language carries weight 0: it is EXPLICITLY excluded from the
@@ -5184,6 +5231,48 @@ object Queries {
           CAST(sum(CASE WHEN id = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
           CAST(max(id) AS BIGINT) AS max_id
         FROM cc GROUP BY lab ORDER BY cluster""")),
+
+    // URL canonicalization + dedup-by-URL (round 11, VERDICT r10 #5 —
+    // the RefinedWeb/C4 PRE-filter stage run over crawl metadata before
+    // any content is scored): every 5th doc carries a planted VARIANT of
+    // its predecessor's URL — uppercase scheme+host, explicit :443,
+    // www. prefix, utm_* tracking params, trailing slash, fragment — and
+    // must canonicalize onto the same key, making the variant a URL-level
+    // duplicate the min-id keeper rule drops. Narrow per-row regex chain
+    // + one hash exchange on the canonical key (groups = duplicate sets).
+    ("q142_url_dedup", (s: SparkSession, d: String) =>
+      graft.ops.Urls.dedupByUrl(urlCorpus(t(s, d, "documents")), "url", "doc_id")
+        .select("doc_id", "canon_url", "is_url_keeper")
+        .orderBy("doc_id"),
+      Some(s"""WITH u AS ($sqlUrlCorpus),
+        c AS (SELECT doc_id, $sqlCanonUrl AS canon_url FROM u)
+        SELECT doc_id, canon_url,
+          CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_url_keeper
+        FROM c ORDER BY doc_id""")),
+
+    // Domain allow/deny filtering over the same planted crawl URLs (the
+    // q12 regex allow ∧ ¬deny pair one level up, at the RefinedWeb
+    // blocklist stage): hosts example-3/example-5 are denied; the rollup
+    // is the per-domain keep report a crawl steward reads. Pure per-row
+    // regex + one 7-row aggregate.
+    ("q143_domain_filter", (s: SparkSession, d: String) =>
+      graft.ops.Urls.domainFilter(urlCorpus(t(s, d, "documents")), "url",
+          allow = "^example-[0-9]+\\.com$", deny = "^example-[35]\\.com$")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), max(col("allowed")).as("allowed"))
+        .orderBy("host"),
+      Some(s"""WITH u AS ($sqlUrlCorpus),
+        h AS (SELECT doc_id,
+            regexp_replace(regexp_replace(lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''),
+              ':[0-9]+$$', '') AS host
+          FROM u)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(max(CASE WHEN regexp_matches(host, '^example-[0-9]+\\.com$$')
+            AND NOT regexp_matches(host, '^example-[35]\\.com$$')
+            THEN 1 ELSE 0 END) AS BIGINT) AS allowed
+        FROM h GROUP BY host ORDER BY host""")),
 
     // Media cluster resolution — q129's detection closed out the way
     // text dedup resolves (q78/q116): connected components over the

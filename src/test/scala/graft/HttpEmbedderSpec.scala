@@ -120,7 +120,7 @@ class HttpEmbedderSpec extends SparkSpec {
 
       // whole-domain assembly: identical entities/datapoints/embeddings
       val viaHttp = SearchEngine.buildDomain(spark, docs, models, 8, "docs",
-        new HttpEmbedder(cfg))
+        new HttpEmbedder(cfg), parallelPrefetch = true)
       val viaStub = SearchEngine.buildDomain(spark, docs, models, 8)
       def embRows(d: graft.core.Domain) = d.embeddings
         .orderBy("entity_id", "datapoint_id", "model")

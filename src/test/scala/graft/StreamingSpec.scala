@@ -142,6 +142,38 @@ class StreamingSpec extends SparkSpec {
     assert(embedded.value == 2)
   }
 
+  test("index pipeline routes ParallelEmbeddingsPrefetch into every micro-batch") {
+    import graft.streaming.IndexPipeline
+    // Both settings arms through BOTH pipeline stages (initial build +
+    // incremental upsert): the sequential arm repartitions the embed
+    // stage by model, the parallel arm spreads batches — placement must
+    // be invisible in the snapshots (identical vectors, entities).
+    def run(parallel: Boolean): graft.core.Domain = {
+      val src = tmpDir(s"idxp$parallel-src-")
+      val dom = tmpDir(s"idxp$parallel-dom-")
+      val ckpt = tmpDir(s"idxp$parallel-ckpt-")
+      val settings = graft.core.DomainSettings(parallelEmbeddingsPrefetch = parallel)
+      Files.writeString(java.nio.file.Paths.get(src, "a.txt"), "Alpha doc\nabout spark shuffles")
+      Files.writeString(java.nio.file.Paths.get(src, "b.txt"), "Beta doc\nabout broadcast joins")
+      IndexPipeline.start(spark, src, dom, ckpt, Seq("stub:alpha", "stub:beta"),
+        dim = 8, triggerSpec = "runonce", settings = settings)
+        .awaitTermination(120000)
+      Files.writeString(java.nio.file.Paths.get(src, "c.txt"), "Gamma doc\nabout watermarks")
+      IndexPipeline.start(spark, src, dom, ckpt, Seq("stub:alpha", "stub:beta"),
+        dim = 8, triggerSpec = "runonce", settings = settings)
+        .awaitTermination(120000)
+      IndexPipeline.readCurrentDomain(spark, dom).get
+    }
+    val seqArm = run(parallel = false)
+    val parArm = run(parallel = true)
+    def vecs(d: graft.core.Domain) = d.embeddings
+      .select("datapoint_id", "model", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Float](2)).toMap
+    val (sv, pv) = (vecs(seqArm), vecs(parArm))
+    assert(sv.nonEmpty && sv == pv)
+    assert(seqArm.entities.count() == 3 && parArm.entities.count() == 3)
+  }
+
   test("watermarked tumbling window aggregates finalize when the watermark passes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
