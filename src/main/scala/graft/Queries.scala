@@ -5274,6 +5274,64 @@ object Queries {
             THEN 1 ELSE 0 END) AS BIGINT) AS allowed
         FROM h GROUP BY host ORDER BY host""")),
 
+    // OPQ-permuted PQ encode (round 11, VERDICT r10 #6 — the recall lever
+    // on top of IVFADC): dimensions re-ordered by the variance-balancing
+    // serpentine deal (Ann.opqPermutation — the closed-form parametric
+    // baseline of Optimized Product Quantization) BEFORE the q106 seed
+    // codebook + nearest-codeword encode. The oracle rebuilds the
+    // permutation with two window functions (rank by rounded variance,
+    // serpentine subspace deal), permutes every vector via an ORDER BY
+    // list aggregate, and replays the encode — codes must match
+    // position-for-position. Cosine is permutation-invariant, so serving
+    // needs no unpermuted correction (AnnSpec gates the recall band).
+    ("q144_opq_encode", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      val perm = graft.search.Ann.opqPermutation(e, dim = 64, m = 8)
+      val pe = e.select(col("vec_id"),
+        graft.search.Ann.permuteVec(col("embedding"), perm).as("embedding"))
+      val cb = graft.search.Ann.pqSeedCodebook(pe, m = 8, dsub = 8, ksub = 16)
+      graft.search.Ann.pqEncode(pe, cb, m = 8, dsub = 8)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("sub"),
+          col("col").cast("long").as("code"))
+        .orderBy("vec_id", "sub")
+    },
+      Some {
+        val esub = "list_slice(e.embedding, c.sub*8+1, c.sub*8+8)"
+        s"""WITH ex AS (SELECT vec_id, CAST(t.i AS INT) AS pos,
+            CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN range(64) t(i)),
+        vars AS (SELECT pos, round(avg(x*x) - avg(x)*avg(x), 6) AS v
+          FROM ex GROUP BY pos),
+        rnk AS (SELECT pos,
+            CAST(row_number() OVER (ORDER BY v DESC, pos) - 1 AS INT) AS r
+          FROM vars),
+        asg AS (SELECT pos, r,
+            CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+              ELSE 7 - (r % 8) END AS INT) AS sub
+          FROM rnk),
+        prm AS (SELECT pos AS src,
+            CAST(sub * 8 + row_number() OVER (PARTITION BY sub ORDER BY r) - 1
+              AS INT) AS newpos
+          FROM asg),
+        pe AS (SELECT e.vec_id,
+            list(e.embedding[p.src + 1] ORDER BY p.newpos) AS embedding
+          FROM embeddings e CROSS JOIN prm p GROUP BY e.vec_id),
+        seeds AS (SELECT embedding,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+          FROM (SELECT vec_id, embedding FROM pe ORDER BY vec_id LIMIT 16)),
+        cb AS (SELECT CAST(t.sub AS INT) AS sub, seeds.code,
+            list_slice(seeds.embedding, t.sub*8+1, t.sub*8+8) AS cvec
+          FROM seeds CROSS JOIN range(8) t(sub)),
+        enc AS (SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+              row_number() OVER (PARTITION BY e.vec_id, c.sub
+                ORDER BY round(${sqlL2sq(esub, "c.cvec")}, 6), c.code) AS rn
+            FROM pe e CROSS JOIN cb c) WHERE rn = 1)
+        SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+        FROM enc ORDER BY vec_id, sub"""
+      }),
+
     // Media cluster resolution — q129's detection closed out the way
     // text dedup resolves (q78/q116): connected components over the
     // perceptual pair graph, keeper = the LARGEST payload per cluster

@@ -215,6 +215,98 @@ class AnnSpec extends SparkSpec {
     assert(pooled >= codeOnly - 1e-9, "a larger pool must not lose recall")
   }
 
+  test("OPQ permutation: valid permutation, balanced variance, code-only recall holds the PQ band") {
+    val dim = 64
+    val m = 8
+    val perm = Ann.opqPermutation(embs, dim, m)
+    assert(perm.sorted.toSeq == (0 until dim), "not a permutation of 0..63")
+
+    // cosine is permutation-invariant: permuted-space exact search must
+    // equal original-space exact search, so the recall oracle transfers
+    val permuted = embs.select(col("vec_id"), col("label"),
+      Ann.permuteVec(col("embedding"), perm).as("embedding"))
+    val pQueries = queries.select(col("query_id"),
+      Ann.permuteVec(col("qe"), perm).as("qe"))
+
+    def codeOnlyRecall(corpus: org.apache.spark.sql.DataFrame,
+        qs: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Ann.pqTrain(corpus, Ann.pqSeedCodebook(corpus, m, 8, 16),
+        m, dsub = 8, iters = 2)
+      val enc = Ann.pqEncode(corpus, cb, m, dsub = 8)
+      recallOf(Ann.pqSearch(enc, cb, corpus, qs, m, dsub = 8, ksub = 16,
+          k = 10, pool = 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+    }
+    val plain = codeOnlyRecall(embs, queries)
+    val opq = codeOnlyRecall(permuted, pQueries)
+    info(s"code-only recall@10 (natural fixture): plain-pq=$plain opq-permuted=$opq")
+    // The natural fixture's per-dim variance is near-uniform, so the
+    // balancing deal has nothing to win there — gate PARITY (within one
+    // query-hit of plain: measured 0.40 vs 0.42). The improvement claim
+    // is gated below on a variance-skewed corpus, where OPQ must earn
+    // its keep.
+    assert(opq >= plain - 0.03,
+      s"OPQ code-only recall fell out of the PQ parity band: $opq vs $plain")
+
+    // Variance-SKEWED corpus — the layout OPQ exists for: scale the
+    // identity layout's first subspace (dims 0..7) 5x, so under identity
+    // all the signal competes for ONE 16-codeword codebook while seven
+    // codebooks quantize noise. The serpentine deal spreads the eight
+    // hot dims one-per-subspace; code-only recall must strictly improve.
+    val hot = transform(col("embedding"),
+      (x, i) => when(i < 8, x * lit(5.0f)).otherwise(x).cast("float"))
+    val skewed = embs.select(col("vec_id"), col("label"), hot.as("embedding"))
+    val sQueries = skewed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val sExact: Map[Long, Set[Long]] =
+      SearchEngine.topKJoin(skewed.filter(col("vec_id") < 10), skewed, 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def sRecall(result: Map[Long, Set[Long]]): Double =
+      sExact.map { case (q, truth) =>
+        result.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / sExact.size
+    def sCodeOnly(corpus: org.apache.spark.sql.DataFrame,
+        qs: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Ann.pqTrain(corpus, Ann.pqSeedCodebook(corpus, m, 8, 16),
+        m, dsub = 8, iters = 2)
+      val enc = Ann.pqEncode(corpus, cb, m, dsub = 8)
+      sRecall(Ann.pqSearch(enc, cb, corpus, qs, m, dsub = 8, ksub = 16,
+          k = 10, pool = 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+    }
+    val sPerm = Ann.opqPermutation(skewed, dim, m)
+    val sPlain = sCodeOnly(skewed, sQueries)
+    val sOpq = sCodeOnly(
+      skewed.select(col("vec_id"), col("label"),
+        Ann.permuteVec(col("embedding"), sPerm).as("embedding")),
+      sQueries.select(col("query_id"),
+        Ann.permuteVec(col("qe"), sPerm).as("qe")))
+    info(s"code-only recall@10 (skewed fixture): plain-pq=$sPlain opq-permuted=$sOpq")
+    assert(sOpq > sPlain,
+      s"OPQ must beat identity PQ on a variance-skewed corpus: $sOpq vs $sPlain")
+
+    // the balancing criterion itself: per-subspace variance MASS spread
+    // (max/min over subspaces) must tighten vs the identity layout
+    def spread(p: Array[Int]): Double = {
+      val v = embs.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos"), col("x").cast("double").as("x"))
+        .groupBy("pos")
+        .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val bySub = (0 until m).map(s =>
+        (0 until 8).map(i => v(p(s * 8 + i))).sum)
+      bySub.max / bySub.min
+    }
+    val idSpread = spread((0 until dim).toArray)
+    val opqSpread = spread(perm)
+    info(s"subspace variance spread: identity=$idSpread opq=$opqSpread")
+    assert(opqSpread <= idSpread + 1e-9,
+      s"serpentine deal failed to balance variance: $opqSpread vs $idSpread")
+  }
+
   test("IVF-PQ: probing all cells equals whole-corpus PQ; nprobe gate cuts cost, keeps recall") {
     // the FAISS-IVFADC composition of the two tiers already pinned here:
     // coarse cells gate WHICH codes are scanned, ADC scores them, fp32
