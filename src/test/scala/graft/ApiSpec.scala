@@ -303,15 +303,19 @@ class ApiSpec extends SparkSpec {
   test("a pipeline query cycle leaves no orphan cached blocks after releaseCaches") {
     // VERDICT r7 #6: the pipelines' persist-without-unpersist contract is
     // fine for the batch harness (clearCache between queries) but leaked
-    // in a long-lived serving session. q78 exercises BOTH scratch kinds:
-    // tracked Dataset persists (the dedup intermediates) AND the
+    // in a long-lived serving session. q139 exercises BOTH scratch kinds:
+    // tracked Dataset persists (the phash band index) AND the
     // connected-components localCheckpoint blocks, which clearCache does
-    // NOT cover (the catalog only tracks Dataset-level caches).
+    // NOT cover (the catalog only tracks Dataset-level caches). (Through
+    // r10 this test drove q78, but since the round-11 materialize-once
+    // change q78 READS the persisted cluster artifact — a plain parquet
+    // scan with no scratch once built — so the media-keeper pipeline is
+    // now the checkpoint-backed CC path computed fresh on every call.)
     val sf = "/root/testdata/sf0.001"
     spark.catalog.clearCache()
     graft.ops.Caches.release() // drain scratch left by earlier suites
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Queries.queries("q78_dup_clusters")(spark, sf)
+    Queries.queries("q139_media_keeper")(spark, sf)
       .write.format("noop").mode("overwrite").save()
     assert(graft.ops.Caches.trackedCount > 0, "pipeline registered no scratch")
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
@@ -332,15 +336,17 @@ class ApiSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     spark.catalog.clearCache()
     graft.ops.Caches.release()
-    // cycle A: the checkpoint-backed dedup pipeline, NOT yet materialized
-    // — its result must survive cycle B's release
+    // cycle A: the checkpoint-backed media-keeper pipeline (q78 reads the
+    // persisted cluster artifact since round 11, so it no longer carries
+    // scratch), NOT yet materialized — its result must survive cycle B's
+    // release
     val (dfA, scopeA) = EngineApi.scopedCycle {
-      Queries.queries("q78_dup_clusters")(spark, sf)
+      Queries.queries("q139_media_keeper")(spark, sf)
     }
     assert(scopeA.size > 0, "cycle A registered no scratch")
     // cycle B: same pipeline, materialized, then released via ITS handle
     val (dfB, scopeB) = EngineApi.scopedCycle {
-      Queries.queries("q78_dup_clusters")(spark, sf)
+      Queries.queries("q139_media_keeper")(spark, sf)
     }
     dfB.write.format("noop").mode("overwrite").save()
     scopeB.release()
