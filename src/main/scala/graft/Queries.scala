@@ -5587,9 +5587,146 @@ object Queries {
         WHERE rnk <= 200 ORDER BY rnk"""))
   )
 
+  private lazy val roundEleven: Seq[Q] = {
+    val toks = sqlTokens("text")
+    Seq(
+      // Hybrid retrieval with reciprocal-rank fusion — the production
+      // serving shape that combines the engine's two ranking families:
+      // q76's BM25 lexical arm and the broadcast-query cosine arm (q34's
+      // topKJoin shape), fused by RRF (k=60, the constant from the
+      // original Cormack et al. formulation): score(d) = Σ_arms
+      // 1/(k + rank_arm(d)). Scale shape: each arm is ONE corpus scan
+      // ending in TakeOrderedAndProject (top-`pool` rows — never a global
+      // sort); ranks are assigned by a window over the already-limited
+      // pool-row frame, so the only full-width work is the two scans and
+      // the fusion aggregate runs on ≤ 2·pool rows. Ranking keys use the
+      // 6-dp-rounded scores (ties → doc_id) so Spark and the oracle rank
+      // identical values.
+      ("q145_hybrid_rrf", (s: SparkSession, d: String) => {
+        val terms = Seq("join", "vector", "merge")
+        val pool = 20
+        // lexical arm — q76's BM25 dataflow (persist: corpus feeds the
+        // N/avgdl scalars, the df aggregate, and the scoring join)
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("long"))
+          .persistTracked()
+        val scal = base.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl").cast("double")).as("avgdl"))
+        val matches = base
+          .withColumn("m", explode(array(terms.map(term =>
+            struct(lit(term).as("tok"),
+              size(filter(col("toks"), x => x === term)).cast("long").as("tf"))): _*)))
+          .select(col("doc_id"), col("dl"), col("m.tok").as("tok"), col("m.tf").as("tf"))
+          .filter(col("tf") > 0)
+        val dfreq = matches.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        val lexPool = matches
+          .join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(scal))
+          .withColumn("wgt",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+              (col("tf").cast("double") * 2.2) /
+              (col("tf").cast("double") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .groupBy("doc_id").agg(round(sum(col("wgt")), 6).as("sc"))
+          .orderBy(desc("sc"), asc("doc_id")).limit(pool)
+        val lex = lexPool.withColumn("rnk",
+          row_number().over(Window.orderBy(desc("sc"), asc("doc_id"))).cast("long"))
+        // semantic arm — broadcast query vector (vec_id 0), one corpus scan
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val semPool = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(VF.cosine01(col("embedding"), col("qe")), 6).as("sc"))
+          .orderBy(desc("sc"), asc("doc_id")).limit(pool)
+        val sem = semPool.withColumn("rnk",
+          row_number().over(Window.orderBy(desc("sc"), asc("doc_id"))).cast("long"))
+        lex.select(col("doc_id"), col("rnk"))
+          .unionByName(sem.select(col("doc_id"), col("rnk")))
+          .groupBy("doc_id")
+          .agg(round(sum(lit(1.0) / (lit(60.0) + col("rnk").cast("double"))), 6).as("rrf"),
+            count(lit(1)).as("n_arms"))
+          .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, u.tok,
+              CAST(len(list_filter(toks, x -> x = u.tok)) AS BIGINT) AS tf
+            FROM tok, unnest(['join', 'vector', 'merge']) AS u(tok)),
+          mm AS (SELECT * FROM m WHERE tf > 0),
+          df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM mm GROUP BY tok),
+          scal AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM tok),
+          w AS (SELECT mm.doc_id,
+              ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                (CAST(mm.tf AS DOUBLE) * 2.2) /
+                (CAST(mm.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(mm.dl AS DOUBLE) / s.avgdl)) AS wgt
+            FROM mm JOIN df d ON mm.tok = d.tok CROSS JOIN scal s),
+          lexs AS (SELECT doc_id, round(sum(wgt), 6) AS sc FROM w GROUP BY doc_id),
+          lex AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rnk
+            FROM lexs) WHERE rnk <= 20),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          sems AS (SELECT e.vec_id AS doc_id,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sc
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+          sem AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rnk
+            FROM sems) WHERE rnk <= 20),
+          arms AS (SELECT doc_id, rnk FROM lex UNION ALL SELECT doc_id, rnk FROM sem)
+          SELECT doc_id, round(sum(1.0 / (60.0 + CAST(rnk AS DOUBLE))), 6) AS rrf,
+            CAST(count(*) AS BIGINT) AS n_arms
+          FROM arms GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+      // Binary (1-bit sign) quantization two-stage search — the 32×
+      // memory end of the compression ladder (int8 q-scan = q? / PQ q106
+      // / OPQ q144): Hamming pre-rank over two packed 32-bit sign words
+      // (codegen xor+popcount, 16 B per vector), fp32 re-rank over the
+      // broadcast candidate pool. The oracle rebuilds the packing with a
+      // power-of-two list aggregate (two halves — bit 63 of a single
+      // 64-bit word would overflow BIGINT) and replays both stages.
+      ("q146_binary_quant", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val corpus = e.filter(col("vec_id") >= 3)
+        graft.search.Ann.binarySearch(
+            graft.search.Ann.quantizeBinary(corpus), corpus, qs, k = 10, pool = 50)
+          .orderBy("query_id", "rnk")
+      },
+        Some {
+          val ham = "bit_count(xor(b.blo, q.qlo)) + bit_count(xor(b.bhi, q.qhi))"
+          s"""WITH b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(1, 33),
+                i -> CASE WHEN embedding[i] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS blo,
+              CAST(list_sum(list_transform(range(1, 33),
+                i -> CASE WHEN embedding[i+32] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bhi
+            FROM embeddings),
+          q AS (SELECT e.vec_id AS query_id, e.embedding AS qe,
+              b.blo AS qlo, b.bhi AS qhi
+            FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 3),
+          cand AS (SELECT query_id, vec_id, CAST(ham AS BIGINT) AS ham FROM (
+              SELECT q.query_id, b.vec_id, $ham AS ham,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ($ham), b.vec_id) AS prnk
+              FROM b CROSS JOIN q WHERE b.vec_id >= 3) WHERE prnk <= 50),
+          r AS (SELECT c.query_id, c.vec_id, c.ham,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim
+            FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id)
+          SELECT query_id, vec_id, rnk, sim, ham FROM (
+            SELECT query_id, vec_id, ham, sim,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM r)
+          WHERE rnk <= 10 ORDER BY query_id, rnk"""
+        })
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
-      extended ++ curation ++ temporal ++ training ++ roundTen
+      extended ++ curation ++ temporal ++ training ++ roundTen ++ roundEleven
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

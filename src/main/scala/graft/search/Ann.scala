@@ -283,6 +283,68 @@ object Ann {
     reRank(candidates, corpus, queries, k)
   }
 
+  // --------------------------------------------------------- binary (1-bit)
+
+  /** 1-bit sign quantization of the embedding column — the far end of the
+    * compression ladder (fp32 → int8 [[quantizeInt8]] 4× → PQ → THIS):
+    * bit i = [x_i > 0], i.e. Charikar hyperplane LSH with axis-aligned
+    * planes, so Hamming distance between sign words tracks angular
+    * distance for roughly centered embeddings. 64 dims yield 8 B of
+    * signal (32× under fp32), packed as TWO 32-bit halves carried in
+    * longs (blo = dims 0–31, bhi = dims 32–63; 16 B in this carrier
+    * layout): a single 64-bit word would need bit 63, whose power-of-two
+    * build overflows the oracle's signed BIGINT — and two-word packing is
+    * also the shape that generalizes past 64 dims.
+    * Pure built-in HOFs (no UDF); rides the scan at index-build time.
+    * Input needs (vec_id, embedding); returns (vec_id, blo, bhi).
+    */
+  def quantizeBinary(corpus: DataFrame): DataFrame = {
+    // pow(2,i) is exact in double for i <= 31, so the cast is lossless
+    def half(off: Int) =
+      aggregate(
+        zip_with(slice(col("embedding"), off + 1, 32), sequence(lit(0), lit(31)),
+          (x, i) => when(x > lit(0.0f), pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+        lit(0L), (a, b) => a + b)
+    corpus.select(col("vec_id"), half(0).as("blo"), half(32).as("bhi"))
+  }
+
+  /** Two-stage binary-scan search: stage 1 ranks the whole corpus by
+    * packed-word Hamming distance to the query's sign bits (codegen
+    * xor+popcount over 16 bytes per vector — the cheapest possible scan
+    * tier) and keeps a per-query pool; stage 2 joins the pool back to the
+    * fp32 corpus (pool broadcast — the full-precision tier is touched for
+    * pool/N of the corpus per query, same contract as [[compressedSearch]])
+    * and re-ranks by exact cosine. Output carries the stage-1 `ham` so
+    * callers can audit the pre-rank. AnnSpec gates recall@10 vs the brute
+    * scan on the deterministic fixture.
+    */
+  def binarySearch(
+      binary: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      pool: Int): DataFrame = {
+    val qb = quantizeBinary(queries.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
+      .select(col("vec_id").as("query_id"), col("blo").as("qlo"), col("bhi").as("qhi"))
+    val wHam = Window.partitionBy("query_id").orderBy(asc("ham"), asc("vec_id"))
+    val candidates = binary
+      .crossJoin(broadcast(qb))
+      .withColumn("ham",
+        bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("bhi").bitwiseXOR(col("qhi"))))
+      .withColumn("prnk", row_number().over(wHam))
+      .filter(col("prnk") <= pool)
+      .select(col("query_id"), col("vec_id"), col("ham").cast("long").as("ham"))
+    val wSim = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qe"))), "query_id")
+      .withColumn("sim", round(VectorFunctions.cosine01(col("embedding"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(wSim).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"), col("ham"))
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** Product-quantization codebook seed: the first `ksub` corpus vectors

@@ -462,4 +462,42 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"query side not broadcast:\n$plan")
   }
+
+  test("binary sign packing matches an independent bit-level reference") {
+    val rows = Ann.quantizeBinary(embs).orderBy("vec_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val raw = embs.orderBy("vec_id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    raw.zip(rows).foreach { case ((id, vec), (qid, blo, bhi)) =>
+      assert(id == qid)
+      var lo = 0L; var hi = 0L
+      vec.zipWithIndex.foreach { case (x, i) =>
+        if (x > 0f) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
+      }
+      assert(blo == lo && bhi == hi,
+        s"packing mismatch for vec $id: got ($blo,$bhi) want ($lo,$hi)")
+    }
+  }
+
+  test("binary two-stage: Hamming pre-rank + fp32 re-rank recall@10 at a <= 30% pool") {
+    // The 32x end of the compression ladder: the sign-bit scan reads 8 B
+    // of signal per vector (vs 256 B fp32, 64 B int8); the fp32 tier is
+    // touched only for the pool. Same contract as the int8 two-stage gate.
+    val n = embs.count()
+    val pool = (n * 0.30).toInt
+    val got = Ann.binarySearch(Ann.quantizeBinary(embs), embs, queries, k = 10, pool = pool)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = recallOf(got)
+    info(s"binary two-stage recall@10 = $recall at pool = $pool/$n")
+    assert(recall >= 0.8, s"binary two-stage recall@10 below gate: $recall")
+    // code-only tier: the Hamming ranking itself (pool == k) — a weaker
+    // but nonzero signal; recorded as the PLANS.md datapoint
+    val codeOnly = recallOf(
+      Ann.binarySearch(Ann.quantizeBinary(embs), embs, queries, k = 10, pool = 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+    info(s"binary code-only recall@10 = $codeOnly")
+    assert(codeOnly > 0.2, s"Hamming ranking carries no signal: $codeOnly")
+  }
 }
