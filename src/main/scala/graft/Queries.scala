@@ -5720,6 +5720,74 @@ object Queries {
               CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM r)
           WHERE rnk <= 10 ORDER BY query_id, rnk"""
+        }),
+
+      // Sliding-window document chunking — the context-window prep stage
+      // every pretraining/RAG pipeline runs between curation and packing
+      // (q63 packs WHOLE docs; this splits LONG docs first): windows of
+      // W=32 tokens at stride S=24 (8-token overlap), tail windows kept
+      // only if they add > W-S tokens of new coverage (a shorter tail is
+      // fully contained in its predecessor). Pure per-row sequence+explode
+      // — no shuffle anywhere; explode factor bounded by n_tok/S.
+      ("q147_doc_chunking", (s: SparkSession, d: String) => {
+        val W = 32L; val S = 24L
+        t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("tok_start",
+            explode(sequence(lit(0L), greatest(col("n_tok") - 1, lit(0L)), lit(S))))
+          .withColumn("tok_len", least(lit(W), col("n_tok") - col("tok_start")))
+          .filter(col("tok_start") === 0 || col("tok_len") > lit(W - S))
+          .withColumn("chunk_idx", (col("tok_start") / lit(S)).cast("long"))
+          .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+            array_join(slice(col("toks"), (col("tok_start") + 1).cast("int"),
+              col("tok_len").cast("int")), " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+          n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM tok),
+          st AS (SELECT doc_id, toks, n_tok, CAST(u.s AS BIGINT) AS tok_start
+            FROM n, unnest(range(0, greatest(n_tok, 1), 24)) AS u(s)),
+          c AS (SELECT doc_id, toks, tok_start,
+              least(32, n_tok - tok_start) AS tok_len FROM st)
+          SELECT doc_id, CAST(tok_start // 24 AS BIGINT) AS chunk_idx,
+            tok_start, CAST(tok_len AS BIGINT) AS tok_len,
+            array_to_string(list_slice(toks, tok_start + 1, tok_start + tok_len), ' ') AS chunk_text
+          FROM c WHERE tok_start = 0 OR tok_len > 8
+          ORDER BY doc_id, chunk_idx""")),
+
+      // Matryoshka prefix-dimension search — the index-free coarse tier:
+      // rank by cosine over the first 16 of 64 dims (25% of the fp32
+      // read), re-rank the pool at full width. No stored artifact at all
+      // (the prefix IS a slice of the vector), so it composes with any of
+      // the quantized tiers. AnnSpec gates recall; the oracle replays
+      // both stages over list_slice.
+      ("q148_matryoshka", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        graft.search.Ann.prefixSearch(
+            e.filter(col("vec_id") >= 3), qs, prefixDim = 16, k = 10, pool = 50)
+          .orderBy("query_id", "rnk")
+      },
+        Some {
+          val pcos = sqlCos01("list_slice(e.embedding, 1, 16)", "list_slice(q.qe, 1, 16)")
+          s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 3),
+          cand AS (SELECT query_id, vec_id, psim FROM (
+              SELECT q.query_id, e.vec_id, round($pcos, 6) AS psim,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round($pcos, 6) DESC, e.vec_id) AS prnk
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3) WHERE prnk <= 50),
+          r AS (SELECT c.query_id, c.vec_id, c.psim,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim
+            FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id)
+          SELECT query_id, vec_id, rnk, sim, psim FROM (
+            SELECT query_id, vec_id, psim, sim,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM r)
+          WHERE rnk <= 10 ORDER BY query_id, rnk"""
         })
     )
   }

@@ -345,6 +345,40 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"), col("ham"))
   }
 
+  /** Matryoshka (MRL) prefix-dimension two-stage search: stage 1 ranks the
+    * corpus by cosine over only the FIRST `prefixDim` dimensions — the
+    * representation a matryoshka-trained encoder packs its coarse signal
+    * into, read at prefixDim/dim of the fp32 memory traffic with no
+    * auxiliary index at all — and keeps a per-query pool; stage 2 re-ranks
+    * the pool at full dimension. Unlike [[quantizeInt8]]/[[quantizeBinary]]
+    * this needs no encode pass or stored artifact: the prefix IS a slice of
+    * the stored vector, so it composes with any layout (and with the int8
+    * tier: slice then dequantize). Output carries the stage-1 `psim`.
+    */
+  def prefixSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      prefixDim: Int,
+      k: Int,
+      pool: Int): DataFrame = {
+    val wPre = Window.partitionBy("query_id").orderBy(desc("psim"), asc("vec_id"))
+    val candidates = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qe"))))
+      .withColumn("psim", round(VectorFunctions.cosine01(
+        slice(col("embedding"), 1, prefixDim), slice(col("qe"), 1, prefixDim)), 6))
+      .withColumn("prnk", row_number().over(wPre))
+      .filter(col("prnk") <= pool)
+      .select(col("query_id"), col("vec_id"), col("psim"))
+    val wSim = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candidates), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qe"))), "query_id")
+      .withColumn("sim", round(VectorFunctions.cosine01(col("embedding"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(wSim).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"), col("psim"))
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** Product-quantization codebook seed: the first `ksub` corpus vectors

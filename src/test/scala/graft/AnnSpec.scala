@@ -500,4 +500,20 @@ class AnnSpec extends SparkSpec {
     info(s"binary code-only recall@10 = $codeOnly")
     assert(codeOnly > 0.2, s"Hamming ranking carries no signal: $codeOnly")
   }
+
+  test("matryoshka prefix tier: recall@10 at a <= 30% pool reading 25% of each vector") {
+    // index-free coarse tier: the prefix IS a slice of the stored vector.
+    // On this fixture the signal is spread uniformly across dims (not
+    // matryoshka-trained), so the prefix tier is a lower bound on what a
+    // real MRL encoder gives — it must still beat the sign-LSH bucket
+    // recall at the same pool and hold a usable floor.
+    val n = embs.count()
+    val pool = (n * 0.30).toInt
+    val got = Ann.prefixSearch(embs, queries, prefixDim = 16, k = 10, pool = pool)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = recallOf(got)
+    info(s"matryoshka(16/64) two-stage recall@10 = $recall at pool = $pool/$n")
+    assert(recall >= 0.6, s"prefix-tier recall@10 below floor: $recall")
+  }
 }
