@@ -5788,6 +5788,54 @@ object Queries {
               CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM r)
           WHERE rnk <= 10 ORDER BY query_id, rnk"""
+        }),
+
+      // MMR diversity re-rank (Carbonell & Goldstein 1998) — the serving-
+      // side counterweight to pure relevance ranking: greedy k=5 selection
+      // from the top-20 cosine pool with score 0.7·relevance − 0.3·max-
+      // cosine-to-selected. Inherently sequential in k, so k tiny jobs
+      // each score the remaining pool against the broadcast selected set
+      // and take ONE row (driver holds k rows). The oracle replays the
+      // greedy loop with a recursive CTE over the precomputed pool
+      // pair-similarity matrix; every score is rounded to 6 dp before
+      // comparison on both sides.
+      ("q149_mmr_rerank", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val w = Window.orderBy(desc("sim"), asc("vec_id"))
+        val pool = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .orderBy(desc("sim"), asc("vec_id")).limit(20)
+          .select("vec_id", "sim", "embedding")
+        graft.search.SearchEngine.mmrSelect(pool, k = 5, lam = 0.7, mu = 0.3)
+          .orderBy("rnk")
+      },
+        Some {
+          val pcos = sqlCos01("e.embedding", "q.qe")
+          val ppair = sqlCos01("a.embedding", "b.embedding")
+          s"""WITH RECURSIVE qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          pool AS (SELECT vec_id, sim, embedding FROM (
+              SELECT e.vec_id, round($pcos, 6) AS sim, e.embedding,
+                row_number() OVER (ORDER BY round($pcos, 6) DESC, e.vec_id) AS rn
+              FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0) WHERE rn <= 20),
+          pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb, round($ppair, 6) AS ps
+            FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+          sel(rnk, vec_id, relevance, redundancy, mmr, ids) AS (
+            (SELECT CAST(1 AS BIGINT), vec_id, sim, CAST(0.0 AS DOUBLE),
+              round(0.7 * sim, 6), [vec_id] FROM pool ORDER BY sim DESC, vec_id LIMIT 1)
+            UNION ALL
+            SELECT sel.rnk + 1, nxt.vec_id, nxt.sim, nxt.red, nxt.mmr,
+              list_append(sel.ids, nxt.vec_id)
+            FROM sel, LATERAL (
+              SELECT vec_id, sim, red, round(0.7 * sim - 0.3 * red, 6) AS mmr
+              FROM (SELECT p.vec_id, p.sim,
+                  (SELECT max(ps) FROM pairs
+                    WHERE pairs.va = p.vec_id AND list_contains(sel.ids, pairs.vb)) AS red
+                FROM pool p WHERE NOT list_contains(sel.ids, p.vec_id))
+              ORDER BY round(0.7 * sim - 0.3 * red, 6) DESC, vec_id LIMIT 1) nxt
+            WHERE sel.rnk < 5)
+          SELECT rnk, vec_id, relevance, redundancy, mmr FROM sel ORDER BY rnk"""
         })
     )
   }

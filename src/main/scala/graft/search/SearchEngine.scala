@@ -207,6 +207,53 @@ object SearchEngine {
     * per-query window (row_number), so the corpus is scanned once total,
     * not once per query.
     */
+  /** Maximal-marginal-relevance diversity re-rank (Carbonell & Goldstein
+    * 1998): greedily select `k` results from a relevance-ranked candidate
+    * pool, each step picking argmax of `lam·relevance − mu·redundancy`,
+    * where redundancy is the max cosine to anything already selected.
+    * `pool` carries (vec_id, sim, embedding) with `sim` already rounded to
+    * 6 dp; `lam`/`mu` are taken as SEPARATE literals (not lam/1−lam) so the
+    * DuckDB oracle's decimal literals produce bit-identical doubles.
+    *
+    * Scale shape: selection is inherently sequential in k, so this runs k
+    * tiny jobs — each scores the remaining pool against the ≤k selected
+    * vectors (broadcast) and takes ONE row. The pool is the output of a
+    * top-`pool` retrieval stage (bounded — the driver holds k rows total,
+    * the k×pool work is distributed); the corpus itself is never touched
+    * here. All scores are rounded to 6 dp BEFORE comparison so ranking is
+    * reproducible across engines.
+    */
+  def mmrSelect(pool: DataFrame, k: Int, lam: Double, mu: Double): DataFrame = {
+    val spark = pool.sparkSession
+    val p = pool.select(col("vec_id"), col("sim"), col("embedding"))
+    var selIds = List.empty[Long]
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double, Double, Double)]
+    for (step <- 1 to k) {
+      val remaining = p.filter(!col("vec_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty)
+          remaining.select(col("vec_id"), col("sim"), lit(0.0).as("red"))
+        else {
+          val selVecs = broadcast(p.filter(col("vec_id").isin(selIds: _*))
+            .select(col("vec_id").as("sid"), col("embedding").as("se")))
+          remaining.crossJoin(selVecs)
+            .withColumn("ps", round(VectorFunctions.cosine01(col("embedding"), col("se")), 6))
+            .groupBy("vec_id").agg(max("ps").as("red"))
+            .join(p.select(col("vec_id"), col("sim")), "vec_id")
+        }
+      val pick = scored
+        .withColumn("mmr", round(lit(lam) * col("sim") - lit(mu) * col("red"), 6))
+        .orderBy(desc("mmr"), asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "sim", "red", "mmr")
+        .collect()(0) // ONE row per step; k rows total on the driver
+      selIds = selIds :+ pick.getLong(0)
+      out += ((step.toLong, pick.getLong(0), pick.getDouble(1), pick.getDouble(2), pick.getDouble(3)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rnk", "vec_id", "relevance", "redundancy", "mmr")
+  }
+
   def topKJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = corpus.as("c")
       .join(broadcast(queries.as("q")))

@@ -92,4 +92,36 @@ class SearchEngineSpec extends SparkSpec {
     }.toSet
     assert(got == want)
   }
+
+  test("mmrSelect: mu=0 reduces to pure top-k; heavy mu excludes the exact clone") {
+    // pool: vec 2 is an exact-direction clone of vec 1 (cosine 1, so
+    // cos01 redundancy 1.0 once vec 1 is selected); vecs 3/4 are
+    // orthogonal axes (cos01 0.5 to everything else — the cos01 floor).
+    val base = Array(1f, 0f, 0f, 0f)
+    val dup = Array(0.5f, 0f, 0f, 0f) // same direction, cos01(base,dup)=1
+    val ortho = Array(0f, 1f, 0f, 0f)
+    val far = Array(0f, 0f, 1f, 0f)
+    val q = Array(1f, 0.2f, 0.3f, 0f)
+    def sim6(v: Array[Float]) =
+      BigDecimal(cos01(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pool = Seq(
+      (1L, sim6(base), base.toSeq),
+      (2L, sim6(dup), dup.toSeq),
+      (3L, sim6(ortho), ortho.toSeq),
+      (4L, sim6(far), far.toSeq)).toDF("vec_id", "sim", "embedding")
+    // mu=0: ignores redundancy entirely — selection IS the relevance
+    // ranking (base/dup tie at the top, vec_id breaks it; far beats ortho)
+    val pure = SearchEngine.mmrSelect(pool, k = 3, lam = 0.7, mu = 0.0)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(pure == Seq(1L, 2L, 4L), s"mu=0 must equal pure top-k: $pure")
+    // heavy mu: the exact clone's redundancy 1.0 overwhelms its relevance
+    // — selection picks the two orthogonal axes instead
+    val div = SearchEngine.mmrSelect(pool, k = 3, lam = 0.5, mu = 2.0)
+      .orderBy("rnk").collect()
+    val divIds = div.map(_.getLong(1)).toSeq
+    assert(divIds == Seq(1L, 4L, 3L), s"heavy-mu selection wrong: $divIds")
+    assert(div(0).getDouble(3) == 0.0, "first pick must carry redundancy 0")
+    assert(div.drop(1).forall(_.getDouble(3) == 0.5),
+      "orthogonal picks must carry the cos01 floor 0.5 redundancy")
+  }
 }
