@@ -5836,7 +5836,155 @@ object Queries {
               ORDER BY round(0.7 * sim - 0.3 * red, 6) DESC, vec_id LIMIT 1) nxt
             WHERE sel.rnk < 5)
           SELECT rnk, vec_id, relevance, redundancy, mmr FROM sel ORDER BY rnk"""
-        })
+        }),
+
+      // Semantic eval-set decontamination — the embedding-level twin of
+      // q75's n-gram decontamination (the two run side by side in real
+      // curation: n-grams catch verbatim leaks, cosine catches
+      // paraphrases). Eval fixture follows the nearDupCorpus pattern:
+      // every 25th vector is re-published as an eval item scaled by 1.25
+      // (cosine-invariant, so its source MUST flag at sim 1.0) under
+      // eval_id = vec_id + 1e6. Scale shape: the eval set is broadcast
+      // (eval suites are thousands of items, never corpus-sized); ONE
+      // corpus scan computes the per-vector argmax; no shuffle before
+      // the final driver-facing sort. τ = 0.70 keeps organic (non-
+      // planted) near-misses in the report alongside the planted hits.
+      ("q150_semantic_decontam", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val evalSet = e.filter(pmod(col("vec_id"), lit(25L)) === 0L)
+          .select((col("vec_id") + 1000000L).as("eval_id"),
+            transform(col("embedding"), x => x.cast("double") * lit(1.25))
+              .as("evec"))
+        val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("eval_id"))
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(evalSet))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("evec")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1 && col("sim") >= 0.70)
+          .select(col("vec_id"), col("eval_id"), col("sim"))
+          .orderBy("vec_id")
+      },
+        Some {
+          val cos = sqlCos01("e.embedding", "ev.evec")
+          s"""WITH ev AS (SELECT vec_id + 1000000 AS eval_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.25) AS evec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          sc AS (SELECT e.vec_id, ev.eval_id, round($cos, 6) AS sim
+            FROM embeddings e CROSS JOIN ev),
+          r AS (SELECT vec_id, eval_id, sim,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, eval_id) AS rnk FROM sc)
+          SELECT vec_id, eval_id, sim FROM r
+          WHERE rnk = 1 AND sim >= 0.70 ORDER BY vec_id"""
+        }),
+
+      // Soft dedup (sampling-based duplicate DOWN-WEIGHTING, the
+      // SoftDeDup alternative to q78's hard keeper rule): every cluster
+      // member survives with probability 1/|cluster|, so the EXPECTED
+      // surviving copies per cluster is exactly one, but which copy
+      // survives is decided per-member — the form mixture planners
+      // prefer because it keeps per-source composition unbiased. The
+      // cluster assignment comes from the PERSISTED q141 artifact (the
+      // sixth consumer — one LSH+CC pass, N readers); the keep decision
+      // is the q62 deterministic hash-uniform. exp_kept is reported in
+      // exact integer parts-per-million (1000000 div csize — float sums
+      // would be engine-order-dependent). Docs outside any cluster have
+      // csize 1 and always survive.
+      ("q151_soft_dedup", (s: SparkSession, d: String) => {
+        val clusters = clusterArtifact(s, d, fastHash = false)
+        val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        val member = clusters.join(sizes, "cluster").select("doc_id", "csize")
+        val corpus = nearDupCorpus(t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), pmod(col("doc_id"), lit(10000000L)).as("real_id"))
+        val srcMap = t(s, d, "documents")
+          .select(col("doc_id").as("real_id"), col("source"))
+        corpus
+          .join(member, Seq("doc_id"), "left")
+          .withColumn("csize", coalesce(col("csize"), lit(1L)))
+          .withColumn("u",
+            (pmod(TF.hash32(concat(lit("sd|"), col("doc_id").cast("string"))),
+              lit(1048576L)).cast("double") + lit(0.5)) / lit(1048576.0))
+          .withColumn("kept",
+            when(col("u") * col("csize").cast("double") < 1.0, 1L).otherwise(0L))
+          .join(srcMap, "real_id")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_members"),
+            sum(expr("CAST(1000000 AS BIGINT) div csize")).as("exp_kept_ppm"),
+            sum(col("kept")).as("n_kept"))
+          .orderBy("source")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize FROM cc GROUP BY lab),
+          m AS (SELECT c.doc_id, c.doc_id % 10000000 AS real_id,
+              coalesce(sz.csize, 1) AS csize
+            FROM corpus c
+            LEFT JOIN cc ON cc.id = c.doc_id
+            LEFT JOIN sz ON sz.lab = cc.lab),
+          k AS (SELECT real_id, csize,
+              ((${sqlHash32("'sd|' || CAST(doc_id AS VARCHAR)")} % 1048576)
+                + 0.5) / 1048576.0 AS u
+            FROM m)
+          SELECT d.source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN k.csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_members,
+            CAST(sum(1000000 // k.csize) AS BIGINT) AS exp_kept_ppm,
+            CAST(sum(CASE WHEN k.u * CAST(k.csize AS DOUBLE) < 1.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM k JOIN documents d ON k.real_id = d.doc_id
+          GROUP BY d.source ORDER BY d.source""")),
+
+      // Length-bucketed inference batching — the dynamic-batching plan
+      // every GPU inference/embedding stage runs to stop short sequences
+      // paying long sequences' padding: docs land in 16-token length
+      // bands (a NARROW per-row computation), are ordered length-desc within
+      // the band, and are cut into batches of 32; the report is the
+      // per-batch padding-waste audit (pad_frac = 1 - Σtok/(max·n)) an
+      // operator reads before sizing the fleet. Scale shape: the only
+      // exchange is hash-partition by band, and every window is
+      // PARTITIONED (no global sort, no single-partition window); band
+      // widths bound skew because a band holds at most 16 distinct
+      // lengths.
+      ("q152_length_batches", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("bucket").orderBy(desc("n_tok"), asc("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("bucket", expr("n_tok div 16"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("batch_id", expr("(rn - 1) div 32"))
+          .groupBy("bucket", "batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("n_tok")).as("max_tok"),
+            sum(col("n_tok")).as("sum_tok"))
+          .withColumn("pad_frac", round(lit(1.0) -
+            col("sum_tok").cast("double") /
+              (col("max_tok") * col("n_docs")).cast("double"), 6))
+          .orderBy("bucket", "batch_id")
+      },
+        Some(s"""WITH n AS (SELECT doc_id,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
+          b AS (SELECT doc_id, n_tok, n_tok // 16 AS bucket FROM n),
+          r AS (SELECT doc_id, n_tok, bucket,
+              CAST(row_number() OVER (PARTITION BY bucket
+                ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn FROM b),
+          g AS (SELECT bucket, (rn - 1) // 32 AS batch_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              max(n_tok) AS max_tok, sum(n_tok) AS sum_tok
+            FROM r GROUP BY bucket, (rn - 1) // 32)
+          SELECT bucket, batch_id, n_docs, max_tok,
+            CAST(sum_tok AS BIGINT) AS sum_tok,
+            round(1.0 - CAST(sum_tok AS DOUBLE)
+              / CAST(max_tok * n_docs AS DOUBLE), 6) AS pad_frac
+          FROM g ORDER BY bucket, batch_id"""))
     )
   }
 
