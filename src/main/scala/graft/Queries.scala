@@ -5984,7 +5984,121 @@ object Queries {
             CAST(sum_tok AS BIGINT) AS sum_tok,
             round(1.0 - CAST(sum_tok AS DOUBLE)
               / CAST(max_tok * n_docs AS DOUBLE), 6) AS pad_frac
-          FROM g ORDER BY bucket, batch_id"""))
+          FROM g ORDER BY bucket, batch_id""")),
+
+      // Content-defined chunking (CDC) dedup — the rolling-boundary
+      // chunker of the storage-dedup literature applied to token
+      // streams: a chunk ends wherever hash(token) ≡ 0 (mod 8), so
+      // chunk boundaries are CONTENT-anchored (expected length 8
+      // tokens) and an insertion early in a document only perturbs the
+      // one chunk it lands in — unlike fixed-stride segmentation (q92),
+      // where one shifted token re-keys every later segment. The report
+      // is the cross-document duplicated-chunk rollup. Scale shape: the
+      // boundary pass is a per-doc PARTITIONED window over the token
+      // stream; the cross-doc detector is a ROLLUP keyed by chunk hash
+      // (counts, never candidate pairs), so output is bounded by the
+      // number of distinct shared chunks.
+      ("q153_cdc_chunks", (s: SparkSession, d: String) => {
+        val wb = Window.partitionBy("doc_id").orderBy("p")
+        t(s, d, "documents")
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+          .withColumn("bnd",
+            when(pmod(TF.hash32(concat(lit("cdc|"), col("tok"))), lit(8L)) === 0L,
+              1L).otherwise(0L))
+          .withColumn("chunk_idx", sum(col("bnd")).over(wb) - col("bnd"))
+          .groupBy("doc_id", "chunk_idx")
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")), " ").as("chunk_text"),
+            count(lit(1)).as("chunk_len"))
+          .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"),
+            col("chunk_len"))
+          .groupBy("chunk_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            max(col("chunk_len")).as("chunk_len"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("chunk_hash")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          tp AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS tok,
+              CAST(i AS BIGINT) AS p
+            FROM tok, unnest(range(1, len(toks) + 1)) AS r(i)),
+          b AS (SELECT doc_id, p, tok,
+              CASE WHEN ${sqlHash32("'cdc|' || tok")} % 8 = 0
+                THEN 1 ELSE 0 END AS bnd FROM tp),
+          c AS (SELECT doc_id, p, tok,
+              sum(bnd) OVER (PARTITION BY doc_id ORDER BY p) - bnd AS chunk_idx
+            FROM b),
+          ch AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash,
+              CAST(count(*) AS BIGINT) AS chunk_len
+            FROM c GROUP BY doc_id, chunk_idx)
+          SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ, max(chunk_len) AS chunk_len
+          FROM ch GROUP BY chunk_hash
+          HAVING count(DISTINCT doc_id) >= 2 ORDER BY chunk_hash""")),
+
+      // Contrastive positive-pair mining (the Contriever/independent-
+      // cropping recipe): adjacent FULL 16-token segments of the same
+      // document form (anchor, positive) training pairs for a retrieval
+      // encoder, with a document-frequency guard dropping pairs whose
+      // positive is boilerplate (a segment shared by >2 documents would
+      // teach the encoder that unrelated pages match). Scale shape: one
+      // per-doc partitioned window builds segments, a hash-keyed rollup
+      // prices the df guard (counts, not pairs), and adjacency is a
+      // lead() in the SAME per-doc window — no self-join of the segment
+      // table.
+      ("q154_contrastive_pairs", (s: SparkSession, d: String) => {
+        val W = 16
+        val seg = t(s, d, "documents")
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+          .withColumn("seg_idx", expr(s"p div $W"))
+          .groupBy("doc_id", "seg_idx")
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")), " ").as("seg_text"),
+            count(lit(1)).as("seg_len"))
+          .filter(col("seg_len") === W)
+          .select(col("doc_id"), col("seg_idx"),
+            substring(md5(col("seg_text")), 1, 16).as("seg_hash"))
+        val freq = seg.groupBy("seg_hash")
+          .agg(countDistinct(col("doc_id")).as("pos_df"))
+          .withColumnRenamed("seg_hash", "pos_hash")
+        val wl = Window.partitionBy("doc_id").orderBy("seg_idx")
+        seg
+          .withColumn("pos_hash", lead(col("seg_hash"), 1).over(wl))
+          .withColumn("pos_idx", lead(col("seg_idx"), 1).over(wl))
+          .filter(col("pos_idx") === col("seg_idx") + 1)
+          .join(freq, "pos_hash")
+          .filter(col("pos_df") <= 2)
+          .select(col("doc_id"), col("seg_idx").as("anchor_idx"),
+            col("seg_hash").as("anchor_hash"), col("pos_hash").as("positive_hash"))
+          .orderBy("doc_id", "anchor_idx")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+          tp AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS tok,
+              CAST(i - 1 AS BIGINT) AS p
+            FROM tok, unnest(range(1, len(toks) + 1)) AS r(i)),
+          sg AS (SELECT doc_id, p // 16 AS seg_idx,
+              substr(md5(string_agg(tok, ' ' ORDER BY p)), 1, 16) AS seg_hash
+            FROM tp GROUP BY doc_id, p // 16
+            HAVING count(*) = 16),
+          fr AS (SELECT seg_hash AS pos_hash,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM sg GROUP BY seg_hash),
+          pr AS (SELECT doc_id, seg_idx, seg_hash,
+              lead(seg_hash) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS pos_hash,
+              lead(seg_idx) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS pos_idx
+            FROM sg)
+          SELECT p.doc_id, p.seg_idx AS anchor_idx, p.seg_hash AS anchor_hash,
+            p.pos_hash AS positive_hash
+          FROM pr p JOIN fr f ON f.pos_hash = p.pos_hash
+          WHERE p.pos_idx = p.seg_idx + 1 AND f.df <= 2
+          ORDER BY p.doc_id, anchor_idx"""))
     )
   }
 
