@@ -5998,30 +5998,9 @@ object Queries {
       // stream; the cross-doc detector is a ROLLUP keyed by chunk hash
       // (counts, never candidate pairs), so output is bounded by the
       // number of distinct shared chunks.
-      ("q153_cdc_chunks", (s: SparkSession, d: String) => {
-        val wb = Window.partitionBy("doc_id").orderBy("p")
-        t(s, d, "documents")
-          .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
-          .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
-          .withColumn("bnd",
-            when(pmod(TF.hash32(concat(lit("cdc|"), col("tok"))), lit(8L)) === 0L,
-              1L).otherwise(0L))
-          .withColumn("chunk_idx", sum(col("bnd")).over(wb) - col("bnd"))
-          .groupBy("doc_id", "chunk_idx")
-          .agg(
-            array_join(transform(
-              array_sort(collect_list(struct(col("p"), col("tok")))),
-              x => x.getField("tok")), " ").as("chunk_text"),
-            count(lit(1)).as("chunk_len"))
-          .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"),
-            col("chunk_len"))
-          .groupBy("chunk_hash")
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occ"),
-            max(col("chunk_len")).as("chunk_len"))
-          .filter(col("n_docs") >= 2)
-          .orderBy("chunk_hash")
-      },
+      ("q153_cdc_chunks", (s: SparkSession, d: String) =>
+        graft.ops.Dedup.cdcDupChunks(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("chunk_hash"),
         Some(s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
           tp AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS tok,
               CAST(i AS BIGINT) AS p

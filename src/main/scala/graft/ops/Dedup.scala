@@ -455,4 +455,47 @@ object Dedup {
         round(size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => x === y), p => p)).cast("double") / numHashes.toDouble, 6)
           .as("overlap"))
+
+  /** Content-defined chunking: cut the token stream wherever
+    * hash32(token) ≡ 0 (mod `boundaryMod`), so boundaries are anchored to
+    * CONTENT, not position — an edit perturbs only the chunk it lands in
+    * (at most splitting it in two), where fixed-stride segmentation
+    * re-keys every later segment of the document (DedupSpec pins the
+    * contrast). Expected chunk length is `boundaryMod` tokens. Returns
+    * one row per (doc_id, chunk_idx) with the chunk's md5 and token
+    * count. Scale shape: posexplode is narrow, the boundary prefix-sum
+    * and the chunk re-assembly are windows/aggregates PARTITIONED by
+    * doc — the token stream never shuffles across documents.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      boundaryMod: Int = 8): DataFrame = {
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    docs.select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .withColumn("bnd",
+        when(pmod(hash32(concat(lit("cdc|"), col("tok"))),
+          lit(boundaryMod.toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_idx", sum(col("bnd")).over(wb) - col("bnd"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"),
+        count(lit(1)).as("chunk_len"))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_hash"), col("chunk_len"))
+  }
+
+  /** Cross-document duplicated-chunk rollup over [[cdcChunks]]: chunks
+    * appearing in ≥ `minDocs` distinct documents, with occurrence
+    * counts. A hash-keyed aggregate — counts, never candidate pairs. */
+  def cdcDupChunks(docs: DataFrame, idCol: String, textCol: String,
+      boundaryMod: Int = 8, minDocs: Int = 2): DataFrame =
+    cdcChunks(docs, idCol, textCol, boundaryMod)
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_docs") >= minDocs)
 }

@@ -73,4 +73,37 @@ class DedupSpec extends SparkSpec {
     assert(!incremental.exists { case (a, b, _) => a <= 5L && b <= 5L })
     assert(!incremental.exists { case (a, b, _) => a == 20L || b == 20L })
   }
+
+  test("CDC chunking: an insertion perturbs at most its own chunk; " +
+      "fixed-stride re-keys every later segment") {
+    // 80 distinct tokens; the edited twin inserts one token near the
+    // front. Content-anchored boundaries mean every chunk after the
+    // edit point re-synchronizes (same tokens -> same boundary
+    // decisions), so the chunk-hash symmetric difference is bounded by
+    // 3 (edited chunk out; one or two replacement chunks in).
+    val toksOrig = (0 until 80).map(i => s"w$i")
+    val toksIns = toksOrig.take(5) ++ Seq("INSERTED") ++ toksOrig.drop(5)
+    val corpus = Seq((1L, toksOrig.mkString(" ")), (2L, toksIns.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(corpus, "doc_id", "text")
+      .select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val cdcDiff = (chunks(1L) diff chunks(2L)) ++ (chunks(2L) diff chunks(1L))
+    assert(cdcDiff.size <= 3,
+      s"CDC symmetric difference ${cdcDiff.size} exceeds the locality bound")
+    assert((chunks(1L) intersect chunks(2L)).nonEmpty)
+
+    // Fixed-stride contrast: every 8-token segment from the insertion
+    // point on shifts by one token, so nothing after it can match.
+    def strideSegs(toks: Seq[String]): Set[String] =
+      toks.grouped(8).map(_.mkString(" ")).toSet
+    val so = strideSegs(toksOrig); val si = strideSegs(toksIns)
+    assert((so diff si).size >= so.size - 1,
+      "fixed-stride segmentation unexpectedly survived the insertion")
+
+    // The duplicated-chunk detector sees the shared chunks as cross-doc
+    // duplicates of exactly these two docs.
+    val dup = Dedup.cdcDupChunks(corpus, "doc_id", "text").collect()
+    assert(dup.nonEmpty && dup.forall(_.getLong(1) == 2L))
+  }
 }
