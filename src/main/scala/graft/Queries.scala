@@ -6077,7 +6077,51 @@ object Queries {
             p.pos_hash AS positive_hash
           FROM pr p JOIN fr f ON f.pos_hash = p.pos_hash
           WHERE p.pos_idx = p.seg_idx + 1 AND f.df <= 2
-          ORDER BY p.doc_id, anchor_idx"""))
+          ORDER BY p.doc_id, anchor_idx""")),
+
+      // Incremental cluster maintenance — the shard-arrival path for the
+      // q141 artifact: the standing assignment (CC over the ORIGINAL
+      // corpus only) is folded together with the new shard's incremental
+      // LSH pairs (q98's skipped-old×old contract) via
+      // Graph.ccIncremental, which contracts every old cluster to one
+      // supernode and runs CC on a graph sized by the INCREMENT, never
+      // the corpus. The oracle recomputes the whole merged corpus from
+      // scratch — a hash match proves contraction loses nothing,
+      // including clusters MERGED by a new edge. Same rollup as q141, so
+      // the two must agree row-for-row.
+      ("q155_cluster_maintenance", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val newShard = docs
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(col("text"), lit(" zzz")))
+        val oldPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        val oldAssign = Graph.connectedComponents(oldPairs, "doc_a", "doc_b")
+        val newPairs = Dedup.minhashIncremental(docs, newShard, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        Graph.ccIncremental(oldAssign, newPairs, "doc_a", "doc_b")
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("id") === col("component"), 1L).otherwise(0L))
+              .as("n_keepers"),
+            max(col("id")).as("max_id"))
+          .select(col("component").as("cluster"), col("n_members"),
+            col("n_keepers"), col("max_id"))
+          .orderBy("cluster")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+          SELECT lab AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+            CAST(sum(CASE WHEN id = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+            CAST(max(id) AS BIGINT) AS max_id
+          FROM cc GROUP BY lab ORDER BY cluster"""))
     )
   }
 

@@ -135,4 +135,57 @@ object Graph {
       () => finalBlocks.forall(id => !sc.getPersistentRDDs.contains(id)))
     (labels, iter)
   }
+
+  /** Incremental connected-components maintenance: fold a NEW shard's
+    * edges into an existing (id, component) assignment without touching
+    * the old graph. Each old cluster is contracted to one supernode (its
+    * component label — by construction the cluster's min id), each
+    * never-seen endpoint is its own supernode, and [[connectedComponents]]
+    * runs over the contracted edge list only. Because contraction
+    * preserves reachability and old labels are cluster minima, the merged
+    * labels equal a full recompute's EXACTLY (GraphSpec pins incremental
+    * == full, including the cluster-merge path where one new edge joins
+    * two old clusters).
+    *
+    * Scale shape: the CC iteration runs on a graph sized by the
+    * INCREMENT (|new edges| nodes at worst), never the corpus — the
+    * cluster-maintenance twin of [[Dedup.minhashIncremental]]'s skipped
+    * old×old term. The corpus-sized work is two broadcast-friendly hash
+    * joins (endpoint→assignment, assignment→new label), both on the
+    * cluster key.
+    *
+    * Returns the updated (id, component) covering the old assignment's
+    * nodes plus every new-edge endpoint.
+    */
+  def ccIncremental(
+      assign: DataFrame,
+      newEdges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e = newEdges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val am = assign.select(col("id").as("a"), col("component").as("ca"))
+    val bm = assign.select(col("id").as("b"), col("component").as("cb"))
+    val superEdges = e
+      .join(am, Seq("a"), "left")
+      .join(bm, Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("sa"),
+        coalesce(col("cb"), col("b")).as("sb"))
+      .filter(col("sa") =!= col("sb"))
+    val superCC = connectedComponents(superEdges, "sa", "sb", maxIter)
+    val remappedOld = assign
+      .join(superCC
+          .select(col("id").as("component"), col("component").as("merged")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("merged"), col("component")).as("component"))
+    val newNodes = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .distinct()
+      .join(assign.select("id"), Seq("id"), "left_anti")
+    val newAssigned = newNodes
+      .join(superCC, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    remappedOld.unionByName(newAssigned)
+  }
 }

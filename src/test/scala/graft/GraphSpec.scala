@@ -67,4 +67,35 @@ class GraphSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((100L, 100L), (200L, 100L)))
   }
+
+  test("incremental CC equals full recompute, including cluster merges") {
+    import spark.implicits._
+    // old graph: {1,2,3} (chain), {10,11}, {20,21}, isolated-pair {30,31}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("a", "b")
+    val assign = Graph.connectedComponents(oldEdges, "a", "b")
+    // new shard: a brand-new cluster {40,41}, an attach (42 -> old {10,11}),
+    // and the hard path — one edge MERGING old clusters {1,2,3} and {20,21}
+    val newEdges = Seq((40L, 41L), (42L, 10L), (3L, 21L)).toDF("a", "b")
+    val incr = Graph.ccIncremental(assign, newEdges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.connectedComponents(
+        oldEdges.unionByName(newEdges), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full)
+    assert(incr(21L) == 1L && incr(3L) == 1L) // merged cluster takes global min
+    assert(incr(42L) == 10L)                  // attach inherits old label
+    assert(incr(41L) == 40L)                  // new-only cluster
+    assert(incr(30L) == 30L && incr(31L) == 30L) // untouched cluster unchanged
+  }
+
+  test("incremental CC with an empty increment is the identity") {
+    import spark.implicits._
+    val oldEdges = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val assign = Graph.connectedComponents(oldEdges, "a", "b")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val incr = Graph.ccIncremental(assign, empty, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
 }
