@@ -6121,7 +6121,127 @@ object Queries {
           SELECT lab AS cluster, CAST(count(*) AS BIGINT) AS n_members,
             CAST(sum(CASE WHEN id = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
             CAST(max(id) AS BIGINT) AS max_id
-          FROM cc GROUP BY lab ORDER BY cluster"""))
+          FROM cc GROUP BY lab ORDER BY cluster""")),
+
+      // Classifier operating-point sweep — the threshold-selection report
+      // read before wiring q110's train-then-filter into production: for
+      // every decile threshold t, how many docs survive `score >= t` and
+      // what precision/recall does the planted en/de label see. Scale
+      // shape: ONE corpus pass buckets scores into the 10-bin histogram
+      // (q88's skew-free histogram pattern); the sweep itself is a
+      // DESCENDING cumulative window over the 10-row bucket frame —
+      // corpus size never touches the window. Ratios are exact integer
+      // permille (float sums would be engine-order-dependent).
+      ("q156_threshold_sweep", (s: SparkSession, d: String) => {
+        val buckets = classifierQuality(s, d, fastHash = false)
+          .withColumn("label",
+            when(col("lang").isin("en", "de"), 1L).otherwise(0L))
+          .withColumn("bucket",
+            least(floor(col("score") * 10).cast("long"), lit(9L)))
+          .groupBy("bucket").agg(
+            count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
+        val w = Window.orderBy(desc("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = buckets.agg(sum(col("n_pos")).as("tot_pos"))
+        buckets
+          .withColumn("n_kept", sum(col("n_docs")).over(w))
+          .withColumn("pos_kept", sum(col("n_pos")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket").as("threshold_decile"), col("n_kept"),
+            col("pos_kept"),
+            expr("CAST((pos_kept * 1000) div n_kept AS BIGINT)").as("precision_pm"),
+            expr("CAST((pos_kept * 1000) div tot_pos AS BIGINT)").as("recall_pm"))
+          .orderBy("threshold_decile")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          lab AS (SELECT score,
+              CAST(CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS BIGINT)
+                AS label,
+              CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket FROM sc),
+          b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(label) AS BIGINT) AS n_pos FROM lab GROUP BY bucket),
+          c AS (SELECT bucket,
+              CAST(sum(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_kept,
+              CAST(sum(n_pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS pos_kept
+            FROM b),
+          t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM b)
+          SELECT bucket AS threshold_decile, n_kept, pos_kept,
+            CAST((pos_kept * 1000) // n_kept AS BIGINT) AS precision_pm,
+            CAST((pos_kept * 1000) // tot_pos AS BIGINT) AS recall_pm
+          FROM c CROSS JOIN t ORDER BY threshold_decile""")),
+
+      // Cross-source duplication matrix — which sources copy from which:
+      // clusters in the persisted q141 artifact whose members span ≥ 2
+      // sources, rolled up per source pair (the report a crawl steward
+      // reads before de-prioritizing a mirror site). Seventh consumer of
+      // the one-pass artifact. Scale shape: the artifact join to sources
+      // is a broadcast-friendly FK join; the pair step runs on DISTINCT
+      // (cluster, source) rows — bounded by clusters × |sources|, never
+      // by corpus membership.
+      ("q157_cross_source_dups", (s: SparkSession, d: String) => {
+        val srcMap = t(s, d, "documents")
+          .select(col("doc_id").as("real_id"), col("source"))
+        val cs = clusterArtifact(s, d, fastHash = false)
+          .withColumn("real_id", pmod(col("doc_id"), lit(10000000L)))
+          .join(srcMap, "real_id")
+          .select("cluster", "source").distinct()
+        cs.as("a").join(cs.as("b"),
+            col("a.cluster") === col("b.cluster") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_clusters"))
+          .orderBy("src_a", "src_b")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          cs AS (SELECT DISTINCT cc.lab AS cluster, d.source
+            FROM cc JOIN documents d ON d.doc_id = cc.id % 10000000)
+          SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS n_shared_clusters
+          FROM cs a JOIN cs b
+            ON a.cluster = b.cluster AND a.source < b.source
+          GROUP BY a.source, b.source ORDER BY src_a, src_b""")),
+
+      // Vocabulary-coverage (OOV) audit — the tokenizer-health metric a
+      // pipeline reads after freezing a vocabulary: with the corpus
+      // top-1000 tokens as the vocab, what fraction of each source's
+      // token OCCURRENCES falls outside it. Scale shape: the vocab is a
+      // token-keyed rollup ending in TakeOrderedAndProject (top-1000,
+      // never a global sort) and is broadcast back onto the token
+      // stream, which aggregates per source without re-shuffling by
+      // token. Rates in exact integer permille.
+      ("q158_oov_rate", (s: SparkSession, d: String) => {
+        val toksDf = t(s, d, "documents")
+          .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+        val vocab = toksDf.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("tok")).limit(1000)
+          .select(col("tok"), lit(1L).as("in_vocab"))
+        toksDf.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_tok"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tok"))
+          .withColumn("oov_pm",
+            expr("CAST((oov_tok * 1000) div n_tok AS BIGINT)"))
+          .orderBy("source")
+      },
+        Some(s"""WITH tk AS (SELECT source, u.tok
+            FROM documents, unnest($toks) AS u(tok)),
+          vc AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 1000)),
+          fl AS (SELECT tk.source,
+              CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tk LEFT JOIN vc ON vc.tok = tk.tok)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+            CAST(sum(oov) AS BIGINT) AS oov_tok,
+            CAST((sum(oov) * 1000) // count(*) AS BIGINT) AS oov_pm
+          FROM fl GROUP BY source ORDER BY source"""))
     )
   }
 
