@@ -131,6 +131,15 @@ object Dedup {
       .select("doc_id", "hashes")
       .persistTracked()
 
+  /** Public form of [[shingleHashed]] for artifact persistence: the
+    * (doc_id, hashes) signature index a deployment stores alongside the
+    * cluster assignment so shard maintenance never re-hashes the
+    * standing corpus ([[minhashIncrementalFromIndex]] consumes it).
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, fastHash: Boolean = false): DataFrame =
+    shingleHashed(docs, idCol, textCol, shingleK, fastHash)
+
   /** Exploded LSH band keys (doc_id, band) of a [[shingleHashed]] table. */
   private def bandKeys(hashed: DataFrame, numHashes: Int, bands: Int, rows: Int): DataFrame =
     hashed
@@ -177,6 +186,32 @@ object Dedup {
     require(bands * rows == numHashes, "numHashes must be divisible by bands")
 
     val oldHashed = shingleHashed(oldDocs, idCol, textCol, shingleK, fastHash)
+    minhashIncrementalFromIndex(oldHashed, newDocs, idCol, textCol,
+      shingleK, numHashes, bands, threshold, fastHash)
+  }
+
+  /** [[minhashIncremental]] against a PERSISTED signature index: the
+    * standing corpus's (doc_id, hashes) table — the md5-heavy shingle
+    * pass that dominates maintenance cost — is read back instead of
+    * recomputed (the production shape: the index is part of the standing
+    * dedup artifact, alongside the cluster assignment). Only the new
+    * shard is hashed per run. `oldIndex` must be a (doc_id, hashes)
+    * frame as produced by [[shingleIndex]].
+    */
+  def minhashIncrementalFromIndex(
+      oldIndex: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      fastHash: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must be divisible by bands")
+
+    val oldHashed = oldIndex.select("doc_id", "hashes").persistTracked()
     val newHashed = shingleHashed(newDocs, idCol, textCol, shingleK, fastHash)
     val oldBanded = bandKeys(oldHashed, numHashes, bands, rows)
     val newBanded = bandKeys(newHashed, numHashes, bands, rows)

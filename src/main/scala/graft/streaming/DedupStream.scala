@@ -226,4 +226,99 @@ object DedupStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         phashUpdate(maxHamming, maxPerBand))
   }
+
+  // --- content-defined-chunk streaming dedup (q153's continuous form) ---
+
+  /** One row per (chunk md5, doc) after per-document CDC chunking. */
+  case class ChunkRow(chunkHash: String, docId: Long)
+
+  /** Emitted when an arriving doc shares a chunk with a retained doc. */
+  case class ChunkHit(docA: Long, docB: Long, chunkHash: String)
+
+  /** Per-chunk-hash state: bounded doc-id history + eviction count. */
+  case class ChunkState(entries: Vector[Long], dropped: Long)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Scala twin of [[graft.functions.TextFunctions.hash32]] (first 8 md5
+    * hex chars as a long) — the streaming chunker runs in a typed map,
+    * outside Catalyst, so the hash must be recomputed portably here.
+    * StreamingSpec pins chunker == batch [[graft.ops.Dedup.cdcChunks]].
+    */
+  private def hash32Local(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  /** Per-document CDC chunking as a typed map — identical semantics to
+    * the batch operator's window form (a boundary token is the LAST
+    * token of its chunk), but computed row-locally: chunking needs no
+    * cross-row state, so the streaming version pays no shuffle at all
+    * before the keyed-state stage.
+    */
+  def cdcChunked(docs: DataFrame, boundaryMod: Int = 8): Dataset[ChunkRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur = new StringBuilder
+        text.split("\\s+").iterator.filter(_.nonEmpty).foreach { t =>
+          if (cur.nonEmpty) cur.append(' ')
+          cur.append(t)
+          if (hash32Local("cdc|" + t) % boundaryMod == 0) {
+            out += cur.toString; cur = new StringBuilder
+          }
+        }
+        if (cur.nonEmpty) out += cur.toString
+        out.map(c => ChunkRow(md5hex(c), id))
+      }
+  }
+
+  private[graft] def cdcUpdate(maxPerChunk: Int)(
+      hash: String,
+      rows: Iterator[ChunkRow],
+      state: GroupState[ChunkState]): Iterator[ChunkHit] = {
+    var st = state.getOption.getOrElse(ChunkState(Vector.empty, 0L))
+    val out = Vector.newBuilder[ChunkHit]
+    rows.toSeq.sortBy(_.docId).foreach { r =>
+      st.entries.foreach { old =>
+        if (old != r.docId)
+          out += ChunkHit(math.min(old, r.docId), math.max(old, r.docId), hash)
+      }
+      if (!st.entries.contains(r.docId)) {
+        val appended = st.entries :+ r.docId
+        st =
+          if (appended.size > maxPerChunk)
+            ChunkState(appended.drop(appended.size - maxPerChunk),
+              st.dropped + (appended.size - maxPerChunk))
+          else ChunkState(appended, st.dropped)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Continuous cross-document duplicated-chunk detection — the
+    * streaming form of [[graft.ops.Dedup.cdcDupChunks]], with the same
+    * bounded-state trade as [[detect]]/[[phashDetect]]: an arriving
+    * document's chunks are checked against exactly the retained doc ids
+    * sharing each chunk hash (state O(maxPerChunk) per populated hash,
+    * never the corpus); a boilerplate chunk saturates VISIBLY
+    * (oldest-first eviction with a dropped counter) instead of growing
+    * without bound. Pairs may repeat across shared chunks; the consumer
+    * dedups, exactly as with band-keyed emission.
+    */
+  def cdcDetect(
+      docs: DataFrame,
+      boundaryMod: Int = 8,
+      maxPerChunk: Int = 64): Dataset[ChunkHit] = {
+    import docs.sparkSession.implicits._
+    cdcChunked(docs, boundaryMod)
+      .groupByKey(_.chunkHash)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        cdcUpdate(maxPerChunk))
+  }
 }
