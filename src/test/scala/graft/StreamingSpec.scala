@@ -414,6 +414,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming CDC chunk dedup flags cross-batch shared chunks, chunker equals batch op") {
+    import graft.streaming.DedupStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // doc 1 and the late-arriving doc 10 share their full text; doc 2
+    // shares a long middle run with doc 1; docs 3/11 are noise
+    val shared = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),
+      (2L, s"prefix_a $shared suffix_b"),
+      (3L, "completely different content about database query planning"))
+    val late = Seq(
+      (10L, shared),
+      (11L, "entirely fresh material matching nothing prior at all"))
+
+    // the row-local streaming chunker must equal the batch window form
+    val batchChunks = graft.ops.Dedup.cdcChunks(
+        (docs ++ late).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "chunk_hash").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val localChunks = DedupStream.cdcChunked((docs ++ late).toDF("doc_id", "text"))
+      .collect().map(c => (c.docId, c.chunkHash)).sorted.toSeq
+    assert(localChunks == batchChunks)
+
+    val input = MemoryStream[(Long, String)]
+    val out = DedupStream.cdcDetect(input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("cdcdup")
+      .outputMode("append").start()
+    input.addData(docs)
+    q.processAllAvailable()
+    input.addData(late)
+    q.processAllAvailable()
+    val pairs = spark.table("cdcdup").as[DedupStream.ChunkHit].collect()
+      .map(h => (h.docA, h.docB)).toSet
+    q.stop()
+    assert(pairs.contains((1L, 2L)))  // intra-batch shared run
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 10L)),
+      s"cross-batch chunk match missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 11L || p._2 == 11L))
+
+    // stream pair set == batch detector's doc-pair expansion on the
+    // same corpus (the rollup's n_docs >= 2 hashes, paired)
+    val batchPairs = graft.ops.Dedup.cdcChunks(
+        (docs ++ late).toDF("doc_id", "text"), "doc_id", "text")
+      .as("a").join(graft.ops.Dedup.cdcChunks(
+        (docs ++ late).toDF("doc_id", "text"), "doc_id", "text").as("b"),
+        $"a.chunk_hash" === $"b.chunk_hash" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == batchPairs, s"stream $pairs != batch $batchPairs")
+  }
+
   test("repetition-char battery on a stream equals the batch battery on the same docs") {
     // q112's char-weighted repetition metrics are per-row sorted folds —
     // stateless like the gopher battery, so they ride a streaming ingest
