@@ -6280,7 +6280,126 @@ object Queries {
           SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
             CAST(sum(oov) AS BIGINT) AS oov_tok,
             CAST((sum(oov) * 1000) // count(*) AS BIGINT) AS oov_pm
-          FROM fl GROUP BY source ORDER BY source"""))
+          FROM fl GROUP BY source ORDER BY source""")),
+
+      // Leakage-free train/heldout split — the q118 family's missing
+      // guarantee: a near-duplicate of a training doc in the heldout set
+      // is contamination (the eval leak q75/q150 hunt AFTER the fact;
+      // this prevents it AT split time). The split decision hashes the
+      // CLUSTER representative (persisted q141 artifact — consumer #8),
+      // not the doc, so every cluster lands whole in one split by
+      // construction; leaky_clusters is COMPUTED from the data (clusters
+      // spanning >1 split) and the oracle must agree it is zero. Scale
+      // shape: one broadcast-friendly join to the artifact, a narrow
+      // hash decision, two rollups.
+      ("q159_leakfree_split", (s: SparkSession, d: String) => {
+        val corpus = nearDupCorpus(t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), pmod(col("doc_id"), lit(10000000L)).as("real_id"))
+        val srcMap = t(s, d, "documents")
+          .select(col("doc_id").as("real_id"), col("source"))
+        val assigned = corpus
+          .join(clusterArtifact(s, d, fastHash = false)
+            .select("doc_id", "cluster"), Seq("doc_id"), "left")
+          .withColumn("split_key", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("split",
+            when((pmod(TF.hash32(concat(lit("sp|"),
+              col("split_key").cast("string"))), lit(1048576L)).cast("double")
+              + lit(0.5)) / lit(1048576.0) < 0.8, lit("train"))
+              .otherwise(lit("heldout")))
+        val leaky = assigned.filter(col("cluster").isNotNull)
+          .groupBy("cluster")
+          .agg(countDistinct(col("split")).as("n_splits"))
+          .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leaky_clusters"))
+        assigned.join(srcMap, "real_id")
+          .groupBy("source").agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "heldout", 1L).otherwise(0L)).as("n_heldout"),
+            sum(when(col("cluster").isNotNull, 1L).otherwise(0L)).as("n_clustered"))
+          .crossJoin(broadcast(leaky))
+          .orderBy("source")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          asg AS (SELECT c.doc_id, c.doc_id % 10000000 AS real_id, cc.lab AS cluster,
+              CASE WHEN ((${sqlHash32(
+                "'sp|' || CAST(coalesce(cc.lab, c.doc_id) AS VARCHAR)")}
+                % 1048576) + 0.5) / 1048576.0 < 0.8
+                THEN 'train' ELSE 'heldout' END AS split
+            FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id),
+          lk AS (SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS leaky_clusters
+            FROM (SELECT cluster, count(DISTINCT split) AS n_splits
+              FROM asg WHERE cluster IS NOT NULL GROUP BY cluster))
+          SELECT d.source,
+            CAST(sum(CASE WHEN a.split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_train,
+            CAST(sum(CASE WHEN a.split = 'heldout' THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_heldout,
+            CAST(sum(CASE WHEN a.cluster IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_clustered,
+            max(lk.leaky_clusters) AS leaky_clusters
+          FROM asg a JOIN documents d ON a.real_id = d.doc_id CROSS JOIN lk
+          GROUP BY d.source ORDER BY d.source""")),
+
+      // Shard drift monitor — before folding an arriving shard into the
+      // standing corpus (the q155 loop), compare its per-source length
+      // profile against the standing one: 10-bin token-length histograms
+      // in exact integer ppm of each side's total, L1 distance per
+      // source. The continuous-ingest health check that catches a
+      // misbehaving upstream crawler BEFORE it pollutes the index. Scale
+      // shape: two narrow per-row passes into 10-bucket rollups; the
+      // comparison frame is |sources| × 10 rows.
+      ("q160_shard_drift", (s: SparkSession, d: String) => {
+        val old = t(s, d, "documents").select(col("source"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+        val fresh = t(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+          .select(col("source"),
+            (size(TF.tokens(col("text"))) + 1).cast("long").as("n_tok"))
+        def hist(df: DataFrame): DataFrame = df
+          .withColumn("bucket", least(expr("n_tok div 8"), lit(9L)))
+          .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+          .withColumn("tot", sum(col("c")).over(Window.partitionBy("source")))
+          .withColumn("ppm", expr("CAST((c * 1000000) div tot AS BIGINT)"))
+          .select("source", "bucket", "ppm")
+        hist(old).withColumnRenamed("ppm", "ppm_old")
+          .join(hist(fresh).withColumnRenamed("ppm", "ppm_new"),
+            Seq("source", "bucket"), "full_outer")
+          .groupBy("source").agg(
+            sum(abs(coalesce(col("ppm_old"), lit(0L)) -
+              coalesce(col("ppm_new"), lit(0L)))).as("l1_ppm"),
+            count(lit(1)).as("n_buckets"))
+          .orderBy("source")
+      },
+        Some(s"""WITH o AS (SELECT source,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
+          f AS (SELECT source,
+              CAST(len(${sqlTokens("text")}) + 1 AS BIGINT) AS n_tok
+            FROM documents WHERE doc_id % 10 = 0),
+          ho AS (SELECT source, least(n_tok // 8, 9) AS bucket,
+              CAST(count(*) AS BIGINT) AS c FROM o GROUP BY source, least(n_tok // 8, 9)),
+          ho2 AS (SELECT source, bucket,
+              CAST((c * 1000000) // sum(c) OVER (PARTITION BY source) AS BIGINT)
+                AS ppm_old FROM ho),
+          hf AS (SELECT source, least(n_tok // 8, 9) AS bucket,
+              CAST(count(*) AS BIGINT) AS c FROM f GROUP BY source, least(n_tok // 8, 9)),
+          hf2 AS (SELECT source, bucket,
+              CAST((c * 1000000) // sum(c) OVER (PARTITION BY source) AS BIGINT)
+                AS ppm_new FROM hf),
+          j AS (SELECT coalesce(ho2.source, hf2.source) AS source,
+              coalesce(ppm_old, 0) AS ppm_old, coalesce(ppm_new, 0) AS ppm_new
+            FROM ho2 FULL OUTER JOIN hf2
+              ON ho2.source = hf2.source AND ho2.bucket = hf2.bucket)
+          SELECT source, CAST(sum(abs(ppm_old - ppm_new)) AS BIGINT) AS l1_ppm,
+            CAST(count(*) AS BIGINT) AS n_buckets
+          FROM j GROUP BY source ORDER BY source"""))
     )
   }
 
