@@ -6399,7 +6399,72 @@ object Queries {
               ON ho2.source = hf2.source AND ho2.bucket = hf2.bucket)
           SELECT source, CAST(sum(abs(ppm_old - ppm_new)) AS BIGINT) AS l1_ppm,
             CAST(count(*) AS BIGINT) AS n_buckets
-          FROM j GROUP BY source ORDER BY source"""))
+          FROM j GROUP BY source ORDER BY source""")),
+
+      // ANN index recall audit — the operating report read before
+      // choosing nprobe in production (AnnSpec gates recall in tests;
+      // this is the same measurement as a QUERY, oracled): IVF top-10 at
+      // nprobe ∈ {1, 3, 5} against the exact brute-force top-10, recall
+      // in exact integer permille. Scale shape: ONE cell assignment pass
+      // is shared by all three probe widths (persisted), each IVF arm
+      // touches only its probed cells, and the brute arm — the audit's
+      // deliberate cost — is one corpus scan per query batch ending in a
+      // rank window. The audit runs on a SAMPLE of queries by design.
+      ("q161_recall_audit", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val cents = graft.search.Ann.sampleCentroids(e, 25)
+        val assigned = graft.search.Ann.ivfAssign(e, cents).persistTracked()
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val wq = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+        val brute = e.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("rnk", row_number().over(wq))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id"))
+        val ivf = Seq(1, 3, 5).map { np =>
+          graft.search.Ann.ivfSearch(assigned, cents, qs, k = 10, nprobe = np)
+            .select(col("query_id"), col("vec_id"), lit(np.toLong).as("nprobe"))
+        }.reduce(_ unionByName _)
+        ivf.join(brute, Seq("query_id", "vec_id"))
+          .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+          .withColumn("recall_pm", expr("CAST((hits * 1000) div 50 AS BIGINT)"))
+          .orderBy("nprobe")
+      },
+        Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          assigned AS (SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 5),
+          np AS (SELECT CAST(u.np AS BIGINT) AS np FROM unnest([1, 3, 5]) AS u(np)),
+          rc AS (SELECT q.query_id, c.cid, q.qe,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlL2sq("q.qe", "c.cvec")}, 6), c.cid) AS rn
+            FROM q CROSS JOIN cent c),
+          cells AS (SELECT np.np, rc.query_id, rc.cid, rc.qe
+            FROM rc CROSS JOIN np WHERE rc.rn <= np.np),
+          scored AS (SELECT cells.np, cells.query_id, a.vec_id,
+              round(${sqlCos01("a.embedding", "cells.qe")}, 6) AS sim
+            FROM assigned a JOIN cells ON a.cid = cells.cid),
+          ivf AS (SELECT np, query_id, vec_id FROM (
+            SELECT np, query_id, vec_id,
+              row_number() OVER (PARTITION BY np, query_id
+                ORDER BY sim DESC, vec_id) AS rnk FROM scored) WHERE rnk <= 10),
+          brute AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlCos01("e.embedding", "q.qe")}, 6) DESC,
+                  e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN q) WHERE rnk <= 10)
+          SELECT i.np AS nprobe, CAST(count(*) AS BIGINT) AS hits,
+            CAST((count(*) * 1000) // 50 AS BIGINT) AS recall_pm
+          FROM ivf i JOIN brute b
+            ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+          GROUP BY i.np ORDER BY nprobe"""))
     )
   }
 
