@@ -6464,7 +6464,97 @@ object Queries {
             CAST((count(*) * 1000) // 50 AS BIGINT) AS recall_pm
           FROM ivf i JOIN brute b
             ON b.query_id = i.query_id AND b.vec_id = i.vec_id
-          GROUP BY i.np ORDER BY nprobe"""))
+          GROUP BY i.np ORDER BY nprobe""")),
+
+      // Per-source dataset datasheet — the one-page "data card" a corpus
+      // steward publishes per source: volume (docs, tokens), near-dup
+      // token rate (from the persisted q141 artifact — consumer #9),
+      // mean classifier quality (exact integer micro-units — score is
+      // already 6-dp rounded, so micro-sums are exact and the mean is
+      // engine-independent), and the dominant language. Scale shape:
+      // four independent source-keyed rollups joined on the |sources|-row
+      // key — each input pass is a single aggregate; nothing is
+      // per-document after the rollups.
+      ("q162_source_datasheet", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val vol = docs
+          .select(col("source"), size(TF.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tok"))
+        val clusters = clusterArtifact(s, d, fastHash = false)
+          .select("doc_id", "is_keeper")
+        val srcMap = docs.select(col("doc_id").as("real_id"), col("source"))
+        val dup = nearDupCorpus(docs.select("doc_id", "text"))
+          .select(col("doc_id"), pmod(col("doc_id"), lit(10000000L)).as("real_id"),
+            size(TF.tokens(col("text"))).cast("long").as("nt"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("dup_tok",
+            when(coalesce(col("is_keeper"), lit(1L)) === 0L, col("nt"))
+              .otherwise(0L))
+          .join(srcMap, "real_id")
+          .groupBy("source")
+          .agg(sum(col("nt")).as("tok_total"), sum(col("dup_tok")).as("tok_dup"))
+          .withColumn("dup_pm", expr("CAST((tok_dup * 1000) div tok_total AS BIGINT)"))
+          .select("source", "dup_pm")
+        val qual = classifierQuality(s, d, fastHash = false)
+          .withColumn("micro", expr("CAST(round(score * 1000000) AS BIGINT)"))
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(expr("CAST(sum(micro) div count(1) AS BIGINT)").as("mean_score_micro"))
+        val wl = Window.partitionBy("source").orderBy(desc("c"), asc("lang"))
+        val lang = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        vol.join(dup, "source").join(qual, "source").join(lang, "source")
+          .orderBy("source")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          keep AS (SELECT id AS doc_id,
+              CASE WHEN id = lab THEN 1 ELSE 0 END AS is_keeper FROM cc),
+          vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tok
+            FROM documents GROUP BY source),
+          tk AS (SELECT doc_id, doc_id % 10000000 AS real_id,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS nt FROM corpus),
+          dup AS (SELECT d.source,
+              CAST((sum(CASE WHEN coalesce(k.is_keeper, 1) = 0 THEN tk.nt
+                ELSE 0 END) * 1000) // sum(tk.nt) AS BIGINT) AS dup_pm
+            FROM tk LEFT JOIN keep k ON tk.doc_id = k.doc_id
+            JOIN documents d ON tk.real_id = d.doc_id
+            GROUP BY d.source),
+          scl AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+          zc AS (SELECT doc_id,
+              coalesce(list_sum(list_transform(toks,
+                t -> (CAST(${sqlHash32("'w|' || t")} % 2001 AS DOUBLE) - 1000.0)
+                  / 1000.0)), 0.0) AS z,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n
+            FROM scl),
+          qsc AS (SELECT doc_id,
+              CAST(round(round(1.0 / (1.0 + exp(-8.0 * z / n)), 6) * 1000000)
+                AS BIGINT) AS micro FROM zc),
+          qual AS (SELECT d.source,
+              CAST(sum(q.micro) // count(*) AS BIGINT) AS mean_score_micro
+            FROM qsc q JOIN documents d ON d.doc_id = q.doc_id
+            GROUP BY d.source),
+          lng AS (SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+              row_number() OVER (PARTITION BY source
+                ORDER BY count(*) DESC, lang) AS rn
+            FROM documents GROUP BY source, lang) WHERE rn = 1)
+          SELECT v.source, v.n_docs, v.n_tok, dup.dup_pm,
+            qual.mean_score_micro, lng.top_lang
+          FROM vol v JOIN dup ON dup.source = v.source
+          JOIN qual ON qual.source = v.source
+          JOIN lng ON lng.source = v.source
+          ORDER BY v.source"""))
     )
   }
 
