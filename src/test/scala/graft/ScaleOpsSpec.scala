@@ -173,4 +173,78 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("q152 length batching: every window is partitioned by the length band") {
+    // the operator's scale claim is "no single-partition window" — pin it
+    // on the executed plan so a refactor cannot silently drop the band key
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Queries.queries("q152_length_batches")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected a window in the q152 plan")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"q152 window lost its band partition key: ${w.simpleStringWithNodeId()}")
+    }
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q158 OOV audit: vocab is top-k'd (TakeOrderedAndProject) and broadcast") {
+    // the two scale levers of the vocabulary pattern: the top-1000 cutoff
+    // must compile to TakeOrderedAndProject (not a global Sort), and the
+    // vocab side of the membership join must be broadcast (the token
+    // stream is never re-shuffled by token).
+    val df = Queries.queries("q158_oov_rate")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k is not TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership join is not broadcast:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q150 semantic decontam: eval set broadcast, argmax via WindowGroupLimit") {
+    val df = Queries.queries("q150_semantic_decontam")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"eval set not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"argmax did not compile to WindowGroupLimit (rank pushdown):\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q153 CDC chunking: token windows are per-document, detector has no join") {
+    // tokens must never cross documents (window partitioned by doc_id)
+    // and the cross-doc detector must be a rollup, not a pair join
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Queries.queries("q153_cdc_chunks")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "CDC boundary window must be partitioned by doc")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"CDC detector should be a hash-keyed rollup, found a join:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }
