@@ -89,6 +89,20 @@ class GraphSpec extends SparkSpec {
     assert(incr(30L) == 30L && incr(31L) == 30L) // untouched cluster unchanged
   }
 
+  test("incremental CC: local union-find arm equals the distributed arm") {
+    import spark.implicits._
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val assign = Graph.connectedComponents(oldEdges, "a", "b")
+    val newEdges = Seq((40L, 41L), (42L, 10L), (3L, 21L), (41L, 20L)).toDF("a", "b")
+    def run(maxLocal: Long) =
+      Graph.ccIncremental(assign, newEdges, "a", "b", maxLocalEdges = maxLocal)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(200000L) // small graph -> union-find arm
+    val dist = run(0L)       // force the distributed arm on the same input
+    assert(local == dist)
+    assert(local(41L) == 1L) // chain 40-41-20-21-3-2-1 collapses to min 1
+  }
+
   test("incremental CC with an empty increment is the identity") {
     import spark.implicits._
     val oldEdges = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
