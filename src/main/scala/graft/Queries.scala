@@ -2593,6 +2593,15 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     })
     ,
+    // Production-hash twin of q153: codegen'd xxhash64 for both the CDC
+    // boundary decision and the chunk fingerprint (same chunk structure
+    // and locality; md5 stays on the oracled path — the established
+    // hash-family methodology of b45/b78/b81/b129).
+    ("b153_cdc_xxh64", (s: SparkSession, d: String) =>
+      graft.ops.Dedup.cdcDupChunks(t(s, d, "documents"), "doc_id", "text",
+          fastHash = true)
+        .orderBy("chunk_hash"))
+    ,
     // Sketch twin of q73: per-language heavy hitters via the Misra-Gries
     // fixed-size mergeable summary instead of the exact (lang, token)
     // aggregate — the O(groups × k) shuffle path for a vocabulary too

@@ -503,13 +503,17 @@ object Dedup {
     * doc — the token stream never shuffles across documents.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-      boundaryMod: Int = 8): DataFrame = {
+      boundaryMod: Int = 8, fastHash: Boolean = false): DataFrame = {
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
+    val bhash = (c: Column) =>
+      if (fastHash) hash32Fast(c) else hash32(c)
+    val chash = (c: Column) =>
+      if (fastHash) xxhash64(c).cast("string") else md5(c)
     docs.select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
       .withColumn("bnd",
-        when(pmod(hash32(concat(lit("cdc|"), col("tok"))),
+        when(pmod(bhash(concat(lit("cdc|"), col("tok"))),
           lit(boundaryMod.toLong)) === 0L, 1L).otherwise(0L))
       .withColumn("chunk_idx", sum(col("bnd")).over(wb) - col("bnd"))
       .groupBy("doc_id", "chunk_idx")
@@ -519,15 +523,16 @@ object Dedup {
           x => x.getField("tok")), " ").as("chunk_text"),
         count(lit(1)).as("chunk_len"))
       .select(col("doc_id"), col("chunk_idx"),
-        md5(col("chunk_text")).as("chunk_hash"), col("chunk_len"))
+        chash(col("chunk_text")).as("chunk_hash"), col("chunk_len"))
   }
 
   /** Cross-document duplicated-chunk rollup over [[cdcChunks]]: chunks
     * appearing in ≥ `minDocs` distinct documents, with occurrence
     * counts. A hash-keyed aggregate — counts, never candidate pairs. */
   def cdcDupChunks(docs: DataFrame, idCol: String, textCol: String,
-      boundaryMod: Int = 8, minDocs: Int = 2): DataFrame =
-    cdcChunks(docs, idCol, textCol, boundaryMod)
+      boundaryMod: Int = 8, minDocs: Int = 2,
+      fastHash: Boolean = false): DataFrame =
+    cdcChunks(docs, idCol, textCol, boundaryMod, fastHash)
       .groupBy("chunk_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
