@@ -6563,7 +6563,81 @@ object Queries {
           FROM vol v JOIN dup ON dup.source = v.source
           JOIN qual ON qual.source = v.source
           JOIN lng ON lng.source = v.source
-          ORDER BY v.source"""))
+          ORDER BY v.source""")),
+
+      // Artifact version diff — the change report an operator reads after
+      // q155 folds a shard in: every post-increment cluster classified as
+      // NEW (all members arrived with the shard), MERGED (a shard edge
+      // joined ≥2 standing clusters), GROWN (one standing cluster gained
+      // members), or UNCHANGED. Both versions come from the session's
+      // persisted standing state + the incremental path (never a second
+      // full dedup pass). The oracle recomputes both generations from
+      // scratch — standing pairs are exactly the merged corpus's pairs
+      // restricted to old×old endpoints (signatures are per-document, so
+      // the pair set over a sub-corpus equals the filtered pair set).
+      // Scale shape: one cluster-keyed rollup over the merged assignment
+      // joined to the standing one; output is 4 rows.
+      ("q163_artifact_diff", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val newShard = docs
+          .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(col("text"), lit(" zzz")))
+        val old = preClusterArtifact(s, d)
+        val newPairs = Dedup.minhashIncrementalFromIndex(
+          preShingleIndex(s, d), newShard, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        val merged = Graph.ccIncremental(old, newPairs, "doc_a", "doc_b")
+        merged
+          .join(old.select(col("id"), col("component").as("old_comp")),
+            Seq("id"), "left")
+          .groupBy("component").agg(
+            countDistinct(col("old_comp")).as("n_old"),
+            sum(when(col("old_comp").isNull, 1L).otherwise(0L)).as("n_new_m"),
+            count(lit(1)).as("n_members"))
+          .withColumn("status",
+            when(col("n_old") === 0, "new")
+              .when(col("n_old") >= 2, "merged")
+              .when(col("n_new_m") > 0, "grown")
+              .otherwise("unchanged"))
+          .groupBy("status").agg(
+            count(lit(1)).as("n_clusters"),
+            sum(col("n_members")).as("n_members"))
+          .orderBy("status")
+      },
+        Some(s"""WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000000, text || ' zzz'
+              FROM documents WHERE doc_id % 10 = 0),
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          edges_old AS (SELECT a, b FROM edges
+            WHERE a < 10000000 AND b < 10000000),
+          reach_old(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges_old
+            UNION
+            SELECT e.a, r.lab FROM edges_old e JOIN reach_old r ON r.id = e.b),
+          cc_old AS (SELECT id, min(lab) AS lab FROM reach_old GROUP BY id),
+          per AS (SELECT cc.lab AS component,
+              count(DISTINCT o.lab) AS n_old,
+              sum(CASE WHEN o.lab IS NULL THEN 1 ELSE 0 END) AS n_new_m,
+              count(*) AS n_members
+            FROM cc LEFT JOIN cc_old o ON o.id = cc.id
+            GROUP BY cc.lab),
+          st AS (SELECT CASE WHEN n_old = 0 THEN 'new'
+              WHEN n_old >= 2 THEN 'merged'
+              WHEN n_new_m > 0 THEN 'grown'
+              ELSE 'unchanged' END AS status, n_members
+            FROM per)
+          SELECT status, CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(n_members) AS BIGINT) AS n_members
+          FROM st GROUP BY status ORDER BY status"""))
     )
   }
 
