@@ -6637,7 +6637,74 @@ object Queries {
             FROM per)
           SELECT status, CAST(count(*) AS BIGINT) AS n_clusters,
             CAST(sum(n_members) AS BIGINT) AS n_members
-          FROM st GROUP BY status ORDER BY status"""))
+          FROM st GROUP BY status ORDER BY status""")),
+
+      // Percentile-blend quality ensemble — the FineWeb-Edu-style rank
+      // blend: each signal (classifier score, token count) is converted
+      // to an exact percentile rank via a VALUE-KEYED histogram
+      // (per-value counts → running sum over the distinct-value frame →
+      // broadcast join back; the corpus is never globally sorted and
+      // ties get identical ranks by construction), the blend is the
+      // integer mean of the two permille ranks, and the keep rule takes
+      // blend ≥ 700 (the top-30% operating point by blended rank).
+      // All-integer arithmetic end to end. Scale shape: the only
+      // corpus-width exchanges are the two value-keyed rollups; the
+      // running sums ride distinct-value frames (≤ |distinct values|
+      // rows), which the 6-dp score keeps bounded.
+      ("q164_quality_blend", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val base = classifierQuality(s, d, fastHash = false)
+          .withColumn("micro", expr("CAST(round(score * 1000000) AS BIGINT)"))
+          .join(docs.select(col("doc_id"), col("source"),
+            size(TF.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+          .persistTracked()
+        val n = base.count()
+        def rankPm(valCol: String, outCol: String): DataFrame = {
+          val wv = Window.orderBy(valCol)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          base.groupBy(valCol).agg(count(lit(1)).as("c"))
+            .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+            .withColumn(outCol, expr(s"CAST((below * 1000) div $n AS BIGINT)"))
+            .select(col(valCol), col(outCol))
+        }
+        base
+          .join(broadcast(rankPm("micro", "r_score")), "micro")
+          .join(broadcast(rankPm("n_tok", "r_len")), "n_tok")
+          .withColumn("blend_pm", expr("CAST((r_score + r_len) div 2 AS BIGINT)"))
+          .withColumn("keep", when(col("blend_pm") >= 700, 1L).otherwise(0L))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("keep")).as("n_kept"),
+            expr("CAST(sum(blend_pm) div count(1) AS BIGINT)").as("mean_blend_pm"))
+          .orderBy("source")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          b AS (SELECT sc.doc_id, d.source,
+              CAST(round(sc.score * 1000000) AS BIGINT) AS micro,
+              CAST(len(${sqlTokens("d.text")}) AS BIGINT) AS n_tok
+            FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+          rs AS (SELECT micro,
+              CAST((coalesce(sum(c) OVER (ORDER BY micro
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000)
+                // max(nn) OVER () AS BIGINT) AS r_score
+            FROM (SELECT micro, CAST(count(*) AS BIGINT) AS c,
+                max(n.n) AS nn FROM b CROSS JOIN n GROUP BY micro)),
+          rl AS (SELECT n_tok,
+              CAST((coalesce(sum(c) OVER (ORDER BY n_tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 1000)
+                // max(nn) OVER () AS BIGINT) AS r_len
+            FROM (SELECT n_tok, CAST(count(*) AS BIGINT) AS c,
+                max(n.n) AS nn FROM b CROSS JOIN n GROUP BY n_tok)),
+          j AS (SELECT b.source,
+              (rs.r_score + rl.r_len) // 2 AS blend_pm
+            FROM b JOIN rs ON rs.micro = b.micro
+            JOIN rl ON rl.n_tok = b.n_tok)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN blend_pm >= 700 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_kept,
+            CAST(sum(blend_pm) // count(*) AS BIGINT) AS mean_blend_pm
+          FROM j GROUP BY source ORDER BY source"""))
     )
   }
 
