@@ -6704,7 +6704,70 @@ object Queries {
             CAST(sum(CASE WHEN blend_pm >= 700 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_kept,
             CAST(sum(blend_pm) // count(*) AS BIGINT) AS mean_blend_pm
-          FROM j GROUP BY source ORDER BY source"""))
+          FROM j GROUP BY source ORDER BY source""")),
+
+      // Normalization-gained duplicates — the measurement behind "always
+      // canonicalize before exact dedup": re-publications that differ
+      // only in case/punctuation/whitespace are invisible to raw
+      // content-hash dedup and collapse only after aggressive
+      // canonicalization (lower + strip non-alnum + collapse runs of
+      // spaces). Fixture plants such a variant of every 20th doc
+      // (capitalized first letter, trailing "!!", doubled spaces); the
+      // report counts, per source, docs in raw-exact groups vs
+      // canonical-exact groups — the delta is the dedup the raw pass
+      // MISSES. Two hash-keyed aggregates, both narrow per-row prep.
+      ("q165_norm_dedup_gain", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val variants = docs.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(upper(substring(col("text"), 1, 1)),
+              expr("substring(text, 2)"), lit("  !!")).as("text"))
+        val srcMap = t(s, d, "documents")
+          .select(col("doc_id").as("real_id"), col("source"))
+        val corpus = docs.unionByName(variants)
+          .withColumn("real_id", pmod(col("doc_id"), lit(20000000L)))
+          .withColumn("canon", trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+          .persistTracked()
+        def dupFlag(keyCol: String, flag: String): DataFrame = corpus
+          .withColumn("k", md5(col(keyCol)))
+          .withColumn(flag,
+            when(count(lit(1)).over(Window.partitionBy("k")) > 1, 1L)
+              .otherwise(0L))
+          .select("doc_id", flag)
+        corpus.select("doc_id", "real_id")
+          .join(dupFlag("text", "raw_dup"), "doc_id")
+          .join(dupFlag("canon", "canon_dup"), "doc_id")
+          .join(srcMap, "real_id")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("raw_dup")).as("raw_dup_docs"),
+            sum(col("canon_dup")).as("canon_dup_docs"),
+            (sum(col("canon_dup")) - sum(col("raw_dup"))).as("gained"))
+          .orderBy("source")
+      },
+        Some(s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 20000000,
+              upper(substring(text, 1, 1)) || substring(text, 2) || '  !!'
+            FROM documents WHERE doc_id % 20 = 0),
+          c AS (SELECT doc_id, doc_id % 20000000 AS real_id, text,
+              trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+            FROM corpus),
+          r AS (SELECT doc_id,
+              CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                THEN 1 ELSE 0 END AS raw_dup,
+              CASE WHEN count(*) OVER (PARTITION BY md5(canon)) > 1
+                THEN 1 ELSE 0 END AS canon_dup,
+              real_id
+            FROM c)
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(r.raw_dup) AS BIGINT) AS raw_dup_docs,
+            CAST(sum(r.canon_dup) AS BIGINT) AS canon_dup_docs,
+            CAST(sum(r.canon_dup) - sum(r.raw_dup) AS BIGINT) AS gained
+          FROM r JOIN documents d ON r.real_id = d.doc_id
+          GROUP BY d.source ORDER BY d.source"""))
     )
   }
 
