@@ -6767,7 +6767,90 @@ object Queries {
             CAST(sum(r.canon_dup) AS BIGINT) AS canon_dup_docs,
             CAST(sum(r.canon_dup) - sum(r.raw_dup) AS BIGINT) AS gained
           FROM r JOIN documents d ON r.real_id = d.doc_id
-          GROUP BY d.source ORDER BY d.source"""))
+          GROUP BY d.source ORDER BY d.source""")),
+
+      // Takedown cascade — right-to-be-forgotten propagation through the
+      // DERIVED artifacts: a deny-list (every 50th doc — the planted
+      // policy fixture) must not just delete rows; it invalidates the
+      // dedup clusters whose keeper was denied (they need re-keepering
+      // from the survivors) and every packed training sequence sharing a
+      // context window with a denied doc (the collateral re-pack a
+      // trainer must schedule). Consumes the persisted cluster artifact
+      // (#10) and the q63 pack assignment. Scale shape: the deny-list is
+      // broadcast; each cascade is one keyed rollup; the report is one
+      // row.
+      ("q166_takedown_cascade", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val denied = docs.filter(pmod(col("doc_id"), lit(50L)) === 0L)
+          .select("doc_id")
+        val clusters = clusterArtifact(s, d, fastHash = false)
+        val touched = clusters.join(broadcast(denied), "doc_id")
+          .select("cluster").distinct()
+        val cl = clusters.join(broadcast(touched), "cluster")
+          .join(broadcast(denied.withColumn("dnd", lit(1L))), Seq("doc_id"), "left")
+          .withColumn("dnd", coalesce(col("dnd"), lit(0L)))
+          .groupBy("cluster").agg(
+            count(lit(1)).as("n"),
+            sum(col("dnd")).as("nd"),
+            max(when(col("dnd") === 1L && col("is_keeper") === 1L, 1L)
+              .otherwise(0L)).as("keeper_denied"))
+        val cs = cl.agg(
+          count(lit(1)).as("n_clusters_touched"),
+          sum(when(col("nd") === col("n"), 1L).otherwise(0L)).as("n_fully_removed"),
+          sum(when(col("keeper_denied") === 1L && col("nd") < col("n"), 1L)
+            .otherwise(0L)).as("n_rekeyed"))
+        val ps = packAssign(docs, Seq(asc("doc_id")))
+          .withColumn("dnd",
+            when(pmod(col("doc_id"), lit(50L)) === 0L, 1L).otherwise(0L))
+          .groupBy("lang", "shard", "bin").agg(
+            count(lit(1)).as("n_docs"), sum(col("dnd")).as("ndn"))
+          .agg(
+            sum(when(col("ndn") > 0, 1L).otherwise(0L)).as("n_seqs_affected"),
+            sum(when(col("ndn") > 0, col("n_docs") - col("ndn")).otherwise(0L))
+              .as("n_collateral_docs"))
+        denied.agg(count(lit(1)).as("n_denied_docs"))
+          .crossJoin(cs).crossJoin(ps)
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          den AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+          tc AS (SELECT DISTINCT cc.lab FROM cc JOIN den ON den.doc_id = cc.id),
+          cm AS (SELECT cc.id, cc.lab,
+              CASE WHEN den.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dnd
+            FROM cc JOIN tc ON tc.lab = cc.lab
+            LEFT JOIN den ON den.doc_id = cc.id),
+          cl AS (SELECT lab, count(*) AS n, sum(dnd) AS nd,
+              max(CASE WHEN dnd = 1 AND id = lab THEN 1 ELSE 0 END)
+                AS keeper_denied
+            FROM cm GROUP BY lab),
+          cs AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters_touched,
+              CAST(sum(CASE WHEN nd = n THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_fully_removed,
+              CAST(sum(CASE WHEN keeper_denied = 1 AND nd < n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rekeyed
+            FROM cl),
+          ${sqlPack("documents", "doc_id")},
+          sq AS (SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS ndn
+            FROM c_pack GROUP BY lang, shard, bin),
+          ps AS (SELECT
+              CAST(sum(CASE WHEN ndn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_seqs_affected,
+              CAST(sum(CASE WHEN ndn > 0 THEN n_docs - ndn ELSE 0 END) AS BIGINT)
+                AS n_collateral_docs
+            FROM sq),
+          dn AS (SELECT CAST(count(*) AS BIGINT) AS n_denied_docs FROM den)
+          SELECT dn.n_denied_docs, cs.n_clusters_touched, cs.n_fully_removed,
+            cs.n_rekeyed, ps.n_seqs_affected, ps.n_collateral_docs
+          FROM dn CROSS JOIN cs CROSS JOIN ps"""))
     )
   }
 
