@@ -6850,7 +6850,75 @@ object Queries {
           dn AS (SELECT CAST(count(*) AS BIGINT) AS n_denied_docs FROM den)
           SELECT dn.n_denied_docs, cs.n_clusters_touched, cs.n_fully_removed,
             cs.n_rekeyed, ps.n_seqs_affected, ps.n_collateral_docs
-          FROM dn CROSS JOIN cs CROSS JOIN ps"""))
+          FROM dn CROSS JOIN cs CROSS JOIN ps""")),
+
+      // Binary-tier pool sweep — q161's operating report for the 32×
+      // compression tier: recall@10 of the sign-bit Hamming pre-rank +
+      // fp32 re-rank (the q146 cascade) at pool ∈ {20, 50, 100},
+      // against the exact brute-force top-10. The lever this prices is
+      // the pre-rank pool size — the ONLY knob of the binary tier.
+      // Scale shape: packing is computed once (16 B per vector); each
+      // arm re-ranks only pool-sized candidate sets; the brute arm is
+      // the audit's deliberate cost over the sampled query batch.
+      ("q167_binary_pool_sweep", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val corpus = e.filter(col("vec_id") >= 3)
+        val packed = graft.search.Ann.quantizeBinary(corpus).persistTracked()
+        val wq = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+        val brute = corpus.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("rnk", row_number().over(wq))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("vec_id"))
+        val arms = Seq(20, 50, 100).map { pool =>
+          graft.search.Ann.binarySearch(packed, corpus, qs, k = 10, pool = pool)
+            .select(col("query_id"), col("vec_id"), lit(pool.toLong).as("pool"))
+        }.reduce(_ unionByName _)
+        arms.join(brute, Seq("query_id", "vec_id"))
+          .groupBy("pool").agg(count(lit(1)).as("hits"))
+          .withColumn("recall_pm", expr("CAST((hits * 1000) div 30 AS BIGINT)"))
+          .orderBy("pool")
+      },
+        Some {
+          val ham = "bit_count(xor(b.blo, q.qlo)) + bit_count(xor(b.bhi, q.qhi))"
+          s"""WITH b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(1, 33),
+                i -> CASE WHEN embedding[i] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS blo,
+              CAST(list_sum(list_transform(range(1, 33),
+                i -> CASE WHEN embedding[i+32] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bhi
+            FROM embeddings),
+          q AS (SELECT e.vec_id AS query_id, e.embedding AS qe,
+              b.blo AS qlo, b.bhi AS qhi
+            FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 3),
+          pools AS (SELECT CAST(u.p AS BIGINT) AS pool FROM unnest([20, 50, 100]) AS u(p)),
+          pr AS (SELECT q.query_id, b.vec_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ($ham), b.vec_id) AS prnk
+            FROM b CROSS JOIN q WHERE b.vec_id >= 3),
+          cand AS (SELECT pools.pool, pr.query_id, pr.vec_id
+            FROM pr CROSS JOIN pools WHERE pr.prnk <= pools.pool),
+          r AS (SELECT c.pool, c.query_id, c.vec_id,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim
+            FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id),
+          arm AS (SELECT pool, query_id, vec_id FROM (
+            SELECT pool, query_id, vec_id,
+              row_number() OVER (PARTITION BY pool, query_id
+                ORDER BY sim DESC, vec_id) AS rnk FROM r) WHERE rnk <= 10),
+          brute AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlCos01("e.embedding", "q.qe")}, 6) DESC,
+                  e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3) WHERE rnk <= 10)
+          SELECT a.pool, CAST(count(*) AS BIGINT) AS hits,
+            CAST((count(*) * 1000) // 30 AS BIGINT) AS recall_pm
+          FROM arm a JOIN brute br
+            ON br.query_id = a.query_id AND br.vec_id = a.vec_id
+          GROUP BY a.pool ORDER BY a.pool"""
+        })
     )
   }
 
