@@ -6918,7 +6918,49 @@ object Queries {
           FROM arm a JOIN brute br
             ON br.query_id = a.query_id AND br.vec_id = a.vec_id
           GROUP BY a.pool ORDER BY a.pool"""
-        })
+        }),
+
+      // Dedup threshold sensitivity — the report read before fixing the
+      // near-dup Jaccard cutoff: from ONE LSH pass (signatures and
+      // verified pairs computed once, persisted), how many pairs and how
+      // many distinct affected docs survive each candidate threshold in
+      // {0.5 … 0.9}. At 100 TB the whole sweep costs one extra filter
+      // per threshold over the PAIR table (pairs, not corpus). The
+      // banding pre-filter bounds the sweep below at its design point
+      // (0.5, 4×3 bands) — exactly the range the knob can move without
+      // re-banding.
+      ("q168_threshold_sensitivity", (s: SparkSession, d: String) => {
+        val corpus = nearDupCorpus(t(s, d, "documents").select("doc_id", "text"))
+        val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+          .persistTracked()
+        val ends = pairs.select(col("jaccard"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+          .persistTracked()
+        Seq(500L, 600L, 700L, 800L, 900L).map { thPm =>
+          val th = thPm.toDouble / 1000.0
+          pairs.filter(col("jaccard") >= th)
+            .agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(ends.filter(col("jaccard") >= th)
+              .agg(countDistinct(col("doc")).as("n_docs_affected")))
+            .select(lit(thPm).as("threshold_pm"), col("n_pairs"),
+              col("n_docs_affected"))
+        }.reduce(_ unionByName _).orderBy("threshold_pm")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          ths AS (SELECT CAST(u.t AS BIGINT) AS threshold_pm
+            FROM unnest([500, 600, 700, 800, 900]) AS u(t)),
+          pe AS (SELECT jaccard, doc_a AS doc FROM pairs_mh
+            UNION ALL SELECT jaccard, doc_b FROM pairs_mh)
+          SELECT ths.threshold_pm,
+            (SELECT CAST(count(*) AS BIGINT) FROM pairs_mh
+              WHERE jaccard >= CAST(ths.threshold_pm AS DOUBLE) / 1000.0)
+              AS n_pairs,
+            (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM pe
+              WHERE jaccard >= CAST(ths.threshold_pm AS DOUBLE) / 1000.0)
+              AS n_docs_affected
+          FROM ths ORDER BY threshold_pm"""))
     )
   }
 
