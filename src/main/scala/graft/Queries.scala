@@ -6960,7 +6960,61 @@ object Queries {
             (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM pe
               WHERE jaccard >= CAST(ths.threshold_pm AS DOUBLE) / 1000.0)
               AS n_docs_affected
-          FROM ths ORDER BY threshold_pm"""))
+          FROM ths ORDER BY threshold_pm""")),
+
+      // Chunk-then-pack — the composition real pretraining runs between
+      // curation and the trainer: q147's sliding-window chunker splits
+      // long documents FIRST, then q63's running-fill packer bins the
+      // CHUNKS (whole docs q63 packs directly would straddle context
+      // windows). Chunk units carry a synthetic uid (doc_id·1000 +
+      // chunk_idx — chunk counts are bounded far below 1000 by W/S and
+      // doc length) so the shared pack dataflow applies unchanged; the
+      // report is the per-bin audit a loader consumes. Scale shape: the
+      // chunker is narrow per-row sequence+explode; the packer is the
+      // audited (lang, shard) windowed running fill.
+      ("q169_chunk_pack", (s: SparkSession, d: String) => {
+        val W = 32L; val S = 24L
+        val chunks = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+          .withColumn("n_tok_doc", size(col("toks")).cast("long"))
+          .withColumn("tok_start",
+            explode(sequence(lit(0L), greatest(col("n_tok_doc") - 1, lit(0L)), lit(S))))
+          .withColumn("tok_len", least(lit(W), col("n_tok_doc") - col("tok_start")))
+          .filter(col("tok_start") === 0 || col("tok_len") > lit(W - S))
+          .withColumn("chunk_idx", (col("tok_start") / lit(S)).cast("long"))
+          .select(
+            (col("doc_id") * 1000L + col("chunk_idx")).as("doc_id"),
+            col("lang"),
+            array_join(slice(col("toks"), (col("tok_start") + 1).cast("int"),
+              col("tok_len").cast("int")), " ").as("text"))
+        packAssign(chunks, Seq(asc("doc_id")))
+          .groupBy("lang", "shard", "bin").agg(
+            count(lit(1)).as("n_chunks"),
+            countDistinct(expr("doc_id div 1000")).as("n_docs"),
+            sum(col("n_tok")).as("sum_tok"))
+          .orderBy("lang", "shard", "bin")
+      },
+        Some(s"""WITH tokc AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks
+            FROM documents),
+          nn AS (SELECT doc_id, lang, toks,
+              CAST(len(toks) AS BIGINT) AS n_tok_doc FROM tokc),
+          st AS (SELECT doc_id, lang, toks, n_tok_doc,
+              CAST(u.s AS BIGINT) AS tok_start
+            FROM nn, unnest(range(0, greatest(n_tok_doc, 1), 24)) AS u(s)),
+          ck AS (SELECT doc_id, lang, tok_start,
+              least(32, n_tok_doc - tok_start) AS tok_len, toks
+            FROM st WHERE tok_start = 0 OR least(32, n_tok_doc - tok_start) > 8),
+          cu AS (SELECT doc_id * 1000 + CAST(tok_start // 24 AS BIGINT) AS doc_id,
+              lang,
+              array_to_string(list_slice(toks, tok_start + 1,
+                tok_start + tok_len), ' ') AS text
+            FROM ck),
+          ${sqlPack("cu", "doc_id")}
+          SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(count(DISTINCT doc_id // 1000) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS sum_tok
+          FROM c_pack GROUP BY lang, shard, bin
+          ORDER BY lang, shard, bin"""))
     )
   }
 
