@@ -53,4 +53,44 @@ object Windowed {
       .withColumn("content_hash", TextFunctions.contentHash(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Continuous ingest drift monitor — the streaming form of the q160
+    * shard-drift report: a RUNNING per-source 10-bin token-length
+    * histogram over everything ingested so far (streaming aggregation in
+    * update mode; state is |sources| × 10 counters, never the stream),
+    * compared each trigger against a broadcast REFERENCE histogram
+    * (ppm_ref per (source, bucket) of the standing corpus). Emits
+    * (source, bucket, n, ppm_ref) running rows; the sink computes the
+    * per-source shares and L1 deviation from the latest counters —
+    * StreamingSpec pins that the drained stream's L1 equals q160's
+    * l1_ppm on the same shard. An operator alerts when the deviation
+    * climbs — BEFORE q155 folds the shard in.
+    */
+  def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val hist = docs
+      .withColumn("n_tok",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("bucket", least(expr("n_tok div 8"), lit(9L)))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"))
+    hist
+      .join(broadcast(reference.select(col("source"), col("bucket"),
+        col("ppm").as("ppm_ref"))), Seq("source", "bucket"), "left")
+      .withColumn("ppm_ref", coalesce(col("ppm_ref"), lit(0L)))
+      .select(col("source"), col("bucket"), col("n"), col("ppm_ref"))
+  }
+
+  /** Reference histogram for [[driftMonitor]]: per-source bucket shares
+    * of the standing corpus in exact integer ppm (the q160 rule). */
+  def referenceHistogram(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    docs
+      .withColumn("n_tok",
+        size(TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("bucket", least(expr("n_tok div 8"), lit(9L)))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(w))
+      .withColumn("ppm", expr("CAST((c * 1000000) div tot AS BIGINT)"))
+      .select("source", "bucket", "ppm")
+  }
 }

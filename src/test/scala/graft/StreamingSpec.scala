@@ -466,6 +466,72 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == batchPairs, s"stream $pairs != batch $batchPairs")
   }
 
+  test("streaming drift monitor: drained running histogram equals the batch drift report") {
+    import graft.streaming.Windowed
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // standing corpus: 40 docs across 2 sources with varied lengths;
+    // arriving shard (streamed in two micro-batches): src_a unchanged,
+    // src_b systematically longer (+16 tokens -> +2 buckets of drift)
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val standing = (0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "src_a" else "src_b", doc(8 + (i % 5) * 8))
+    }.toDF("doc_id", "source", "text")
+    val shard = (100 until 120).map { i =>
+      val src = if (i % 2 == 0) "src_a" else "src_b"
+      val len = 8 + (i % 5) * 8 + (if (src == "src_b") 16 else 0)
+      (i.toLong, src, doc(len))
+    }
+    val ref = Windowed.referenceHistogram(standing)
+
+    val input = MemoryStream[(Long, String, String)]
+    val out = Windowed.driftMonitor(
+      input.toDF().toDF("doc_id", "source", "text"), ref)
+    val q = out.writeStream.format("memory").queryName("drift")
+      .outputMode("update").start()
+    input.addData(shard.take(10))
+    q.processAllAvailable()
+    input.addData(shard.drop(10))
+    q.processAllAvailable()
+    q.stop()
+
+    // latest counter per (source, bucket) -> shares -> L1 vs reference
+    val last = spark.sql(
+      """SELECT source, bucket, max(n) AS n, max(ppm_ref) AS ppm_ref
+         FROM drift GROUP BY source, bucket""")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val streamL1 = last
+      .withColumn("tot", sum(col("n")).over(w))
+      .withColumn("ppm", expr("CAST((n * 1000000) div tot AS BIGINT)"))
+      .groupBy("source")
+      .agg(sum(abs(col("ppm") - col("ppm_ref"))).as("l1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // batch form of the q160 comparison on the same standing/shard pair
+    val newHist = Windowed.referenceHistogram(shard.toDF("doc_id", "source", "text"))
+    val batchL1 = ref.withColumnRenamed("ppm", "ppm_old")
+      .join(newHist.withColumnRenamed("ppm", "ppm_new"),
+        Seq("source", "bucket"), "full_outer")
+      .groupBy("source")
+      .agg(sum(abs(coalesce(col("ppm_new"), lit(0L)) -
+        coalesce(col("ppm_old"), lit(0L)))).as("l1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the stream never saw buckets the shard lacks but the standing
+    // corpus has — add their reference mass exactly as the batch
+    // full-outer does before comparing
+    val missing = ref.join(newHist.select("source", "bucket"),
+        Seq("source", "bucket"), "left_anti")
+      .groupBy("source").agg(sum(col("ppm")).as("miss"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val adjusted = streamL1.map { case (s, v) =>
+      s -> (v + missing.getOrElse(s, 0L))
+    }
+    assert(adjusted == batchL1, s"stream $adjusted != batch $batchL1")
+    assert(batchL1("src_b") > batchL1("src_a"),
+      "planted drift in src_b must exceed src_a's")
+  }
+
   test("repetition-char battery on a stream equals the batch battery on the same docs") {
     // q112's char-weighted repetition metrics are per-row sorted folds —
     // stateless like the gopher battery, so they ride a streaming ingest
