@@ -7014,7 +7014,85 @@ object Queries {
             CAST(count(DISTINCT doc_id // 1000) AS BIGINT) AS n_docs,
             CAST(sum(n_tok) AS BIGINT) AS sum_tok
           FROM c_pack GROUP BY lang, shard, bin
-          ORDER BY lang, shard, bin"""))
+          ORDER BY lang, shard, bin""")),
+
+      // Curriculum pacing audit — does quality actually evolve across
+      // each source's training order? Within a source, the q131
+      // curriculum position is monotone in the per-doc hash-uniform u,
+      // so stage = floor(u·10) is an exact, per-row VALUE-decile of the
+      // source's curriculum — no ranking, no window, no shuffle beyond
+      // the final rollup. Reports per (source, stage): docs, tokens,
+      // mean classifier quality in exact integer micro-units.
+      ("q170_curriculum_pacing", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        classifierQuality(s, d, fastHash = false)
+          .withColumn("micro", expr("CAST(round(score * 1000000) AS BIGINT)"))
+          .join(docs.select(col("doc_id"), col("source"),
+            size(TF.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+          .withColumn("u",
+            (pmod(TF.hash32(concat(lit("u|"), col("doc_id").cast("string"))),
+              lit(1048576L)).cast("double") + lit(0.5)) / lit(1048576.0))
+          .withColumn("stage", floor(col("u") * 10).cast("long"))
+          .groupBy("source", "stage").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok"),
+            expr("CAST(sum(micro) div count(1) AS BIGINT)").as("mean_score_micro"))
+          .orderBy("source", "stage")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          b AS (SELECT sc.doc_id, d.source,
+              CAST(round(sc.score * 1000000) AS BIGINT) AS micro,
+              CAST(len(${sqlTokens("d.text")}) AS BIGINT) AS n_tok,
+              ((${sqlHash32("'u|' || CAST(sc.doc_id AS VARCHAR)")} % 1048576)
+                + 0.5) / 1048576.0 AS u
+            FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+          SELECT source, CAST(floor(u * 10) AS BIGINT) AS stage,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tok,
+            CAST(sum(micro) // count(*) AS BIGINT) AS mean_score_micro
+          FROM b GROUP BY source, CAST(floor(u * 10) AS BIGINT)
+          ORDER BY source, stage""")),
+
+      // Semantic coverage audit — is a label class concentrated in a few
+      // embedding-space regions or spread across the index? Per label:
+      // vectors, DISTINCT occupied IVF cells, and the top cell's share
+      // in exact integer ppm (a crude but deterministic concentration
+      // measure — high share = the class collapses into one region).
+      // Scale shape: the q37 broadcast-centroid assignment (corpus never
+      // shuffles for assignment) + two label-keyed rollups.
+      ("q171_semantic_coverage", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val cents = graft.search.Ann.sampleCentroids(e, 25)
+        val cell = graft.search.Ann.ivfAssign(e, cents)
+          .join(e.select(col("vec_id"), col("label").cast("long").as("label")),
+            "vec_id")
+          .groupBy("label", "centroid_id").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("label")
+        cell
+          .withColumn("n_vecs", sum(col("c")).over(w))
+          .withColumn("top_c", max(col("c")).over(w))
+          .groupBy("label").agg(
+            max(col("n_vecs")).as("n_vecs"),
+            count(lit(1)).as("n_cells"),
+            expr("CAST((max(top_c) * 1000000) div max(n_vecs) AS BIGINT)")
+              .as("top_cell_ppm"))
+          .orderBy("label")
+      },
+        Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          assigned AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          lc AS (SELECT CAST(e.label AS BIGINT) AS label, a.cid,
+              CAST(count(*) AS BIGINT) AS c
+            FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+            GROUP BY e.label, a.cid)
+          SELECT label, CAST(sum(c) AS BIGINT) AS n_vecs,
+            CAST(count(*) AS BIGINT) AS n_cells,
+            CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_cell_ppm
+          FROM lc GROUP BY label ORDER BY label"""))
     )
   }
 
