@@ -325,6 +325,21 @@ object Queries {
       .withColumn("doc_id", col("doc_id") + 10000000L)
       .withColumn("text", concat(col("text"), lit(" zzz"))))
 
+  /** The cluster-maintenance fixture q155/q163 share: an ARRIVING shard
+    * of near-copies of every 10th standing doc (a genuine 10% increment,
+    * not a full re-crawl). One definition on each side so the two
+    * maintenance queries can never describe different increments.
+    */
+  private def maintenanceShard(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text", concat(col("text"), lit(" zzz")))
+  private val sqlMaintCorpus: String =
+    """corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000000, text || ' zzz'
+              FROM documents WHERE doc_id % 10 = 0)"""
+
   /** Planted crawl-URL fixture for the URL-curation operators (q142/q143):
     * every doc_id % 5 == 1 row carries a noisy VARIANT of its
     * predecessor's URL (uppercase scheme+host, explicit :443, www.,
@@ -6131,12 +6146,7 @@ object Queries {
       // including clusters MERGED by a new edge.
       ("q155_cluster_maintenance", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        // the arriving shard: near-copies of every 10th standing doc —
-        // a genuine INCREMENT (10% of corpus), not a full re-crawl
-        val newShard = docs
-          .filter(pmod(col("doc_id"), lit(10L)) === 0L)
-          .withColumn("doc_id", col("doc_id") + 10000000L)
-          .withColumn("text", concat(col("text"), lit(" zzz")))
+        val newShard = maintenanceShard(docs)
         // The STANDING assignment is persisted state (a real deployment
         // has it on disk from the previous dedup pass — the q141
         // artifact pattern); only the increment is computed per run.
@@ -6154,10 +6164,7 @@ object Queries {
             col("n_keepers"), col("max_id"))
           .orderBy("cluster")
       },
-        Some(s"""WITH RECURSIVE corpus AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 10000000, text || ' zzz'
-              FROM documents WHERE doc_id % 10 = 0),
+        Some(s"""WITH RECURSIVE $sqlMaintCorpus,
           ${sqlMinhashPairCtes(0.5)},
           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
             UNION SELECT doc_b, doc_a FROM pairs_mh),
@@ -6372,12 +6379,8 @@ object Queries {
           .filter(pmod(col("doc_id"), lit(10L)) === 0L)
           .select(col("source"),
             (size(TF.tokens(col("text"))) + 1).cast("long").as("n_tok"))
-        def hist(df: DataFrame): DataFrame = df
-          .withColumn("bucket", least(expr("n_tok div 8"), lit(9L)))
-          .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
-          .withColumn("tot", sum(col("c")).over(Window.partitionBy("source")))
-          .withColumn("ppm", expr("CAST((c * 1000000) div tot AS BIGINT)"))
-          .select("source", "bucket", "ppm")
+        def hist(df: DataFrame): DataFrame =
+          graft.streaming.Windowed.referenceHistogramFromLengths(df)
         hist(old).withColumnRenamed("ppm", "ppm_old")
           .join(hist(fresh).withColumnRenamed("ppm", "ppm_new"),
             Seq("source", "bucket"), "full_outer")
@@ -6579,10 +6582,7 @@ object Queries {
       // joined to the standing one; output is 4 rows.
       ("q163_artifact_diff", (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        val newShard = docs
-          .filter(pmod(col("doc_id"), lit(10L)) === 0L)
-          .withColumn("doc_id", col("doc_id") + 10000000L)
-          .withColumn("text", concat(col("text"), lit(" zzz")))
+        val newShard = maintenanceShard(docs)
         val old = preClusterArtifact(s, d)
         val newPairs = Dedup.minhashIncrementalFromIndex(
           preShingleIndex(s, d), newShard, "doc_id", "text",
@@ -6605,10 +6605,7 @@ object Queries {
             sum(col("n_members")).as("n_members"))
           .orderBy("status")
       },
-        Some(s"""WITH RECURSIVE corpus AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 10000000, text || ' zzz'
-              FROM documents WHERE doc_id % 10 = 0),
+        Some(s"""WITH RECURSIVE $sqlMaintCorpus,
           ${sqlMinhashPairCtes(0.5)},
           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
             UNION SELECT doc_b, doc_a FROM pairs_mh),
@@ -6966,9 +6963,11 @@ object Queries {
       // curation and the trainer: q147's sliding-window chunker splits
       // long documents FIRST, then q63's running-fill packer bins the
       // CHUNKS (whole docs q63 packs directly would straddle context
-      // windows). Chunk units carry a synthetic uid (doc_id·1000 +
-      // chunk_idx — chunk counts are bounded far below 1000 by W/S and
-      // doc length) so the shared pack dataflow applies unchanged; the
+      // windows). Chunk units carry a synthetic uid (doc_id·10⁶ +
+      // chunk_idx — at stride 24 a doc needs 24M tokens to overflow the
+      // 10⁶ chunk space, far beyond any real document, and the explicit
+      // filter guard below fails loudly rather than silently colliding)
+      // so the shared pack dataflow applies unchanged; the
       // report is the per-bin audit a loader consumes. Scale shape: the
       // chunker is narrow per-row sequence+explode; the packer is the
       // audited (lang, shard) windowed running fill.
@@ -6982,15 +6981,19 @@ object Queries {
           .withColumn("tok_len", least(lit(W), col("n_tok_doc") - col("tok_start")))
           .filter(col("tok_start") === 0 || col("tok_len") > lit(W - S))
           .withColumn("chunk_idx", (col("tok_start") / lit(S)).cast("long"))
+          .withColumn("chunk_idx",
+            when(col("chunk_idx") < 1000000L, col("chunk_idx"))
+              .otherwise(raise_error(lit(
+                "q169: chunk_idx overflows the uid space (doc > 24M tokens)"))))
           .select(
-            (col("doc_id") * 1000L + col("chunk_idx")).as("doc_id"),
+            (col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
             col("lang"),
             array_join(slice(col("toks"), (col("tok_start") + 1).cast("int"),
               col("tok_len").cast("int")), " ").as("text"))
         packAssign(chunks, Seq(asc("doc_id")))
           .groupBy("lang", "shard", "bin").agg(
             count(lit(1)).as("n_chunks"),
-            countDistinct(expr("doc_id div 1000")).as("n_docs"),
+            countDistinct(expr("doc_id div 1000000")).as("n_docs"),
             sum(col("n_tok")).as("sum_tok"))
           .orderBy("lang", "shard", "bin")
       },
@@ -7004,14 +7007,14 @@ object Queries {
           ck AS (SELECT doc_id, lang, tok_start,
               least(32, n_tok_doc - tok_start) AS tok_len, toks
             FROM st WHERE tok_start = 0 OR least(32, n_tok_doc - tok_start) > 8),
-          cu AS (SELECT doc_id * 1000 + CAST(tok_start // 24 AS BIGINT) AS doc_id,
+          cu AS (SELECT doc_id * 1000000 + CAST(tok_start // 24 AS BIGINT) AS doc_id,
               lang,
               array_to_string(list_slice(toks, tok_start + 1,
                 tok_start + tok_len), ' ') AS text
             FROM ck),
           ${sqlPack("cu", "doc_id")}
           SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_chunks,
-            CAST(count(DISTINCT doc_id // 1000) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT doc_id // 1000000) AS BIGINT) AS n_docs,
             CAST(sum(n_tok) AS BIGINT) AS sum_tok
           FROM c_pack GROUP BY lang, shard, bin
           ORDER BY lang, shard, bin""")),

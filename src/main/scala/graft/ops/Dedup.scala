@@ -211,7 +211,16 @@ object Dedup {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must be divisible by bands")
 
-    val oldHashed = oldIndex.select("doc_id", "hashes").persistTracked()
+    // persist only a COLD external index (the parquet-artifact path);
+    // the minhashIncremental delegation already hands over a cached
+    // frame, and re-persisting the projection would materialize a
+    // second in-memory copy of the whole signature table
+    val oldHashed = {
+      val proj = oldIndex.select("doc_id", "hashes")
+      if (oldIndex.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        proj.persistTracked()
+      else proj
+    }
     val newHashed = shingleHashed(newDocs, idCol, textCol, shingleK, fastHash)
     val oldBanded = bandKeys(oldHashed, numHashes, bands, rows)
     val newBanded = bandKeys(newHashed, numHashes, bands, rows)

@@ -211,11 +211,12 @@ object Graph {
     // driver memory (~16 B/edge; 200k edges ≈ 3 MB), counted BEFORE any
     // collect; above it the distributed path runs unchanged. GraphSpec
     // pins both paths equal on the same input.
-    val nEdges = superEdges.count()
     val superCC =
-      if (nEdges <= maxLocalEdges) localCC(superEdges)
-      else connectedComponents(superEdges, "sa", "sb", maxIter)
-    superEdges.unpersist()
+      try {
+        val nEdges = superEdges.count()
+        if (nEdges <= maxLocalEdges) localCC(superEdges)
+        else connectedComponents(superEdges, "sa", "sb", maxIter)
+      } finally superEdges.unpersist()
     val remappedOld = assign
       .join(superCC
           .select(col("id").as("component"), col("component").as("merged")),

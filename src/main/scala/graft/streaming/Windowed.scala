@@ -82,11 +82,19 @@ object Windowed {
 
   /** Reference histogram for [[driftMonitor]]: per-source bucket shares
     * of the standing corpus in exact integer ppm (the q160 rule). */
-  def referenceHistogram(docs: DataFrame): DataFrame = {
+  def referenceHistogram(docs: DataFrame): DataFrame =
+    referenceHistogramFromLengths(docs.withColumn("n_tok",
+      size(TextFunctions.tokens(col("text"))).cast("long")))
+
+  /** [[referenceHistogram]] over a pre-computed (source, n_tok) frame —
+    * the ONE definition of the 10-bin ppm histogram, shared by the batch
+    * q160 drift report (whose shard side perturbs n_tok before
+    * bucketing) and the streaming monitor's reference side, so the
+    * bucketing rule cannot desynchronize between them.
+    */
+  def referenceHistogramFromLengths(lengths: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-    docs
-      .withColumn("n_tok",
-        size(TextFunctions.tokens(col("text"))).cast("long"))
+    lengths
       .withColumn("bucket", least(expr("n_tok div 8"), lit(9L)))
       .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
       .withColumn("tot", sum(col("c")).over(w))
