@@ -7095,7 +7095,61 @@ object Queries {
           SELECT label, CAST(sum(c) AS BIGINT) AS n_vecs,
             CAST(count(*) AS BIGINT) AS n_cells,
             CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_cell_ppm
-          FROM lc GROUP BY label ORDER BY label"""))
+          FROM lc GROUP BY label ORDER BY label""")),
+
+      // Z-order layout key — the multi-dimension data-layout technique
+      // (Delta/Iceberg OPTIMIZE ZORDER) expressed as a pure integer
+      // Morton interleave: two 8-bit dimension buckets (length band,
+      // quality band) interleave into one 16-bit key, so rows CLOSE in
+      // the key are close in BOTH dimensions and a file sorted by z
+      // serves min/max-pruned scans on either column. The report groups
+      // rows into 64-key z-blocks and proves the locality contract on
+      // data: each block's per-dimension spread stays within the Morton
+      // bound (≤ 16 bucket units for a 64-key block — blk spans 2^6 z
+      // values = a 8×8 dimension tile at worst, plus tile alignment).
+      // All-integer; one narrow pass + one rollup.
+      ("q172_zorder_layout", (s: SparkSession, d: String) => {
+        // 8-bit Morton interleave as an exact-integer HOF fold (the
+        // oracle replays the same shifts with 2**(2i) powers)
+        val zExpr =
+          """aggregate(sequence(0, 7), 0L, (acc, i) ->
+             acc + CAST(shiftleft(shiftright(ub, i) & 1, 2*i) AS BIGINT)
+                 + CAST(shiftleft(shiftright(vb, i) & 1, 2*i+1) AS BIGINT))"""
+        classifierQuality(s, d, fastHash = false)
+          .withColumn("micro", expr("CAST(round(score * 1000000) AS BIGINT)"))
+          .join(t(s, d, "documents").select(col("doc_id"),
+            size(TF.tokens(col("text"))).cast("long").as("n_tok")), "doc_id")
+          .withColumn("ub", least(expr("n_tok div 4"), lit(255L)))
+          .withColumn("vb", least(expr("micro div 4000"), lit(255L)))
+          .withColumn("z", expr(zExpr))
+          .withColumn("zblock", expr("z div 64"))
+          .groupBy("zblock").agg(
+            count(lit(1)).as("n_docs"),
+            (max(col("ub")) - min(col("ub"))).as("len_spread"),
+            (max(col("vb")) - min(col("vb"))).as("q_spread"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("zblock")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          b AS (SELECT sc.doc_id,
+              CAST(round(sc.score * 1000000) AS BIGINT) AS micro,
+              CAST(len(${sqlTokens("d.text")}) AS BIGINT) AS n_tok
+            FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+          kz AS (SELECT doc_id,
+              least(n_tok // 4, 255) AS ub,
+              least(micro // 4000, 255) AS vb
+            FROM b),
+          mz AS (SELECT doc_id, ub, vb,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                ((ub >> i) & 1) * CAST(2 ** (2*i) AS BIGINT)
+                + ((vb >> i) & 1) * CAST(2 ** (2*i+1) AS BIGINT)))
+                AS BIGINT) AS zk
+            FROM kz)
+          SELECT zk // 64 AS zblock, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(max(ub) - min(ub) AS BIGINT) AS len_spread,
+            CAST(max(vb) - min(vb) AS BIGINT) AS q_spread
+          FROM mz GROUP BY zk // 64 HAVING count(*) >= 2
+          ORDER BY zblock"""))
     )
   }
 
