@@ -7149,7 +7149,306 @@ object Queries {
             CAST(max(ub) - min(ub) AS BIGINT) AS len_spread,
             CAST(max(vb) - min(vb) AS BIGINT) AS q_spread
           FROM mz GROUP BY zk // 64 HAVING count(*) >= 2
-          ORDER BY zblock"""))
+          ORDER BY zblock""")),
+
+      // Pipeline ablation lattice — the "what does each filter cost me"
+      // planning table: per RAW doc, three INDEPENDENT stage flags
+      // (near-dup loser from the persisted cluster artifact — consumer
+      // #11; eval-set 8-gram contamination, the q75 rule; quality-floor
+      // failure, the q43 rule), rolled up into the full 2³ combination
+      // lattice with doc and token counts. Any subset of applied filters'
+      // surviving volume is a SUM over these 8 rows, so the planner reads
+      // ONE table instead of running 2³ pipeline variants. Scale shape:
+      // flags are one artifact join + one broadcast-gram join + one
+      // narrow per-row score; the lattice is an 8-row rollup.
+      ("q173_ablation_matrix", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val losers = clusterArtifact(s, d, fastHash = false)
+          .filter(col("is_keeper") === 0L && col("doc_id") < 10000000L)
+          .select("doc_id").withColumn("fd", lit(1L))
+        val grams = docs
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("doc_id"), explode(array_distinct(
+            TF.shingleHashes(TF.shingles(col("toks"), 8), fast = false)))
+            .as("g"))
+          .persistTracked()
+        val isEval = col("doc_id") % 97 === 0
+        val evalGrams = grams.filter(isEval).select("g").distinct()
+        val contaminated = grams.filter(!isEval)
+          .join(broadcast(evalGrams), "g")
+          .select("doc_id").distinct().withColumn("fc", lit(1L))
+        docs
+          .withColumn("f_qual",
+            when(TF.qualityScore(col("text")) < 0.5, 1L).otherwise(0L))
+          .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+          .join(losers, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("f_dup", coalesce(col("fd"), lit(0L)))
+          .withColumn("f_contam",
+            when(col("doc_id") % 97 === 0, 1L)
+              .otherwise(coalesce(col("fc"), lit(0L))))
+          .groupBy("f_dup", "f_contam", "f_qual").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok"))
+          .orderBy("f_dup", "f_contam", "f_qual")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          losers AS (SELECT id AS doc_id FROM cc
+            WHERE id < 10000000 AND id <> lab),
+          tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+          sh AS (SELECT doc_id, ${sqlShingleList(8)} AS shingles FROM tok),
+          p AS (SELECT doc_id, unnest(list_distinct(list_transform(shingles,
+              s -> ${sqlHash32("s")}))) AS g
+            FROM sh WHERE len(shingles) > 0),
+          ev AS (SELECT DISTINCT g FROM p WHERE doc_id % 97 = 0),
+          cont AS (SELECT DISTINCT p.doc_id FROM p JOIN ev ON p.g = ev.g
+            WHERE p.doc_id % 97 <> 0),
+          base AS (SELECT d.doc_id,
+              CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_dup,
+              CASE WHEN d.doc_id % 97 = 0 THEN 1
+                WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_contam,
+              CASE WHEN $sqlQuality < 0.5 THEN 1 ELSE 0 END AS f_qual,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+            FROM documents d
+            LEFT JOIN losers l ON l.doc_id = d.doc_id
+            LEFT JOIN cont c ON c.doc_id = d.doc_id)
+          SELECT CAST(f_dup AS BIGINT) AS f_dup,
+            CAST(f_contam AS BIGINT) AS f_contam,
+            CAST(f_qual AS BIGINT) AS f_qual,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tok
+          FROM base GROUP BY f_dup, f_contam, f_qual
+          ORDER BY f_dup, f_contam, f_qual""")),
+
+      // Embedding drift between shard halves — the per-slice consistency
+      // monitor an embedding fleet runs to catch a model/version split:
+      // per label, the cosine between the two shard-half centroids and
+      // the centroid-norm ratio. Components are micro-quantized to
+      // EXACT integers BEFORE any cross-row sum (a float sum across rows
+      // is engine-order-dependent; integer sums are exact, and the final
+      // double division of identical integers is deterministic on both
+      // engines). Products accumulate in decimal(38,0) — at fleet scale
+      // the int64 dot of two component-sum vectors overflows long before
+      // the sums themselves do. Scale shape: one narrow posexplode
+      // (×dim), two (label, half, idx)-keyed rollups, a dim-sized join.
+      ("q174_embedding_drift", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val comp = e.select(col("label").cast("long").as("label"),
+            pmod(col("vec_id"), lit(2L)).as("half"),
+            posexplode(col("embedding")))
+          .select(col("label"), col("half"), col("pos"),
+            expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+        val sums = comp.groupBy("label", "half", "pos")
+          .agg(sum(col("q")).as("sq"))
+        val a = sums.filter(col("half") === 0L)
+          .select(col("label"), col("pos"), col("sq").as("sa"))
+        val b = sums.filter(col("half") === 1L)
+          .select(col("label"), col("pos"), col("sq").as("sb"))
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val st = a.join(b, Seq("label", "pos"))
+          .groupBy("label").agg(
+            sum(dec(col("sa")) * dec(col("sb"))).as("dot"),
+            sum(dec(col("sa")) * dec(col("sa"))).as("na2"),
+            sum(dec(col("sb")) * dec(col("sb"))).as("nb2"))
+        val cnt = e.groupBy(col("label").cast("long").as("label")).agg(
+          sum(when(pmod(col("vec_id"), lit(2L)) === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(pmod(col("vec_id"), lit(2L)) === 1L, 1L).otherwise(0L)).as("n_b"))
+        st.join(cnt, "label")
+          .select(col("label"), col("n_a"), col("n_b"),
+            round(col("dot").cast("double") /
+              (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+              .as("centroid_cos"),
+            round((sqrt(col("na2").cast("double")) * col("n_b").cast("double")) /
+              (sqrt(col("nb2").cast("double")) * col("n_a").cast("double")), 6)
+              .as("norm_ratio"))
+          .orderBy("label")
+      },
+        Some("""WITH comp AS (SELECT CAST(label AS BIGINT) AS label,
+              vec_id % 2 AS half, u.i AS pos,
+              CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+          sums AS (SELECT label, half, pos, CAST(sum(q) AS BIGINT) AS sq
+            FROM comp GROUP BY label, half, pos),
+          st AS (SELECT a.label,
+              sum(CAST(a.sq AS HUGEINT) * b.sq) AS dot,
+              sum(CAST(a.sq AS HUGEINT) * a.sq) AS na2,
+              sum(CAST(b.sq AS HUGEINT) * b.sq) AS nb2
+            FROM sums a JOIN sums b
+              ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+            GROUP BY a.label),
+          cnt AS (SELECT CAST(label AS BIGINT) AS label,
+              CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_a,
+              CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_b
+            FROM embeddings GROUP BY label)
+          SELECT st.label, cnt.n_a, cnt.n_b,
+            round(CAST(dot AS DOUBLE) /
+              (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+              AS centroid_cos,
+            round((sqrt(CAST(na2 AS DOUBLE)) * CAST(n_b AS DOUBLE)) /
+              (sqrt(CAST(nb2 AS DOUBLE)) * CAST(n_a AS DOUBLE)), 6)
+              AS norm_ratio
+          FROM st JOIN cnt ON st.label = cnt.label ORDER BY st.label""")),
+
+      // Arriving-shard novelty audit — before ingesting a shard, measure
+      // how much of it is genuinely NEW content: per new doc, the
+      // fraction of its distinct 3-shingle hashes absent from the
+      // STANDING signature index (the same persisted (doc_id, hashes)
+      // artifact cluster maintenance probes — re-hashing the standing
+      // corpus is exactly what the index exists to avoid). Report is a
+      // novelty-decile histogram in exact integer permille. The
+      // maintenance shard is near-copies, so novelty concentrates in the
+      // low deciles — the signal a crawler uses to deprioritize a
+      // re-crawl. Scale shape: one hash of the 10% shard, one hash-keyed
+      // LEFT ANTI join against the index, one 10-row rollup.
+      ("q175_shard_novelty", (s: SparkSession, d: String) => {
+        val standing = preShingleIndex(s, d)
+          .select(explode(col("hashes")).as("g")).distinct()
+        val newDocs = maintenanceShard(
+          t(s, d, "documents").select("doc_id", "text"))
+        val newHashed = Dedup.shingleIndex(newDocs, "doc_id", "text")
+        val novel = newHashed
+          .select(col("doc_id"), explode(col("hashes")).as("g"))
+          .join(standing, Seq("g"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+        newHashed
+          .select(col("doc_id"), size(col("hashes")).cast("long").as("n_sh"))
+          .filter(col("n_sh") > 0)
+          .join(novel, Seq("doc_id"), "left")
+          .withColumn("novel", coalesce(col("novel"), lit(0L)))
+          .withColumn("permille", expr("novel * 1000 div n_sh"))
+          .withColumn("decile", least(expr("permille div 100"), lit(9L)))
+          .groupBy("decile").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("novel")).as("novel_sh"),
+            sum(col("n_sh")).as("total_sh"))
+          .orderBy("decile")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM documents),
+          sh AS (SELECT doc_id, ${sqlShingleList(3)} AS shingles FROM tok),
+          stand AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+              shingles, s -> ${sqlHash32("s")}))) AS g
+            FROM sh WHERE len(shingles) > 0),
+          ntok AS (SELECT doc_id + 10000000 AS doc_id,
+              ${sqlTokens("text || ' zzz'")} AS toks
+            FROM documents WHERE doc_id % 10 = 0),
+          nsh AS (SELECT doc_id, list_distinct(list_transform(
+              ${sqlShingleList(3)}, s -> ${sqlHash32("s")})) AS hashes
+            FROM ntok),
+          nz AS (SELECT doc_id, hashes FROM nsh WHERE len(hashes) > 0),
+          ex AS (SELECT doc_id, unnest(hashes) AS g FROM nz),
+          nov AS (SELECT e.doc_id,
+              CAST(count(*) FILTER (WHERE st.g IS NULL) AS BIGINT) AS novel
+            FROM ex e LEFT JOIN stand st ON e.g = st.g
+            GROUP BY e.doc_id),
+          per AS (SELECT n.doc_id, nov.novel,
+              CAST(len(n.hashes) AS BIGINT) AS n_sh,
+              least((nov.novel * 1000 // len(n.hashes)) // 100, 9) AS decile
+            FROM nz n JOIN nov ON nov.doc_id = n.doc_id)
+          SELECT CAST(decile AS BIGINT) AS decile,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(novel) AS BIGINT) AS novel_sh,
+            CAST(sum(n_sh) AS BIGINT) AS total_sh
+          FROM per GROUP BY decile ORDER BY decile""")),
+
+      // Shuffle-free balanced source interleave — the training-order
+      // generator: round-robin over sources (row rn of every source
+      // before any row rn+1, sources alphabetical within a round) with
+      // each row's GLOBAL position computed in CLOSED FORM from the
+      // per-source size table (pos = Σ min(sz', rn−1) + |{s' : sz' ≥ rn,
+      // s' ≤ s}|) — no global sort, no single-partition window; the size
+      // table (|sources| rows) broadcasts. The report audits per-source
+      // positions and consecutive-row gaps (a balanced interleave keeps
+      // gaps ≈ |active sources|). Oracle recomputes positions with an
+      // ACTUAL global row_number over (rn, source) — pinning the closed
+      // form against the sort it replaces.
+      ("q176_interleave_order", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "source")
+        val rn = docs.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+        val sizes = docs.groupBy(col("source").as("s2"))
+          .agg(count(lit(1)).as("sz"))
+        val pos = rn.crossJoin(broadcast(sizes))
+          .groupBy("doc_id", "source", "rn").agg(
+            sum(least(col("sz"), col("rn") - 1)).as("before"),
+            sum(when(col("sz") >= col("rn") && col("s2") <= col("source"), 1L)
+              .otherwise(0L)).as("within"))
+          .withColumn("pos", col("before") + col("within"))
+        pos
+          .withColumn("gap", col("pos") - lag(col("pos"), 1).over(
+            Window.partitionBy("source").orderBy("rn")))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_rows"),
+            min(col("pos")).as("first_pos"),
+            max(col("pos")).as("last_pos"),
+            min(col("gap")).as("min_gap"),
+            max(col("gap")).as("max_gap"))
+          .orderBy("source")
+      },
+        Some("""WITH rn AS (SELECT doc_id, source,
+              CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS rn
+            FROM documents),
+          p AS (SELECT doc_id, source, rn,
+              CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+            FROM rn),
+          g AS (SELECT source, rn, pos,
+              pos - lag(pos) OVER (PARTITION BY source ORDER BY rn) AS gap
+            FROM p)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(min(pos) AS BIGINT) AS first_pos,
+            CAST(max(pos) AS BIGINT) AS last_pos,
+            CAST(min(gap) AS BIGINT) AS min_gap,
+            CAST(max(gap) AS BIGINT) AS max_gap
+          FROM g GROUP BY source ORDER BY source""")),
+
+      // Packing cross-contamination audit — what sequence packing costs
+      // in attention quality: for each packed bin (the q63 shared
+      // dataflow), the fraction of position-pair attention mass that
+      // crosses a document boundary, (L² − Σ lenᵢ²)/L² in exact integer
+      // ppm, rolled up by docs-per-bin. The table an operator reads when
+      // choosing between padding waste (q152) and cross-doc attention
+      // (this) — the two costs packing trades. Scale shape: the packing
+      // windows are (lang, shard)-partitioned; the audit adds two
+      // bin-keyed rollups.
+      ("q177_packing_attention", (s: SparkSession, d: String) => {
+        packAssign(t(s, d, "documents"), Seq(col("doc_id")))
+          .groupBy("lang", "shard", "bin").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tok_sum"),
+            sum(col("n_tok") * col("n_tok")).as("tok_sumsq"))
+          .withColumn("cross_ppm",
+            expr("""CASE WHEN tok_sum = 0 THEN CAST(0 AS BIGINT)
+              ELSE (tok_sum * tok_sum - tok_sumsq) * 1000000
+                div (tok_sum * tok_sum) END"""))
+          .groupBy("n_docs").agg(
+            count(lit(1)).as("n_bins"),
+            expr("CAST(sum(cross_ppm) div count(1) AS BIGINT)")
+              .as("mean_cross_ppm"))
+          .orderBy("n_docs")
+      },
+        Some(s"""WITH ${sqlPack("documents", "doc_id")},
+          b AS (SELECT lang, shard, bin,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+              CAST(sum(n_tok * n_tok) AS BIGINT) AS tok_sumsq
+            FROM c_pack GROUP BY lang, shard, bin),
+          c AS (SELECT n_docs,
+              CASE WHEN tok_sum = 0 THEN 0
+                ELSE (tok_sum * tok_sum - tok_sumsq) * 1000000
+                  // (tok_sum * tok_sum) END AS cross_ppm
+            FROM b)
+          SELECT n_docs, CAST(count(*) AS BIGINT) AS n_bins,
+            CAST(sum(cross_ppm) // count(*) AS BIGINT) AS mean_cross_ppm
+          FROM c GROUP BY n_docs ORDER BY n_docs"""))
     )
   }
 
