@@ -7448,7 +7448,142 @@ object Queries {
             FROM b)
           SELECT n_docs, CAST(count(*) AS BIGINT) AS n_bins,
             CAST(sum(cross_ppm) // count(*) AS BIGINT) AS mean_cross_ppm
-          FROM c GROUP BY n_docs ORDER BY n_docs"""))
+          FROM c GROUP BY n_docs ORDER BY n_docs""")),
+
+      // Gap-based sessionization of the event stream — the batch twin of
+      // streaming/Sessions: a user's events split into sessions wherever
+      // the inter-event gap exceeds 30 minutes (lag + running sum of
+      // break flags inside ONE user-partitioned window chain — the
+      // standard sessionize shape; no self-join, no global sort). Exact
+      // integer ns arithmetic throughout. Per-user rollup: session count,
+      // event count, busiest session, longest session in whole minutes.
+      ("q178_gap_sessions", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsNs(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull ||
+              col("ts") - col("prev") > lit(1800000000000L), 1L).otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(run))
+          .groupBy("user_id", "sid").agg(
+            count(lit(1)).as("n_ev"),
+            (max(col("ts")) - min(col("ts"))).as("dur"))
+          .groupBy("user_id").agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            max(col("n_ev")).as("max_sess_events"),
+            expr("CAST(max(dur) div 60000000000 AS BIGINT)")
+              .as("max_sess_dur_min"))
+          .orderBy("user_id")
+      },
+        Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+              FROM events),
+          l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev FROM e),
+          b AS (SELECT *, CASE WHEN prev IS NULL
+              OR ts - prev > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+          s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+          g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+              max(ts) - min(ts) AS dur
+            FROM s GROUP BY user_id, sid)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+            CAST(sum(n_ev) AS BIGINT) AS n_events,
+            CAST(max(n_ev) AS BIGINT) AS max_sess_events,
+            CAST(max(dur) // 60000000000 AS BIGINT) AS max_sess_dur_min
+          FROM g GROUP BY user_id ORDER BY user_id""")),
+
+      // Quality-weighted sampling WITHOUT replacement (Efraimidis–
+      // Spirakis A-ES): per language, the top-20 docs by key
+      // ln(u)/w — u the q62 deterministic hash-uniform, w the q43
+      // quality score (floored at 0.001 so zero-quality docs sort last
+      // instead of dividing by zero) — the one-pass distributed form of
+      // weighted reservoir sampling: u^(1/w) order == ln(u)/w order, no
+      // sequential reservoir state, fully mergeable. Scale shape: narrow
+      // per-row key + per-lang WindowGroupLimit (rank ≤ k pushes the
+      // top-k into each partial — no per-lang global sort survives).
+      ("q179_weighted_sample", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang").orderBy(desc("key"), asc("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TF.qualityScore(col("text")).as("q"))
+          .withColumn("w", greatest(col("q"), lit(0.001)))
+          .withColumn("u",
+            (pmod(TF.hash32(concat(lit("es|"), col("doc_id").cast("string"))),
+              lit(1048576L)).cast("double") + lit(0.5)) / lit(1048576.0))
+          .withColumn("key", log(col("u")) / col("w"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 20)
+          .select(col("lang"), col("rnk"), col("doc_id"),
+            round(col("key"), 6).as("key"))
+          .orderBy("lang", "rnk")
+      },
+        Some(s"""WITH sc AS (SELECT doc_id, lang,
+              greatest($sqlQuality, 0.001) AS w,
+              ((${sqlHash32("'es|' || CAST(doc_id AS VARCHAR)")} % 1048576)
+                + 0.5) / 1048576.0 AS u
+            FROM documents),
+          k AS (SELECT doc_id, lang, ln(u) / w AS key FROM sc),
+          r AS (SELECT lang, doc_id, key,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY key DESC, doc_id) AS BIGINT) AS rnk FROM k)
+          SELECT lang, rnk, doc_id, round(key, 6) AS key
+          FROM r WHERE rnk <= 20 ORDER BY lang, rnk""")),
+
+      // Containment (subset) duplicate detection — the quote/excerpt
+      // detector symmetric Jaccard misses: a planted fixture republishes
+      // every 13th doc's FIRST HALF (token-truncated, so its shingle set
+      // is exactly a subset) under id+20M; ops/Dedup.containmentPairs
+      // verifies |A∩B|/|A| and /|B| over the LSH candidate set. Planted
+      // truncations that band-collide surface with containment exactly
+      // 1.0 on the truncated side at Jaccard ≈ 0.5 — below any sane
+      // symmetric threshold. Report: per doc_a, its containment-flagged
+      // partners and the max directional containment in integer permille.
+      ("q180_containment_dups", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val trunc = docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("toks", TF.tokens(col("text")))
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat_ws(" ", slice(col("toks"), lit(1),
+              greatest((size(col("toks")) / 2).cast("int"), lit(4)))).as("text"))
+        val corpus = docs.unionByName(trunc)
+        Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.8)
+          .groupBy("doc_a").agg(
+            count(lit(1)).as("n_partners"),
+            expr("CAST(round(max(greatest(cont_a, cont_b)) * 1000) AS BIGINT)")
+              .as("max_cont_permille"))
+          .orderBy("doc_a")
+      },
+        Some(s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 20000000,
+              array_to_string(list_slice(${sqlTokens("text")}, 1,
+                greatest(len(${sqlTokens("text")}) // 2, 4)), ' ')
+            FROM documents WHERE doc_id % 13 = 0),
+          $sqlMinhashSigCtes,
+          bands_mh AS (SELECT doc_id, unnest(${sqlBandArray(4, 3)}) AS band
+            FROM sg_mh),
+          cand_mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_mh a JOIN bands_mh b
+              ON a.band = b.band AND a.doc_id < b.doc_id),
+          v AS (SELECT c.doc_a, c.doc_b,
+              CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+                / CAST(len(ha.hashes) AS DOUBLE) AS cont_a,
+              CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+                / CAST(len(hb.hashes) AS DOUBLE) AS cont_b
+            FROM cand_mh c
+            JOIN hs_mh ha ON ha.doc_id = c.doc_a
+            JOIN hs_mh hb ON hb.doc_id = c.doc_b),
+          f AS (SELECT doc_a, doc_b,
+              round(cont_a, 6) AS cont_a, round(cont_b, 6) AS cont_b
+            FROM v WHERE cont_a >= 0.8 OR cont_b >= 0.8)
+          SELECT doc_a, CAST(count(*) AS BIGINT) AS n_partners,
+            CAST(round(max(greatest(cont_a, cont_b)) * 1000) AS BIGINT)
+              AS max_cont_permille
+          FROM f GROUP BY doc_a ORDER BY doc_a"""))
     )
   }
 

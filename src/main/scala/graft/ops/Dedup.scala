@@ -113,6 +113,47 @@ object Dedup {
     }.reduce(_ unionByName _).orderBy("bands")
   }
 
+  /** Containment (asymmetric-overlap) duplicate pairs over the LSH
+    * candidate set: |A∩B|/|A| and |A∩B|/|B| on the distinct shingle-hash
+    * sets, kept when either direction reaches `threshold`. Containment is
+    * the quote/subset detector Jaccard misses — a document fully embedded
+    * in a much larger one has containment ≈ 1 while Jaccard ≈ |A|/|B|.
+    * Candidates still come from minhash banding, so recall follows the
+    * JACCARD S-curve (a tiny excerpt of a huge doc may not band-collide);
+    * that is the documented tradeoff of reusing the one existing index —
+    * a dedicated containment index would band the SMALL side's shingles
+    * only. Same scale shape as [[minhashLsh]]: one hash pass, banded
+    * equi-join, verify on candidate pairs only.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      fastHash: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must be divisible by bands")
+    val hashed = shingleHashed(docs, idCol, textCol, shingleK, fastHash)
+    val banded = bandKeys(hashed, numHashes, bands, rows)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .withColumn("cont_a", col("inter") / size(col("ha")).cast("double"))
+      .withColumn("cont_b", col("inter") / size(col("hb")).cast("double"))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
+  }
+
   /** The shingle-hash map stage shared by the minhash pipelines: spread it
     * over the cluster (Par.ensure — a small source arrives as one split)
     * and compute it ONCE (persist) — it is read repeatedly downstream

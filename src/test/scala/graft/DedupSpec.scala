@@ -32,6 +32,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // no shingles -> no bands
   }
 
+  test("containment pairs: token-truncated subset flags at cont 1.0, " +
+      "symmetric near-dups flag both directions, distinct content stays out") {
+    // doc 6 = first half of doc 4's tokens: its shingle set is a strict
+    // subset, so containment on the small side is exactly 1.0 while
+    // Jaccard is well below a symmetric threshold
+    val subset = Seq((6L, "completely different content about database"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs.unionByName(subset), "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got((4L, 6L))._2 == 1.0) // truncated side fully contained
+    assert(got((4L, 6L))._1 < 0.8)  // big side NOT contained in the excerpt
+    assert(got((1L, 2L)) == ((1.0, 1.0))) // exact dup: both directions
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("simhash pairs: identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", bucketShift = 24, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

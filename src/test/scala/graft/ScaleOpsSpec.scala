@@ -247,4 +247,40 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("q176 interleave positions: closed form, no single-partition exchange") {
+    // the whole point of the closed form is that NO stage funnels the
+    // corpus through one partition (the global row_number it replaces
+    // would show up as Exchange SinglePartition + a global Sort)
+    val df = Queries.queries("q176_interleave_order")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"interleave closed form must not gather to one partition:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"per-source size table should broadcast:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q179 weighted sample: per-lang top-k via WindowGroupLimit, " +
+      "no global sort before the window") {
+    val df = Queries.queries("q179_weighted_sample")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"A-ES top-k did not compile to WindowGroupLimit:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q175 shard novelty: standing index probed by anti-join, shard-only hashing") {
+    val df = Queries.queries("q175_shard_novelty")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"novelty probe should be a LEFT ANTI join against the index:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }
