@@ -7583,7 +7583,185 @@ object Queries {
           SELECT doc_a, CAST(count(*) AS BIGINT) AS n_partners,
             CAST(round(max(greatest(cont_a, cont_b)) * 1000) AS BIGINT)
               AS max_cont_permille
-          FROM f GROUP BY doc_a ORDER BY doc_a"""))
+          FROM f GROUP BY doc_a ORDER BY doc_a""")),
+
+      // PMI collocation mining — which adjacent token pairs co-occur far
+      // beyond chance (the classic corpus-linguistics phrase detector;
+      // tokenizer vocabularies seed multi-word entries from exactly this
+      // table). Bigrams come from a NARROW per-row zip (no position
+      // self-join, no explode-then-window); PMI = ln((c_ab/Nb) /
+      // ((c_a/N)·(c_b/N))) from exact integer counts, df-capped at
+      // c_ab ≥ 5 so the tail never reaches the join. Top-30 by PMI is
+      // TakeOrderedAndProject. Scale shape: two token-keyed rollups +
+      // two keyed joins on the capped bigram table.
+      ("q181_collocations", (s: SparkSession, d: String) => {
+        val tok = t(s, d, "documents")
+          .select(TF.tokens(col("text")).as("toks"))
+          .persistTracked()
+        val uni = tok.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val bi = tok.select(explode(expr(
+            """transform(sequence(1, greatest(size(toks) - 1, 0)),
+               i -> struct(toks[i-1] AS w1, toks[i] AS w2))""")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        val scal = tok.agg(
+          sum(size(col("toks"))).cast("double").as("n_uni"),
+          sum(greatest(size(col("toks")) - 1, lit(0))).cast("double").as("n_bi"))
+        bi
+          .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+          .crossJoin(broadcast(scal))
+          .withColumn("pmi", round(log(
+            (col("c_ab").cast("double") / col("n_bi")) /
+              ((col("c_a").cast("double") / col("n_uni")) *
+                (col("c_b").cast("double") / col("n_uni")))), 6))
+          .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+            col("pmi"))
+          .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+          .limit(30)
+      },
+        Some(s"""WITH tk AS (SELECT ${sqlTokens("text")} AS toks FROM documents),
+          uni AS (SELECT unnest(toks) AS w, 1 AS one FROM tk),
+          u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+          bi AS (SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+            FROM tk, unnest(range(1, len(toks))) AS u(i)),
+          b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+            FROM bi GROUP BY w1, w2 HAVING count(*) >= 5),
+          scal AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_uni,
+              CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_bi
+            FROM tk)
+          SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+            round(ln((CAST(b.c_ab AS DOUBLE) / s.n_bi) /
+              ((CAST(ua.c AS DOUBLE) / s.n_uni)
+                * (CAST(ub.c AS DOUBLE) / s.n_uni))), 6) AS pmi
+          FROM b JOIN u ua ON ua.w = b.w1 JOIN u ub ON ub.w = b.w2
+          CROSS JOIN scal s
+          ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30""")),
+
+      // Zipf power-law fit — the corpus-statistics sanity check (natural
+      // text has slope ≈ −1; synthetic or templated corpora deviate):
+      // least-squares slope/intercept of ln(freq) on ln(rank) over the
+      // top-100 tokens. The ln values are micro-quantized (×1e6, exact
+      // BIGINT) BEFORE the regression sums, so every Σx/Σy/Σxy/Σx² is an
+      // exact integer on both engines and the closed-form slope is a
+      // deterministic double — a float regression sum would be
+      // partition-order-dependent. Scale shape: one token rollup, a
+      // top-100 TakeOrderedAndProject, a 100-row regression.
+      ("q182_zipf_fit", (s: SparkSession, d: String) => {
+        val freq = t(s, d, "documents")
+          .select(explode(TF.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val top = freq.orderBy(desc("c"), asc("w")).limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("c"), asc("w"))).cast("long"))
+          .withColumn("x", expr("CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .withColumn("y", expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+        top.agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("slope"),
+            round(((col("sy").cast("double") / lit(1000000.0)) -
+              ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                (col("sx").cast("double") / lit(1000000.0))) /
+              col("n").cast("double"), 6).as("intercept"))
+      },
+        Some(s"""WITH f AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+              SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+            GROUP BY w),
+          top AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w)
+                AS BIGINT) AS rnk
+            FROM f ORDER BY c DESC, w LIMIT 100),
+          q AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+              CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM top),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM q)
+          SELECT n,
+            round(CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+            round(((CAST(sy AS DOUBLE) / 1000000.0)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / 1000000.0)) / CAST(n AS DOUBLE), 6)
+              AS intercept
+          FROM ag""")),
+
+      // Ordered event funnel — strict view → click → purchase where each
+      // later step must happen AFTER the user's FIRST occurrence of the
+      // previous step (min-ts semantics, the standard product funnel).
+      // Three user-keyed rollups, each joined back on user_id; exact ns
+      // integers; one-row report with per-step user counts.
+      ("q183_event_funnel", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d).select("user_id", "event_type", "ts")
+          .persistTracked()
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        ev.agg(countDistinct(col("user_id")).as("n_users"))
+          .crossJoin(s1.agg(count(lit(1)).as("n_view")))
+          .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+        Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+              FROM events),
+          s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+            JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+            JOIN s2 ON s2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+          SELECT CAST((SELECT count(DISTINCT user_id) FROM e) AS BIGINT)
+              AS n_users,
+            CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+            CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+            CAST((SELECT count(*) FROM s3) AS BIGINT)
+              AS n_view_click_purchase""")),
+
+      // Retention cohort matrix — users bucketed by first-activity week,
+      // tracked by distinct-active-user count per week offset (the
+      // product-analytics triangle). Exact integer day/week arithmetic
+      // from epoch ns; two user-keyed rollups and one (cohort, offset)
+      // rollup — the user×day activity table is the only intermediate.
+      ("q184_retention_cohorts", (s: SparkSession, d: String) => {
+        val act = eventsNs(s, d)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+          .persistTracked()
+        val cohort = act.groupBy("user_id").agg(min(col("day")).as("day0"))
+        act.join(cohort, "user_id")
+          .withColumn("cohort_week", expr("day0 div 7"))
+          .withColumn("offset_week", expr("(day - day0) div 7"))
+          .groupBy("cohort_week", "offset_week")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "offset_week")
+      },
+        Some("""WITH act AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 86400000000000 AS day FROM events),
+          c AS (SELECT user_id, min(day) AS day0 FROM act GROUP BY user_id)
+          SELECT CAST(c.day0 // 7 AS BIGINT) AS cohort_week,
+            CAST((a.day - c.day0) // 7 AS BIGINT) AS offset_week,
+            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+          FROM act a JOIN c ON c.user_id = a.user_id
+          GROUP BY cohort_week, offset_week
+          ORDER BY cohort_week, offset_week"""))
     )
   }
 
