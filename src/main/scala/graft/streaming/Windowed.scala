@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.TextFunctions
 
@@ -78,6 +79,53 @@ object Windowed {
         col("ppm").as("ppm_ref"))), Seq("source", "bucket"), "left")
       .withColumn("ppm_ref", coalesce(col("ppm_ref"), lit(0L)))
       .select(col("source"), col("bucket"), col("n"), col("ppm_ref"))
+  }
+
+  /** One update of the trending-token state: (window epoch-sec, token
+    * estimate, docs-processed watermark for the window). */
+  case class TrendRow(window: Long, tok: String, est: Long, processed: Long)
+  // state class is public: Catalyst's encoder codegen needs constructor
+  // access (a `private` here fails at generated-code compile time)
+  case class MgState(counters: Map[String, Long], processed: Long)
+
+  /** Streaming trending tokens — Misra–Gries heavy hitters per tumbling
+    * event-time window, the continuous form of the q73 top-k report:
+    * state per window is a BOUNDED k-counter summary (the same
+    * [[graft.functions.MisraGries]] reduce the batch sketch twin uses —
+    * one definition of the decrement rule), so a window's state never
+    * grows with the stream. Each trigger re-emits the window's current
+    * counters (update semantics). MG guarantees carried over: every
+    * token with true frequency > N/(k+1) is present, and estimates are
+    * within N/(k+1) below truth — StreamingSpec pins both, plus exact
+    * equality with batch counts when k exceeds the distinct-token count.
+    * No watermark by design here (state is per-window and tiny); a
+    * production deployment adds withWatermark upstream + an
+    * EventTimeTimeout eviction for closed windows.
+    */
+  def trendingTokens(docs: DataFrame, tsCol: String, textCol: String,
+      windowDur: String, k: Int): Dataset[TrendRow] = {
+    import docs.sparkSession.implicits._
+    val mg = new graft.functions.MisraGries(k)
+    val toks = docs
+      .select(window(col(tsCol), windowDur).getField("start").as("w"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("w").cast("long").as("window"), col("tok"))
+      .as[(Long, String)]
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (window: Long, rows: Iterator[(Long, String)], state: GroupState[MgState]) => {
+          val st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          var counters = st.counters
+          var n = st.processed
+          rows.foreach { case (_, tok) =>
+            counters = mg.reduce(counters, tok)
+            n += 1
+          }
+          state.update(MgState(counters, n))
+          counters.iterator.map { case (tok, est) =>
+            TrendRow(window, tok, est, n)
+          }
+        })
   }
 
   /** Reference histogram for [[driftMonitor]]: per-source bucket shares

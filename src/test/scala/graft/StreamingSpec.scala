@@ -197,6 +197,57 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("trending tokens: MG stream state is bounded, exact at large k, " +
+      "and carries the heavy-hitter guarantee at small k") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // one 10-min window; "alpha" dominates (9), "beta" 5, singletons pad
+    val batch1 = Seq(
+      (ts(1), "alpha beta alpha gamma alpha"),
+      (ts(2), "alpha beta alpha delta alpha"))
+    val batch2 = Seq(
+      (ts(3), "alpha beta alpha epsilon alpha beta zeta beta eta"))
+    val allToks = (batch1 ++ batch2).flatMap(_._2.split(" "))
+    val exact = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allToks.size.toLong
+
+    def run(k: Int, name: String): Map[String, Long] = {
+      val input = MemoryStream[(Timestamp, String)]
+      val out = Windowed.trendingTokens(
+        input.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", k)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      q.stop()
+      // final summary = rows at the window's last processed watermark
+      spark.sql(
+        s"""SELECT tok, est FROM $name
+            WHERE processed = (SELECT max(processed) FROM $name)""")
+        .as[(String, Long)].collect().toMap
+    }
+
+    val big = run(100, "trend_big") // no evictions -> exact counts
+    assert(big == exact, s"large-k stream $big != exact $exact")
+
+    val k = 3
+    val small = run(k, "trend_small")
+    assert(small.size <= k, s"state exceeded capacity: $small")
+    val bound = n / (k + 1)
+    exact.collect { case (t, c) if c > bound => t }.foreach { hh =>
+      assert(small.contains(hh), s"heavy hitter $hh missing from $small")
+    }
+    small.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth && est >= truth - bound,
+        s"estimate for $t out of MG band: $est vs $truth (bound $bound)")
+    }
+  }
+
   test("streaming dedup collapses same-content docs across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
