@@ -7761,7 +7761,157 @@ object Queries {
             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
           FROM act a JOIN c ON c.user_id = a.user_id
           GROUP BY cohort_week, offset_week
-          ORDER BY cohort_week, offset_week"""))
+          ORDER BY cohort_week, offset_week""")),
+
+      // Template/boilerplate PREFIX detection — the cross-document
+      // complement to q122's within-doc boilerplate lines: documents
+      // sharing their first-6-token prefix are template instances (nav
+      // headers, newsletter blurbs, licence banners). Planted fixture:
+      // every doc_id % 11 == 3 doc gets the same 6-token banner
+      // prepended; the detector is one prefix-keyed rollup (narrow
+      // per-row slice, hash-keyed aggregate — never a pair join),
+      // df-gated at 3.
+      ("q185_template_prefixes", (s: SparkSession, d: String) => {
+        val banner = "subscribe to our newsletter today please"
+        val corpus = t(s, d, "documents").select("doc_id", "source", "text")
+          .withColumn("text",
+            when(col("doc_id") % 11 === 3,
+              concat(lit(banner + " "), col("text"))).otherwise(col("text")))
+        corpus
+          .withColumn("toks", TF.tokens(col("text")))
+          .filter(size(col("toks")) >= 6)
+          .withColumn("prefix", concat_ws(" ", slice(col("toks"), lit(1), lit(6))))
+          .groupBy("prefix").agg(
+            count(lit(1)).as("df"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("doc_id")).as("rep_doc"))
+          .filter(col("df") >= 3)
+          .orderBy(desc("df"), asc("prefix"))
+      },
+        Some(s"""WITH cu AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 11 = 3
+                THEN 'subscribe to our newsletter today please ' || text
+                ELSE text END AS text
+            FROM documents),
+          tk AS (SELECT doc_id, source, ${sqlTokens("text")} AS toks FROM cu),
+          p AS (SELECT doc_id, source,
+              array_to_string(toks[1:6], ' ') AS prefix
+            FROM tk WHERE len(toks) >= 6)
+          SELECT prefix, CAST(count(*) AS BIGINT) AS df,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(min(doc_id) AS BIGINT) AS rep_doc
+          FROM p GROUP BY prefix HAVING count(*) >= 3
+          ORDER BY df DESC, prefix""")),
+
+      // Language-metadata verification — does the DECLARED lang column
+      // agree with a stopword-profile of the text? Fixture: each doc is
+      // enriched with 3 copies of its TRUE language's marker stopword,
+      // where the true language is the declared one except every
+      // doc_id % 17 == 2 doc, which is deliberately misrouted to the
+      // next language (cyclic in lang order). The profiler argmaxes the
+      // per-language marker counts (narrow per-row array filters — no
+      // dictionary join) and the report is the declared × profiled
+      // confusion matrix; the planted misroutes are exactly the
+      // off-diagonal mass.
+      ("q186_lang_mismatch", (s: SparkSession, d: String) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val marker = Map("de" -> "und", "en" -> "is", "es" -> "que",
+          "fr" -> "les", "zh" -> "shi4")
+        val nextLang = langs.zip(langs.tail :+ langs.head).toMap
+        val trueLang = when(col("doc_id") % 17 === 2,
+          element_at(map(nextLang.flatMap { case (a, b) => Seq(lit(a), lit(b)) }
+            .toSeq: _*), col("lang"))).otherwise(col("lang"))
+        val mk = element_at(map(marker.flatMap { case (l, m) => Seq(lit(l), lit(m)) }
+          .toSeq: _*), col("true_lang"))
+        val cnts = langs.map { l =>
+          size(filter(col("toks"), x => x === lit(marker(l)))).cast("long").as(s"c_$l")
+        }
+        val argmax = expr(
+          "aggregate(" + langs.map(l => s"struct(c_$l AS c, '$l' AS l)")
+            .mkString("array(", ", ", ")") +
+            ", struct(CAST(-1 AS BIGINT) AS c, '' AS l)" +
+            ", (acc, x) -> CASE WHEN x.c > acc.c THEN x ELSE acc END).l")
+        t(s, d, "documents").select("doc_id", "lang", "text")
+          .withColumn("true_lang", trueLang)
+          .withColumn("toks", TF.tokens(concat(col("text"),
+            lit(" "), mk, lit(" "), mk, lit(" "), mk)))
+          .select(Seq(col("doc_id"), col("lang")) ++ cnts: _*)
+          .withColumn("profiled", argmax)
+          .groupBy(col("lang").as("declared"), col("profiled"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("declared", "profiled")
+      },
+        Some {
+          val langs = Seq("de", "en", "es", "fr", "zh")
+          val marker = Map("de" -> "und", "en" -> "is", "es" -> "que",
+            "fr" -> "les", "zh" -> "shi4")
+          val nextCase = "CASE lang " + langs.zip(langs.tail :+ langs.head)
+            .map { case (a, b) => s"WHEN '$a' THEN '$b'" }.mkString(" ") + " END"
+          val mkCase = "CASE true_lang " + marker
+            .map { case (l, m) => s"WHEN '$l' THEN '$m'" }.mkString(" ") + " END"
+          val cnts = langs.map(l =>
+            s"CAST(len(list_filter(toks, x -> x = '${marker(l)}')) AS BIGINT) AS c_$l")
+            .mkString(", ")
+          // argmax via list_reduce: init = first struct, strict > replaces,
+          // so the EARLIEST max in lang order wins — matching the Spark
+          // fold's (-1, '') init + strict-> semantics exactly
+          val arr = langs.map(l => s"{'c': c_$l, 'l': '$l'}").mkString("[", ", ", "]")
+          s"""WITH tl AS (SELECT doc_id, lang,
+              CASE WHEN doc_id % 17 = 2 THEN $nextCase ELSE lang END AS true_lang,
+              text
+            FROM documents),
+          en AS (SELECT doc_id, lang,
+              ${sqlTokens("text || ' ' || " + mkCase + " || ' ' || " + mkCase +
+                " || ' ' || " + mkCase)} AS toks
+            FROM tl),
+          c AS (SELECT doc_id, lang, $cnts FROM en),
+          pr AS (SELECT doc_id, lang,
+              (list_reduce($arr,
+                (acc, x) -> CASE WHEN x.c > acc.c THEN x ELSE acc END)).l
+                AS profiled
+            FROM c)
+          SELECT lang AS declared, profiled,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM pr GROUP BY declared, profiled
+          ORDER BY declared, profiled"""
+        }),
+
+      // Embedding outlier audit — vectors far from their assigned IVF
+      // centroid (assignment residual above the corpus p99) are the
+      // mislabeled/corrupt-embedding suspects an ingest QA step
+      // quarantines. One broadcast-centroid assignment pass (the corpus
+      // never shuffles), one exact-percentile scalar, one label rollup.
+      ("q187_embedding_outliers", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val assigned = graft.search.Ann.ivfAssignDist(
+            e, graft.search.Ann.sampleCentroids(e, 25))
+          .join(e.select(col("vec_id"), col("label").cast("long").as("label")),
+            "vec_id")
+          .persistTracked()
+        val p99 = assigned.agg(expr("percentile(dist2, 0.99)").as("p99"))
+        assigned.crossJoin(broadcast(p99))
+          .groupBy("label").agg(
+            count(lit(1)).as("n_vecs"),
+            sum(when(col("dist2") > col("p99"), 1L).otherwise(0L))
+              .as("n_outliers"),
+            round(max(col("dist2")), 6).as("max_dist2"))
+          .orderBy("label")
+      },
+        Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          assigned AS (SELECT vec_id, dist2 FROM (
+            SELECT e.vec_id, round(${sqlL2sq("e.embedding", "c.cvec")}, 6) AS dist2,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          lab AS (SELECT a.vec_id, a.dist2, CAST(e.label AS BIGINT) AS label
+            FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+          q AS (SELECT quantile_cont(dist2, 0.99) AS p99 FROM lab)
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(count(*) FILTER (WHERE dist2 > q.p99) AS BIGINT) AS n_outliers,
+            round(max(dist2), 6) AS max_dist2
+          FROM lab CROSS JOIN q
+          GROUP BY label, q.p99 ORDER BY label"""))
     )
   }
 

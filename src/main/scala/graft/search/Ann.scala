@@ -35,7 +35,15 @@ object Ann {
     * engines; the strict `<` over the id-ascending array breaks ties
     * toward the lowest centroid id, matching the old (dist2, id) ordering.
     */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignDist(corpus, centroids).drop("dist2")
+
+  /** [[ivfAssign]] carrying the (rounded) squared distance to the winning
+    * centroid — the assignment residual the embedding outlier audit
+    * (q187) thresholds. Same broadcast-packed-centroids dataflow: the
+    * corpus never shuffles to be assigned.
+    */
+  def ivfAssignDist(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val packed = centroids
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("cvec")))).as("cents"))
     val best = aggregate(
@@ -52,7 +60,8 @@ object Ann {
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(packed))
       .select(col("vec_id"), col("embedding"),
-        best.getField("centroid_id").as("centroid_id"))
+        best.getField("centroid_id").as("centroid_id"),
+        best.getField("dist2").as("dist2"))
       .filter(col("centroid_id").isNotNull)
   }
 
