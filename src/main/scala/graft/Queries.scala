@@ -7911,7 +7911,49 @@ object Queries {
             CAST(count(*) FILTER (WHERE dist2 > q.p99) AS BIGINT) AS n_outliers,
             round(max(dist2), 6) AS max_dist2
           FROM lab CROSS JOIN q
-          GROUP BY label, q.p99 ORDER BY label"""))
+          GROUP BY label, q.p99 ORDER BY label""")),
+
+      // Join-skew diagnosis — the report an operator reads BEFORE picking
+      // a salt factor (ops/Skew) or trusting AQE's skew split: per
+      // candidate join key of the big fact table, the key-cardinality
+      // shape (keys, rows, hottest key's rows and share in ppm) and the
+      // derived salt recommendation ceil(max_rows × partitions / rows) —
+      // >1 means the hottest key alone overflows one of `partitions`
+      // equal shares. One count-rollup per key column; the report is
+      // |keys probed| rows. All-integer.
+      ("q188_skew_report", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val parts = 32L
+        def keyStats(key: String): DataFrame =
+          li.groupBy(col(key)).agg(count(lit(1)).as("c"))
+            .agg(
+              lit(key).as("join_key"),
+              count(lit(1)).as("n_keys"),
+              sum(col("c")).as("n_rows"),
+              max(col("c")).as("max_key_rows"))
+            .withColumn("top_share_ppm",
+              expr("CAST(max_key_rows * 1000000 div n_rows AS BIGINT)"))
+            .withColumn("rec_salts",
+              expr(s"CAST(-((-max_key_rows * $parts) div n_rows) AS BIGINT)"))
+        keyStats("l_orderkey")
+          .unionByName(keyStats("l_partkey"))
+          .unionByName(keyStats("l_suppkey"))
+          .orderBy("join_key")
+      },
+        Some("""WITH ks AS (
+            SELECT 'l_orderkey' AS join_key, count(*) AS c
+              FROM lineitem GROUP BY l_orderkey
+            UNION ALL SELECT 'l_partkey', count(*)
+              FROM lineitem GROUP BY l_partkey
+            UNION ALL SELECT 'l_suppkey', count(*)
+              FROM lineitem GROUP BY l_suppkey)
+          SELECT join_key,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(c) AS BIGINT) AS n_rows,
+            CAST(max(c) AS BIGINT) AS max_key_rows,
+            CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
+            CAST(-((-max(c) * 32) // sum(c)) AS BIGINT) AS rec_salts
+          FROM ks GROUP BY join_key ORDER BY join_key"""))
     )
   }
 

@@ -76,4 +76,75 @@ object Sessions {
       .groupByKey(_.sessionId)
       .flatMapGroupsWithState(OutputMode.Append(), conf)(updateSession(withExpiry))
   }
+
+  /** One CLOSED gap-session: start/last in epoch ns, event count. */
+  case class GapSession(userId: Long, startNs: Long, nEvents: Long, durNs: Long)
+  // public for Catalyst encoder codegen (constructor access)
+  case class OpenSession(startNs: Long, lastNs: Long, n: Long)
+
+  /** Gap-based event sessionization as a watermarked stream — the
+    * streaming twin of the q178 batch rule (a user's session breaks when
+    * the inter-event gap exceeds `gapNs`). State per user is ONE open
+    * session (start, last, count). A session is emitted when (a) a later
+    * event breaks it, or (b) the EVENT-TIME timeout fires — the watermark
+    * passed last + gap, so no in-horizon event can extend it (the
+    * real-deployment closing mechanism; append mode). Events are sorted
+    * in-batch (bounded: one micro-batch's rows per user) and late
+    * arrivals INSIDE an open session extend its bounds; arrivals later
+    * than the lateness horizon are dropped by the upstream watermark,
+    * exactly as documented for every watermarked op here.
+    *
+    * `events` must be streaming with columns (`tsCol`: timestamp,
+    * `userCol`: long). StreamingSpec pins closed sessions == the q178
+    * batch window rule on the same data.
+    */
+  def gapSessions(
+      events: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      userCol: String,
+      gapNs: Long,
+      lateness: String): Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val prepared = events
+      .withWatermark(tsCol, lateness)
+      .select(col(userCol).cast("long").as("user_id"),
+        (unix_micros(col(tsCol)) * 1000L).as("ts"),
+        col(tsCol).as("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    def update(user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[OpenSession]): Iterator[GapSession] = {
+      if (state.hasTimedOut) {
+        val o = state.get
+        state.remove()
+        Iterator.single(GapSession(user, o.startNs, o.n, o.lastNs - o.startNs))
+      } else {
+        val ts = rows.map(_._2).toArray.sorted
+        val closed = scala.collection.mutable.ListBuffer.empty[GapSession]
+        var open = state.getOption
+        ts.foreach { t =>
+          open = open match {
+            case Some(o) if t - o.lastNs > gapNs =>
+              closed += GapSession(user, o.startNs, o.n, o.lastNs - o.startNs)
+              Some(OpenSession(t, t, 1L))
+            case Some(o) =>
+              Some(OpenSession(math.min(o.startNs, t), math.max(o.lastNs, t), o.n + 1L))
+            case None => Some(OpenSession(t, t, 1L))
+          }
+        }
+        open.foreach { o =>
+          state.update(o)
+          // close once the watermark passes last + gap; the timeout must
+          // exceed the CURRENT watermark or Spark rejects it
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(
+            math.max((o.lastNs + gapNs) / 1000000L + 1L, wm + 1L))
+        }
+        closed.iterator
+      }
+    }
+    prepared.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

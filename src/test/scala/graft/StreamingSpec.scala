@@ -197,6 +197,55 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("gap sessions: watermark-closed stream sessions equal the q178 batch rule") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def ts(h: Int, min: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    // user 7: two sessions (10:00-10:05, 11:00); user 8: one (10:02);
+    // batch 2's 11:00 breaks user 7's first session (gap > 30 min);
+    // the 15:00 sentinel (user 99) advances the watermark far enough for
+    // the EVENT-TIME timeout to close every remaining real session
+    val b1 = Seq((ts(10, 0), 7L), (ts(10, 5), 7L), (ts(10, 2), 8L))
+    val b2 = Seq((ts(11, 0), 7L))
+    val sentinel = Seq((ts(15, 0), 99L))
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = Sessions.gapSessions(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gapNs = 30L * 60 * 1000000000L, lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("gapsess")
+      .outputMode("append").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(sentinel); q.processAllAvailable()
+    // one more empty-ish batch so the advanced watermark fires timeouts
+    input.addData((ts(15, 1), 99L)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("gapsess")
+      .select("userId", "startNs", "nEvents", "durNs")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // batch twin: the exact q178 rule over the same real events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = (b1 ++ b2).toDF("t", "user_id")
+      .withColumn("ts", unix_micros(col("t")) * 1000L)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts") - col("prev") > 1800000000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(run))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("start"), count(lit(1)).as("n"),
+        (max(col("ts")) - min(col("ts"))).as("dur"))
+      .select("user_id", "start", "n", "dur")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("trending tokens: MG stream state is bounded, exact at large k, " +
       "and carries the heavy-hitter guarantee at small k") {
     import spark.implicits._
