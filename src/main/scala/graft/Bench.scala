@@ -192,9 +192,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${timings.size},""" +
       s""""env":{"cpus":${jstr(cpus)},"sf_dir":${jstr(sfDir)},"reps":"min-of-reps; per-rep detail in target/bench_diag.txt"},""" +
       s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), full)
-    catch { case _: Throwable => () }
+    // Subset runs (SPARK_GRAFT_ONLY) are local iteration — don't clobber
+    // the complete record with a 1-entry file.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), full)
+      catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

@@ -7957,9 +7957,664 @@ object Queries {
     )
   }
 
+  /** Round-11 seventh wave: the serving-eval tier (late-interaction
+    * retrieval, offline ranking metrics, RAG context assembly) plus the
+    * training-order and QA reports (epoch block shuffle, classifier
+    * calibration, split-leakage audit).
+    */
+  private lazy val roundElevenW7: Seq[Q] = {
+    Seq(
+      // Late-interaction MaxSim retrieval (ColBERT shape): multi-vector
+      // "docs" are groups of 4 corpus vectors (vec_id div 4 — the fixture
+      // stand-in for per-token/per-chunk encodings); every 31st mdoc is a
+      // query. score(q, d) = Σ over q's 4 vectors of the best cosine
+      // against d's vectors — the retrieval form that beats single-vector
+      // pooling when a query has several distinct aspects. Scale shape:
+      // the query bag is broadcast, ONE corpus scan scores all pairs, and
+      // both reductions are doc-keyed hash aggregates (map-side
+      // combinable); micro-integer sums keep the score engine-exact.
+      // Query docs are anti-joined out of the candidate side.
+      ("q189_maxsim", (s: SparkSession, d: String) => {
+        val tok = t(s, d, "embeddings")
+          .select(expr("vec_id div 4").as("mdoc"), col("vec_id"), col("embedding"))
+        val qtok = tok.filter(pmod(col("mdoc"), lit(31L)) === 0L)
+          .select(col("mdoc").as("qdoc"), col("vec_id").as("qvec"),
+            col("embedding").as("qe"))
+        val cands = tok.join(broadcast(qtok.select(col("qdoc").as("mdoc")).distinct()),
+          Seq("mdoc"), "left_anti")
+        graft.search.Ann.maxSimSearch(cands, qtok, k = 3)
+          .orderBy("qdoc", "rnk")
+      },
+        Some {
+          val cos = sqlCos01("t.embedding", "qt.qe")
+          s"""WITH tok AS (SELECT vec_id // 4 AS mdoc, vec_id, embedding
+              FROM embeddings),
+            qt AS (SELECT mdoc AS qdoc, vec_id AS qvec, embedding AS qe
+              FROM tok WHERE mdoc % 31 = 0),
+            best AS (SELECT qt.qdoc, qt.qvec, t.mdoc,
+                CAST(round(max(round($cos, 6)) * 1000000) AS BIGINT) AS bm
+              FROM tok t CROSS JOIN qt
+              WHERE t.mdoc NOT IN (SELECT qdoc FROM qt)
+              GROUP BY qt.qdoc, qt.qvec, t.mdoc),
+            sc AS (SELECT qdoc, mdoc, CAST(sum(bm) AS BIGINT) AS score_micro
+              FROM best GROUP BY qdoc, mdoc)
+          SELECT qdoc, CAST(rnk AS BIGINT) AS rnk, mdoc, score_micro FROM (
+            SELECT qdoc, mdoc, score_micro,
+              row_number() OVER (PARTITION BY qdoc
+                ORDER BY score_micro DESC, mdoc) AS rnk FROM sc)
+          WHERE rnk <= 3 ORDER BY qdoc, rnk"""
+        }),
+
+      // Offline ranking metrics — the eval report an ANN rollout reads
+      // next to q161's recall: per query, hits@10, a discounted
+      // cumulative gain (linear 1/(pos+1) discount — chosen over log2 so
+      // every term is an EXACT integer micro-unit; graded relevance
+      // 11−brute_rank), nDCG against the closed-form ideal, and
+      // reciprocal rank of the brute top-1 — IVF at nprobe=2 vs the
+      // exact brute-force ranking. Scale shape: brute arm is the audit's
+      // deliberate cost over a query SAMPLE; the IVF arm touches only
+      // probed cells; metrics are one hash aggregate per query.
+      ("q190_ranking_metrics", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val cents = graft.search.Ann.sampleCentroids(e, 25)
+        val assigned = graft.search.Ann.ivfAssign(e, cents)
+        val qs = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val wq = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+        val brute = e.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("brnk", row_number().over(wq).cast("long"))
+          .filter(col("brnk") <= 10)
+          .select("query_id", "vec_id", "brnk")
+        graft.search.Ann.ivfSearch(assigned, cents, qs, k = 10, nprobe = 2)
+          .select(col("query_id"), col("vec_id"), col("rnk"))
+          .join(brute, Seq("query_id", "vec_id"), "left")
+          .withColumn("rel", coalesce(lit(11L) - col("brnk"), lit(0L)))
+          .withColumn("gain_micro", expr("rel * 1000000 div (rnk + 1)"))
+          .withColumn("rr",
+            when(col("brnk") === 1L, expr("1000000 div rnk")).otherwise(lit(0L)))
+          .groupBy("query_id").agg(
+            sum(when(col("brnk").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+            sum(col("gain_micro")).as("dcg_micro"),
+            max(col("rr")).as("rr_micro"))
+          .withColumn("ndcg_pm", expr("dcg_micro * 1000 div aggregate(" +
+            "sequence(1, 10), 0L, (a, i) -> a + (11 - i) * 1000000 div (i + 1))"))
+          .orderBy("query_id")
+      },
+        Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          assigned AS (SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 8),
+          rc AS (SELECT q.query_id, c.cid, q.qe,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlL2sq("q.qe", "c.cvec")}, 6), c.cid) AS rn
+            FROM q CROSS JOIN cent c),
+          scored AS (SELECT rc.query_id, a.vec_id,
+              round(${sqlCos01("a.embedding", "rc.qe")}, 6) AS sim
+            FROM assigned a JOIN rc ON a.cid = rc.cid AND rc.rn <= 2),
+          ivf AS (SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+            SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS rnk FROM scored) WHERE rnk <= 10),
+          brute AS (SELECT query_id, vec_id, CAST(brnk AS BIGINT) AS brnk FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlCos01("e.embedding", "q.qe")}, 6) DESC,
+                  e.vec_id) AS brnk
+            FROM embeddings e CROSS JOIN q) WHERE brnk <= 10),
+          j AS (SELECT i.query_id, i.rnk, b.brnk,
+              coalesce(11 - b.brnk, 0) AS rel
+            FROM ivf i LEFT JOIN brute b
+              ON b.query_id = i.query_id AND b.vec_id = i.vec_id),
+          ideal AS (SELECT CAST(list_sum(list_transform(range(1, 11),
+              i -> (11 - i) * 1000000 // (i + 1))) AS BIGINT) AS idcg)
+          SELECT query_id,
+            CAST(count(*) FILTER (WHERE brnk IS NOT NULL) AS BIGINT) AS n_hits,
+            CAST(sum(rel * 1000000 // (rnk + 1)) AS BIGINT) AS dcg_micro,
+            CAST(sum(rel * 1000000 // (rnk + 1)) * 1000
+              // (SELECT idcg FROM ideal) AS BIGINT) AS ndcg_pm,
+            CAST(coalesce(max(CASE WHEN brnk = 1
+              THEN 1000000 // rnk END), 0) AS BIGINT) AS rr_micro
+          FROM j GROUP BY query_id ORDER BY query_id""")),
+
+      // RAG context assembly — what sits between q145's retrieval and the
+      // prompt: score q147's sliding-window chunks against a query's
+      // term set, keep the top-8, then STITCH selected chunks that are
+      // stride-adjacent in the same document into spans, counting each
+      // overlapped token once (span length = max end − min start, not
+      // Σ chunk lengths). Query docs: every (doc_id % 211 == 5)th
+      // document; its term set = the distinct tokens of its first window.
+      // Scale shape: the chunker is one per-doc explode (no self-join),
+      // query term sets are broadcast, top-8 is a rank window per query,
+      // and stitching is a lag + running-sum window over ≤8 rows per
+      // query. All-integer output.
+      ("q191_context_assembly", (s: SparkSession, d: String) => {
+        val W = 32; val S = 24L
+        val docsT = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val chunks = docsT
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("tok_start",
+            explode(sequence(lit(0L), greatest(col("n_tok") - 1, lit(0L)), lit(S))))
+          .withColumn("tok_len", least(lit(W.toLong), col("n_tok") - col("tok_start")))
+          .filter(col("tok_start") === 0 || col("tok_len") > lit(W - S))
+          .withColumn("chunk_idx", (col("tok_start") / lit(S)).cast("long"))
+          .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+            array_distinct(slice(col("toks"), (col("tok_start") + 1).cast("int"),
+              col("tok_len").cast("int"))).as("ctoks"))
+        val qset = docsT.filter(pmod(col("doc_id"), lit(211L)) === 5L)
+          .select(col("doc_id").as("qdoc"),
+            array_distinct(slice(col("toks"), 1, W)).as("qterms"))
+        val wsel = Window.partitionBy("qdoc")
+          .orderBy(desc("score"), asc("doc_id"), asc("chunk_idx"))
+        val sel = chunks.crossJoin(broadcast(qset))
+          .filter(col("doc_id") =!= col("qdoc"))
+          .withColumn("score",
+            size(filter(col("ctoks"), x => array_contains(col("qterms"), x)))
+              .cast("long"))
+          .filter(col("score") >= 3)
+          .withColumn("srnk", row_number().over(wsel))
+          .filter(col("srnk") <= 8)
+        val wdoc = Window.partitionBy("qdoc", "doc_id").orderBy("chunk_idx")
+        sel
+          .withColumn("brk",
+            when(col("chunk_idx") - lag(col("chunk_idx"), 1).over(wdoc) === 1L, 0L)
+              .otherwise(1L))
+          .withColumn("span", sum(col("brk")).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("qdoc", "doc_id", "span").agg(
+            count(lit(1)).as("n_chunks"),
+            min(col("tok_start")).as("span_start"),
+            (max(col("tok_start") + col("tok_len")) - min(col("tok_start")))
+              .as("span_tok"),
+            sum(col("score")).as("score_sum"))
+          .orderBy("qdoc", "doc_id", "span")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+          n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM tok),
+          st AS (SELECT doc_id, toks, n_tok, CAST(u.s AS BIGINT) AS tok_start
+            FROM n, unnest(range(0, greatest(n_tok, 1), 24)) AS u(s)),
+          ch AS (SELECT doc_id, CAST(tok_start // 24 AS BIGINT) AS chunk_idx,
+              tok_start, CAST(least(32, n_tok - tok_start) AS BIGINT) AS tok_len,
+              list_distinct(list_slice(toks, tok_start + 1,
+                tok_start + least(32, n_tok - tok_start))) AS ctoks
+            FROM st WHERE tok_start = 0 OR least(32, n_tok - tok_start) > 8),
+          qs AS (SELECT doc_id AS qdoc,
+              list_distinct(list_slice(toks, 1, 32)) AS qterms
+            FROM tok WHERE doc_id % 211 = 5),
+          sc AS (SELECT qs.qdoc, ch.doc_id, ch.chunk_idx, ch.tok_start,
+              ch.tok_len,
+              CAST(len(list_filter(ch.ctoks,
+                x -> list_contains(qs.qterms, x))) AS BIGINT) AS score
+            FROM ch CROSS JOIN qs WHERE ch.doc_id <> qs.qdoc),
+          sel AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY qdoc
+                ORDER BY score DESC, doc_id, chunk_idx) AS srnk
+            FROM sc WHERE score >= 3) WHERE srnk <= 8),
+          sp AS (SELECT qdoc, doc_id, chunk_idx, tok_start, tok_len, score,
+              CASE WHEN chunk_idx - lag(chunk_idx) OVER (
+                PARTITION BY qdoc, doc_id ORDER BY chunk_idx) = 1
+                THEN 0 ELSE 1 END AS brk
+            FROM sel),
+          spans AS (SELECT qdoc, doc_id, chunk_idx, tok_start, tok_len, score,
+              sum(brk) OVER (PARTITION BY qdoc, doc_id ORDER BY chunk_idx
+                ROWS UNBOUNDED PRECEDING) AS span
+            FROM sp)
+          SELECT qdoc, doc_id, CAST(span AS BIGINT) AS span,
+            CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(min(tok_start) AS BIGINT) AS span_start,
+            CAST(max(tok_start + tok_len) - min(tok_start) AS BIGINT) AS span_tok,
+            CAST(sum(score) AS BIGINT) AS score_sum
+          FROM spans GROUP BY qdoc, doc_id, span
+          ORDER BY qdoc, doc_id, span""")),
+
+      // Epoch block shuffle — the two-level deterministic training-order
+      // shuffle streaming loaders use (shuffle blocks, then shuffle
+      // within block; an epoch is a seed): block order and within-block
+      // order both come from seeded hashes, and the GLOBAL position is
+      // closed-form — within-block rank + the broadcast cumulative size
+      // of hash-earlier blocks (the q176 trick) — so NO global sort ever
+      // runs. The report pins bijection per epoch (n_pos == n_docs,
+      // min 0, max n−1), an order checksum, and the cross-epoch total
+      // displacement (how much epoch 2 actually moved). Scale shape: one
+      // bounded per-(epoch, block) window; the block table (n/64 rows)
+      // is the only globally-ordered frame and is broadcast.
+      ("q192_epoch_shuffle", (s: SparkSession, d: String) => {
+        val pos = graft.ops.Shards.epochShuffle(
+          t(s, d, "documents"), "doc_id", blockSize = 64L, epochs = Seq(1L, 2L))
+        val disp = pos.groupBy("doc_id").agg(
+            max(when(col("epoch") === 1L, col("pos"))).as("p1"),
+            max(when(col("epoch") === 2L, col("pos"))).as("p2"))
+          .agg(sum(abs(col("p2") - col("p1"))).as("ds"))
+          .select(lit(2L).as("epoch"), col("ds"))
+        pos.groupBy("epoch").agg(
+            count(lit(1)).as("n_docs"),
+            expr("count(DISTINCT pos)").as("n_pos"),
+            min(col("pos")).as("min_pos"),
+            max(col("pos")).as("max_pos"),
+            sum(col("doc_id") * col("pos")).as("checksum"))
+          .join(disp, Seq("epoch"), "left")
+          .withColumn("disp_sum", coalesce(col("ds"), lit(0L))).drop("ds")
+          .orderBy("epoch")
+      },
+        Some(s"""WITH e AS (SELECT doc_id, CAST(u.e AS BIGINT) AS epoch
+            FROM documents, unnest([1, 2]) AS u(e)),
+          b AS (SELECT doc_id, epoch, doc_id // 64 AS block,
+              ${sqlHash32("'doc|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")}
+                % 1048576 AS dkey
+            FROM e),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY epoch, block
+              ORDER BY dkey, doc_id) AS BIGINT) AS rnk FROM b),
+          bs AS (SELECT epoch, block, CAST(count(*) AS BIGINT) AS bsz,
+              ${sqlHash32("'blk|' || CAST(epoch AS VARCHAR) || '|' || CAST(block AS VARCHAR)")}
+                % 1048576 AS bkey
+            FROM b GROUP BY epoch, block),
+          o AS (SELECT epoch, block, coalesce(sum(bsz) OVER (
+              PARTITION BY epoch ORDER BY bkey, block
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM bs),
+          p AS (SELECT r.doc_id, r.epoch, o.off + r.rnk - 1 AS pos
+            FROM r JOIN o ON o.epoch = r.epoch AND o.block = r.block),
+          piv AS (SELECT doc_id,
+              max(CASE WHEN epoch = 1 THEN pos END) AS p1,
+              max(CASE WHEN epoch = 2 THEN pos END) AS p2
+            FROM p GROUP BY doc_id),
+          dsp AS (SELECT CAST(2 AS BIGINT) AS epoch,
+              CAST(sum(abs(p2 - p1)) AS BIGINT) AS disp FROM piv)
+          SELECT p.epoch, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT pos) AS BIGINT) AS n_pos,
+            CAST(min(pos) AS BIGINT) AS min_pos,
+            CAST(max(pos) AS BIGINT) AS max_pos,
+            CAST(sum(doc_id * pos) AS BIGINT) AS checksum,
+            CAST(coalesce(max(dsp.disp), 0) AS BIGINT) AS disp_sum
+          FROM p LEFT JOIN dsp ON dsp.epoch = p.epoch
+          GROUP BY p.epoch ORDER BY p.epoch""")),
+
+      // Classifier calibration (reliability diagram) — q156 sweeps the
+      // operating point; this audits whether the q84 scores MEAN what
+      // they say: per score decile, mean predicted probability vs the
+      // empirical positive rate under the q43 heuristic-quality label
+      // (≥ 0.5), gap in exact micro-units (scores are 6-dp rounded, so
+      // micro-sums are integers and the means engine-exact). The table
+      // behind an ECE number — and the evidence before trusting q107's
+      // filter threshold. Scale shape: one scoring pass, one 10-bucket
+      // hash aggregate; nothing is per-document after the rollup.
+      ("q193_calibration", (s: SparkSession, d: String) => {
+        val sc = classifierQuality(s, d, fastHash = false).select("doc_id", "score")
+        val lab = t(s, d, "documents").select(col("doc_id"),
+          when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L).as("label"))
+        sc.join(lab, "doc_id")
+          .withColumn("bucket", least(floor(col("score") * 10).cast("long"), lit(9L)))
+          .withColumn("score_micro", expr("CAST(round(score * 1000000) AS BIGINT)"))
+          .groupBy("bucket").agg(
+            count(lit(1)).as("n_docs"),
+            expr("CAST(sum(score_micro) div count(1) AS BIGINT)")
+              .as("mean_pred_micro"),
+            expr("CAST(sum(label) * 1000000 div count(1) AS BIGINT)")
+              .as("pos_micro"))
+          .withColumn("gap_micro", abs(col("mean_pred_micro") - col("pos_micro")))
+          .orderBy("bucket")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          lab AS (SELECT doc_id, CASE WHEN $sqlQuality >= 0.5
+              THEN 1 ELSE 0 END AS label
+            FROM documents),
+          j AS (SELECT least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bucket,
+              CAST(round(sc.score * 1000000) AS BIGINT) AS score_micro,
+              lab.label
+            FROM sc JOIN lab ON lab.doc_id = sc.doc_id),
+          g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(score_micro) // count(*) AS BIGINT) AS mean_pred_micro,
+              CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS pos_micro
+            FROM j GROUP BY bucket)
+          SELECT bucket, n_docs, mean_pred_micro, pos_micro,
+            abs(mean_pred_micro - pos_micro) AS gap_micro
+          FROM g ORDER BY bucket""")),
+
+      // Train/test split leakage — near-duplicates straddling a split
+      // leak test answers into training. Per split strategy: naive
+      // per-document hash vs cluster-aware (hash the q141 artifact's
+      // cluster label — consumer #12 — so a whole near-dup cluster lands
+      // on one side): test-set size, test docs sharing a cluster with a
+      // train doc, leak rate in permille. The cluster_hash row's ZERO is
+      // the point — group-keyed splitting removes leakage by
+      // construction. Scale shape: one artifact read, flags are narrow
+      // hashes, has-train is a cluster-keyed window (same shuffle key as
+      // the artifact), two global one-row rollups.
+      ("q194_split_leakage", (s: SparkSession, d: String) => {
+        val clusters = clusterArtifact(s, d, fastHash = false)
+          .select("doc_id", "cluster")
+        val corpus = nearDupCorpus(t(s, d, "documents").select("doc_id", "text"))
+          .select("doc_id")
+        def isTest(key: Column): Column =
+          when(pmod(TF.hash32(concat(lit("sp|"), key.cast("string"))),
+            lit(10L)) >= 8, 1L).otherwise(0L)
+        val wg = Window.partitionBy("grp")
+        val f = corpus.join(clusters, Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("doc_test", isTest(col("doc_id")))
+          .withColumn("grp_test", isTest(col("grp")))
+          .withColumn("has_train", max(lit(1L) - col("doc_test")).over(wg))
+          .withColumn("g_has_train", max(lit(1L) - col("grp_test")).over(wg))
+        val a = f.agg(
+          lit("doc_hash").as("strategy"),
+          sum(col("doc_test")).as("n_test"),
+          sum(when(col("doc_test") === 1L && col("has_train") === 1L, 1L)
+            .otherwise(0L)).as("leaked"))
+        val b = f.agg(
+          lit("cluster_hash").as("strategy"),
+          sum(col("grp_test")).as("n_test"),
+          sum(when(col("grp_test") === 1L && col("g_has_train") === 1L, 1L)
+            .otherwise(0L)).as("leaked"))
+        a.unionByName(b)
+          .withColumn("leak_pm", expr("CAST(leaked * 1000 div n_test AS BIGINT)"))
+          .orderBy("strategy")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          m AS (SELECT c.doc_id, coalesce(cc.lab, c.doc_id) AS grp
+            FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id),
+          fl AS (SELECT doc_id, grp,
+              CASE WHEN ${sqlHash32("'sp|' || CAST(doc_id AS VARCHAR)")} % 10 >= 8
+                THEN 1 ELSE 0 END AS doc_test,
+              CASE WHEN ${sqlHash32("'sp|' || CAST(grp AS VARCHAR)")} % 10 >= 8
+                THEN 1 ELSE 0 END AS grp_test
+            FROM m),
+          w AS (SELECT *,
+              max(1 - doc_test) OVER (PARTITION BY grp) AS has_train,
+              max(1 - grp_test) OVER (PARTITION BY grp) AS g_has_train
+            FROM fl),
+          u AS (
+            SELECT 'doc_hash' AS strategy, sum(doc_test) AS n_test,
+              sum(CASE WHEN doc_test = 1 AND has_train = 1
+                THEN 1 ELSE 0 END) AS leaked FROM w
+            UNION ALL
+            SELECT 'cluster_hash', sum(grp_test),
+              sum(CASE WHEN grp_test = 1 AND g_has_train = 1
+                THEN 1 ELSE 0 END) FROM w)
+          SELECT strategy, CAST(n_test AS BIGINT) AS n_test,
+            CAST(leaked AS BIGINT) AS leaked,
+            CAST(leaked * 1000 // n_test AS BIGINT) AS leak_pm
+          FROM u ORDER BY strategy""")),
+
+      // IVF cell rebalance plan — the index-maintenance report a serving
+      // deployment reads after ingest drift (q114 appends, q163 cluster
+      // churn): per cell, its load share and the action a rebalancer
+      // takes — split cells above 2× the mean into ceil(n/mean)
+      // sub-cells, mark cells below mean/4 for merge. All-integer
+      // (shares in ppm; the 2×/¼ thresholds compared cross-multiplied so
+      // no division rounds first). Scale shape: ONE shuffle-free
+      // assignment pass, a |cells|-row aggregate, and a broadcast scalar
+      // — the report is index-sized, never corpus-sized.
+      ("q195_ivf_rebalance", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val cells = graft.search.Ann.ivfAssign(e, graft.search.Ann.sampleCentroids(e, 25))
+          .groupBy("centroid_id").agg(count(lit(1)).as("n_vecs"))
+        val tot = cells.agg(sum(col("n_vecs")).as("tot"),
+          count(lit(1)).as("n_cells"))
+        cells.crossJoin(broadcast(tot))
+          .withColumn("share_ppm", expr("n_vecs * 1000000 div tot"))
+          .withColumn("action",
+            when(col("n_vecs") * col("n_cells") > col("tot") * 2, lit("split"))
+              .when(col("n_vecs") * col("n_cells") * 4 < col("tot"), lit("merge"))
+              .otherwise(lit("keep")))
+          .withColumn("n_subcells",
+            when(col("action") === "split",
+              expr("CAST(-((-n_vecs * n_cells) div tot) AS BIGINT)"))
+              .otherwise(lit(1L)))
+          .select("centroid_id", "n_vecs", "share_ppm", "action", "n_subcells")
+          .orderBy("centroid_id")
+      },
+        Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 25 = 0),
+          assigned AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.cid) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          cl AS (SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM assigned GROUP BY cid),
+          tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tot,
+            CAST(count(*) AS BIGINT) AS n_cells FROM cl)
+          SELECT centroid_id, n_vecs,
+            CAST(n_vecs * 1000000 // tot AS BIGINT) AS share_ppm,
+            CASE WHEN n_vecs * n_cells > tot * 2 THEN 'split'
+              WHEN n_vecs * n_cells * 4 < tot THEN 'merge'
+              ELSE 'keep' END AS action,
+            CAST(CASE WHEN n_vecs * n_cells > tot * 2
+              THEN -((-n_vecs * n_cells) // tot) ELSE 1 END AS BIGINT) AS n_subcells
+          FROM cl CROSS JOIN tt ORDER BY centroid_id""")),
+
+      // Rank distortion of the binary tier — q167 prices the cascade's
+      // set recall; this audits how far the 1-bit CODE-ONLY ordering
+      // (Hamming over two packed sign words) bends the exact cosine
+      // ordering before any re-rank: per query, top-20 by Hamming vs
+      // top-20 exact, overlap size, Spearman-footrule displacement over
+      // the overlap, and the worst single-doc displacement. All-integer
+      // rank arithmetic. Scale shape: both arms are one corpus scan into
+      // a rank window (the binary arm reads 16 B/vector); the metric
+      // join runs on ≤ 2·20 rows per query.
+      ("q196_rank_distortion", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qsRaw = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val corpus = e.filter(col("vec_id") >= 3)
+        val qb = graft.search.Ann.quantizeBinary(
+            qsRaw.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
+          .select(col("vec_id").as("query_id"), col("blo").as("qlo"),
+            col("bhi").as("qhi"))
+        val wHam = Window.partitionBy("query_id").orderBy(asc("ham"), asc("vec_id"))
+        val code = graft.search.Ann.quantizeBinary(corpus)
+          .crossJoin(broadcast(qb))
+          .withColumn("ham",
+            bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+              bit_count(col("bhi").bitwiseXOR(col("qhi"))))
+          .withColumn("crnk", row_number().over(wHam).cast("long"))
+          .filter(col("crnk") <= 20)
+          .select("query_id", "vec_id", "crnk")
+        val wSim = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+        val exact = corpus.crossJoin(broadcast(qsRaw))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("ernk", row_number().over(wSim).cast("long"))
+          .filter(col("ernk") <= 20)
+          .select("query_id", "vec_id", "ernk")
+        code.join(exact, Seq("query_id", "vec_id"))
+          .withColumn("diff", abs(col("crnk") - col("ernk")))
+          .groupBy("query_id").agg(
+            count(lit(1)).as("n_both"),
+            sum(col("diff")).as("footrule"),
+            max(col("diff")).as("max_diff"))
+          .orderBy("query_id")
+      },
+        Some {
+          val ham = "bit_count(xor(b.blo, q.qlo)) + bit_count(xor(b.bhi, q.qhi))"
+          s"""WITH b AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(1, 33),
+                i -> CASE WHEN embedding[i] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS blo,
+              CAST(list_sum(list_transform(range(1, 33),
+                i -> CASE WHEN embedding[i+32] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bhi
+            FROM embeddings),
+          q AS (SELECT e.vec_id AS query_id, e.embedding AS qe,
+              b.blo AS qlo, b.bhi AS qhi
+            FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 3),
+          code AS (SELECT query_id, vec_id, CAST(crnk AS BIGINT) AS crnk FROM (
+              SELECT q.query_id, b.vec_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ($ham), b.vec_id) AS crnk
+              FROM b CROSS JOIN q WHERE b.vec_id >= 3) WHERE crnk <= 20),
+          ex AS (SELECT query_id, vec_id, CAST(ernk AS BIGINT) AS ernk FROM (
+              SELECT q.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(${sqlCos01("e.embedding", "q.qe")}, 6) DESC,
+                    e.vec_id) AS ernk
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3) WHERE ernk <= 20)
+          SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_both,
+            CAST(sum(abs(c.crnk - ex.ernk)) AS BIGINT) AS footrule,
+            CAST(max(abs(c.crnk - ex.ernk)) AS BIGINT) AS max_diff
+          FROM code c JOIN ex
+            ON ex.query_id = c.query_id AND ex.vec_id = c.vec_id
+          GROUP BY c.query_id ORDER BY c.query_id"""
+        }),
+
+      // Cluster chaining audit — LSH+CC transitively merges A–B–C even
+      // when A and C are NOT direct near-dups; this measures how much of
+      // each cluster is "chained in" (no direct LSH pair with the
+      // keeper) — the number that decides between cluster-level removal
+      // (q78's rule) and pairwise-only removal. Consumer #13 of the
+      // persisted artifact plus ONE pair pass (the same LSH parameters,
+      // so the pair set matches the artifact's edge set exactly).
+      // Rollup by cluster size; exact integer permille. Scale shape:
+      // pair and artifact tables join on doc keys; nothing is all-pairs.
+      ("q197_cluster_chaining", (s: SparkSession, d: String) => {
+        val art = clusterArtifact(s, d, fastHash = false)
+        val pairs = Dedup.minhashLsh(
+            nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
+            "doc_id", "text",
+            shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        // keeper == cluster label == the component MIN, and LSH pairs are
+        // emitted (doc_a < doc_b) — so "member has a direct pair with its
+        // keeper" is the EQUI-join (doc_a = cluster, doc_b = doc_id);
+        // an OR-of-conjunctions condition here would fall back to a
+        // nested-loop join.
+        val members = art.filter(col("is_keeper") === 0L)
+        val direct = members.join(pairs,
+            col("doc_a") === col("cluster") && col("doc_b") === col("doc_id"),
+            "left_semi")
+          .select(col("cluster"), col("doc_id"))
+        val sizes = art.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        members.select("cluster", "doc_id")
+          .join(direct.withColumn("is_direct", lit(1L)),
+            Seq("cluster", "doc_id"), "left")
+          .withColumn("is_direct", coalesce(col("is_direct"), lit(0L)))
+          .join(sizes, "cluster")
+          .groupBy("csize").agg(
+            countDistinct(col("cluster")).as("n_clusters"),
+            count(lit(1)).as("n_members"),
+            sum(lit(1L) - col("is_direct")).as("n_chained"))
+          .withColumn("chained_pm",
+            expr("CAST(n_chained * 1000 div n_members AS BIGINT)"))
+          .orderBy("csize")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize
+            FROM cc GROUP BY lab),
+          mem AS (SELECT cc.id AS doc_id, cc.lab AS cluster
+            FROM cc WHERE cc.id <> cc.lab),
+          dir AS (SELECT DISTINCT m.cluster, m.doc_id
+            FROM mem m JOIN pairs_mh p
+              ON p.doc_a = m.cluster AND p.doc_b = m.doc_id),
+          fl AS (SELECT m.cluster, m.doc_id,
+              CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS is_direct,
+              sz.csize
+            FROM mem m
+            LEFT JOIN dir d ON d.cluster = m.cluster AND d.doc_id = m.doc_id
+            JOIN sz ON sz.lab = m.cluster)
+          SELECT csize, CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+            CAST(count(*) AS BIGINT) AS n_members,
+            CAST(sum(1 - is_direct) AS BIGINT) AS n_chained,
+            CAST(sum(1 - is_direct) * 1000 // count(*) AS BIGINT) AS chained_pm
+          FROM fl GROUP BY csize ORDER BY csize""")),
+
+      // Shuffle mixing quality — does q192's two-level shuffle actually
+      // interleave sources? Per 50-position window of each training
+      // order, the hottest source's share; orders compared: the two
+      // shuffled epochs vs the source-sorted baseline (per-source file
+      // concatenation — the order a naive writer produces, computed
+      // CLOSED-FORM from broadcast per-source sizes, no global sort).
+      // The baseline's 1000000 ppm windows against the epochs' near-
+      // uniform shares is the evidence the shuffle is load-bearing.
+      // Scale shape: epochShuffle's bounded windows + two window-keyed
+      // rollups; every frame after assignment is window-counts-sized.
+      ("q198_shuffle_quality", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "source")
+        val sh = graft.ops.Shards.epochShuffle(docs, "doc_id", 64L, Seq(1L, 2L))
+          .join(docs, "doc_id")
+          .select(concat(lit("epoch"), col("epoch").cast("string")).as("ord"),
+            col("pos"), col("source"))
+        val rnS = docs.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+        val szs = docs.groupBy(col("source").as("s2")).agg(count(lit(1)).as("sz"))
+        val basePos = rnS.crossJoin(broadcast(szs))
+          .groupBy("doc_id", "source", "rn").agg(
+            sum(when(col("s2") < col("source"), col("sz")).otherwise(0L))
+              .as("before"))
+          .select(lit("by_source").as("ord"),
+            (col("before") + col("rn") - 1).as("pos"), col("source"))
+        sh.unionByName(basePos)
+          .withColumn("win", expr("pos div 50"))
+          .groupBy("ord", "win", "source").agg(count(lit(1)).as("c"))
+          .groupBy("ord", "win").agg(max(col("c")).as("mx"), sum(col("c")).as("wtot"))
+          .withColumn("share_ppm", expr("mx * 1000000 div wtot"))
+          .groupBy("ord").agg(
+            count(lit(1)).as("n_windows"),
+            expr("CAST(sum(share_ppm) div count(1) AS BIGINT)")
+              .as("mean_maxshare_ppm"),
+            max(col("share_ppm")).as("worst_ppm"))
+          .orderBy("ord")
+      },
+        Some(s"""WITH e AS (SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
+            FROM documents, unnest([1, 2]) AS u(e)),
+          b AS (SELECT doc_id, source, epoch, doc_id // 64 AS block,
+              ${sqlHash32("'doc|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")}
+                % 1048576 AS dkey
+            FROM e),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY epoch, block
+              ORDER BY dkey, doc_id) AS BIGINT) AS rnk FROM b),
+          bs AS (SELECT epoch, block, CAST(count(*) AS BIGINT) AS bsz,
+              ${sqlHash32("'blk|' || CAST(epoch AS VARCHAR) || '|' || CAST(block AS VARCHAR)")}
+                % 1048576 AS bkey
+            FROM b GROUP BY epoch, block),
+          o AS (SELECT epoch, block, coalesce(sum(bsz) OVER (
+              PARTITION BY epoch ORDER BY bkey, block
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM bs),
+          sh AS (SELECT 'epoch' || CAST(r.epoch AS VARCHAR) AS ord,
+              o.off + r.rnk - 1 AS pos, r.source
+            FROM r JOIN o ON o.epoch = r.epoch AND o.block = r.block),
+          base AS (SELECT 'by_source' AS ord,
+              CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) - 1
+                AS pos, source
+            FROM documents),
+          uni AS (SELECT * FROM sh UNION ALL SELECT * FROM base),
+          wc AS (SELECT ord, pos // 50 AS win, source,
+              CAST(count(*) AS BIGINT) AS c
+            FROM uni GROUP BY ord, pos // 50, source),
+          wm AS (SELECT ord, win, max(c) AS mx, sum(c) AS wtot
+            FROM wc GROUP BY ord, win),
+          sp AS (SELECT ord, CAST(mx * 1000000 // wtot AS BIGINT) AS share_ppm
+            FROM wm)
+          SELECT ord, CAST(count(*) AS BIGINT) AS n_windows,
+            CAST(sum(share_ppm) // count(*) AS BIGINT) AS mean_maxshare_ppm,
+            CAST(max(share_ppm) AS BIGINT) AS worst_ppm
+          FROM sp GROUP BY ord ORDER BY ord"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
-      extended ++ curation ++ temporal ++ training ++ roundTen ++ roundEleven
+      extended ++ curation ++ temporal ++ training ++ roundTen ++
+      roundEleven ++ roundElevenW7
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -47,4 +48,44 @@ object Shards {
   /** Read one shard back (partition pruning: only that directory scans). */
   def readShard(spark: SparkSession, path: String, shard: Long): DataFrame =
     spark.read.parquet(path).filter(col("shard") === shard)
+
+  /** Two-level deterministic epoch shuffle — the training-order shuffle
+    * block-streaming data loaders use: ids land in fixed blocks of
+    * `blockSize` (stable under append, like [[assign]]); each epoch
+    * seeds a hash that orders the BLOCKS and a hash that orders ids
+    * WITHIN their block; the global position is closed-form — the
+    * within-block rank plus the cumulative size of hash-earlier blocks —
+    * so NO global sort runs. Exactly one position per (epoch, id) and
+    * positions form [0, n) for every epoch (a bijection; ShardsSpec
+    * property-pins it). Scale shape: the per-(epoch, block) rank window
+    * is bounded by blockSize; the block table (n/blockSize rows) is the
+    * only globally-ordered frame and is broadcast. md5-based hash32 so
+    * any engine reproduces the identical order.
+    * Input: any frame with a numeric/string id column.
+    * Output: (idCol, epoch, block, pos).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, blockSize: Long,
+      epochs: Seq[Long]): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive (got $blockSize)")
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    val ed = df.select(col(idCol))
+      .withColumn("epoch", explode(array(epochs.map(lit(_)): _*)))
+      .withColumn("block", expr(s"$idCol div ${blockSize}L"))
+      .withColumn("dkey", pmod(TextFunctions.hash32(concat(lit("doc|"),
+        col("epoch").cast("string"), lit("|"), col(idCol).cast("string"))),
+        lit(1048576L)))
+    val wIn = Window.partitionBy("epoch", "block").orderBy("dkey", idCol)
+    val ranked = ed.withColumn("rnk", row_number().over(wIn).cast("long"))
+    val wBlk = Window.partitionBy("epoch").orderBy("bkey", "block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ed.groupBy("epoch", "block").agg(count(lit(1)).as("bsz"))
+      .withColumn("bkey", pmod(TextFunctions.hash32(concat(lit("blk|"),
+        col("epoch").cast("string"), lit("|"), col("block").cast("string"))),
+        lit(1048576L)))
+      .withColumn("off", coalesce(sum(col("bsz")).over(wBlk), lit(0L)))
+      .select("epoch", "block", "off")
+    ranked.join(broadcast(offs), Seq("epoch", "block"))
+      .withColumn("pos", col("off") + col("rnk") - 1)
+      .select(col(idCol), col("epoch"), col("block"), col("pos"))
+  }
 }

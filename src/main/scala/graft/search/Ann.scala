@@ -388,6 +388,37 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("rnk"), col("sim"), col("psim"))
   }
 
+  /** Late-interaction (multi-vector) retrieval — MaxSim scoring in the
+    * ColBERT shape (Khattab & Zaharia, SIGIR 2020, public): both queries
+    * and documents are BAGS of vectors; score(q, d) = Σ over q's vectors
+    * of the max cosine against d's vectors, so a query token matches its
+    * best-aligned document token instead of one pooled vector.
+    *
+    * `docVecs` carries (mdoc, embedding) — one row per document vector;
+    * `queryVecs` carries (qdoc, qvec, qe) and is broadcast (query batches
+    * are bounded, never corpus-sized). Scale shape: ONE broadcast-join
+    * corpus scan computes every (query-vec × doc-vec) cosine; the
+    * per-(qdoc, qvec, mdoc) max and the per-(qdoc, mdoc) sum are hash
+    * aggregates keyed by document — map-side combinable, never an
+    * all-pairs doc×doc shuffle; top-k is a rank window per query. Each
+    * per-vector max is 6-dp-rounded, converted to exact integer
+    * micro-units, and summed as integers, so the score is independent of
+    * engine summation order. Ties break to the lower mdoc.
+    * Returns (qdoc, rnk, mdoc, score_micro).
+    */
+  def maxSimSearch(docVecs: DataFrame, queryVecs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qdoc").orderBy(desc("score_micro"), asc("mdoc"))
+    docVecs.select(col("mdoc"), col("embedding"))
+      .crossJoin(broadcast(queryVecs.select(col("qdoc"), col("qvec"), col("qe"))))
+      .withColumn("sim", round(VectorFunctions.cosine01(col("embedding"), col("qe")), 6))
+      .groupBy("qdoc", "qvec", "mdoc").agg(max(col("sim")).as("best"))
+      .withColumn("best_micro", expr("CAST(round(best * 1000000) AS BIGINT)"))
+      .groupBy("qdoc", "mdoc").agg(sum(col("best_micro")).as("score_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qdoc"), col("rnk"), col("mdoc"), col("score_micro"))
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** Product-quantization codebook seed: the first `ksub` corpus vectors

@@ -516,4 +516,45 @@ class AnnSpec extends SparkSpec {
     info(s"matryoshka(16/64) two-stage recall@10 = $recall at pool = $pool/$n")
     assert(recall >= 0.6, s"prefix-tier recall@10 below floor: $recall")
   }
+
+  test("maxSim late interaction matches an independent per-pair reference") {
+    // multi-vector "docs": groups of 4 fixture vectors; queries = 3 bags
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos01(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      (dot / (math.sqrt(na) * math.sqrt(nb)) + 1.0) / 2.0
+    }
+    val raw = embs.collect()
+      .map(r => (r.getLong(0) / 4, r.getLong(0), r.getSeq[Float](1).toArray))
+    val qdocs = Set(0L, 5L, 11L)
+    val bags = raw.groupBy(_._1)
+    val expected = (for (qd <- qdocs.toSeq) yield {
+      val scores = bags.keys.filterNot(qdocs).toSeq.map { md =>
+        val score = bags(qd).map { case (_, _, qv) =>
+          math.round(round6(bags(md).map(t => cos01(t._3, qv)).max) * 1e6)
+        }.sum
+        md -> score
+      }
+      qd -> scores.sortBy { case (md, sc) => (-sc, md) }.take(5)
+    }).toMap
+    val tok = embs.select(expr("vec_id div 4").as("mdoc"), col("embedding"))
+    val qtok = embs.filter(expr("vec_id div 4").isin(qdocs.toSeq: _*))
+      .select(expr("vec_id div 4").as("qdoc"), col("vec_id").as("qvec"),
+        col("embedding").as("qe"))
+    val cands = tok.filter(!col("mdoc").isin(qdocs.toSeq: _*))
+    val got = Ann.maxSimSearch(cands, qtok, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (qd, rs) => qd -> rs.sortBy(_._2).map(t => (t._3, t._4)).toSeq }
+    assert(got.keySet == qdocs)
+    for (qd <- qdocs)
+      assert(got(qd) == expected(qd),
+        s"maxSim mismatch for query bag $qd:\n got ${got(qd)}\nwant ${expected(qd)}")
+  }
 }

@@ -123,4 +123,38 @@ class DedupSpec extends SparkSpec {
     val dup = Dedup.cdcDupChunks(corpus, "doc_id", "text").collect()
     assert(dup.nonEmpty && dup.forall(_.getLong(1) == 2L))
   }
+
+  test("cluster chaining: transitively merged member has no direct keeper pair " +
+      "(the q197 audit fires)") {
+    // Overlapping-window chain: A and C share too little to pair directly,
+    // but both pair with B — CC still merges all three. The chaining audit
+    // (member with NO direct LSH pair to the keeper) must flag C and only C.
+    // token prefix + stride picked so BOTH adjacent links surface as LSH
+    // candidates under the fixed hash family (banding at J≈0.69 hits with
+    // p≈0.8 per link; this fixture's draw hits both) while the A-C
+    // Jaccard (≈0.47) stays below the 0.5 verify threshold
+    val base = (0 until 40).map(i => s"item$i")
+    val a = base.slice(0, 24) // tokens 0..23
+    val b = base.slice(4, 28) // tokens 4..27: J(A,B) on 3-shingles ~ 0.69
+    val c = base.slice(8, 32) // tokens 8..31: J(B,C) ~ 0.69, J(A,C) ~ 0.47 < 0.5
+    val corpus = Seq(
+      (10L, a.mkString(" ")), (20L, b.mkString(" ")), (30L, c.mkString(" ")),
+      (40L, "unrelated content about spark physical plans and shuffle metrics"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text", shingleK = 3,
+      numHashes = 12, bands = 4, threshold = 0.5)
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L), (20L, 30L)),
+      s"chain fixture did not produce the A-B, B-C pair set: $got")
+    val cc = graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+    val comp = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(10L -> 10L, 20L -> 10L, 30L -> 10L),
+      s"CC did not merge the chain into one keeper-10 cluster: $comp")
+    // the q197 measure: members without a direct (keeper, member) pair
+    val members = Set(20L, 30L)
+    val direct = got.collect { case (a0, b0) if a0 == 10L => b0 }
+    assert((members -- direct) == Set(30L),
+      "chained-member detection should flag exactly the far end of the chain")
+  }
 }

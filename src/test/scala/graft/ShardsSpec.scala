@@ -56,4 +56,30 @@ class ShardsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("shard"),
       s"single-shard read not pruned:\n$plan")
   }
+
+  test("epochShuffle: bijection onto [0, n) per epoch, epochs reorder, deterministic") {
+    // sizes straddle block boundaries (non-multiple, exact multiple, < one block)
+    for (n <- Seq(37, 128, 200)) {
+      val pos = Shards.epochShuffle(docs(n), "doc_id", blockSize = 64L,
+          epochs = Seq(1L, 2L, 3L))
+        .select("epoch", "doc_id", "pos").collect()
+        .groupBy(_.getLong(0))
+        .map { case (e, rs) => e -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+      assert(pos.keySet == Set(1L, 2L, 3L))
+      for ((e, m) <- pos) {
+        assert(m.size == n, s"n=$n epoch=$e: ${m.size} docs")
+        assert(m.values.toSet == (0L until n).toSet,
+          s"n=$n epoch=$e: positions are not a bijection onto [0, $n)")
+      }
+      // different epochs genuinely reorder (some doc moves)
+      assert(pos(1L) != pos(2L) && pos(2L) != pos(3L),
+        s"n=$n: epoch seeds produced identical orders")
+    }
+    // deterministic across evaluations
+    val a = Shards.epochShuffle(docs(100), "doc_id", 64L, Seq(7L))
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Shards.epochShuffle(docs(100), "doc_id", 64L, Seq(7L))
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
