@@ -8089,10 +8089,14 @@ object Queries {
       // overlapped token once (span length = max end − min start, not
       // Σ chunk lengths). Query docs: every (doc_id % 211 == 5)th
       // document; its term set = the distinct tokens of its first window.
-      // Scale shape: the chunker is one per-doc explode (no self-join),
-      // query term sets are broadcast, top-8 is a rank window per query,
-      // and stitching is a lag + running-sum window over ≤8 rows per
-      // query. All-integer output.
+      // Scale shape: the chunker is one per-doc explode (no self-join);
+      // scoring is an INVERTED-INDEX broadcast join — chunk terms join
+      // the tiny exploded query-term postings, so |shared tokens| is a
+      // count over matched postings and non-matching (chunk × query)
+      // pairs are never materialized (the first cut intersected term
+      // arrays per pair: all-pairs work, 8.5 s at sf0.1 vs 1.3 s for
+      // this form). Top-8 is a rank window per query; stitching is a
+      // lag + running-sum window over ≤8 rows per query. All-integer.
       ("q191_context_assembly", (s: SparkSession, d: String) => {
         val W = 32; val S = 24L
         val docsT = t(s, d, "documents")
@@ -8107,16 +8111,18 @@ object Queries {
           .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
             array_distinct(slice(col("toks"), (col("tok_start") + 1).cast("int"),
               col("tok_len").cast("int"))).as("ctoks"))
-        val qset = docsT.filter(pmod(col("doc_id"), lit(211L)) === 5L)
+        val qx = docsT.filter(pmod(col("doc_id"), lit(211L)) === 5L)
           .select(col("doc_id").as("qdoc"),
-            array_distinct(slice(col("toks"), 1, W)).as("qterms"))
+            explode(array_distinct(slice(col("toks"), 1, W))).as("term"))
         val wsel = Window.partitionBy("qdoc")
           .orderBy(desc("score"), asc("doc_id"), asc("chunk_idx"))
-        val sel = chunks.crossJoin(broadcast(qset))
+        val sel = chunks
+          .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+            col("tok_len"), explode(col("ctoks")).as("term"))
+          .join(broadcast(qx), "term")
           .filter(col("doc_id") =!= col("qdoc"))
-          .withColumn("score",
-            size(filter(col("ctoks"), x => array_contains(col("qterms"), x)))
-              .cast("long"))
+          .groupBy("qdoc", "doc_id", "chunk_idx", "tok_start", "tok_len")
+          .agg(count(lit(1)).as("score"))
           .filter(col("score") >= 3)
           .withColumn("srnk", row_number().over(wsel))
           .filter(col("srnk") <= 8)
@@ -8607,7 +8613,317 @@ object Queries {
           SELECT ord, CAST(count(*) AS BIGINT) AS n_windows,
             CAST(sum(share_ppm) // count(*) AS BIGINT) AS mean_maxshare_ppm,
             CAST(max(share_ppm) AS BIGINT) AS worst_ppm
-          FROM sp GROUP BY ord ORDER BY ord"""))
+          FROM sp GROUP BY ord ORDER BY ord""")),
+
+      // Compression-tier ladder — the one-table answer to "which
+      // representation do we serve from": code-only top-10 recall vs
+      // exact fp32 for every tier the engine implements (fp32 sanity
+      // row, matryoshka 16-dim prefix, asymmetric int8, 1-bit sign),
+      // priced in bytes/vector. No re-rank anywhere — this isolates each
+      // tier's RAW ranking signal (q167/AnnSpec price the cascades).
+      // The int8 arm recomputes codes in explicit double arithmetic
+      // (max-abs scale, round to ±127) so the oracle reproduces them
+      // bit-exactly; ranking scores the integer codes against the fp
+      // query (asymmetric — cosine's scale invariance makes the
+      // per-vector scale drop out). Scale shape: four broadcast-query
+      // corpus scans, each into a rank window; the metric join runs on
+      // 10 rows per (tier, query).
+      ("q199_tier_ladder", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val corpus = e.filter(col("vec_id") >= 5).select("vec_id", "embedding")
+        def top10(scored: DataFrame, ascOrder: Boolean): DataFrame = {
+          val w = Window.partitionBy("query_id").orderBy(
+            if (ascOrder) asc("s") else desc("s"), asc("vec_id"))
+          scored.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 10).select("query_id", "vec_id")
+        }
+        val joined = corpus.crossJoin(broadcast(qs))
+        val exact = top10(joined.withColumn("s",
+          round(VF.cosine01(col("embedding"), col("qe")), 6)), ascOrder = false)
+          .persistTracked()
+        val prefix = top10(joined.withColumn("s",
+          round(VF.cosine01(slice(col("embedding"), 1, 16),
+            slice(col("qe"), 1, 16)), 6)), ascOrder = false)
+        val scale = greatest(aggregate(col("embedding"), lit(0.0),
+          (m, x) => greatest(m, abs(x.cast("double")))), lit(1e-300))
+        val int8 = top10(joined
+          .withColumn("codes", transform(col("embedding"),
+            x => round(x.cast("double") / scale * 127)))
+          .withColumn("s", round((VF.cosineRaw(col("codes"), col("qe"))
+            + lit(1.0)) / 2.0, 6)), ascOrder = false)
+        val qb = graft.search.Ann.quantizeBinary(
+            qs.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
+          .select(col("vec_id").as("query_id"), col("blo").as("qlo"),
+            col("bhi").as("qhi"))
+        val bin = top10(graft.search.Ann.quantizeBinary(corpus)
+          .crossJoin(broadcast(qb))
+          .withColumn("s",
+            (bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+              bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long")),
+          ascOrder = true)
+        Seq(("a_fp32", 256L, exact), ("b_prefix16", 64L, prefix),
+            ("c_int8", 64L, int8), ("d_sign1bit", 16L, bin))
+          .map { case (nm, bytes, arm) =>
+            arm.join(exact, Seq("query_id", "vec_id"), "left_semi")
+              .agg(lit(nm).as("tier"), lit(bytes).as("bytes_per_vec"),
+                count(lit(1)).as("hits"))
+              .withColumn("recall_pm", expr("CAST(hits * 1000 div 50 AS BIGINT)"))
+          }.reduce(_ unionByName _)
+          .orderBy("tier")
+      },
+        Some {
+          val cos = sqlCos01("e.embedding", "q.qe")
+          val pcos = sqlCos01("list_slice(e.embedding, 1, 16)", "list_slice(q.qe, 1, 16)")
+          val ccos = sqlCos01("c.codes", "q.qe")
+          s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+            corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+            exact AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id, row_number() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY round($cos, 6) DESC, e.vec_id) AS rnk
+              FROM corp e CROSS JOIN q) WHERE rnk <= 10),
+            pfx AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id, row_number() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY round($pcos, 6) DESC, e.vec_id) AS rnk
+              FROM corp e CROSS JOIN q) WHERE rnk <= 10),
+            cod AS (SELECT vec_id, list_transform(embedding, x ->
+                round(CAST(x AS DOUBLE) / greatest(
+                  list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
+                  1e-300) * 127)) AS codes
+              FROM corp),
+            i8 AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, c.vec_id, row_number() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY round(($ccos + 1.0) / 2.0, 6) DESC, c.vec_id) AS rnk
+              FROM cod c CROSS JOIN q) WHERE rnk <= 10),
+            b AS (SELECT vec_id,
+                CAST(list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN embedding[i] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS blo,
+                CAST(list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN embedding[i+32] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bhi
+              FROM embeddings),
+            qb AS (SELECT e.vec_id AS query_id, b.blo AS qlo, b.bhi AS qhi
+              FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 5),
+            sgn AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, b.vec_id, row_number() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY bit_count(xor(b.blo, q.qlo)) + bit_count(xor(b.bhi, q.qhi)),
+                    b.vec_id) AS rnk
+              FROM b CROSS JOIN qb q WHERE b.vec_id >= 5) WHERE rnk <= 10),
+            u AS (
+              SELECT 'a_fp32' AS tier, 256 AS bytes_per_vec, count(*) AS hits
+                FROM exact a
+                JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+              UNION ALL SELECT 'b_prefix16', 64, count(*) FROM pfx a
+                JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+              UNION ALL SELECT 'c_int8', 64, count(*) FROM i8 a
+                JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+              UNION ALL SELECT 'd_sign1bit', 16, count(*) FROM sgn a
+                JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.vec_id)
+            SELECT tier, CAST(bytes_per_vec AS BIGINT) AS bytes_per_vec,
+              CAST(hits AS BIGINT) AS hits,
+              CAST(hits * 1000 // 50 AS BIGINT) AS recall_pm
+            FROM u ORDER BY tier"""
+        }),
+
+      // Quantized IVF serving cascade — the end-to-end composition a
+      // production ANN service actually runs (each stage is proven alone
+      // in q161/q167/q146; this prices them COMPOSED): IVF probe
+      // (nprobe=3) gates the corpus to probed cells, the 1-bit sign tier
+      // pre-ranks the survivors to a 30-candidate pool, fp32 re-ranks
+      // the pool to top-10; the report is per-query funnel width at each
+      // stage and end-to-end recall vs brute force. Scale shape: corpus
+      // touched only in probed cells (partition-pruned layout), the
+      // binary read is 16 B/vector, and fp32 touches exactly pool rows.
+      ("q200_serving_cascade", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val cents = graft.search.Ann.sampleCentroids(e, 25)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val corpus = e.filter(col("vec_id") >= 5).select("vec_id", "embedding")
+        val assigned = graft.search.Ann.ivfAssign(corpus, cents)
+        val wCell = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("centroid_id"))
+        val cells = qs.crossJoin(broadcast(cents))
+          .withColumn("dist2", round(VF.l2sq(col("qe"), col("cvec")), 6))
+          .withColumn("rn", row_number().over(wCell)).filter(col("rn") <= 3)
+          .select("query_id", "centroid_id")
+        val cand = assigned.join(broadcast(cells), "centroid_id")
+          .select("query_id", "vec_id").persistTracked()
+        val qb = graft.search.Ann.quantizeBinary(
+            qs.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
+          .select(col("vec_id").as("query_id"), col("blo").as("qlo"),
+            col("bhi").as("qhi"))
+        val wHam = Window.partitionBy("query_id").orderBy(asc("ham"), asc("vec_id"))
+        val pool = graft.search.Ann.quantizeBinary(corpus)
+          .join(cand, "vec_id")
+          .join(broadcast(qb), "query_id")
+          .withColumn("ham",
+            (bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+              bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long"))
+          .withColumn("prnk", row_number().over(wHam))
+          .filter(col("prnk") <= 30)
+          .select("query_id", "vec_id")
+        val wSim = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+        val served = corpus.join(pool, "vec_id")
+          .join(broadcast(qs), "query_id")
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("rnk", row_number().over(wSim).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select("query_id", "vec_id")
+        val brute = corpus.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("rnk", row_number().over(wSim).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select("query_id", "vec_id")
+        val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cells_cand"))
+        served.join(brute, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          .join(nCand, "query_id")
+          .withColumn("n_pool", lit(30L))
+          .withColumn("recall_pm", expr("CAST(hits * 1000 div 10 AS BIGINT)"))
+          .select("query_id", "n_cells_cand", "n_pool", "hits", "recall_pm")
+          .orderBy("query_id")
+      },
+        Some {
+          val ham = "bit_count(xor(b.blo, q.qlo)) + bit_count(xor(b.bhi, q.qhi))"
+          s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings WHERE vec_id % 25 = 0),
+            q AS (SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+            corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+            assigned AS (SELECT vec_id, cid FROM (
+              SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(${sqlL2sq("e.embedding", "c.cvec")}, 6), c.cid) AS rn
+              FROM corp e CROSS JOIN cent c) WHERE rn = 1),
+            cells AS (SELECT query_id, cid FROM (
+              SELECT q.query_id, c.cid,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(${sqlL2sq("q.qe", "c.cvec")}, 6), c.cid) AS rn
+              FROM q CROSS JOIN cent c) WHERE rn <= 3),
+            cand AS (SELECT cells.query_id, a.vec_id
+              FROM assigned a JOIN cells ON a.cid = cells.cid),
+            b AS (SELECT vec_id,
+                CAST(list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN embedding[i] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS blo,
+                CAST(list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN embedding[i+32] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bhi
+              FROM embeddings),
+            qb AS (SELECT e.vec_id AS query_id, b.blo AS qlo, b.bhi AS qhi
+              FROM embeddings e JOIN b ON b.vec_id = e.vec_id WHERE e.vec_id < 5),
+            pool AS (SELECT query_id, vec_id FROM (
+              SELECT c.query_id, c.vec_id,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY ($ham), c.vec_id) AS prnk
+              FROM cand c JOIN b ON b.vec_id = c.vec_id
+              JOIN qb q ON q.query_id = c.query_id) WHERE prnk <= 30),
+            served AS (SELECT query_id, vec_id FROM (
+              SELECT p.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY p.query_id
+                  ORDER BY round(${sqlCos01("e.embedding", "q.qe")}, 6) DESC,
+                    e.vec_id) AS rnk
+              FROM pool p JOIN corp e ON e.vec_id = p.vec_id
+              JOIN q ON q.query_id = p.query_id) WHERE rnk <= 10),
+            brute AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(${sqlCos01("e.embedding", "q.qe")}, 6) DESC,
+                    e.vec_id) AS rnk
+              FROM corp e CROSS JOIN q) WHERE rnk <= 10),
+            nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cells_cand
+              FROM cand GROUP BY query_id),
+            h AS (SELECT s.query_id, CAST(count(*) AS BIGINT) AS hits
+              FROM served s JOIN brute x
+                ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+              GROUP BY s.query_id)
+            SELECT h.query_id, nc.n_cells_cand, CAST(30 AS BIGINT) AS n_pool,
+              h.hits, CAST(h.hits * 1000 // 10 AS BIGINT) AS recall_pm
+            FROM h JOIN nc ON nc.query_id = h.query_id
+            ORDER BY h.query_id"""
+        }),
+
+      // Cluster-safe negative mining — in-corpus negatives with the
+      // near-dup clusters as a FALSE-NEGATIVE guard (artifact consumer
+      // #14): a near-duplicate of the anchor must never be served as a
+      // negative, and the cosine guard alone cannot catch it when the
+      // embedding drifted (or, as here, is independent of the text).
+      // Query anchors self-select as the 3 lowest-id docs whose cluster
+      // holds ≥ 2 ORIGINAL docs, so the guard provably fires; n_blocked
+      // counts candidates the cluster guard removed AFTER the cosine
+      // guard passed them — each anchor's organic near-dup partner.
+      // Scale shape: anchors broadcast, one corpus scan, cluster flags
+      // ride in on a doc-keyed join of the persisted artifact.
+      ("q201_cluster_safe_negatives", (s: SparkSession, d: String) => {
+        val clus = clusterArtifact(s, d, fastHash = false)
+          .filter(col("doc_id") < 10000000L).select("doc_id", "cluster")
+        val multi = clus.groupBy("cluster").agg(count(lit(1)).as("n0"))
+          .filter(col("n0") >= 2)
+        val qsel = clus.join(broadcast(multi.select("cluster")), "cluster")
+          .select(col("doc_id").as("query_id"), col("cluster").as("qcluster"))
+          .orderBy("query_id").limit(3)
+        val e = t(s, d, "embeddings")
+        val qs = e.join(broadcast(qsel), col("vec_id") === col("query_id"))
+          .select(col("query_id"), col("qcluster"), col("embedding").as("qe"))
+        val cand = e.select(col("vec_id"), col("embedding"))
+          .join(clus.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+          .crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .filter(col("sim") < 0.98)
+          .withColumn("blocked",
+            when(col("cluster").isNotNull && col("cluster") === col("qcluster"), 1L)
+              .otherwise(0L))
+          .persistTracked()
+        val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+        cand.filter(col("blocked") === 0L)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("query_id", "vec_id", "rnk", "sim")
+          .join(cand.groupBy("query_id").agg(sum(col("blocked")).as("n_blocked")),
+            "query_id")
+          .orderBy("query_id", "rnk")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          orig AS (SELECT id AS doc_id, lab AS cluster FROM cc
+            WHERE id < 10000000),
+          multi AS (SELECT cluster FROM orig GROUP BY cluster
+            HAVING count(*) >= 2),
+          qsel AS (SELECT o.doc_id AS query_id, o.cluster AS qcluster
+            FROM orig o JOIN multi m ON m.cluster = o.cluster
+            ORDER BY o.doc_id LIMIT 3),
+          qs AS (SELECT q.query_id, q.qcluster, e.embedding AS qe
+            FROM qsel q JOIN embeddings e ON e.vec_id = q.query_id),
+          cand AS (SELECT q.query_id, e.vec_id,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim,
+              CASE WHEN o.cluster IS NOT NULL AND o.cluster = q.qcluster
+                THEN 1 ELSE 0 END AS blocked
+            FROM embeddings e
+            LEFT JOIN orig o ON o.doc_id = e.vec_id
+            CROSS JOIN qs q
+            WHERE e.vec_id <> q.query_id),
+          guarded AS (SELECT * FROM cand WHERE sim < 0.98),
+          mined AS (SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk, sim
+            FROM (SELECT query_id, vec_id, sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id) AS rnk
+              FROM guarded WHERE blocked = 0) WHERE rnk <= 5),
+          bl AS (SELECT query_id, CAST(sum(blocked) AS BIGINT) AS n_blocked
+            FROM guarded GROUP BY query_id)
+          SELECT m.query_id, m.vec_id, m.rnk, m.sim, bl.n_blocked
+          FROM mined m JOIN bl ON bl.query_id = m.query_id
+          ORDER BY m.query_id, m.rnk"""))
     )
   }
 

@@ -283,4 +283,51 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("q189 maxSim: query bags broadcast, both reductions are hash aggregates") {
+    val df = Queries.queries("q189_maxsim")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"query bags not broadcast:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"max/sum reductions should be hash aggregates:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q191 context assembly: inverted-index form — query postings broadcast, " +
+      "no nested-loop chunk×query join") {
+    val df = Queries.queries("q191_context_assembly")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"term postings should broadcast-hash-join the chunk terms:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs chunk×query scoring resurfaced:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q192 epoch shuffle: closed-form positions — no single-partition gather, " +
+      "block offsets broadcast, rank windows partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = graft.ops.Shards.epochShuffle(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", 64L, Seq(1L, 2L))
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "per-id rank window must be partitioned by (epoch, block)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"block-offset table should broadcast:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }
