@@ -2016,6 +2016,70 @@ object Queries {
 
   private val clusterArtifactPaths =
     scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
+  /** Per-doc ablation flags shared by q173 (lattice) and q202 (filter
+    * ordering): f_dup (non-keeper member of a near-dup cluster, from the
+    * persisted artifact), f_contam (shares an 8-gram with the q75 eval
+    * set, or IS an eval doc), f_qual (heuristic quality < 0.5), n_tok.
+    */
+  private def ablationFlags(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val losers = clusterArtifact(s, d, fastHash = false)
+      .filter(col("is_keeper") === 0L && col("doc_id") < 10000000L)
+      .select("doc_id").withColumn("fd", lit(1L))
+    val grams = docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(
+        TF.shingleHashes(TF.shingles(col("toks"), 8), fast = false)))
+        .as("g"))
+      .persistTracked()
+    val isEval = col("doc_id") % 97 === 0
+    val evalGrams = grams.filter(isEval).select("g").distinct()
+    val contaminated = grams.filter(!isEval)
+      .join(broadcast(evalGrams), "g")
+      .select("doc_id").distinct().withColumn("fc", lit(1L))
+    docs
+      .withColumn("f_qual",
+        when(TF.qualityScore(col("text")) < 0.5, 1L).otherwise(0L))
+      .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
+      .join(losers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("f_dup", coalesce(col("fd"), lit(0L)))
+      .withColumn("f_contam",
+        when(col("doc_id") % 97 === 0, 1L)
+          .otherwise(coalesce(col("fc"), lit(0L))))
+  }
+
+  /** The q173/q202 oracle's WITH body ending in `base` (per-doc flags). */
+  private def sqlAblationCtes: String =
+    s"""$sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          losers AS (SELECT id AS doc_id FROM cc
+            WHERE id < 10000000 AND id <> lab),
+          tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+          sh AS (SELECT doc_id, ${sqlShingleList(8)} AS shingles FROM tok),
+          p AS (SELECT doc_id, unnest(list_distinct(list_transform(shingles,
+              s -> ${sqlHash32("s")}))) AS g
+            FROM sh WHERE len(shingles) > 0),
+          ev AS (SELECT DISTINCT g FROM p WHERE doc_id % 97 = 0),
+          cont AS (SELECT DISTINCT p.doc_id FROM p JOIN ev ON p.g = ev.g
+            WHERE p.doc_id % 97 <> 0),
+          base AS (SELECT d.doc_id,
+              CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_dup,
+              CASE WHEN d.doc_id % 97 = 0 THEN 1
+                WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_contam,
+              CASE WHEN $sqlQuality < 0.5 THEN 1 ELSE 0 END AS f_qual,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+            FROM documents d
+            LEFT JOIN losers l ON l.doc_id = d.doc_id
+            LEFT JOIN cont c ON c.doc_id = d.doc_id)"""
+
   private def clusterArtifact(s: SparkSession, d: String, fastHash: Boolean): DataFrame = {
     val path = clusterArtifactPaths.getOrElseUpdate((d, fastHash), {
       val p = java.nio.file.Files.createTempDirectory("graft-clusters-")
@@ -7161,65 +7225,13 @@ object Queries {
       // ONE table instead of running 2³ pipeline variants. Scale shape:
       // flags are one artifact join + one broadcast-gram join + one
       // narrow per-row score; the lattice is an 8-row rollup.
-      ("q173_ablation_matrix", (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents").select("doc_id", "text")
-        val losers = clusterArtifact(s, d, fastHash = false)
-          .filter(col("is_keeper") === 0L && col("doc_id") < 10000000L)
-          .select("doc_id").withColumn("fd", lit(1L))
-        val grams = docs
-          .withColumn("toks", TF.tokens(col("text")))
-          .select(col("doc_id"), explode(array_distinct(
-            TF.shingleHashes(TF.shingles(col("toks"), 8), fast = false)))
-            .as("g"))
-          .persistTracked()
-        val isEval = col("doc_id") % 97 === 0
-        val evalGrams = grams.filter(isEval).select("g").distinct()
-        val contaminated = grams.filter(!isEval)
-          .join(broadcast(evalGrams), "g")
-          .select("doc_id").distinct().withColumn("fc", lit(1L))
-        docs
-          .withColumn("f_qual",
-            when(TF.qualityScore(col("text")) < 0.5, 1L).otherwise(0L))
-          .withColumn("n_tok", TF.tokenCount(col("text")).cast("long"))
-          .join(losers, Seq("doc_id"), "left")
-          .join(contaminated, Seq("doc_id"), "left")
-          .withColumn("f_dup", coalesce(col("fd"), lit(0L)))
-          .withColumn("f_contam",
-            when(col("doc_id") % 97 === 0, 1L)
-              .otherwise(coalesce(col("fc"), lit(0L))))
+      ("q173_ablation_matrix", (s: SparkSession, d: String) =>
+        ablationFlags(s, d)
           .groupBy("f_dup", "f_contam", "f_qual").agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tok")).as("n_tok"))
-          .orderBy("f_dup", "f_contam", "f_qual")
-      },
-        Some(s"""WITH RECURSIVE $sqlDupCorpus,
-          ${sqlMinhashPairCtes(0.5)},
-          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
-            UNION SELECT doc_b, doc_a FROM pairs_mh),
-          reach(id, lab) AS (
-            SELECT DISTINCT a, a FROM edges
-            UNION
-            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
-          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
-          losers AS (SELECT id AS doc_id FROM cc
-            WHERE id < 10000000 AND id <> lab),
-          tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-          sh AS (SELECT doc_id, ${sqlShingleList(8)} AS shingles FROM tok),
-          p AS (SELECT doc_id, unnest(list_distinct(list_transform(shingles,
-              s -> ${sqlHash32("s")}))) AS g
-            FROM sh WHERE len(shingles) > 0),
-          ev AS (SELECT DISTINCT g FROM p WHERE doc_id % 97 = 0),
-          cont AS (SELECT DISTINCT p.doc_id FROM p JOIN ev ON p.g = ev.g
-            WHERE p.doc_id % 97 <> 0),
-          base AS (SELECT d.doc_id,
-              CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_dup,
-              CASE WHEN d.doc_id % 97 = 0 THEN 1
-                WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_contam,
-              CASE WHEN $sqlQuality < 0.5 THEN 1 ELSE 0 END AS f_qual,
-              CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
-            FROM documents d
-            LEFT JOIN losers l ON l.doc_id = d.doc_id
-            LEFT JOIN cont c ON c.doc_id = d.doc_id)
+          .orderBy("f_dup", "f_contam", "f_qual"),
+        Some(s"""WITH RECURSIVE $sqlAblationCtes
           SELECT CAST(f_dup AS BIGINT) AS f_dup,
             CAST(f_contam AS BIGINT) AS f_contam,
             CAST(f_qual AS BIGINT) AS f_qual,
@@ -8923,7 +8935,184 @@ object Queries {
             FROM guarded GROUP BY query_id)
           SELECT m.query_id, m.vec_id, m.rnk, m.sim, bl.n_blocked
           FROM mined m JOIN bl ON bl.query_id = m.query_id
-          ORDER BY m.query_id, m.rnk"""))
+          ORDER BY m.query_id, m.rnk""")),
+
+      // Filter-order cost report — with per-doc filter costs roughly
+      // equal, the cheapest pipeline runs the highest-rejection filter
+      // FIRST; this derives, from ONE pass over the q173 ablation flags,
+      // the docs entering each stage for all 3! orders (survivors of a
+      // filter prefix = Σ lattice cells whose prefix flags are all 0 —
+      // independence assumptions are NOT needed because the joint counts
+      // are exact). The final-survivor count is order-invariant and
+      // carried as the sanity column. Scale shape: the per-doc flag pass
+      // is the cost; everything after is a 1-row aggregate exploded into
+      // 6 literal order rows.
+      ("q202_filter_order", (s: SparkSession, d: String) => {
+        val f = ablationFlags(s, d)
+        val agg1 = f.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("f_dup") === 0, 1L).otherwise(0L)).as("s_d"),
+          sum(when(col("f_contam") === 0, 1L).otherwise(0L)).as("s_c"),
+          sum(when(col("f_qual") === 0, 1L).otherwise(0L)).as("s_q"),
+          sum(when(col("f_dup") === 0 && col("f_contam") === 0, 1L)
+            .otherwise(0L)).as("s_dc"),
+          sum(when(col("f_dup") === 0 && col("f_qual") === 0, 1L)
+            .otherwise(0L)).as("s_dq"),
+          sum(when(col("f_contam") === 0 && col("f_qual") === 0, 1L)
+            .otherwise(0L)).as("s_cq"),
+          sum(when(col("f_dup") === 0 && col("f_contam") === 0 &&
+            col("f_qual") === 0, 1L).otherwise(0L)).as("s_all"))
+        agg1.select(col("n"), col("s_all"), explode(array(
+            struct(lit("dup>contam>qual").as("ord"),
+              col("s_d").as("in2"), col("s_dc").as("in3")),
+            struct(lit("dup>qual>contam").as("ord"),
+              col("s_d").as("in2"), col("s_dq").as("in3")),
+            struct(lit("contam>dup>qual").as("ord"),
+              col("s_c").as("in2"), col("s_dc").as("in3")),
+            struct(lit("contam>qual>dup").as("ord"),
+              col("s_c").as("in2"), col("s_cq").as("in3")),
+            struct(lit("qual>dup>contam").as("ord"),
+              col("s_q").as("in2"), col("s_dq").as("in3")),
+            struct(lit("qual>contam>dup").as("ord"),
+              col("s_q").as("in2"), col("s_cq").as("in3")))).as("o"))
+          .select(col("o.ord").as("ord"), col("n").as("in1"),
+            col("o.in2").as("in2"), col("o.in3").as("in3"),
+            col("s_all").as("survivors"))
+          .withColumn("scanned_docs", col("in1") + col("in2") + col("in3"))
+          .orderBy("ord")
+      },
+        Some(s"""WITH RECURSIVE $sqlAblationCtes,
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) FILTER (WHERE f_dup = 0) AS BIGINT) AS s_d,
+              CAST(count(*) FILTER (WHERE f_contam = 0) AS BIGINT) AS s_c,
+              CAST(count(*) FILTER (WHERE f_qual = 0) AS BIGINT) AS s_q,
+              CAST(count(*) FILTER (WHERE f_dup = 0 AND f_contam = 0)
+                AS BIGINT) AS s_dc,
+              CAST(count(*) FILTER (WHERE f_dup = 0 AND f_qual = 0)
+                AS BIGINT) AS s_dq,
+              CAST(count(*) FILTER (WHERE f_contam = 0 AND f_qual = 0)
+                AS BIGINT) AS s_cq,
+              CAST(count(*) FILTER (WHERE f_dup = 0 AND f_contam = 0
+                AND f_qual = 0) AS BIGINT) AS s_all
+            FROM base),
+          o AS (
+            SELECT 'dup>contam>qual' AS ord, s_d AS in2, s_dc AS in3 FROM a
+            UNION ALL SELECT 'dup>qual>contam', s_d, s_dq FROM a
+            UNION ALL SELECT 'contam>dup>qual', s_c, s_dc FROM a
+            UNION ALL SELECT 'contam>qual>dup', s_c, s_cq FROM a
+            UNION ALL SELECT 'qual>dup>contam', s_q, s_dq FROM a
+            UNION ALL SELECT 'qual>contam>dup', s_q, s_cq FROM a)
+          SELECT o.ord, a.n AS in1, o.in2, o.in3, a.s_all AS survivors,
+            a.n + o.in2 + o.in3 AS scanned_docs
+          FROM o CROSS JOIN a ORDER BY o.ord""")),
+
+      // Shard admission gate — the operational decision BEFORE ingest
+      // composes three standing-state probes: novelty vs the persisted
+      // shingle index (q175's probe), near-dup rate vs the standing
+      // corpus (the q155 incremental pair machinery, cross pairs only),
+      // and heuristic quality. Two arriving shards exercise both
+      // branches: shard 1 re-publishes every 10th doc (+' zzz' — must
+      // REJECT as duplicate), shard 2 carries genuinely new content
+      // (every (10k+5)th doc with token order reversed, which destroys
+      // every 3-shingle — must ADMIT). Scale shape: one shard hashing
+      // pass, one anti-join probe, one banded incremental pair join;
+      // the decision table is |shards| rows.
+      ("q203_shard_admission", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val standing = preShingleIndex(s, d)
+        val repub = maintenanceShard(docs)
+        val fresh = docs.filter(pmod(col("doc_id"), lit(10L)) === 5L)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            array_join(reverse(TF.tokens(col("text"))), " ").as("text"))
+        val shard = repub.unionByName(fresh)
+        val hashed = Dedup.shingleIndex(shard, "doc_id", "text").persistTracked()
+        val standGrams = standing
+          .select(explode(col("hashes")).as("g")).distinct()
+        val nov = hashed.select(col("doc_id"), explode(col("hashes")).as("g"))
+          .join(standGrams, Seq("g"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+        val pairs = Dedup.minhashIncrementalFromIndex(
+            standing, shard, "doc_id", "text")
+          .filter((col("doc_a") < 10000000L) =!= (col("doc_b") < 10000000L))
+        val dupDocs = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .filter(col("doc_id") >= 10000000L).distinct()
+          .withColumn("isdup", lit(1L))
+        val qualM = shard.select(col("doc_id"),
+          TF.qualityScore(col("text")).as("q"))
+          .withColumn("q_micro", expr("CAST(round(q * 1000000) AS BIGINT)"))
+          .select("doc_id", "q_micro")
+        hashed.select(col("doc_id"), size(col("hashes")).cast("long").as("n_sh"))
+          .join(nov, Seq("doc_id"), "left")
+          .withColumn("novel", coalesce(col("novel"), lit(0L)))
+          .join(dupDocs, Seq("doc_id"), "left")
+          .join(qualM, "doc_id")
+          .withColumn("shard", expr("doc_id div 10000000"))
+          .groupBy("shard").agg(
+            count(lit(1)).as("n_docs"),
+            expr("CAST(sum(novel) * 1000 div greatest(sum(n_sh), 1) AS BIGINT)")
+              .as("novelty_pm"),
+            expr("CAST(sum(coalesce(isdup, 0)) * 1000 div count(1) AS BIGINT)")
+              .as("dup_pm"),
+            expr("CAST(sum(q_micro) div count(1) AS BIGINT)").as("mean_q_micro"))
+          .withColumn("decision",
+            when(col("dup_pm") >= 500, lit("reject_duplicate"))
+              .when(col("novelty_pm") < 100, lit("reject_stale"))
+              .when(col("mean_q_micro") < 400000, lit("review_quality"))
+              .otherwise(lit("admit")))
+          .orderBy("shard")
+      },
+        Some(s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000000, text || ' zzz'
+              FROM documents WHERE doc_id % 10 = 0
+            UNION ALL SELECT doc_id + 20000000,
+              array_to_string(list_reverse(${sqlTokens("text")}), ' ')
+              FROM documents WHERE doc_id % 10 = 5),
+          ${sqlMinhashPairCtes(0.5)},
+          stok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus
+            WHERE doc_id >= 10000000),
+          ssh AS (SELECT doc_id, list_distinct(list_transform(
+              ${sqlShingleList(3)}, s -> ${sqlHash32("s")})) AS hashes
+            FROM stok),
+          shd AS (SELECT doc_id, hashes FROM ssh WHERE len(hashes) > 0),
+          otok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus
+            WHERE doc_id < 10000000),
+          osh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+              ${sqlShingleList(3)}, s -> ${sqlHash32("s")}))) AS g
+            FROM otok WHERE len(${sqlShingleList(3)}) > 0),
+          ng AS (SELECT doc_id, unnest(hashes) AS g FROM shd),
+          nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS novel
+            FROM ng WHERE g NOT IN (SELECT g FROM osh) GROUP BY doc_id),
+          dd AS (SELECT DISTINCT u.d AS doc_id
+            FROM pairs_mh p, unnest([p.doc_a, p.doc_b]) AS u(d)
+            WHERE ((p.doc_a < 10000000) <> (p.doc_b < 10000000))
+              AND u.d >= 10000000),
+          q AS (SELECT doc_id,
+              CAST(round($sqlQuality * 1000000) AS BIGINT) AS q_micro
+            FROM corpus WHERE doc_id >= 10000000),
+          j AS (SELECT shd.doc_id,
+              CAST(len(shd.hashes) AS BIGINT) AS n_sh,
+              coalesce(nv.novel, 0) AS novel,
+              CASE WHEN dd.doc_id IS NULL THEN 0 ELSE 1 END AS isdup,
+              q.q_micro,
+              shd.doc_id // 10000000 AS shard
+            FROM shd
+            LEFT JOIN nv ON nv.doc_id = shd.doc_id
+            LEFT JOIN dd ON dd.doc_id = shd.doc_id
+            JOIN q ON q.doc_id = shd.doc_id),
+          g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(novel) * 1000 // greatest(sum(n_sh), 1) AS BIGINT)
+                AS novelty_pm,
+              CAST(sum(isdup) * 1000 // count(*) AS BIGINT) AS dup_pm,
+              CAST(sum(q_micro) // count(*) AS BIGINT) AS mean_q_micro
+            FROM j GROUP BY shard)
+          SELECT shard, n_docs, novelty_pm, dup_pm, mean_q_micro,
+            CASE WHEN dup_pm >= 500 THEN 'reject_duplicate'
+              WHEN novelty_pm < 100 THEN 'reject_stale'
+              WHEN mean_q_micro < 400000 THEN 'review_quality'
+              ELSE 'admit' END AS decision
+          FROM g ORDER BY shard"""))
     )
   }
 

@@ -796,4 +796,30 @@ class StreamingSpec extends SparkSpec {
     assert(s.entries.map(_._1) == Vector(2L, 3L)) // oldest evicted
     assert(s.dropped == 1L) // saturation is counted, never silent
   }
+
+  test("streaming search: stream-static top-k equals the batch topKJoin bit-for-bit") {
+    import graft.streaming.SearchStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qsrc = MemoryStream[SearchStream.QueryVec]
+    val out = SearchStream.topK(qsrc.toDF(), embs, k = 5)
+    val q = out.writeStream.format("memory").queryName("sstream")
+      .outputMode("append").start()
+    val qvecs = embs.filter(col("vec_id") < 3).orderBy("vec_id").collect()
+      .map(r => SearchStream.QueryVec(r.getLong(0), r.getSeq[Float](1).toArray))
+    // one query alone, then two in the same micro-batch
+    qsrc.addData(qvecs(0))
+    q.processAllAvailable()
+    qsrc.addData(qvecs(1), qvecs(2))
+    q.processAllAvailable()
+    val got = spark.table("sstream").as[SearchStream.Hit].collect()
+      .map(h => (h.query_id, h.rnk, h.vec_id, h.sim)).toSet
+    val batch = graft.search.SearchEngine
+      .topKJoin(embs.filter(col("vec_id") < 3), embs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == batch, s"stream hits != batch topKJoin\n got=$got\nwant=$batch")
+    assert(got.count(_._2 == 1L) == 3) // every query answered
+    q.stop()
+  }
 }
