@@ -9112,7 +9112,176 @@ object Queries {
               WHEN novelty_pm < 100 THEN 'reject_stale'
               WHEN mean_q_micro < 400000 THEN 'review_quality'
               ELSE 'admit' END AS decision
-          FROM g ORDER BY shard"""))
+          FROM g ORDER BY shard""")),
+
+      // Event retry-storm suppression — ingest-side duplicate event
+      // dedup: an event is a retry duplicate when the same (user,
+      // type, value) occurred within the previous 60 s. One lag over a
+      // key-partitioned window — no self-join, exact integer ns. A
+      // planted storm (every 41st event re-sent +10 s under a new id)
+      // must be dropped in full; organic repeats within the window are
+      // reported alongside. Scale shape: one shuffle on the dedup key,
+      // per-key windows bounded by key cardinality.
+      ("q204_event_dedup", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val retries = ev.filter(pmod(col("event_id"), lit(41L)) === 0L)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            (col("ts") + lit(10000000000L)).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val w = Window.partitionBy("user_id", "event_type", "value")
+          .orderBy("ts", "event_id")
+        ev.unionByName(retries)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("dup",
+            when(col("prev").isNotNull &&
+              col("ts") - col("prev") <= lit(60000000000L), 1L).otherwise(0L))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_events"),
+            sum(col("dup")).as("n_dropped"))
+          .withColumn("drop_pm", expr("CAST(n_dropped * 1000 div n_events AS BIGINT)"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_id, epoch_ns(ts) AS tsn, user_id,
+              event_type, value FROM events),
+          r AS (SELECT event_id + 10000000 AS event_id,
+              tsn + 10000000000 AS tsn, user_id, event_type, value
+            FROM e WHERE event_id % 41 = 0),
+          u AS (SELECT * FROM e UNION ALL SELECT * FROM r),
+          l AS (SELECT event_type,
+              CASE WHEN lag(tsn) OVER (PARTITION BY user_id, event_type, value
+                  ORDER BY tsn, event_id) IS NOT NULL
+                AND tsn - lag(tsn) OVER (PARTITION BY user_id, event_type, value
+                  ORDER BY tsn, event_id) <= 60000000000
+                THEN 1 ELSE 0 END AS dup
+            FROM u)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(dup) AS BIGINT) AS n_dropped,
+            CAST(sum(dup) * 1000 // count(*) AS BIGINT) AS drop_pm
+          FROM l GROUP BY event_type ORDER BY event_type""")),
+
+      // A/B experiment readout — per deterministic user-hash variant:
+      // exposed users, converted users (≥1 purchase), conversion in
+      // exact permille, purchase volume in exact integer cents, and the
+      // lift vs the control row (broadcast scalar, no second pass).
+      // The product-analytics twin of q183/q184's funnel/cohort tier.
+      ("q205_ab_report", (s: SparkSession, d: String) => {
+        val base = eventsNs(s, d)
+          .groupBy(pmod(col("user_id"), lit(2L)).as("variant")).agg(
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(
+              when(col("event_type") === "purchase", col("user_id")))
+              .as("n_converted"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("purchase_cents"))
+          .withColumn("conv_pm", expr("CAST(n_converted * 1000 div n_users AS BIGINT)"))
+        val ctrl = base.filter(col("variant") === 0L)
+          .select(col("conv_pm").as("ctrl_pm"))
+        base.crossJoin(broadcast(ctrl))
+          .withColumn("lift_pm", col("conv_pm") - col("ctrl_pm"))
+          .select("variant", "n_users", "n_converted", "conv_pm",
+            "purchase_cents", "lift_pm")
+          .orderBy("variant")
+      },
+        Some("""WITH b AS (SELECT user_id % 2 AS variant,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                THEN user_id END) AS BIGINT) AS n_converted,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                AS purchase_cents
+            FROM events GROUP BY user_id % 2),
+          c AS (SELECT CAST(n_converted * 1000 // n_users AS BIGINT) AS ctrl_pm
+            FROM b WHERE variant = 0)
+          SELECT CAST(variant AS BIGINT) AS variant, n_users, n_converted,
+            CAST(n_converted * 1000 // n_users AS BIGINT) AS conv_pm,
+            purchase_cents,
+            CAST(n_converted * 1000 // n_users AS BIGINT) - c.ctrl_pm AS lift_pm
+          FROM b CROSS JOIN c ORDER BY variant""")),
+
+      // Time-bounded conversion — q183's funnel counts EVER-converted;
+      // real attribution bounds the window: of users whose first view
+      // exists, how many purchased within 24 h of it, with exact
+      // integer-minute latency stats. Two user-keyed min-rollups and a
+      // bounded join; one-row report.
+      ("q206_conversion_window", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(firstView, "user_id")
+          .filter(col("ts") > col("v_ts") &&
+            col("ts") <= col("v_ts") + lit(86400000000000L))
+          .groupBy("user_id").agg(min(col("ts") - col("v_ts")).as("lat_ns"))
+        firstView.join(conv, Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("n_view_users"),
+            sum(when(col("lat_ns").isNotNull, 1L).otherwise(0L)).as("n_conv_24h"),
+            expr("CAST(min(lat_ns) div 60000000000 AS BIGINT)").as("min_lat_min"),
+            expr("CAST(max(lat_ns) div 60000000000 AS BIGINT)").as("max_lat_min"),
+            expr("CAST((sum(lat_ns) div count(lat_ns)) div 60000000000 AS BIGINT)")
+              .as("mean_lat_min"))
+          .withColumn("conv_pm", expr("CAST(n_conv_24h * 1000 div n_view_users AS BIGINT)"))
+      },
+        Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn
+              FROM events),
+          fv AS (SELECT user_id, min(tsn) AS v_ts FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+          cv AS (SELECT e.user_id, min(e.tsn - fv.v_ts) AS lat_ns
+            FROM e JOIN fv ON fv.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.tsn > fv.v_ts
+              AND e.tsn <= fv.v_ts + 86400000000000
+            GROUP BY e.user_id)
+          SELECT CAST(count(*) AS BIGINT) AS n_view_users,
+            CAST(count(cv.lat_ns) AS BIGINT) AS n_conv_24h,
+            CAST(min(cv.lat_ns) // 60000000000 AS BIGINT) AS min_lat_min,
+            CAST(max(cv.lat_ns) // 60000000000 AS BIGINT) AS max_lat_min,
+            CAST((sum(cv.lat_ns) // count(cv.lat_ns)) // 60000000000 AS BIGINT)
+              AS mean_lat_min,
+            CAST(count(cv.lat_ns) * 1000 // count(*) AS BIGINT) AS conv_pm
+          FROM fv LEFT JOIN cv ON cv.user_id = fv.user_id""")),
+
+      // Exact operational percentiles without a global sort — p50/p90/
+      // p99 of event value per type via the value-keyed histogram trick
+      // (q164's): values quantize to exact integer cents, ONE
+      // (type, cents) count rollup, a cumulative window over the
+      // |distinct cents| histogram, percentile = smallest cents whose
+      // running count reaches ceil(q·n). The shape that replaces a
+      // per-type sort of the raw stream at any scale.
+      ("q207_value_percentiles", (s: SparkSession, d: String) => {
+        val hist = eventsNs(s, d)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+        val wcum = Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = hist.groupBy("event_type").agg(sum(col("c")).as("n"))
+        def pick(q: Int): Column =
+          min(when(col("cum") * 100 >= col("n") * q, col("cents"))).as(s"p${q}_cents")
+        hist.withColumn("cum", sum(col("c")).over(wcum))
+          .join(broadcast(tot), "event_type")
+          .groupBy("event_type").agg(
+            max(col("n")).as("n_events"), pick(50), pick(90), pick(99))
+          .orderBy("event_type")
+      },
+        Some("""WITH h AS (SELECT event_type,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, CAST(round(value * 100) AS BIGINT)),
+          cu AS (SELECT event_type, cents, c,
+              sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS n
+            FROM h)
+          SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+            CAST(min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS BIGINT)
+              AS p50_cents,
+            CAST(min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS BIGINT)
+              AS p90_cents,
+            CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS BIGINT)
+              AS p99_cents
+          FROM cu GROUP BY event_type ORDER BY event_type"""))
     )
   }
 

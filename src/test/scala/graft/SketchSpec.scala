@@ -218,4 +218,33 @@ class SketchSpec extends SparkSpec {
     // merge; the exact form would instead shuffle (lang, tok) pairs
     assert(plan.contains("partial_approx_count_distinct"), plan)
   }
+
+  test("count-min sketch: never undercounts, eps-bounded, merges shard-wise to the whole") {
+    // the COUNTING counterpart of the Misra-Gries top-k summary: at
+    // 100 TB, per-token counts travel as a fixed (depth x width) counter
+    // grid with one-sided error instead of a token-keyed shuffle
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TF.tokens(col("text"))).as("tok"))
+    val all = toks(docs)
+    val eps = 0.005; val n = all.count()
+    val cms = all.stat.countMinSketch("tok", eps, 0.99, seed = 42)
+    val exact = all.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val errs = exact.map { case (t, c) => cms.estimateCount(t) - c }
+    assert(errs.forall(_ >= 0), "CMS must never undercount (one-sided error)")
+    val within = errs.count(_ <= (eps * n).toLong)
+    assert(within >= (exact.size * 0.99).toInt,
+      s"only $within/${exact.size} tokens within eps*N = ${(eps * n).toLong}")
+    // linearity: same seed => shard sketches merge to the whole-corpus grid
+    val a = toks(docs.filter(col("doc_id") % 2 === 0))
+      .stat.countMinSketch("tok", eps, 0.99, seed = 42)
+    val b = toks(docs.filter(col("doc_id") % 2 === 1))
+      .stat.countMinSketch("tok", eps, 0.99, seed = 42)
+    a.mergeInPlace(b)
+    exact.keys.foreach { t =>
+      assert(a.estimateCount(t) == cms.estimateCount(t),
+        s"merged shard estimate diverges from whole-corpus sketch for '$t'")
+    }
+  }
 }
