@@ -9285,10 +9285,323 @@ object Queries {
     )
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign for projected row `j`,
+    * input dim `i` — a splitmix-style bit mix of the flat index. Both the
+    * Spark expression and the DuckDB oracle literal are generated from
+    * THIS function, so the two engines carry the identical matrix (the
+    * lshTuning p_detect precedent: driver-computed constants embedded on
+    * both sides).
+    */
+  private def jlSign(j: Int, i: Int): Double = {
+    val x = (j * 64 + i + 1).toLong * 6364136223846793005L + 1442695040888963407L
+    val m = x ^ (x >>> 33)
+    if ((m & 1L) == 0L) 1.0 else -1.0
+  }
+  /** DuckDB list-of-lists literal of the 32×64 [[jlSign]] matrix. */
+  private lazy val sqlJlMatrix: String =
+    (0 until 32).map { j =>
+      (0 until 64).map(i => if (jlSign(j, i) > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+
+  private lazy val roundElevenW8: Seq[Q] = {
+    Seq(
+      // Positional inverted-index phrase search — exact multi-token
+      // phrase matching, the serving operator BM25/bag-of-words retrieval
+      // (q145) cannot express: build (term, doc_id, pos) postings ONCE,
+      // take the corpus's 3 hottest trigrams as the phrase workload
+      // (count desc, phrase asc — deterministic), and match each phrase
+      // by ADJACENCY equi-joins on (doc_id, pos+k) instead of re-scanning
+      // text. Scale shape: postings are term-keyed (the phrase vocabulary
+      // is broadcast, so non-phrase terms never join); the two adjacency
+      // joins are composite equi-joins on (doc_id, pos±k) — doc-local,
+      // co-partitioned after one shuffle; nothing is ever all-pairs. The
+      // oracle counts the same occurrences through the trigram-window
+      // identity (a phrase occurrence IS a trigram window equal to it).
+      ("q208_phrase_search", (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .persistTracked()
+        val ws = split(col("phrase"), " ")
+        val top = toks.select(explode(TF.shingles(col("toks"), 3)).as("phrase"))
+          .groupBy("phrase").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("phrase")).limit(3)
+          .select(col("phrase"), ws.getItem(0).as("w0"),
+            ws.getItem(1).as("w1"), ws.getItem(2).as("w2"))
+        val post = toks.select(col("doc_id"), posexplode(col("toks")))
+          .withColumnRenamed("pos", "p").withColumnRenamed("col", "term")
+          .persistTracked()
+        val c0 = post.join(broadcast(top), col("term") === col("w0"))
+          .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("p"))
+        val c1 = c0.as("a").join(post.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.p") === col("a.p") + 1 && col("b.term") === col("a.w1"))
+          .select(col("a.phrase").as("phrase"), col("a.w2").as("w2"),
+            col("a.doc_id").as("doc_id"), col("a.p").as("p"))
+        c1.as("a").join(post.as("c"),
+            col("a.doc_id") === col("c.doc_id") &&
+              col("c.p") === col("a.p") + 2 && col("c.term") === col("a.w2"))
+          .select(col("a.phrase").as("phrase"), col("a.doc_id").as("doc_id"))
+          .groupBy("phrase").agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .orderBy("phrase")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM documents),
+          tri AS (SELECT doc_id, unnest(${sqlShingleList(3)}) AS phrase
+            FROM tok),
+          top3 AS (SELECT phrase FROM (
+            SELECT phrase, count(*) AS c FROM tri GROUP BY phrase
+            ORDER BY c DESC, phrase LIMIT 3)),
+          m AS (SELECT tri.phrase, tri.doc_id FROM tri JOIN top3 USING (phrase))
+          SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ
+          FROM m GROUP BY phrase ORDER BY phrase""")),
+
+      // Johnson–Lindenstrauss sign-projection recall — the data-INDEPENDENT
+      // compression arm the learned tiers (PQ q106, OPQ q144, matryoshka
+      // q148, int8/sign-bit q199) are measured against: one fixed ±1
+      // matrix (a broadcast constant — nothing is trained, so new shards
+      // need no codebook refresh), project fp32×64 → double×32 once, and
+      // read recall@10 of the K-prefix projection at K ∈ {8, 16, 32}.
+      // Scale shape: projection is a per-row map (no shuffle); each arm
+      // is the same broadcast query×corpus scoring join as q161's brute
+      // arm, ending in a rank window over 10·|queries| rows.
+      ("q209_jl_recall", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val projCol = array((0 until 32).map { j =>
+          (0 until 64).map(i =>
+            element_at(col("embedding"), i + 1).cast("double") *
+              lit(jlSign(j, i))).reduce(_ + _)
+        }: _*)
+        val proj = e.select(col("vec_id"), col("embedding"),
+          projCol.as("proj")).persistTracked()
+        val qs = proj.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("proj").as("qp"))
+        def top10(scored: DataFrame): DataFrame =
+          scored.withColumn("rnk", row_number().over(
+              Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+            .filter(col("rnk") <= 10).select("query_id", "vec_id")
+        val brute = top10(e.crossJoin(broadcast(qs.select("query_id", "qe")))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6)))
+        val arms = Seq(8, 16, 32).map { k =>
+          top10(proj.crossJoin(broadcast(qs.select("query_id", "qp")))
+            .withColumn("sim", round(VF.cosine01(
+              slice(col("proj"), 1, k), slice(col("qp"), 1, k)), 6)))
+            .select(lit(k.toLong).as("k"), col("query_id"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        arms.join(brute, Seq("query_id", "vec_id"))
+          .groupBy("k").agg(count(lit(1)).as("hits"))
+          .withColumn("recall_pm", expr("CAST(hits * 1000 div 50 AS BIGINT)"))
+          .orderBy("k")
+      },
+        Some(s"""WITH mm AS (SELECT $sqlJlMatrix AS m),
+          p AS (SELECT vec_id, embedding,
+              list_transform(range(1, 33), j -> list_sum(list_transform(
+                range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * m[j][i])))
+                AS proj
+            FROM embeddings CROSS JOIN mm),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, proj AS qp
+            FROM p WHERE vec_id < 5),
+          brute AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlCos01("e.embedding", "q.qe")}, 6) DESC,
+                  e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
+          ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM unnest([8, 16, 32]) AS u(k)),
+          armed AS (SELECT ks.k, q.query_id, p.vec_id,
+              round(${sqlCos01("list_slice(p.proj, 1, ks.k)", "list_slice(q.qp, 1, ks.k)")}, 6) AS sim
+            FROM p CROSS JOIN q CROSS JOIN ks),
+          topk AS (SELECT k, query_id, vec_id FROM (
+            SELECT k, query_id, vec_id,
+              row_number() OVER (PARTITION BY k, query_id
+                ORDER BY sim DESC, vec_id) AS rnk FROM armed) WHERE rnk <= 10)
+          SELECT t.k, CAST(count(*) AS BIGINT) AS hits,
+            CAST(count(*) * 1000 // 50 AS BIGINT) AS recall_pm
+          FROM topk t JOIN brute b
+            ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+          GROUP BY t.k ORDER BY k""")),
+
+      // Dedup storage-savings report — what the one dedup pass is WORTH,
+      // priced per source from the persisted cluster artifact (consumer
+      // #15): characters held before vs after keeper-only retention, in
+      // exact integer permille. The capacity-planning number a storage
+      // owner reads before green-lighting the pipeline. Scale shape: the
+      // artifact is |clustered docs| rows (never the corpus), the
+      // source map join is FK-shaped, and the rollup is |sources| rows.
+      ("q210_dedup_savings", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text", "source")
+        val corpus = nearDupCorpus(docs.select("doc_id", "text"))
+        val art = clusterArtifact(s, d, fastHash = false)
+          .select("doc_id", "is_keeper")
+        corpus.select(col("doc_id"),
+            pmod(col("doc_id"), lit(10000000L)).as("real_id"),
+            length(col("text")).cast("long").as("chars"))
+          .join(art, Seq("doc_id"), "left")
+          .withColumn("keep", coalesce(col("is_keeper"), lit(1L)))
+          .join(docs.select(col("doc_id").as("real_id"), col("source")),
+            "real_id")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("chars")).as("chars_total"),
+            sum(when(col("keep") === 1L, col("chars")).otherwise(0L))
+              .as("chars_kept"))
+          .withColumn("saved_pm", expr(
+            "CAST((chars_total - chars_kept) * 1000 div chars_total AS BIGINT)"))
+          .orderBy("source")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          k AS (SELECT c.doc_id, c.doc_id % 10000000 AS real_id,
+              CAST(length(c.text) AS BIGINT) AS chars,
+              CASE WHEN cc.id IS NULL OR cc.id = cc.lab THEN 1 ELSE 0 END
+                AS keep
+            FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id),
+          j AS (SELECT k.chars, k.keep, d.source FROM k
+            JOIN documents d ON d.doc_id = k.real_id)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(chars) AS BIGINT) AS chars_total,
+            CAST(coalesce(sum(CASE WHEN keep = 1 THEN chars END), 0)
+              AS BIGINT) AS chars_kept,
+            CAST((sum(chars) - coalesce(sum(CASE WHEN keep = 1 THEN chars END), 0))
+              * 1000 // sum(chars) AS BIGINT) AS saved_pm
+          FROM j GROUP BY source ORDER BY source""")),
+
+      // Tokenizer fertility by language — tokens-per-text under the two
+      // tokenizer models the engine carries (whitespace vs the BPE-style
+      // pre-tokenizer), per language, in exact integer ratios: the number
+      // a tokenizer owner reads to price a vocabulary against a
+      // multilingual corpus (fertility differences ARE the cost model —
+      // a language at 2× tokens/char pays 2× the context budget). One
+      // narrow per-row map, one |langs|-row rollup; nothing wide ever
+      // shuffles.
+      ("q211_tokenizer_fertility", (s: SparkSession, d: String) => {
+        t(s, d, "documents")
+          .select(col("lang"),
+            size(TF.tokens(col("text"))).cast("long").as("ws"),
+            TF.bpeTokenCount(col("text")).as("bpe"),
+            length(col("text")).cast("long").as("chars"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws")).as("ws_tok"),
+            sum(col("bpe")).as("bpe_tok"),
+            sum(col("chars")).as("n_chars"))
+          .withColumn("bpe_per_ws_pm",
+            expr("CAST(bpe_tok * 1000 div ws_tok AS BIGINT)"))
+          .withColumn("bpe_per_kchar",
+            expr("CAST(bpe_tok * 1000 div n_chars AS BIGINT)"))
+          .orderBy("lang")
+      },
+        Some(s"""WITH b AS (SELECT lang,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS ws,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe,
+              CAST(length(text) AS BIGINT) AS chars
+            FROM documents)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(ws) AS BIGINT) AS ws_tok,
+            CAST(sum(bpe) AS BIGINT) AS bpe_tok,
+            CAST(sum(chars) AS BIGINT) AS n_chars,
+            CAST(sum(bpe) * 1000 // sum(ws) AS BIGINT) AS bpe_per_ws_pm,
+            CAST(sum(bpe) * 1000 // sum(chars) AS BIGINT) AS bpe_per_kchar
+          FROM b GROUP BY lang ORDER BY lang""")),
+
+      // Canary exposure audit — the memorization-risk measurement run
+      // before a training cut: planted canary tokens (four canaries at
+      // descending planting rates — doc_id ≡ 7 mod 50/100/150/200, so
+      // exposures overlap on early ids) are counted back out of the
+      // corpus by a regex scan: occurrences, distinct docs, distinct
+      // sources per canary. The detector is the real operator (a per-row
+      // codegen regex + a |canaries|-row rollup); the planting is the
+      // fixture. A canary a dedup/curation stage should have caught
+      // shows up here as n_docs > 1.
+      ("q212_canary_exposure", (s: SparkSession, d: String) => {
+        val planted = t(s, d, "documents")
+          .withColumn("ptext", concat(col("text"), concat_ws("",
+            (0 until 4).map(k =>
+              when(pmod(col("doc_id"), lit(50L * (k + 1))) === 7L,
+                lit(s" CANARY-$k")).otherwise(lit(""))): _*)))
+        planted.select(col("doc_id"), col("source"),
+            explode(regexp_extract_all(col("ptext"),
+              lit("CANARY-[0-9]+"), lit(0))).as("canary"))
+          .groupBy("canary").agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("canary")
+      },
+        Some("""WITH p AS (SELECT doc_id, source, text
+              || CASE WHEN doc_id % 50 = 7 THEN ' CANARY-0' ELSE '' END
+              || CASE WHEN doc_id % 100 = 7 THEN ' CANARY-1' ELSE '' END
+              || CASE WHEN doc_id % 150 = 7 THEN ' CANARY-2' ELSE '' END
+              || CASE WHEN doc_id % 200 = 7 THEN ' CANARY-3' ELSE '' END
+                AS ptext
+            FROM documents),
+          m AS (SELECT doc_id, source,
+              unnest(regexp_extract_all(ptext, 'CANARY-[0-9]+')) AS canary
+            FROM p)
+          SELECT canary, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM m GROUP BY canary ORDER BY canary""")),
+
+      // MinHash estimator error audit — how far the 12-component sketch's
+      // Jaccard ESTIMATE (signature agreement) sits from the exact
+      // shingle-set Jaccard, per LSH candidate pair, bucketed by error
+      // decile ([[graft.ops.Dedup.minhashAccuracy]]). The evidence behind
+      // the "always verify candidates" design rule every dedup query here
+      // follows — with 12 hashes the estimator's std dev is ~0.14, and
+      // this report shows the realized error mass at the corpus's true
+      // pair distribution. All integer permille; no float crosses rows.
+      ("q213_minhash_accuracy", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        Dedup.minhashAccuracy(nearDupCorpus(docs), "doc_id", "text")
+          .withColumn("err_bucket",
+            expr("CAST(abs(est_pm - exact_pm) div 100 AS BIGINT)"))
+          .groupBy("err_bucket").agg(
+            count(lit(1)).as("n_pairs"),
+            expr("CAST(sum(abs(est_pm - exact_pm)) div count(1) AS BIGINT)")
+              .as("mean_err_pm"))
+          .orderBy("err_bucket")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          $sqlMinhashSigCtes,
+          bands_mh AS (SELECT doc_id, unnest(${sqlBandArray(4, 3)}) AS band
+            FROM sg_mh),
+          cand_mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_mh a JOIN bands_mh b
+              ON a.band = b.band AND a.doc_id < b.doc_id),
+          pp AS (SELECT c.doc_a, c.doc_b,
+              CAST(len(list_filter(range(1, 13),
+                i -> sa.sig[i] = sb.sig[i])) * 1000 // 12 AS BIGINT) AS est_pm,
+              CAST(len(list_intersect(sa.hashes, sb.hashes)) * 1000
+                // len(list_distinct(sa.hashes || sb.hashes)) AS BIGINT)
+                AS exact_pm
+            FROM cand_mh c
+            JOIN sg_mh sa ON sa.doc_id = c.doc_a
+            JOIN sg_mh sb ON sb.doc_id = c.doc_b),
+          e AS (SELECT abs(est_pm - exact_pm) AS err FROM pp)
+          SELECT CAST(err // 100 AS BIGINT) AS err_bucket,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(err) // count(*) AS BIGINT) AS mean_err_pm
+          FROM e GROUP BY err // 100 ORDER BY err_bucket"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
-      roundEleven ++ roundElevenW7
+      roundEleven ++ roundElevenW7 ++ roundElevenW8
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

@@ -154,6 +154,57 @@ object Dedup {
         round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
   }
 
+  /** MinHash estimator accuracy per LSH candidate pair: the estimated
+    * Jaccard (fraction of agreeing signature components — the number the
+    * sketch would report if verification were skipped) next to the exact
+    * Jaccard on the distinct shingle-hash sets, both in exact integer
+    * permille so the audit is engine-order-independent. This is the
+    * measurement behind the "verify candidates or trust the sketch?"
+    * sizing decision: with 12 components the estimator's std dev is
+    * ~sqrt(J(1-J)/12) ≈ 0.14, and the report shows that error at the
+    * corpus's true pair distribution instead of the binomial formula.
+    * Scale shape: identical to [[minhashLsh]] (one hash pass, banded
+    * equi-join, per-candidate verify); the audit adds only the 12-term
+    * component comparison to the verify join it would run anyway.
+    */
+  def minhashAccuracy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      fastHash: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "numHashes must be divisible by bands")
+    val hashed = shingleHashed(docs, idCol, textCol, shingleK, fastHash)
+    val sigs = hashed
+      .withColumn("sig", minhashSignature(col("hashes"), numHashes))
+      .persistTracked()
+    val banded = sigs
+      .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
+      .select("doc_id", "band")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("hashes").as("ha"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("hashes").as("hb"), col("sig").as("sb")), "doc_b")
+      .withColumn("agree",
+        expr(s"size(filter(sequence(0, ${numHashes - 1}), i -> sa[i] = sb[i]))")
+          .cast("long"))
+      .withColumn("est_pm",
+        expr(s"CAST(agree * 1000 div $numHashes AS BIGINT)"))
+      .withColumn("exact_pm", expr(
+        "CAST(size(array_intersect(ha, hb)) * 1000 div " +
+          "size(array_union(ha, hb)) AS BIGINT)"))
+      .select("doc_a", "doc_b", "est_pm", "exact_pm")
+  }
+
   /** The shingle-hash map stage shared by the minhash pipelines: spread it
     * over the cluster (Par.ensure — a small source arrives as one split)
     * and compute it ONCE (persist) — it is read repeatedly downstream

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest-side retry-storm suppression — the continuous form of
+  * the q204 batch report: an event is a retry duplicate when the same
+  * (user, type, value) key occurred within `windowNs` of the IMMEDIATELY
+  * PRECEDING event on that key (the batch side's one `lag` over a
+  * key-partitioned window). State per key is a single long (the last seen
+  * timestamp), so state size is O(|active keys|), independent of event
+  * volume — the cheapest stateful-streaming shape there is. Within a
+  * micro-batch, rows are applied in (ts, event_id) order so the flags are
+  * deterministic and equal to the batch lag regardless of how the batch
+  * splits; across batches the stream assumes per-key arrival in event-time
+  * order (the at-the-source placement this operator is for — an
+  * out-of-order deployment would put a watermark + sort ahead of it).
+  * StreamingSpec pins the streamed flag set == the batch lag computation
+  * on the same events. A production deployment would evict idle keys with
+  * a processing-time timeout ≫ windowNs; the spec path keeps NoTimeout so
+  * equality with batch is exact.
+  */
+object EventDedupStream {
+
+  /** One event on the dedup key. */
+  case class Ev(eventId: Long, ts: Long, userId: Long, eventType: String,
+      value: Double)
+
+  /** Per-event verdict: `dup` = suppress as a retry. */
+  case class Flagged(eventId: Long, dup: Boolean)
+
+  /** Per-key state: timestamp of the last event applied on this key. */
+  case class KeyState(lastTs: Long)
+
+  private[graft] def update(windowNs: Long)(
+      key: (Long, String, Double),
+      rows: Iterator[Ev],
+      state: GroupState[KeyState]): Iterator[Flagged] = {
+    var last: Option[Long] = state.getOption.map(_.lastTs)
+    val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
+      val dup = last.exists(l => e.ts - l <= windowNs)
+      last = Some(e.ts)
+      Flagged(e.eventId, dup)
+    }
+    last.foreach(l => state.update(KeyState(l)))
+    out.iterator
+  }
+
+  /** Continuous retry flags over a streaming (event_id, ts, user_id,
+    * event_type, value) frame; `ts` is epoch-ns.
+    */
+  def detect(events: DataFrame, windowNs: Long = 60000000000L): Dataset[Flagged] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_id").as("eventId"), col("ts"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Ev]
+      .groupByKey(e => (e.userId, e.eventType, e.value))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(windowNs))
+  }
+}

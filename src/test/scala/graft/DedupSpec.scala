@@ -157,4 +157,38 @@ class DedupSpec extends SparkSpec {
     assert((members -- direct) == Set(30L),
       "chained-member detection should flag exactly the far end of the chain")
   }
+
+  test("minhash accuracy audit: exact pm is the true Jaccard, est is the " +
+      "signature agreement, identical docs read 1000/1000") {
+    val base = (0 until 30).map(i => s"tok$i")
+    val corpus = Seq(
+      (1L, base.mkString(" ")),                 // original
+      (2L, base.mkString(" ")),                 // exact copy: est = exact = 1000
+      (3L, (base.slice(0, 24) ++ Seq("x", "y", "z", "w", "v", "u")).mkString(" ")),
+      (4L, "entirely unrelated words about catalyst optimizer rules here"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashAccuracy(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the exact-copy pair: both estimator and truth saturate
+    assert(rows((1L, 2L)) == (1000L, 1000L), s"copy pair off: $rows")
+    // every candidate's exact_pm must equal the set Jaccard recomputed here
+    val shingleSets = Seq(
+      1L -> base, 2L -> base,
+      3L -> (base.slice(0, 24) ++ Seq("x", "y", "z", "w", "v", "u")))
+      .map { case (id, toks) =>
+        id -> toks.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+    rows.keys.filter(p => shingleSets.contains(p._1) && shingleSets.contains(p._2))
+      .foreach { case (a, b) =>
+        val (sa, sb) = (shingleSets(a), shingleSets(b))
+        val want = (sa & sb).size.toLong * 1000L / (sa | sb).size.toLong
+        assert(rows((a, b))._2 == want, s"exact_pm($a,$b) != set Jaccard")
+      }
+    // estimator granularity: est_pm is floor(k*1000/12) for k in 0..12
+    val lattice = (0 to 12).map(k => k * 1000L / 12L).toSet
+    rows.values.foreach { case (est, _) =>
+      assert(lattice.contains(est), s"est_pm $est off the 12-component lattice")
+    }
+  }
 }

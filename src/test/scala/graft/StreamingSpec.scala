@@ -822,4 +822,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._2 == 1L) == 3) // every query answered
     q.stop()
   }
+
+  test("streaming retry dedup: flags equal the batch lag computation across micro-batches") {
+    import graft.streaming.EventDedupStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sec = 1000000000L
+    // key A: burst (retries at +10 s, +30 s), a clean gap (+200 s), then a
+    // cross-batch retry; key B: same value, always outside the window;
+    // key C differs from A only in value — never a dup of A
+    val batch1 = Seq(
+      EventDedupStream.Ev(1L, 0L, 1L, "click", 1.0),
+      EventDedupStream.Ev(2L, 10L * sec, 1L, "click", 1.0),
+      EventDedupStream.Ev(3L, 30L * sec, 1L, "click", 1.0),
+      EventDedupStream.Ev(4L, 230L * sec, 1L, "click", 1.0),
+      EventDedupStream.Ev(5L, 0L, 2L, "click", 1.0),
+      EventDedupStream.Ev(6L, 100L * sec, 2L, "click", 1.0),
+      EventDedupStream.Ev(7L, 1L * sec, 1L, "click", 2.0))
+    val batch2 = Seq( // arrives later; key A's last ts is 230 s (state)
+      EventDedupStream.Ev(8L, 280L * sec, 1L, "click", 1.0),
+      EventDedupStream.Ev(9L, 400L * sec, 2L, "click", 1.0))
+    val input = MemoryStream[EventDedupStream.Ev]
+    val out = EventDedupStream.detect(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("retrydedup")
+      .outputMode("append").start()
+    input.addData(batch1)
+    q.processAllAvailable()
+    input.addData(batch2)
+    q.processAllAvailable()
+    val got = spark.table("retrydedup").as[EventDedupStream.Flagged]
+      .collect().map(f => (f.eventId, f.dup)).toMap
+    // batch twin: one lag over the key-partitioned window (q204's shape)
+    val all = (batch1 ++ batch2).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId", "eventType", "value").orderBy("ts", "eventId")
+    val want = all.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("dup", col("prev").isNotNull &&
+        col("ts") - col("prev") <= lit(60L * sec))
+      .select("eventId", "dup").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == want, s"stream flags != batch lag\n got=$got\nwant=$want")
+    assert(got(2L) && got(3L) && got(8L) && !got(4L) && !got(6L) && !got(7L))
+    q.stop()
+  }
 }
