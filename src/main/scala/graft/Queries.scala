@@ -9594,7 +9594,279 @@ object Queries {
           SELECT CAST(err // 100 AS BIGINT) AS err_bucket,
             CAST(count(*) AS BIGINT) AS n_pairs,
             CAST(sum(err) // count(*) AS BIGINT) AS mean_err_pm
-          FROM e GROUP BY err // 100 ORDER BY err_bucket"""))
+          FROM e GROUP BY err // 100 ORDER BY err_bucket""")),
+
+      // Sampling-rule churn audit — why pinned eval/holdout samples key
+      // on a HASH THRESHOLD and never on a hash RANK: both rules draw a
+      // deterministic ~5%, but when the corpus grows 10% (the
+      // maintenance-shard increment), threshold membership is a pure
+      // per-doc predicate (docs never leave; churn_pm = 0 by
+      // construction) while rank membership (top n/20 by hash) re-ranks
+      // every doc — new arrivals push standing docs across the quota
+      // boundary and the sample silently churns. The rank arm's global
+      // row_number is the audit's deliberate cost (and its lesson: the
+      // rule also needs a global sort at scale); the threshold arm is
+      // one codegen predicate.
+      ("q214_sample_churn", (s: SparkSession, d: String) => {
+        val S = t(s, d, "documents").select("doc_id")
+        val G = S.unionByName(
+          S.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+            .select((col("doc_id") + 10000000L).as("doc_id")))
+        val sampHash = TF.hash32(concat(lit("samp|"), col("doc_id")))
+        def hashMembers(c: DataFrame): DataFrame =
+          c.filter(pmod(sampHash, lit(1000L)) < 50L).select("doc_id")
+        def rankMembers(c: DataFrame): DataFrame =
+          c.withColumn("h", sampHash)
+            .withColumn("rn", row_number().over(
+              Window.orderBy(col("h"), col("doc_id"))))
+            .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+            .filter(col("rn") <= expr("n div 20"))
+            .select("doc_id")
+        def ruleRow(rule: String, before: DataFrame, after: DataFrame): DataFrame =
+          before.agg(count(lit(1)).as("n_before"))
+            .crossJoin(after.agg(count(lit(1)).as("n_after")))
+            .crossJoin(before.join(after, "doc_id")
+              .agg(count(lit(1)).as("n_kept")))
+            .crossJoin(before.join(after, Seq("doc_id"), "left_anti")
+              .agg(count(lit(1)).as("n_dropped")))
+            .crossJoin(after.join(before, Seq("doc_id"), "left_anti")
+              .agg(count(lit(1)).as("n_added")))
+            .select(lit(rule).as("rule"), col("n_before"), col("n_after"),
+              col("n_kept"), col("n_added"), col("n_dropped"),
+              expr("CAST(n_dropped * 1000 div greatest(n_before, 1) AS BIGINT)")
+                .as("churn_pm"))
+        ruleRow("hash_threshold", hashMembers(S), hashMembers(G))
+          .unionByName(ruleRow("hash_rank", rankMembers(S), rankMembers(G)))
+          .orderBy("rule")
+      },
+        Some {
+          val h = sqlHash32("'samp|' || CAST(doc_id AS VARCHAR)")
+          s"""WITH s AS (SELECT doc_id FROM documents),
+          g AS (SELECT doc_id FROM s
+            UNION ALL SELECT doc_id + 10000000 FROM s WHERE doc_id % 10 = 0),
+          hs AS (SELECT doc_id FROM s WHERE $h % 1000 < 50),
+          hg AS (SELECT doc_id FROM g WHERE $h % 1000 < 50),
+          rs AS (SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY $h, doc_id) AS rn,
+              count(*) OVER () AS n FROM s) WHERE rn <= n // 20),
+          rg AS (SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY $h, doc_id) AS rn,
+              count(*) OVER () AS n FROM g) WHERE rn <= n // 20),
+          rows_out AS (
+            SELECT 'hash_threshold' AS rule,
+              (SELECT count(*) FROM hs) AS n_before,
+              (SELECT count(*) FROM hg) AS n_after,
+              (SELECT count(*) FROM hs JOIN hg USING (doc_id)) AS n_kept,
+              (SELECT count(*) FROM hg WHERE doc_id NOT IN (SELECT doc_id FROM hs)) AS n_added,
+              (SELECT count(*) FROM hs WHERE doc_id NOT IN (SELECT doc_id FROM hg)) AS n_dropped
+            UNION ALL
+            SELECT 'hash_rank',
+              (SELECT count(*) FROM rs), (SELECT count(*) FROM rg),
+              (SELECT count(*) FROM rs JOIN rg USING (doc_id)),
+              (SELECT count(*) FROM rg WHERE doc_id NOT IN (SELECT doc_id FROM rs)),
+              (SELECT count(*) FROM rs WHERE doc_id NOT IN (SELECT doc_id FROM rg)))
+          SELECT rule, CAST(n_before AS BIGINT) AS n_before,
+            CAST(n_after AS BIGINT) AS n_after,
+            CAST(n_kept AS BIGINT) AS n_kept,
+            CAST(n_added AS BIGINT) AS n_added,
+            CAST(n_dropped AS BIGINT) AS n_dropped,
+            CAST(n_dropped * 1000 // greatest(n_before, 1) AS BIGINT) AS churn_pm
+          FROM rows_out ORDER BY rule"""
+        }),
+
+      // Vocabulary-truncation cost in LM bits — what shrinking the
+      // vocabulary to its top-K types does to the corpus's unigram
+      // cross-entropy, per source. The truncated model must still be a
+      // DECODEABLE distribution over the original types, so the pooled
+      // <unk> mass is spread uniformly across the tail types (charging
+      // every OOV token the single pooled-unk probability would measure
+      // the entropy of the COARSENED alphabet, which merging can only
+      // lower — a misleading "negative cost"); under the uniform spread,
+      // Gibbs' inequality guarantees delta ≥ 0 and the report reads as
+      // the true extra bits paid. Per-token bits are quantized to exact
+      // integer micro-bits BEFORE any cross-row sum (the q174 rule:
+      // float sums are engine-order-dependent). Scale shape: the top-K
+      // vocabulary is a TakeOrderedAndProject broadcast; the full-vocab
+      // arm is one token-keyed count join — the token stream never
+      // carries floats across a shuffle. K = 12 against this corpus's
+      // 31-type vocabulary, so the tail is ~60% of types and the
+      // contrast is real.
+      ("q215_vocab_truncation", (s: SparkSession, d: String) => {
+        val tokRows = t(s, d, "documents")
+          .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+          .persistTracked()
+        val counts = tokRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .persistTracked()
+        val top = counts.orderBy(desc("cnt"), asc("tok")).limit(12)
+        val consts = counts
+          .agg(sum(col("cnt")).as("total_l"), count(lit(1)).as("n_types"))
+          .crossJoin(top.agg(sum(col("cnt")).as("in_cnt")))
+          .select(col("total_l").cast("double").as("total"),
+            ((col("total_l") - col("in_cnt")).cast("double") /
+              greatest(col("n_types") - 12L, lit(1L)).cast("double"))
+              .as("unk_share"))
+        tokRows
+          .join(counts, "tok")
+          .join(broadcast(top.select(col("tok"), col("cnt").as("tcnt"))),
+            Seq("tok"), "left")
+          .crossJoin(broadcast(consts))
+          .withColumn("full_micro", expr(
+            "CAST(round(-log2(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT)"))
+          .withColumn("trunc_micro", expr(
+            "CAST(round(-log2(coalesce(CAST(tcnt AS DOUBLE), unk_share) / total) * 1000000) AS BIGINT)"))
+          .withColumn("oov", when(col("tcnt").isNull, 1L).otherwise(0L))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_tok"),
+            sum(col("oov")).as("n_oov"),
+            sum(col("full_micro")).as("sf"),
+            sum(col("trunc_micro")).as("st"))
+          .select(col("source"), col("n_tok"),
+            expr("CAST(n_oov * 1000 div n_tok AS BIGINT)").as("oov_pm"),
+            expr("CAST(sf div n_tok AS BIGINT)").as("bits_full_micro"),
+            expr("CAST(st div n_tok AS BIGINT)").as("bits_trunc_micro"),
+            expr("CAST(st div n_tok - sf div n_tok AS BIGINT)").as("delta_micro"))
+          .orderBy("source")
+      },
+        Some(s"""WITH tr AS (SELECT source, unnest(${sqlTokens("text")}) AS tok
+              FROM documents),
+          c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY tok),
+          top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 12),
+          k AS (SELECT CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS total,
+              CAST((SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top)
+                AS DOUBLE)
+                / CAST(greatest((SELECT count(*) FROM c) - 12, 1) AS DOUBLE)
+                AS unk_share),
+          sc AS (SELECT tr.source,
+              CAST(round(-log2(CAST(c.cnt AS DOUBLE) / k.total) * 1000000)
+                AS BIGINT) AS full_micro,
+              CAST(round(-log2(coalesce(CAST(top.cnt AS DOUBLE), k.unk_share)
+                / k.total) * 1000000) AS BIGINT) AS trunc_micro,
+              CASE WHEN top.tok IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tr JOIN c USING (tok)
+            LEFT JOIN top ON top.tok = tr.tok
+            CROSS JOIN k)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+            CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_pm,
+            CAST(sum(full_micro) // count(*) AS BIGINT) AS bits_full_micro,
+            CAST(sum(trunc_micro) // count(*) AS BIGINT) AS bits_trunc_micro,
+            CAST(sum(trunc_micro) // count(*) - sum(full_micro) // count(*)
+              AS BIGINT) AS delta_micro
+          FROM sc GROUP BY source ORDER BY source""")),
+
+      // Watermark sizing report — the number read before setting a
+      // streaming watermark: per event-type stream, how many events would
+      // arrive LATER than W behind the stream's running max event time,
+      // for W ∈ {10 min, 1 h, 4 h}. The fixture's arrival order is
+      // event_id with a planted delay (every 23rd event arrives 40
+      // positions late — the driver's events are otherwise perfectly
+      // ordered, late_pm would read 0). Scale shape: one lateness pass
+      // per event under a PER-TYPE window (each type is its own stream —
+      // no global order), then a |types|×|W| rollup; the W arms are a
+      // 3-element explode over the already-computed lateness, not three
+      // passes.
+      ("q216_watermark_sizing", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy("arr", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsNs(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"),
+            (col("event_id") +
+              when(pmod(col("event_id"), lit(23L)) === 3L, 40L).otherwise(0L))
+              .as("arr"))
+          .withColumn("late_ns", max(col("ts")).over(w) - col("ts"))
+          .select(col("event_type"), col("late_ns"),
+            explode(array(lit(600L), lit(3600L), lit(14400L))).as("w_sec"))
+          .groupBy("event_type", "w_sec").agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("late_ns") > col("w_sec") * 1000000000L, 1L)
+              .otherwise(0L)).as("n_dropped"))
+          .withColumn("drop_pm",
+            expr("CAST(n_dropped * 1000 div n_events AS BIGINT)"))
+          .orderBy("event_type", "w_sec")
+      },
+        Some("""WITH e AS (SELECT event_id, event_type, epoch_ns(ts) AS tsn,
+              event_id + CASE WHEN event_id % 23 = 3 THEN 40 ELSE 0 END AS arr
+            FROM events),
+          l AS (SELECT event_type,
+              max(tsn) OVER (PARTITION BY event_type ORDER BY arr, event_id
+                ROWS UNBOUNDED PRECEDING) - tsn AS late_ns
+            FROM e),
+          x AS (SELECT event_type, late_ns, CAST(u.w AS BIGINT) AS w_sec
+            FROM l, unnest([600, 3600, 14400]) AS u(w))
+          SELECT event_type, w_sec, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CASE WHEN late_ns > w_sec * 1000000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dropped,
+            CAST(sum(CASE WHEN late_ns > w_sec * 1000000000 THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS drop_pm
+          FROM x GROUP BY event_type, w_sec
+          ORDER BY event_type, w_sec""")),
+
+      // Per-user contribution capping — the differential-privacy /
+      // anti-dominance preprocessing step: bound each user to k=3 events
+      // per type and report what the cap removes and how it flattens the
+      // heaviest contributor, per type. The materialization path is a
+      // (user, type)-windowed row_number ≤ k (WindowGroupLimit); the
+      // REPORT needs only the (type, user) count rollup — capped mass is
+      // sum(least(c, k)) — so nothing here is per-event after one
+      // aggregate. All exact integer ppm.
+      ("q217_contribution_cap", (s: SparkSession, d: String) => {
+        eventsNs(s, d)
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+          .groupBy("event_type").agg(
+            sum(col("c")).as("n_events"),
+            count(lit(1)).as("n_users"),
+            sum(least(col("c"), lit(3L))).as("n_kept"),
+            max(col("c")).as("max_user_events"),
+            max(least(col("c"), lit(3L))).as("max_after"))
+          .select(col("event_type"), col("n_events"), col("n_users"),
+            col("n_kept"),
+            expr("CAST((n_events - n_kept) * 1000 div n_events AS BIGINT)")
+              .as("clipped_pm"),
+            col("max_user_events"),
+            expr("CAST(max_user_events * 1000000 div n_events AS BIGINT)")
+              .as("max_share_ppm_before"),
+            expr("CAST(max_after * 1000000 div n_kept AS BIGINT)")
+              .as("max_share_ppm_after"))
+          .orderBy("event_type")
+      },
+        Some("""WITH per AS (SELECT event_type, user_id,
+              CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, user_id)
+          SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+            CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(least(c, 3)) AS BIGINT) AS n_kept,
+            CAST((sum(c) - sum(least(c, 3))) * 1000 // sum(c) AS BIGINT)
+              AS clipped_pm,
+            CAST(max(c) AS BIGINT) AS max_user_events,
+            CAST(max(c) * 1000000 // sum(c) AS BIGINT)
+              AS max_share_ppm_before,
+            CAST(max(least(c, 3)) * 1000000 // sum(least(c, 3)) AS BIGINT)
+              AS max_share_ppm_after
+          FROM per GROUP BY event_type ORDER BY event_type""")),
+
+      // Hierarchical rollup datasheet — the source × lang × (all) volume
+      // pyramid in ONE pass via ROLLUP grouping sets (detail, per-source
+      // subtotal, grand total), with an explicit grouping-bit column so
+      // subtotal rows are self-describing. Spark compiles this to a
+      // single Expand + hash aggregate — three aggregation levels for one
+      // shuffle, which is the point at scale (three separate groupBys
+      // would be three). gid is computed from grouping() bits explicitly
+      // on both sides so the engines cannot disagree on bit order.
+      ("q218_volume_rollup", (s: SparkSession, d: String) => {
+        t(s, d, "documents")
+          .select(col("source"), col("lang"),
+            size(TF.tokens(col("text"))).cast("long").as("nt"))
+          .rollup("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tok"),
+            (grouping(col("source")) * 2 + grouping(col("lang")))
+              .cast("long").as("gid"))
+          .orderBy("gid", "source", "lang")
+      },
+        Some(s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tok,
+            CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+          FROM documents GROUP BY ROLLUP (source, lang)
+          ORDER BY gid, source, lang"""))
     )
   }
 
