@@ -9866,7 +9866,238 @@ object Queries {
             CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tok,
             CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
           FROM documents GROUP BY ROLLUP (source, lang)
-          ORDER BY gid, source, lang"""))
+          ORDER BY gid, source, lang""")),
+
+      // Late-data restatement audit — what the q216 stragglers DO to
+      // published aggregates: the daily (type, day) report computed from
+      // the first 90% of arrivals vs after all late data lands, rolled up
+      // per type as days restated + the largest cents correction. This is
+      // the decision input for "reprocess window" sizing in an
+      // incremental pipeline: every restated day is a partition a
+      // backfill must rewrite. Arrival order is q216's planted model
+      // (every 23rd event arrives 40 positions late). Scale shape: two
+      // (type, day)-keyed rollups + a |days|-sized full-outer diff;
+      // per-event rows are touched exactly twice.
+      ("q219_restatement_diff", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            (col("event_id") +
+              when(pmod(col("event_id"), lit(23L)) === 3L, 40L).otherwise(0L))
+              .as("arr"))
+        val cutoff = ev.agg((count(lit(1)) * 9 / 10).cast("long").as("cut"))
+        def daily(e: DataFrame): DataFrame =
+          e.groupBy(col("event_type"),
+              (col("ts") / lit(86400000000000L)).cast("long").as("day"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        val snap = daily(ev.crossJoin(broadcast(cutoff))
+          .filter(col("arr") < col("cut")))
+        val fin = daily(ev)
+        fin.as("f").join(snap.as("s"), Seq("event_type", "day"), "left")
+          .select(col("event_type"),
+            when(coalesce(col("s.n"), lit(0L)) =!= col("f.n") ||
+              coalesce(col("s.c"), lit(0L)) =!= col("f.c"), 1L)
+              .otherwise(0L).as("restated"),
+            (col("f.c") - coalesce(col("s.c"), lit(0L))).as("cents_delta"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_days"),
+            sum(col("restated")).as("n_restated"),
+            max(col("cents_delta")).as("max_cents_delta"))
+          .withColumn("restated_pm",
+            expr("CAST(n_restated * 1000 div n_days AS BIGINT)"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_id, event_type, epoch_ns(ts) AS tsn,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              event_id + CASE WHEN event_id % 23 = 3 THEN 40 ELSE 0 END AS arr
+            FROM events),
+          cut AS (SELECT count(*) * 9 // 10 AS c FROM e),
+          fin AS (SELECT event_type, tsn // 86400000000000 AS day,
+              CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
+            FROM e GROUP BY event_type, tsn // 86400000000000),
+          snap AS (SELECT event_type, tsn // 86400000000000 AS day,
+              CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
+            FROM e WHERE arr < (SELECT c FROM cut)
+            GROUP BY event_type, tsn // 86400000000000),
+          dd AS (SELECT f.event_type,
+              CASE WHEN coalesce(s.n, 0) <> f.n
+                OR coalesce(s.c, 0) <> f.c THEN 1 ELSE 0 END AS restated,
+              f.c - coalesce(s.c, 0) AS cents_delta
+            FROM fin f LEFT JOIN snap s
+              ON s.event_type = f.event_type AND s.day = f.day)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(restated) AS BIGINT) AS n_restated,
+            CAST(max(cents_delta) AS BIGINT) AS max_cents_delta,
+            CAST(sum(restated) * 1000 // count(*) AS BIGINT) AS restated_pm
+          FROM dd GROUP BY event_type ORDER BY event_type""")),
+
+      // Scatter-gather serving exactness — the distributed-index serving
+      // shape made measurable: the corpus sharded 4 ways by id hash, each
+      // shard answers top-10 locally (a bounded WindowGroupLimit per
+      // shard — at scale each index node does this independently), the
+      // gather node re-ranks the ≤ 4×10 candidates. Since every global
+      // top-10 member is in its own shard's local top-10, the merge is
+      // provably EXACT — and this query emits that proof as data
+      // (match_pm = 1000 per query) next to the gather cost (shards × k
+      // candidate rows, vs the corpus for the single-node arm). The
+      // fan-out arm never moves the corpus: only k rows per shard leave.
+      ("q220_sharded_topk", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val scored = e.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .persistTracked()
+        val local = scored
+          .withColumn("shard", pmod(col("vec_id"), lit(4L)))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id", "shard")
+              .orderBy(desc("sim"), asc("vec_id"))))
+          .filter(col("rnk") <= 10)
+        val gathered = local
+          .withColumn("grnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+          .filter(col("grnk") <= 10)
+          .select("query_id", "vec_id")
+        val exact = scored
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))))
+          .filter(col("rnk") <= 10)
+          .select("query_id", "vec_id")
+        local.groupBy("query_id").agg(count(lit(1)).as("n_gathered"))
+          .join(gathered.join(exact, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("hits")), "query_id")
+          .withColumn("match_pm", expr("CAST(hits * 1000 div 10 AS BIGINT)"))
+          .orderBy("query_id")
+      },
+        Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+          sc AS (SELECT q.query_id, e.vec_id, e.vec_id % 4 AS shard,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim
+            FROM embeddings e CROSS JOIN q),
+          loc AS (SELECT query_id, vec_id, sim FROM (
+            SELECT query_id, vec_id, sim,
+              row_number() OVER (PARTITION BY query_id, shard
+                ORDER BY sim DESC, vec_id) AS rnk FROM sc) WHERE rnk <= 10),
+          gath AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS grnk FROM loc) WHERE grnk <= 10),
+          ex AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS rnk FROM sc) WHERE rnk <= 10),
+          ng AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gathered
+            FROM loc GROUP BY query_id),
+          h AS (SELECT g.query_id, CAST(count(*) AS BIGINT) AS hits
+            FROM gath g JOIN ex ON ex.query_id = g.query_id
+              AND ex.vec_id = g.vec_id
+            GROUP BY g.query_id)
+          SELECT ng.query_id, ng.n_gathered, h.hits,
+            CAST(h.hits * 1000 // 10 AS BIGINT) AS match_pm
+          FROM ng JOIN h ON h.query_id = ng.query_id
+          ORDER BY ng.query_id""")),
+
+      // Post-stratification debiasing — recovering a corpus-level mean
+      // from a sample drawn at UNEQUAL rates (the survey-weighting
+      // setup every eval-on-a-sample pipeline hits): docs are hash-
+      // sampled at 50/150/250‰ depending on their length band, so the
+      // naive sample mean token count is pulled toward the oversampled
+      // bands; the per-stratum rows carry the reweighting factor
+      // (corpus_n/sample_n), and the summary rows compare naive vs the
+      // post-stratified estimate Σ_stratum corpus_share · sample_mean —
+      // which recovers the true mean up to within-stratum noise. Strata
+      // are VALUE-banded lengths (nt div 20, capped — the q128 fixed
+      // bands; no rank, no global sort). Every mean is an exact integer
+      // micro so both engines agree bit-for-bit. Scale shape: two
+      // |strata|-row rollups + three scalar rows; lang-free partial
+      // aggs, nothing wide shuffles.
+      ("q221_poststrat_reweight", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("nt"))
+          .withColumn("stratum",
+            concat(lit("band_"), expr("least(nt div 20, 9L)")))
+          .withColumn("rate_pm",
+            expr("50L + (least(nt div 20, 9L) % 3) * 100L"))
+          .withColumn("in_sample",
+            pmod(TF.hash32(concat(lit("ps|"), col("doc_id"))), lit(1000L))
+              < col("rate_pm"))
+          .persistTracked()
+        val per = docs.groupBy("stratum").agg(
+            count(lit(1)).as("cn"), sum(col("nt")).as("cs"),
+            sum(when(col("in_sample"), 1L).otherwise(0L)).as("sn"),
+            sum(when(col("in_sample"), col("nt")).otherwise(0L)).as("ss"))
+          .persistTracked()
+        val langRows = per.select(col("stratum"), col("cn").as("corpus_docs"),
+          col("sn").as("sample_docs"),
+          expr("CAST(CASE WHEN sn = 0 THEN 0 ELSE cn * 1000000 div greatest(sn, 1) END AS BIGINT)")
+            .as("weight_ppm"),
+          expr("CAST(CASE WHEN sn = 0 THEN 0 ELSE ss * 1000000 div sn END AS BIGINT)")
+            .as("mean_tok_micro"))
+        val tot = per.agg(
+          sum(col("cn")).as("tcn"), sum(col("cs")).as("tcs"),
+          sum(col("sn")).as("tsn"), sum(col("ss")).as("tss"),
+          sum(when(col("sn") > 0,
+            col("cn") * expr("CAST(ss * 1000000 div greatest(sn, 1) AS BIGINT)"))
+            .otherwise(0L)).as("wsum"),
+          sum(when(col("sn") > 0, col("cn")).otherwise(0L)).as("wn"))
+        val summary = tot.select(
+          lit("_true_corpus").as("stratum"), col("tcn").as("corpus_docs"),
+          col("tsn").as("sample_docs"), lit(1000000L).as("weight_ppm"),
+          expr("CAST(tcs * 1000000 div tcn AS BIGINT)").as("mean_tok_micro"))
+          .unionByName(tot.select(
+            lit("_naive_sample").as("stratum"), col("tcn").as("corpus_docs"),
+            col("tsn").as("sample_docs"), lit(1000000L).as("weight_ppm"),
+            expr("CAST(tss * 1000000 div tsn AS BIGINT)").as("mean_tok_micro")))
+          .unionByName(tot.select(
+            lit("_poststrat").as("stratum"), col("tcn").as("corpus_docs"),
+            col("tsn").as("sample_docs"), lit(1000000L).as("weight_ppm"),
+            expr("CAST(wsum div wn AS BIGINT)").as("mean_tok_micro")))
+        langRows.unionByName(summary).orderBy("stratum")
+      },
+        Some(s"""WITH dd AS (SELECT doc_id,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS nt
+            FROM documents),
+          bb AS (SELECT doc_id, nt,
+              'band_' || CAST(least(nt // 20, 9) AS VARCHAR) AS stratum,
+              50 + (least(nt // 20, 9) % 3) * 100 AS rate_pm
+            FROM dd),
+          m AS (SELECT *, CASE WHEN
+              ${sqlHash32("'ps|' || CAST(doc_id AS VARCHAR)")} % 1000 < rate_pm
+              THEN 1 ELSE 0 END AS ins FROM bb),
+          per AS (SELECT stratum, CAST(count(*) AS BIGINT) AS cn,
+              CAST(sum(nt) AS BIGINT) AS cs,
+              CAST(sum(ins) AS BIGINT) AS sn,
+              CAST(sum(CASE WHEN ins = 1 THEN nt ELSE 0 END) AS BIGINT) AS ss
+            FROM m GROUP BY stratum),
+          lr AS (SELECT stratum, cn AS corpus_docs, sn AS sample_docs,
+              CAST(CASE WHEN sn = 0 THEN 0
+                ELSE cn * 1000000 // greatest(sn, 1) END AS BIGINT)
+                AS weight_ppm,
+              CAST(CASE WHEN sn = 0 THEN 0
+                ELSE ss * 1000000 // sn END AS BIGINT) AS mean_tok_micro
+            FROM per),
+          tot AS (SELECT CAST(sum(cn) AS BIGINT) AS tcn,
+              CAST(sum(cs) AS BIGINT) AS tcs,
+              CAST(sum(sn) AS BIGINT) AS tsn,
+              CAST(sum(ss) AS BIGINT) AS tss,
+              CAST(sum(CASE WHEN sn > 0
+                THEN cn * (ss * 1000000 // greatest(sn, 1)) ELSE 0 END)
+                AS BIGINT) AS wsum,
+              CAST(sum(CASE WHEN sn > 0 THEN cn ELSE 0 END) AS BIGINT) AS wn
+            FROM per),
+          summary AS (
+            SELECT '_true_corpus' AS stratum, tcn AS corpus_docs,
+              tsn AS sample_docs, CAST(1000000 AS BIGINT) AS weight_ppm,
+              CAST(tcs * 1000000 // tcn AS BIGINT) AS mean_tok_micro FROM tot
+            UNION ALL
+            SELECT '_naive_sample', tcn, tsn, CAST(1000000 AS BIGINT),
+              CAST(tss * 1000000 // tsn AS BIGINT) FROM tot
+            UNION ALL
+            SELECT '_poststrat', tcn, tsn, CAST(1000000 AS BIGINT),
+              CAST(wsum // wn AS BIGINT) FROM tot)
+          SELECT * FROM lr UNION ALL SELECT * FROM summary
+          ORDER BY stratum"""))
     )
   }
 

@@ -330,4 +330,47 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("q208 phrase search: adjacency joins are hash equi-joins, never cartesian") {
+    val df = Queries.queries("q208_phrase_search")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"phrase adjacency must stay an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin"), s"no hash/merge join found:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q216 watermark sizing: lateness window is partitioned per type (no global order)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Queries.queries("q216_watermark_sizing")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "running-max window must be partitioned by event_type")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q218 rollup: three aggregation levels compile to ONE Expand, no extra shuffle") {
+    val df = Queries.queries("q218_volume_rollup")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup should compile to Expand:\n$plan")
+    // one aggregate pair (partial+final) over the expanded rows — a
+    // per-level re-aggregation would show several distinct grouping sets
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 4, s"expected one partial+final aggregate chain, got $aggs:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }
