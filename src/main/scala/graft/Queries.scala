@@ -10097,7 +10097,118 @@ object Queries {
             SELECT '_poststrat', tcn, tsn, CAST(1000000 AS BIGINT),
               CAST(wsum // wn AS BIGINT) FROM tot)
           SELECT * FROM lr UNION ALL SELECT * FROM summary
-          ORDER BY stratum"""))
+          ORDER BY stratum""")),
+
+      // Session transition matrix — the Markov view of user behavior the
+      // fixed-order funnel (q183) cannot give: within q178's 30-minute
+      // gap sessions, count every (from → to) event-type transition and
+      // its share of the from-type's outgoing edges. One lag over the
+      // user-keyed window (the same chain q178/q204 use), then a
+      // |types|²-row rollup with a window over that tiny frame for the
+      // shares. Nothing is per-event after the first aggregate.
+      ("q222_event_transitions", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = eventsNs(s, d)
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(w))
+          .filter(col("from_type").isNotNull &&
+            col("gap_ns") <= lit(1800000000000L))
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        tr.withColumn("out_total",
+            sum(col("n")).over(Window.partitionBy("from_type")))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("CAST(n * 1000 div out_total AS BIGINT)").as("share_pm"))
+          .orderBy("from_type", "to_type")
+      },
+        Some("""WITH e AS (SELECT event_id, user_id, event_type,
+              epoch_ns(ts) AS tsn FROM events),
+          l AS (SELECT event_type AS to_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY tsn, event_id) AS from_type,
+              tsn - lag(tsn) OVER (PARTITION BY user_id
+                ORDER BY tsn, event_id) AS gap_ns
+            FROM e),
+          tr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM l WHERE from_type IS NOT NULL AND gap_ns <= 1800000000000
+            GROUP BY from_type, to_type)
+          SELECT from_type, to_type, n,
+            CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+              AS share_pm
+          FROM tr ORDER BY from_type, to_type""")),
+
+      // Burst detection in exact integer arithmetic — per event-type
+      // stream, flag hours whose count sits more than 3 trailing-window
+      // standard deviations above the trailing 24-hour mean, WITHOUT a
+      // single float: with S = Σc, S2 = Σc², n over the trailing window,
+      // z² > 9 is exactly (n·c − S)² > 9·(n·S2 − S²) — cross-multiplied
+      // like q195's thresholds, so both engines agree bit-for-bit and no
+      // sqrt/stddev ulp can flip a flag. A planted storm (every 37th
+      // event re-emitted into hour base+7, spread within the hour) must
+      // flag for every type. Scale shape: one (type, hour) count rollup,
+      // one RANGE window over the |hours|-sized frame — the raw stream
+      // is never windowed.
+      ("q223_burst_detection", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d).select("event_id", "event_type", "ts")
+        val base = ev.agg(min(col("ts")).as("t0"))
+        val storm = ev.filter(pmod(col("event_id"), lit(37L)) === 0L)
+          .crossJoin(broadcast(base))
+          .select((col("event_id") + 20000000L).as("event_id"),
+            col("event_type"),
+            (expr("(t0 div 3600000000000L + 7) * 3600000000000L") +
+              pmod(col("event_id"), lit(3600L)) * 1000000000L).as("ts"))
+        val hours = ev.unionByName(storm)
+          .groupBy(col("event_type"),
+            expr("ts div 3600000000000L").as("hour"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rangeBetween(-24, -1)
+        hours
+          .withColumn("nw", count(col("c")).over(w))
+          .withColumn("sw", sum(col("c")).over(w))
+          .withColumn("s2w", sum(col("c") * col("c")).over(w))
+          .withColumn("burst", when(col("nw") >= 12L &&
+            (col("nw") * col("c") - col("sw")) > 0L &&
+            (col("nw") * col("s2w") - col("sw") * col("sw") === 0L ||
+              (col("nw") * col("c") - col("sw")) *
+                (col("nw") * col("c") - col("sw")) >
+                lit(9L) * (col("nw") * col("s2w") - col("sw") * col("sw"))),
+            1L).otherwise(0L))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_hours"),
+            sum(col("burst")).as("n_burst"),
+            max(col("c")).as("max_hour_count"))
+          .withColumn("burst_pm",
+            expr("CAST(n_burst * 1000 div n_hours AS BIGINT)"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_id, event_type, epoch_ns(ts) AS tsn
+              FROM events),
+          t0 AS (SELECT min(tsn) AS t0 FROM e),
+          storm AS (SELECT event_id + 20000000 AS event_id, event_type,
+              ((SELECT t0 FROM t0) // 3600000000000 + 7) * 3600000000000
+                + (event_id % 3600) * 1000000000 AS tsn
+            FROM e WHERE event_id % 37 = 0),
+          u AS (SELECT * FROM e UNION ALL SELECT * FROM storm),
+          h AS (SELECT event_type, tsn // 3600000000000 AS hour,
+              CAST(count(*) AS BIGINT) AS c
+            FROM u GROUP BY event_type, tsn // 3600000000000),
+          wd AS (SELECT event_type, hour, c,
+              count(c) OVER tw AS nw, sum(c) OVER tw AS sw,
+              sum(c * c) OVER tw AS s2w
+            FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+              RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+          fl AS (SELECT event_type, c,
+              CASE WHEN nw >= 12 AND (nw * c - sw) > 0
+                AND (nw * s2w - sw * sw = 0
+                  OR (nw * c - sw) * (nw * c - sw) > 9 * (nw * s2w - sw * sw))
+                THEN 1 ELSE 0 END AS burst
+            FROM wd)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+            CAST(sum(burst) AS BIGINT) AS n_burst,
+            CAST(max(c) AS BIGINT) AS max_hour_count,
+            CAST(sum(burst) * 1000 // count(*) AS BIGINT) AS burst_pm
+          FROM fl GROUP BY event_type ORDER BY event_type"""))
     )
   }
 

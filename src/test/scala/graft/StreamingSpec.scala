@@ -866,4 +866,36 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) && got(3L) && got(8L) && !got(4L) && !got(6L) && !got(7L))
     q.stop()
   }
+
+  test("streaming IVF routing: Ann.ivfAssignDist runs unchanged on a vector stream, " +
+      "equals the batch assignment") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the assignment kernel is windowless (per-row fold over broadcast
+    // packed centroids), so the SAME code routes a continuous ingest
+    // stream — no streaming-specific operator needed
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.search.Ann.sampleCentroids(embs, 25)
+    val rows = embs.limit(12).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.search.Ann.ivfAssignDist(
+      input.toDF().toDF("vec_id", "embedding"), cents)
+    val q = out.writeStream.format("memory").queryName("ivfroute")
+      .outputMode("append").start()
+    input.addData(rows.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(rows.drop(5).toSeq)
+    q.processAllAvailable()
+    val got = spark.table("ivfroute")
+      .select("vec_id", "centroid_id", "dist2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.search.Ann.ivfAssignDist(
+        embs.limit(12).select(col("vec_id"), col("embedding")), cents)
+      .select("vec_id", "centroid_id", "dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"stream routing != batch assignment\n got=$got\nwant=$want")
+    assert(got.size == 12)
+    q.stop()
+  }
 }
