@@ -10208,7 +10208,235 @@ object Queries {
             CAST(sum(burst) AS BIGINT) AS n_burst,
             CAST(max(c) AS BIGINT) AS max_hour_count,
             CAST(sum(burst) * 1000 // count(*) AS BIGINT) AS burst_pm
-          FROM fl GROUP BY event_type ORDER BY event_type"""))
+          FROM fl GROUP BY event_type ORDER BY event_type""")),
+
+      // Fuzzy entity dedup — the edit-distance matching family (record
+      // linkage over misspelled titles) none of the token/shingle
+      // operators cover: entity strings (first-3-token doc titles) plus
+      // planted mid-string transpositions, blocked by (length, 4-char
+      // prefix) — the standard sorted-neighborhood-style prefilter that
+      // keeps the pair space block-local instead of quadratic — then
+      // verified with levenshtein ≤ 2 (both engines implement the same
+      // classic DP). A transposition preserves length and (planted
+      // beyond position 4) the prefix, so every planted variant is
+      // REACHABLE by the blocking; the documented tradeoff (like
+      // containmentPairs) is that a first-4-chars typo would be missed.
+      // Report: block stats + planted-recovery rate. Recovery reads
+      // 955‰ at sf0.01 — honestly: the remaining 2/45 planted
+      // "typos" transpose two EQUAL characters (a no-op), so they
+      // surface as exact duplicates (dist = 0), not fuzzy pairs.
+      ("q224_fuzzy_dedup", (s: SparkSession, d: String) => {
+        val titles = t(s, d, "documents")
+          .select(col("doc_id"),
+            concat_ws(" ", slice(TF.tokens(col("text")), 1, 3)).as("name"))
+          .filter(length(col("name")) >= 8)
+        val variants = titles.filter(pmod(col("doc_id"), lit(11L)) === 0L)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(substring(col("name"), 1, 5),
+              substring(col("name"), 7, 1), substring(col("name"), 6, 1),
+              expr("substring(name, 8)")).as("name"))
+        val ents = titles.unionByName(variants)
+          .withColumn("blk",
+            concat(length(col("name")), lit("|"), substring(col("name"), 1, 4)))
+          .persistTracked()
+        val pairs = ents.as("a").join(ents.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            levenshtein(col("a.name"), col("b.name")).as("dist"))
+        pairs.agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("dist") <= 2 && col("dist") > 0, 1L).otherwise(0L))
+              .as("n_fuzzy_pairs"),
+            sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
+            sum(when(col("id_b") - col("id_a") === 10000000L &&
+              col("dist") > 0 && col("dist") <= 2, 1L).otherwise(0L))
+              .as("n_planted_found"))
+          .crossJoin(broadcast(variants.agg(count(lit(1)).as("n_planted"))))
+          .withColumn("planted_found_pm", expr(
+            "CAST(n_planted_found * 1000 div greatest(n_planted, 1) AS BIGINT)"))
+      },
+        Some("""WITH ti AS (SELECT doc_id,
+              array_to_string(list_filter(string_split_regex(text, '\s+'),
+                x -> len(x) > 0)[1:3], ' ') AS name
+            FROM documents),
+          tit AS (SELECT doc_id, name FROM ti WHERE length(name) >= 8),
+          var AS (SELECT doc_id + 10000000 AS doc_id,
+              substr(name, 1, 5) || substr(name, 7, 1) || substr(name, 6, 1)
+                || substr(name, 8) AS name
+            FROM tit WHERE doc_id % 11 = 0),
+          ents AS (SELECT doc_id, name,
+              CAST(length(name) AS VARCHAR) || '|' || substr(name, 1, 4) AS blk
+            FROM (SELECT * FROM tit UNION ALL SELECT * FROM var)),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              levenshtein(a.name, b.name) AS dist
+            FROM ents a JOIN ents b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id)
+          SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+            CAST(sum(CASE WHEN dist <= 2 AND dist > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fuzzy_pairs,
+            CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_exact_pairs,
+            CAST(sum(CASE WHEN id_b - id_a = 10000000 AND dist > 0
+              AND dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_found,
+            (SELECT CAST(count(*) AS BIGINT) FROM var) AS n_planted,
+            CAST(sum(CASE WHEN id_b - id_a = 10000000 AND dist > 0
+              AND dist <= 2 THEN 1 ELSE 0 END) * 1000
+              // greatest((SELECT count(*) FROM var), 1) AS BIGINT)
+              AS planted_found_pm
+          FROM pairs""")),
+
+      // Robust value-outlier detection (median/MAD), float-free — the
+      // robust-statistics complement to q223's mean/sigma test: per
+      // event type, the exact median and median-absolute-deviation of
+      // integer cents via TWO value-keyed histogram passes (q207's
+      // trick — no per-type sort of the raw stream at any scale), then
+      // outliers as |v − median| · 1 > 5 · MAD, all integers. A planted
+      // fat tail (every 97th event at 40× value) must surface; MAD is
+      // untouched by it — that robustness is the point (a mean/sigma
+      // rule would have its threshold dragged by the very outliers it
+      // hunts).
+      ("q225_value_mad_outliers", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .select(col("event_type"),
+            (expr("CAST(round(value * 100) AS BIGINT)") *
+              when(pmod(col("event_id"), lit(97L)) === 0L, 40L).otherwise(1L))
+              .as("cents"))
+          .persistTracked()
+        def medianOf(df: DataFrame, valCol: String): DataFrame = {
+          val hist = df.groupBy("event_type", valCol)
+            .agg(count(lit(1)).as("c"))
+          val wcum = Window.partitionBy("event_type").orderBy(valCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          hist.withColumn("cum", sum(col("c")).over(wcum))
+            .withColumn("n",
+              sum(col("c")).over(Window.partitionBy("event_type")))
+            .groupBy("event_type")
+            .agg(min(when(col("cum") * 2 >= col("n"), col(valCol)))
+              .as(s"med_$valCol"))
+        }
+        val med = medianOf(ev, "cents")
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("cents") - col("med_cents")))
+        val mad = medianOf(dev.select(col("event_type"), col("adev")), "adev")
+        ev.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_events"),
+            max(col("med_cents")).as("median_cents"),
+            max(col("med_adev")).as("mad_cents"),
+            sum(when(abs(col("cents") - col("med_cents")) >
+              lit(5L) * col("med_adev"), 1L).otherwise(0L)).as("n_outliers"))
+          .withColumn("outlier_ppm",
+            expr("CAST(n_outliers * 1000000 div n_events AS BIGINT)"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_type,
+              CAST(round(value * 100) AS BIGINT)
+                * CASE WHEN event_id % 97 = 0 THEN 40 ELSE 1 END AS cents
+            FROM events),
+          h1 AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY event_type, cents),
+          c1 AS (SELECT event_type, cents, c,
+              sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS n FROM h1),
+          med AS (SELECT event_type,
+              CAST(min(CASE WHEN cum * 2 >= n THEN cents END) AS BIGINT)
+                AS med_cents
+            FROM c1 GROUP BY event_type),
+          dv AS (SELECT e.event_type, abs(e.cents - med.med_cents) AS adev
+            FROM e JOIN med ON med.event_type = e.event_type),
+          h2 AS (SELECT event_type, adev, CAST(count(*) AS BIGINT) AS c
+            FROM dv GROUP BY event_type, adev),
+          c2 AS (SELECT event_type, adev, c,
+              sum(c) OVER (PARTITION BY event_type ORDER BY adev
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY event_type) AS n FROM h2),
+          mad AS (SELECT event_type,
+              CAST(min(CASE WHEN cum * 2 >= n THEN adev END) AS BIGINT)
+                AS med_adev
+            FROM c2 GROUP BY event_type)
+          SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(max(med.med_cents) AS BIGINT) AS median_cents,
+            CAST(max(mad.med_adev) AS BIGINT) AS mad_cents,
+            CAST(sum(CASE WHEN abs(e.cents - med.med_cents)
+              > 5 * mad.med_adev THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+            CAST(sum(CASE WHEN abs(e.cents - med.med_cents)
+              > 5 * mad.med_adev THEN 1 ELSE 0 END) * 1000000 // count(*)
+              AS BIGINT) AS outlier_ppm
+          FROM e
+          JOIN med ON med.event_type = e.event_type
+          JOIN mad ON mad.event_type = e.event_type
+          GROUP BY e.event_type ORDER BY e.event_type""")),
+
+      // HTML text extraction — the first stage of every crawl-curation
+      // pipeline, proven on a planted wrapper: each doc is wrapped in a
+      // deterministic page (head/title/script, h1, p-body, footer), the
+      // extractor drops head/script/footer ELEMENTS wholesale, strips
+      // remaining tags, and collapses whitespace; since the planted page
+      // is fully known, the query emits the end-to-end proof — extracted
+      // text must equal "Doc <id> " + the original (h1 + body survive,
+      // chrome does not) — as match_pm next to the boilerplate mass
+      // removed. Pure per-row codegen regex chain; one |sources|-row
+      // rollup.
+      ("q226_html_extract", (s: SparkSession, d: String) => {
+        val wrapped = t(s, d, "documents")
+          .withColumn("page", concat(
+            lit("<html><head><title>Doc "), col("doc_id"),
+            lit("</title><script>var x=1;</script>"),
+            lit("<style>body{margin:0}</style></head><body><h1>Doc "),
+            col("doc_id"), lit("</h1><p>"), col("text"),
+            lit("</p><footer>(c) example.com</footer></body></html>")))
+        val stripped = wrapped
+          .withColumn("s1", regexp_replace(col("page"),
+            lit("<head>.*?</head>"), lit(" ")))
+          .withColumn("s2", regexp_replace(col("s1"),
+            lit("<footer>.*?</footer>"), lit(" ")))
+          .withColumn("s3", regexp_replace(col("s2"),
+            lit("<[^>]+>"), lit(" ")))
+          .withColumn("extracted", trim(regexp_replace(col("s3"),
+            lit("\\s+"), lit(" "))))
+        stripped
+          .withColumn("want", concat(lit("Doc "), col("doc_id"), lit(" "),
+            trim(regexp_replace(col("text"), lit("\\s+"), lit(" ")))))
+          .withColumn("ok", when(col("extracted") === col("want"), 1L)
+            .otherwise(0L))
+          .withColumn("removed",
+            (length(col("page")) - length(col("extracted"))).cast("long"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ok")).as("n_match"),
+            sum(col("removed")).as("chars_removed"))
+          .withColumn("match_pm",
+            expr("CAST(n_match * 1000 div n_docs AS BIGINT)"))
+          .orderBy("source")
+      },
+        Some("""WITH w AS (SELECT doc_id, source, text,
+              '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                || '</title><script>var x=1;</script>'
+                || '<style>body{margin:0}</style></head><body><h1>Doc '
+                || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+                || '</p><footer>(c) example.com</footer></body></html>'
+                AS page
+            FROM documents),
+          st AS (SELECT doc_id, source, text, page,
+              trim(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(page, '<head>.*?</head>', ' '),
+                '<footer>.*?</footer>', ' '),
+                '<[^>]+>', ' ', 'g'),
+                '\s+', ' ', 'g')) AS extracted
+            FROM w),
+          f AS (SELECT source,
+              CASE WHEN extracted = 'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+                || trim(regexp_replace(text, '\s+', ' ', 'g'))
+                THEN 1 ELSE 0 END AS ok,
+              CAST(length(page) - length(extracted) AS BIGINT) AS removed
+            FROM st)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(ok) AS BIGINT) AS n_match,
+            CAST(sum(removed) AS BIGINT) AS chars_removed,
+            CAST(sum(ok) * 1000 // count(*) AS BIGINT) AS match_pm
+          FROM f GROUP BY source ORDER BY source"""))
     )
   }
 
