@@ -10436,7 +10436,210 @@ object Queries {
             CAST(sum(ok) AS BIGINT) AS n_match,
             CAST(sum(removed) AS BIGINT) AS chars_removed,
             CAST(sum(ok) * 1000 // count(*) AS BIGINT) AS match_pm
-          FROM f GROUP BY source ORDER BY source"""))
+          FROM f GROUP BY source ORDER BY source""")),
+
+      // Dup-cluster density audit — how TIGHT each near-dup cluster is:
+      // density = 2E/(n(n−1)) over the direct LSH pair edges, bucketed
+      // in permille (artifact consumer #16 + the one pair pass q197
+      // uses). Density 1000 = a clique (true re-publication group);
+      // low density = a CHAIN the transitive closure glued together —
+      // exactly the clusters where picking one keeper risks deleting
+      // non-duplicates, so this report is read before trusting
+      // keeper-only retention. Every LSH pair is within-cluster by CC
+      // construction, so edges-per-cluster is one artifact join + a
+      // cluster-keyed count; nothing pairwise is recomputed.
+      ("q227_cluster_density", (s: SparkSession, d: String) => {
+        val art = clusterArtifact(s, d, fastHash = false)
+        val pairs = Dedup.minhashLsh(
+            nearDupCorpus(t(s, d, "documents").select("doc_id", "text")),
+            "doc_id", "text",
+            shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+          .select(col("doc_a"))
+        val edges = pairs
+          .join(art.select(col("doc_id").as("doc_a"), col("cluster")), "doc_a")
+          .groupBy("cluster").agg(count(lit(1)).as("e"))
+        art.groupBy("cluster").agg(count(lit(1)).as("n"))
+          .join(edges, Seq("cluster"), "left")
+          .withColumn("e", coalesce(col("e"), lit(0L)))
+          .withColumn("density_pm",
+            expr("CAST(e * 2000 div (n * (n - 1)) AS BIGINT)"))
+          .groupBy(expr("CAST(least(density_pm div 200, 4L) AS BIGINT)")
+            .as("density_bucket"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_members"),
+            expr("CAST(sum(density_pm) div count(1) AS BIGINT)")
+              .as("mean_density_pm"))
+          .orderBy("density_bucket")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          sz AS (SELECT lab AS cluster, CAST(count(*) AS BIGINT) AS n
+            FROM cc GROUP BY lab),
+          ec AS (SELECT cc.lab AS cluster, CAST(count(*) AS BIGINT) AS e
+            FROM pairs_mh p JOIN cc ON cc.id = p.doc_a GROUP BY cc.lab),
+          dens AS (SELECT sz.cluster, sz.n, coalesce(ec.e, 0) AS e,
+              CAST(coalesce(ec.e, 0) * 2000 // (sz.n * (sz.n - 1)) AS BIGINT)
+                AS density_pm
+            FROM sz LEFT JOIN ec ON ec.cluster = sz.cluster)
+          SELECT CAST(least(density_pm // 200, 4) AS BIGINT)
+              AS density_bucket,
+            CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(n) AS BIGINT) AS n_members,
+            CAST(sum(density_pm) // count(*) AS BIGINT) AS mean_density_pm
+          FROM dens GROUP BY least(density_pm // 200, 4)
+          ORDER BY density_bucket""")),
+
+      // Exact rolling active users (DAU / 2-day / WAU) — the product
+      // health metric computed EXACTLY without a day×user explode or an
+      // approx-distinct sketch: distinct (user, day) rows are merged
+      // into per-user coverage intervals (the q178 gap-session chain —
+      // a user-day covers the rolling window for W following days, and
+      // overlapping coverages fuse), each merged interval contributes
+      // ±1 diff markers, and a prefix sum over the |days|-sized marker
+      // frame reads off the rolling count at every activity day. Scale
+      // shape: per-user windows bounded by that user's activity; the
+      // only unpartitioned window is over the |days| histogram (q207's
+      // rule). At 100 TB this replaces the usual "count distinct over a
+      // 7-day self-join" — which re-scans each event 7×.
+      ("q228_active_users", (s: SparkSession, d: String) => {
+        val ud = eventsNs(s, d)
+          .select(col("user_id"),
+            expr("ts div 86400000000000L").as("day"))
+          .distinct().persistTracked()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        def rolling(w: Int, alias: String): DataFrame = {
+          val lw = Window.partitionBy("user_id").orderBy("day")
+          val iv = ud
+            .withColumn("prev", lag(col("day"), 1).over(lw))
+            .withColumn("newiv",
+              when(col("prev").isNull ||
+                col("day") - col("prev") > w - 1, 1L).otherwise(0L))
+            .withColumn("ivid", sum(col("newiv")).over(
+              lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy("user_id", "ivid").agg(
+              min(col("day")).as("s"),
+              (max(col("day")) + (w - 1)).as("e"))
+          // seed a zero marker at every activity day so the prefix sum is
+          // defined exactly where the report reads it (a day whose actives
+          // all carried over from earlier days starts no interval)
+          val diffs = iv.select(col("s").as("day"), lit(1L).as("df"))
+            .unionByName(iv.select((col("e") + 1).as("day"),
+              lit(-1L).as("df")))
+            .unionByName(ud.select(col("day")).distinct()
+              .withColumn("df", lit(0L)))
+            .groupBy("day").agg(sum(col("df")).as("df"))
+          diffs.withColumn(alias, sum(col("df")).over(
+              Window.orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .select(col("day"), col(alias))
+        }
+        val w2 = rolling(2, "active_2d")
+        val w7 = rolling(7, "active_7d")
+        dau.join(w2, Seq("day"), "left").join(w7, Seq("day"), "left")
+          .select(col("day"), col("dau"),
+            col("active_2d"), col("active_7d"))
+          .orderBy("day")
+      },
+        Some {
+          def sqlRolling(w: Int, alias: String): String =
+            s"""l_$alias AS (SELECT user_id, day,
+              lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+            FROM ud),
+          f_$alias AS (SELECT user_id, day,
+              CASE WHEN prev IS NULL OR day - prev > ${w - 1}
+                THEN 1 ELSE 0 END AS newiv FROM l_$alias),
+          g_$alias AS (SELECT user_id, day,
+              sum(newiv) OVER (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS ivid FROM f_$alias),
+          iv_$alias AS (SELECT user_id, ivid, min(day) AS s,
+              max(day) + ${w - 1} AS e
+            FROM g_$alias GROUP BY user_id, ivid),
+          df_$alias AS (SELECT day, CAST(sum(df) AS BIGINT) AS df FROM (
+              SELECT s AS day, 1 AS df FROM iv_$alias
+              UNION ALL SELECT e + 1, -1 FROM iv_$alias
+              UNION ALL SELECT DISTINCT day, 0 FROM ud)
+            GROUP BY day),
+          r_$alias AS (SELECT day,
+              CAST(sum(df) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS $alias
+            FROM df_$alias)"""
+          s"""WITH ud AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 86400000000000 AS day FROM events),
+          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY day),
+          ${sqlRolling(2, "active_2d")},
+          ${sqlRolling(7, "active_7d")}
+          SELECT dau.day, dau.dau, a2.active_2d, a7.active_7d
+          FROM dau
+          LEFT JOIN r_active_2d a2 ON a2.day = dau.day
+          LEFT JOIN r_active_7d a7 ON a7.day = dau.day
+          ORDER BY dau.day"""
+        }),
+
+      // SCD2 dimension build — the warehouse slowly-changing-dimension
+      // pattern over the event stream: per user, consecutive runs of the
+      // same event type become (user, status, valid_from, valid_to)
+      // validity intervals (valid_to = next run's start; the last run
+      // stays open). The report rolls the interval table up per status:
+      // interval counts, open rows, and the mean CLOSED-interval
+      // duration in exact integer minutes. One user-keyed lag window
+      // for run boundaries + one groupBy + one lead window over the
+      // runs frame (already |runs|-sized, not |events|-sized).
+      ("q229_scd2_intervals", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val runs = eventsNs(s, d)
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "run_id").agg(
+            min(col("ts")).as("valid_from"),
+            first(col("event_type")).as("status"),
+            count(lit(1)).as("n_events"))
+        val lw = Window.partitionBy("user_id").orderBy("run_id")
+        runs.withColumn("valid_to", lead(col("valid_from"), 1).over(lw))
+          .groupBy("status").agg(
+            count(lit(1)).as("n_intervals"),
+            sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+            sum(col("n_events")).as("n_events"),
+            expr("""CAST(sum(CASE WHEN valid_to IS NOT NULL
+              THEN (valid_to - valid_from) div 60000000000L ELSE 0 END)
+              div greatest(sum(CASE WHEN valid_to IS NOT NULL
+                THEN 1 ELSE 0 END), 1) AS BIGINT)""").as("mean_closed_min"))
+          .orderBy("status")
+      },
+        Some("""WITH e AS (SELECT event_id, user_id, event_type,
+              epoch_ns(ts) AS tsn FROM events),
+          l AS (SELECT *, CASE WHEN lag(event_type) OVER uw IS NULL
+              OR lag(event_type) OVER uw <> event_type THEN 1 ELSE 0 END
+              AS chg
+            FROM e WINDOW uw AS (PARTITION BY user_id
+              ORDER BY tsn, event_id)),
+          r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+              ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM l),
+          runs AS (SELECT user_id, run_id, min(tsn) AS valid_from,
+              min(event_type) AS status, CAST(count(*) AS BIGINT) AS n_events
+            FROM r GROUP BY user_id, run_id),
+          iv AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+              ORDER BY run_id) AS valid_to FROM runs)
+          SELECT status, CAST(count(*) AS BIGINT) AS n_intervals,
+            CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_open,
+            CAST(sum(n_events) AS BIGINT) AS n_events,
+            CAST(sum(CASE WHEN valid_to IS NOT NULL
+              THEN (valid_to - valid_from) // 60000000000 ELSE 0 END)
+              // greatest(sum(CASE WHEN valid_to IS NOT NULL
+                THEN 1 ELSE 0 END), 1) AS BIGINT) AS mean_closed_min
+          FROM iv GROUP BY status ORDER BY status"""))
     )
   }
 
