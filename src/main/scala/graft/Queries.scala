@@ -10639,7 +10639,210 @@ object Queries {
               THEN (valid_to - valid_from) // 60000000000 ELSE 0 END)
               // greatest(sum(CASE WHEN valid_to IS NOT NULL
                 THEN 1 ELSE 0 END), 1) AS BIGINT) AS mean_closed_min
-          FROM iv GROUP BY status ORDER BY status"""))
+          FROM iv GROUP BY status ORDER BY status""")),
+
+      // Referential-integrity audit — the data-quality gate a warehouse
+      // runs after every load: orphan counts for each FK relationship of
+      // the star schema, as LEFT-ANTI probes against the parent keys.
+      // Corruption fixture: child rows with key ≡ 13 (mod 997) have
+      // their FK shifted out of range, so the audit must find EXACTLY
+      // those (the clean tables' organic orphan count is 0 — asserted
+      // by the orphan_ppm column being exactly the planted rate). Scale
+      // shape: each relationship is one anti-join keyed on the FK;
+      // parent key sets broadcast where small.
+      ("q230_fk_orphans", (s: SparkSession, d: String) => {
+        def corrupt(df: DataFrame, keyCol: String, fkCol: String): DataFrame =
+          df.withColumn(fkCol,
+            when(pmod(col(keyCol), lit(997L)) === 13L,
+              col(fkCol) + 1000000000L).otherwise(col(fkCol)))
+        def audit(rel: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String): DataFrame = {
+          val orphans = child.join(parent.select(col(pk).as(fk)),
+            Seq(fk), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(rel).as("relationship"), col("n_child"),
+              col("n_orphans"),
+              expr("CAST(n_orphans * 1000000 div n_child AS BIGINT)")
+                .as("orphan_ppm"))
+        }
+        val li = t(s, d, "lineitem")
+          .withColumn("lk",
+            col("l_orderkey") * 10 + col("l_linenumber"))
+        Seq(
+          audit("lineitem->orders",
+            corrupt(li, "lk", "l_orderkey"), "l_orderkey",
+            t(s, d, "orders"), "o_orderkey"),
+          audit("lineitem->part",
+            corrupt(li, "lk", "l_partkey"), "l_partkey",
+            t(s, d, "part"), "p_partkey"),
+          audit("lineitem->supplier",
+            corrupt(li, "lk", "l_suppkey"), "l_suppkey",
+            t(s, d, "supplier"), "s_suppkey"),
+          audit("orders->customer",
+            corrupt(t(s, d, "orders"), "o_orderkey", "o_custkey"),
+            "o_custkey", t(s, d, "customer"), "c_custkey"),
+          audit("customer->nation",
+            corrupt(t(s, d, "customer"), "c_custkey", "c_nationkey"),
+            "c_nationkey", t(s, d, "nation"), "n_nationkey"))
+          .reduce(_ unionByName _).orderBy("relationship")
+      },
+        Some {
+          def sqlAudit(rel: String, child: String, key: String, fk: String,
+              parent: String, pk: String): String =
+            s"""SELECT '$rel' AS relationship,
+              (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT CASE WHEN ($key) % 997 = 13
+                    THEN $fk + 1000000000 ELSE $fk END AS f
+                FROM $child) c
+                WHERE c.f NOT IN (SELECT $pk FROM $parent)) AS n_orphans,
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT CASE WHEN ($key) % 997 = 13
+                    THEN $fk + 1000000000 ELSE $fk END AS f
+                FROM $child) c
+                WHERE c.f NOT IN (SELECT $pk FROM $parent)) * 1000000
+                // (SELECT count(*) FROM $child) AS orphan_ppm"""
+          s"""SELECT relationship, n_child, n_orphans,
+            CAST(orphan_ppm AS BIGINT) AS orphan_ppm FROM (
+          ${sqlAudit("lineitem->orders", "lineitem",
+            "l_orderkey * 10 + l_linenumber", "l_orderkey",
+            "orders", "o_orderkey")}
+          UNION ALL
+          ${sqlAudit("lineitem->part", "lineitem",
+            "l_orderkey * 10 + l_linenumber", "l_partkey",
+            "part", "p_partkey")}
+          UNION ALL
+          ${sqlAudit("lineitem->supplier", "lineitem",
+            "l_orderkey * 10 + l_linenumber", "l_suppkey",
+            "supplier", "s_suppkey")}
+          UNION ALL
+          ${sqlAudit("orders->customer", "orders", "o_orderkey",
+            "o_custkey", "customer", "c_custkey")}
+          UNION ALL
+          ${sqlAudit("customer->nation", "customer", "c_custkey",
+            "c_nationkey", "nation", "n_nationkey")})
+          ORDER BY relationship"""
+        }),
+
+      // Versioned latest-wins read (CDC merge-read) — late CORRECTIONS
+      // to existing keys, resolved by "newest processing stamp wins"
+      // per event key: every 13th event is re-issued later with its
+      // value raised by 5.00; the read at processing cutoff P1 sees the
+      // originals, the read at P2 resolves each key to its latest
+      // version via one max-arrival rollup + self-join (the CDC
+      // upsert-read path — q219's restatement is the APPEND analogue;
+      // this is the UPDATE one). Per type: summed cents at both reads,
+      // corrected-row count, exact delta (= 500 · corrections).
+      ("q231_versioned_read", (s: SparkSession, d: String) => {
+        val base = eventsNs(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            col("event_id").as("arrival"))
+        val corr = base.filter(pmod(col("event_id"), lit(13L)) === 0L)
+          .select(col("event_id"), col("event_type"),
+            (col("cents") + 500L).as("cents"),
+            (col("arrival") + 30000000L).as("arrival"))
+        val versions = base.unionByName(corr)
+        def readAt(v: DataFrame): DataFrame = {
+          val latest = v.groupBy("event_id")
+            .agg(max(col("arrival")).as("arrival"))
+          v.join(latest, Seq("event_id", "arrival"))
+        }
+        val p1 = readAt(versions.filter(col("arrival") < 30000000L))
+          .groupBy("event_type").agg(sum(col("cents")).as("cents_p1"))
+        val p2 = readAt(versions)
+          .groupBy("event_type").agg(sum(col("cents")).as("cents_p2"),
+            sum(when(col("arrival") >= 30000000L, 1L).otherwise(0L))
+              .as("n_corrected"))
+        p1.join(p2, "event_type")
+          .withColumn("delta_cents", col("cents_p2") - col("cents_p1"))
+          .orderBy("event_type")
+      },
+        Some("""WITH b AS (SELECT event_id, event_type,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              event_id AS arrival FROM events),
+          c AS (SELECT event_id, event_type, cents + 500 AS cents,
+              arrival + 30000000 AS arrival FROM b WHERE event_id % 13 = 0),
+          v AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+          p1v AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_id ORDER BY arrival DESC) AS rn
+            FROM v WHERE arrival < 30000000) WHERE rn = 1),
+          p2v AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_id ORDER BY arrival DESC) AS rn
+            FROM v) WHERE rn = 1),
+          a1 AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS cents_p1
+            FROM p1v GROUP BY event_type),
+          a2 AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS cents_p2,
+              CAST(sum(CASE WHEN arrival >= 30000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrected
+            FROM p2v GROUP BY event_type)
+          SELECT a1.event_type, cents_p1, cents_p2, n_corrected,
+            cents_p2 - cents_p1 AS delta_cents
+          FROM a1 JOIN a2 ON a2.event_type = a1.event_type
+          ORDER BY a1.event_type""")),
+
+      // Column-profile contract diff — the "data contract" check run
+      // between two shipments of the same table: per column, a
+      // value-level fingerprint (null ppm, distinct count, min/max as
+      // strings) for shard A (even doc_id) vs shard B (odd), with a
+      // drift flag per metric. Schema drift that type-checks (a lang
+      // vanishing, a length distribution shifting) shows up HERE, not
+      // in the schema registry. All metrics are strings so one narrow
+      // frame carries heterogeneous columns; each shard pass is one
+      // aggregate.
+      ("q232_profile_diff", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        def profile(shard: DataFrame, colName: String): DataFrame =
+          shard.agg(
+            expr(s"CAST(sum(CASE WHEN $colName IS NULL THEN 1 ELSE 0 END) " +
+              "* 1000000 div count(1) AS BIGINT)").as("null_ppm"),
+            countDistinct(col(colName)).as("n_distinct"),
+            min(col(colName)).cast("string").as("min_v"),
+            max(col(colName)).cast("string").as("max_v"))
+            .select(lit(colName).as("col_name"), col("null_ppm"),
+              col("n_distinct"), col("min_v"), col("max_v"))
+        val a = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        val b = docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        val cols = Seq("lang", "source", "n_chars")
+        val pa = cols.map(c => profile(a, c)).reduce(_ unionByName _)
+        val pb = cols.map(c => profile(b, c)).reduce(_ unionByName _)
+        pa.as("a").join(pb.as("b"), Seq("col_name"))
+          .select(col("col_name"),
+            col("a.null_ppm").as("null_ppm_a"), col("b.null_ppm").as("null_ppm_b"),
+            col("a.n_distinct").as("distinct_a"), col("b.n_distinct").as("distinct_b"),
+            when(col("a.n_distinct") =!= col("b.n_distinct") ||
+              col("a.null_ppm") =!= col("b.null_ppm") ||
+              col("a.min_v") =!= col("b.min_v") ||
+              col("a.max_v") =!= col("b.max_v"), 1L).otherwise(0L)
+              .as("drift"))
+          .orderBy("col_name")
+      },
+        Some {
+          def sqlProfile(pred: String, c: String): String =
+            s"""SELECT '$c' AS col_name,
+              CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS null_ppm,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_v,
+              CAST(max($c) AS VARCHAR) AS max_v
+            FROM documents WHERE $pred"""
+          val cols = Seq("lang", "source", "n_chars")
+          val pa = cols.map(c => sqlProfile("doc_id % 2 = 0", c))
+            .mkString(" UNION ALL ")
+          val pb = cols.map(c => sqlProfile("doc_id % 2 = 1", c))
+            .mkString(" UNION ALL ")
+          s"""WITH a AS ($pa), b AS ($pb)
+          SELECT a.col_name,
+            a.null_ppm AS null_ppm_a, b.null_ppm AS null_ppm_b,
+            a.n_distinct AS distinct_a, b.n_distinct AS distinct_b,
+            CAST(CASE WHEN a.n_distinct <> b.n_distinct
+              OR a.null_ppm <> b.null_ppm
+              OR a.min_v <> b.min_v OR a.max_v <> b.max_v
+              THEN 1 ELSE 0 END AS BIGINT) AS drift
+          FROM a JOIN b ON b.col_name = a.col_name
+          ORDER BY a.col_name"""
+        })
     )
   }
 
