@@ -103,6 +103,36 @@ object Scale {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    // relational star-schema tables scale horizontally too: each copy
+    // shifts its PKs AND the matching FKs by the same amount, so every
+    // copy is a self-consistent sub-schema (an FK audit sees K× the
+    // children and the same orphan structure). nation/region are
+    // enumeration tables — verbatim, FKs to them unshifted.
+    assertIdHeadroom("orders", "o_orderkey", 1000000L)
+    assertIdHeadroom("customer", "c_custkey", 1000000L)
+    assertIdHeadroom("supplier", "s_suppkey", 1000000L)
+    assertIdHeadroom("part", "p_partkey", 1000000L)
+    def scaleRel(table: String, shifts: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      (0 until copies).map { i =>
+        shifts.foldLeft(base) { case (df, (c, m)) =>
+          df.withColumn(c, col(c) + lit(i * m))
+        }
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    scaleRel("orders", Map("o_orderkey" -> 1000000L, "o_custkey" -> 1000000L))
+    scaleRel("customer", Map("c_custkey" -> 1000000L))
+    scaleRel("supplier", Map("s_suppkey" -> 1000000L))
+    scaleRel("part", Map("p_partkey" -> 1000000L))
+    scaleRel("lineitem", Map("l_orderkey" -> 1000000L,
+      "l_partkey" -> 1000000L, "l_suppkey" -> 1000000L))
+    Seq("nation", "region").foreach { tb =>
+      spark.read.parquet(s"$sfDir/$tb.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$tb.parquet")
+    }
+
     // hash-stage microbenchmarks: the tokenize→shingle→hash map stage of
     // the minhash pipeline in isolation (no banding/join/verify), so the
     // md5↔xxhash64 swap is measured without downstream noise
