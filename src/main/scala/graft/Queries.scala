@@ -2016,6 +2016,26 @@ object Queries {
 
   private val clusterArtifactPaths =
     scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
+
+  private val postingsArtifactPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Materialize-once positional postings (term, doc_id, pos) over the
+    * documents table — built on first use per sfDir, persisted
+    * term-bucketed via [[graft.ops.Models.savePostings]], loaded by every
+    * later consumer (q235). The q141 pattern for the TEXT-serving side.
+    */
+  private def postingsArtifact(s: SparkSession, d: String): DataFrame = {
+    val path = postingsArtifactPaths.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft-postings-")
+        .resolve("postings").toString
+      val post = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .select(col("col").as("term"), col("doc_id"), col("pos"))
+      graft.ops.Models.savePostings(post, p)
+      p
+    })
+    graft.ops.Models.loadPostings(s, path)
+  }
   /** Per-doc ablation flags shared by q173 (lattice) and q202 (filter
     * ordering): f_dup (non-keeper member of a near-dup cluster, from the
     * persisted artifact), f_contam (shares an 8-gram with the q75 eval
@@ -10842,7 +10862,150 @@ object Queries {
               THEN 1 ELSE 0 END AS BIGINT) AS drift
           FROM a JOIN b ON b.col_name = a.col_name
           ORDER BY a.col_name"""
-        })
+        }),
+
+      // Market-basket pair mining — A-priori level 2 over the order
+      // lines: parts co-occurring in the same order, with support,
+      // confidence, and LIFT in exact integer ppm (lift > 1e6 ⇔
+      // n·n_ab > n_a·n_b, every comparison cross-multiplied — no float
+      // division ranks the output). The pair explode is bounded by the
+      // per-order line count (~7), so candidates are |orders|·L²/2,
+      // never |parts|². Output: the top-10 lift pairs among pairs with
+      // support ≥ 5 orders (count desc tie-broken by part ids —
+      // deterministic).
+      ("q233_market_basket", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().persistTracked()
+        val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n"))
+        val itemN = li.groupBy("pk").agg(count(lit(1)).as("n_item"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+        pairs
+          .join(itemN.select(col("pk").as("pa"), col("n_item").as("n_a")), "pa")
+          .join(itemN.select(col("pk").as("pb"), col("n_item").as("n_b")), "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("n_ab"),
+            expr("CAST(n_ab * 1000000 div n_a AS BIGINT)").as("conf_a_ppm"),
+            expr("CAST((n_ab * n) * 1000000 div (n_a * n_b) AS BIGINT)")
+              .as("lift_ppm"))
+          .orderBy(desc("lift_ppm"), desc("n_ab"), asc("pa"), asc("pb"))
+          .limit(10)
+      },
+        Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+          it AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+            FROM li GROUP BY pk),
+          pr AS (SELECT a.pk AS pa, b.pk AS pb,
+              CAST(count(*) AS BIGINT) AS n_ab
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 5)
+          SELECT pa, pb, n_ab,
+            CAST(n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_a_ppm,
+            CAST((n_ab * n.n) * 1000000 // (ia.n_item * ib.n_item)
+              AS BIGINT) AS lift_ppm
+          FROM pr
+          JOIN it ia ON ia.pk = pr.pa
+          JOIN it ib ON ib.pk = pr.pb
+          CROSS JOIN n
+          ORDER BY lift_ppm DESC, n_ab DESC, pa, pb LIMIT 10""")),
+
+      // Per-source distinctive terms (TF-IDF) — which words make each
+      // source read like itself: source-level term frequency × corpus
+      // inverse document frequency (6-dp-rounded log over integer
+      // counts — the q83 precedent), top-3 terms per source via a rank
+      // window over the |sources|×|vocab| frame (WindowGroupLimit).
+      // IDF uses doc-level df, so boilerplate that appears everywhere
+      // scores ~0 regardless of its in-source frequency.
+      ("q234_tfidf_terms", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TF.tokens(col("text")).as("toks")).persistTracked()
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+        val df = docs.select(explode(array_distinct(col("toks"))).as("term"),
+            col("doc_id"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val tf = docs.select(col("source"), explode(col("toks")).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score", round(col("tf") *
+            log(col("nd") / col("df").cast("double")), 6))
+        scored.withColumn("rnk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(desc("score"), asc("term"))))
+          .filter(col("rnk") <= 3)
+          .select(col("source"), col("rnk").cast("long").as("rnk"),
+            col("term"), col("score"))
+          .orderBy("source", "rnk")
+      },
+        Some(s"""WITH dk AS (SELECT doc_id, source, ${sqlTokens("text")} AS toks
+              FROM documents),
+          nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM dk),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+              SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS term
+              FROM dk) GROUP BY term),
+          tfq AS (SELECT source, unnest(toks) AS term FROM dk),
+          tfa AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tfq GROUP BY source, term),
+          sc AS (SELECT source, term,
+              round(tf * ln(nd.nd / CAST(df AS DOUBLE)), 6) AS score
+            FROM tfa JOIN dfq USING (term) CROSS JOIN nd),
+          rk AS (SELECT source, term, score, row_number() OVER (
+              PARTITION BY source ORDER BY score DESC, term) AS rnk
+            FROM sc)
+          SELECT source, CAST(rnk AS BIGINT) AS rnk, term, score
+          FROM rk WHERE rnk <= 3 ORDER BY source, rnk""")),
+
+      // Materialize-once postings index — the term-serving counterpart
+      // of the q141 cluster artifact: the positional postings table
+      // (term, doc_id, pos) is built from ONE tokenize pass, persisted
+      // term-bucketed via [[graft.ops.Models.savePostings]], and this
+      // query serves the q208 phrase workload FROM THE LOADED ARTIFACT —
+      // the oracle is the identical from-scratch computation, so a green
+      // row proves the round trip end-to-end (at scale: one index build,
+      // every phrase/term lookup after reads the bucketed table and
+      // prunes to its terms' buckets).
+      ("q235_postings_artifact", (s: SparkSession, d: String) => {
+        val post = postingsArtifact(s, d)
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val ws = split(col("phrase"), " ")
+        val top = toks.select(explode(TF.shingles(col("toks"), 3)).as("phrase"))
+          .groupBy("phrase").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("phrase")).limit(3)
+          .select(col("phrase"), ws.getItem(0).as("w0"),
+            ws.getItem(1).as("w1"), ws.getItem(2).as("w2"))
+        val c0 = post.join(broadcast(top), col("term") === col("w0"))
+          .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("pos"))
+        val c1 = c0.as("a").join(post.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.pos") === col("a.pos") + 1 && col("b.term") === col("a.w1"))
+          .select(col("a.phrase").as("phrase"), col("a.w2").as("w2"),
+            col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+        c1.as("a").join(post.as("c"),
+            col("a.doc_id") === col("c.doc_id") &&
+              col("c.pos") === col("a.pos") + 2 && col("c.term") === col("a.w2"))
+          .select(col("a.phrase").as("phrase"), col("a.doc_id").as("doc_id"))
+          .groupBy("phrase").agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .orderBy("phrase")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM documents),
+          tri AS (SELECT doc_id, unnest(${sqlShingleList(3)}) AS phrase
+            FROM tok),
+          top3 AS (SELECT phrase FROM (
+            SELECT phrase, count(*) AS c FROM tri GROUP BY phrase
+            ORDER BY c DESC, phrase LIMIT 3)),
+          m AS (SELECT tri.phrase, tri.doc_id FROM tri JOIN top3 USING (phrase))
+          SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ
+          FROM m GROUP BY phrase ORDER BY phrase"""))
     )
   }
 

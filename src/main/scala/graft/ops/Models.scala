@@ -72,4 +72,21 @@ object Models {
 
   def loadClusters(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("doc_id", "cluster", "is_keeper")
+
+  /** Positional postings index (term, doc_id, pos) — the materialize-once
+    * text-serving asset (the cluster artifact's counterpart for term and
+    * phrase search): built from one tokenize pass, consumed by every
+    * lookup after. Corpus-sized, so written PARTITIONED BY term-hash
+    * bucket via repartition on term — at scale the serving layout is a
+    * term-bucketed table so a phrase lookup prunes to its terms'
+    * buckets instead of scanning the index.
+    */
+  def savePostings(postings: DataFrame, path: String): Unit =
+    postings.select(col("term").cast("string"), col("doc_id").cast("long"),
+      col("pos").cast("long"))
+      .repartition(col("term"))
+      .write.mode("overwrite").parquet(path)
+
+  def loadPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("term", "doc_id", "pos")
 }

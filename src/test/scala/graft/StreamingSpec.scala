@@ -898,4 +898,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 12)
     q.stop()
   }
+
+  test("streaming SCD2: closed intervals equal the batch build across micro-batches") {
+    import graft.streaming.ScdStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sec = 1000000000L
+    // user 1: view view click view (3 runs, 2 closed); user 2: one long
+    // click run crossing the batch boundary, closed by a view in batch 2
+    val batch1 = Seq(
+      ScdStream.Ev(1L, 10L * sec, 1L, "view"),
+      ScdStream.Ev(1L, 20L * sec, 2L, "view"),
+      ScdStream.Ev(1L, 30L * sec, 3L, "click"),
+      ScdStream.Ev(2L, 5L * sec, 4L, "click"))
+    val batch2 = Seq(
+      ScdStream.Ev(1L, 40L * sec, 5L, "view"),
+      ScdStream.Ev(2L, 50L * sec, 6L, "click"),
+      ScdStream.Ev(2L, 60L * sec, 7L, "view"))
+    val input = MemoryStream[ScdStream.Ev]
+    val out = ScdStream.intervals(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+    val q = out.writeStream.format("memory").queryName("scd")
+      .outputMode("append").start()
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    val got = spark.table("scd").as[ScdStream.Interval].collect()
+      .map(i => (i.userId, i.status, i.validFrom, i.validTo, i.nEvents)).toSet
+    // batch twin: q229's run construction, closed rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId").orderBy("ts", "eventId")
+    val runs = (batch1 ++ batch2).toDF()
+      .withColumn("chg", when(lag(col("eventType"), 1).over(w).isNull ||
+        lag(col("eventType"), 1).over(w) =!= col("eventType"), 1L)
+        .otherwise(0L))
+      .withColumn("runId", sum(col("chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("userId", "runId")
+      .agg(min(col("ts")).as("validFrom"), first(col("eventType")).as("status"),
+        count(lit(1)).as("nEvents"))
+    val lw = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId").orderBy("runId")
+    val want = runs.withColumn("validTo", lead(col("validFrom"), 1).over(lw))
+      .filter(col("validTo").isNotNull)
+      .select("userId", "status", "validFrom", "validTo", "nEvents")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want, s"stream intervals != batch closed runs\n got=$got\nwant=$want")
+    // the cross-batch click run closed with BOTH its events counted
+    assert(got.contains((2L, "click", 5L * sec, 60L * sec, 2L)))
+    q.stop()
+  }
 }
