@@ -10533,34 +10533,8 @@ object Queries {
             expr("ts div 86400000000000L").as("day"))
           .distinct().persistTracked()
         val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-        def rolling(w: Int, alias: String): DataFrame = {
-          val lw = Window.partitionBy("user_id").orderBy("day")
-          val iv = ud
-            .withColumn("prev", lag(col("day"), 1).over(lw))
-            .withColumn("newiv",
-              when(col("prev").isNull ||
-                col("day") - col("prev") > w - 1, 1L).otherwise(0L))
-            .withColumn("ivid", sum(col("newiv")).over(
-              lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-            .groupBy("user_id", "ivid").agg(
-              min(col("day")).as("s"),
-              (max(col("day")) + (w - 1)).as("e"))
-          // seed a zero marker at every activity day so the prefix sum is
-          // defined exactly where the report reads it (a day whose actives
-          // all carried over from earlier days starts no interval)
-          val diffs = iv.select(col("s").as("day"), lit(1L).as("df"))
-            .unionByName(iv.select((col("e") + 1).as("day"),
-              lit(-1L).as("df")))
-            .unionByName(ud.select(col("day")).distinct()
-              .withColumn("df", lit(0L)))
-            .groupBy("day").agg(sum(col("df")).as("df"))
-          diffs.withColumn(alias, sum(col("df")).over(
-              Window.orderBy("day")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-            .select(col("day"), col(alias))
-        }
-        val w2 = rolling(2, "active_2d")
-        val w7 = rolling(7, "active_7d")
+        val w2 = graft.ops.Rolling.activeCounts(ud, 2, "active_2d")
+        val w7 = graft.ops.Rolling.activeCounts(ud, 7, "active_7d")
         dau.join(w2, Seq("day"), "left").join(w7, Seq("day"), "left")
           .select(col("day"), col("dau"),
             col("active_2d"), col("active_7d"))
@@ -10997,6 +10971,61 @@ object Queries {
       },
         Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
               FROM documents),
+          tri AS (SELECT doc_id, unnest(${sqlShingleList(3)}) AS phrase
+            FROM tok),
+          top3 AS (SELECT phrase FROM (
+            SELECT phrase, count(*) AS c FROM tri GROUP BY phrase
+            ORDER BY c DESC, phrase LIMIT 3)),
+          m AS (SELECT tri.phrase, tri.doc_id FROM tri JOIN top3 USING (phrase))
+          SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ
+          FROM m GROUP BY phrase ORDER BY phrase""")),
+
+      // Incremental postings maintenance — the q98/q155 maintenance
+      // story for the TEXT index: when the 10% shard arrives, ONLY the
+      // shard is tokenized (its postings append to the persisted q235
+      // artifact — the standing corpus is never re-read), and the phrase
+      // workload served from the merged index must equal a full rebuild
+      // on the merged corpus — which is exactly what the oracle
+      // recomputes from scratch. At 100 TB this is the difference
+      // between indexing 10% and indexing 110% on every shard landing.
+      ("q236_postings_increment", (s: SparkSession, d: String) => {
+        val standing = postingsArtifact(s, d)
+        val shard = maintenanceShard(
+          t(s, d, "documents").select("doc_id", "text"))
+        val shardPost = shard
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+          .select(col("col").as("term"), col("doc_id"),
+            col("pos").cast("long").as("pos"))
+        val post = standing.unionByName(shardPost).persistTracked()
+        val merged = t(s, d, "documents").select("doc_id", "text")
+          .unionByName(shard)
+        val toks = merged
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val ws = split(col("phrase"), " ")
+        val top = toks.select(explode(TF.shingles(col("toks"), 3)).as("phrase"))
+          .groupBy("phrase").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("phrase")).limit(3)
+          .select(col("phrase"), ws.getItem(0).as("w0"),
+            ws.getItem(1).as("w1"), ws.getItem(2).as("w2"))
+        val c0 = post.join(broadcast(top), col("term") === col("w0"))
+          .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("pos"))
+        val c1 = c0.as("a").join(post.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.pos") === col("a.pos") + 1 && col("b.term") === col("a.w1"))
+          .select(col("a.phrase").as("phrase"), col("a.w2").as("w2"),
+            col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+        c1.as("a").join(post.as("c"),
+            col("a.doc_id") === col("c.doc_id") &&
+              col("c.pos") === col("a.pos") + 2 && col("c.term") === col("a.w2"))
+          .select(col("a.phrase").as("phrase"), col("a.doc_id").as("doc_id"))
+          .groupBy("phrase").agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .orderBy("phrase")
+      },
+        Some(s"""WITH $sqlMaintCorpus,
+          tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus),
           tri AS (SELECT doc_id, unnest(${sqlShingleList(3)}) AS phrase
             FROM tok),
           top3 AS (SELECT phrase FROM (

@@ -352,4 +352,28 @@ class PropertySpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("Rolling.activeCounts equals the brute-force rolling distinct on random user-days") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { trial =>
+      val ud = (0 until 120).map { _ =>
+        (rnd.nextInt(8).toLong, (100 + rnd.nextInt(25)).toLong)
+      }.distinct
+      val w = 1 + rnd.nextInt(6)
+      val got = graft.ops.Rolling.activeCounts(
+          ud.toDF("user_id", "day"), w, "act")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val days = ud.map(_._2).distinct.sorted
+      val brute = days.map { d =>
+        d -> ud.collect {
+          case (u, d2) if d2 <= d && d2 > d - w => u
+        }.distinct.size.toLong
+      }.toMap
+      assert(got == brute,
+        s"trial $trial w=$w: interval-merge rolling != brute\n got=$got\nwant=$brute")
+      spark.catalog.clearCache()
+      graft.ops.Caches.release()
+    }
+  }
 }
