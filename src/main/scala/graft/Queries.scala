@@ -11034,7 +11034,133 @@ object Queries {
           m AS (SELECT tri.phrase, tri.doc_id FROM tri JOIN top3 USING (phrase))
           SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
             CAST(count(*) AS BIGINT) AS n_occ
-          FROM m GROUP BY phrase ORDER BY phrase"""))
+          FROM m GROUP BY phrase ORDER BY phrase""")),
+
+      // Classifier learning curve — the "is more labeled data worth it?"
+      // report: the GD classifier (q107's machinery at 8 steps,
+      // lr = 0.01 — small enough that full-batch GD on unnormalized
+      // count features CONVERGES; q107's lr = 0.5 oscillates, which its
+      // 2-step fixture tolerates but a curve cannot) trained on nested
+      // 25/50/100% hash-subsets of the training split against the q43
+      // quality label, accuracy on the held-out split (doc_id ≡ 0 mod 7,
+      // excluded from ALL arms) per training size. Reads 416→583→611‰
+      // at sf0.01 — a real monotone curve. The oracle re-derives every
+      // arm's EIGHT GD steps as loop-generated unrolled CTEs restricted
+      // to that arm's subset, so the coefficients are bit-identical per
+      // arm (per-step 9-dp rounding keeps both engines in lockstep).
+      // Scale shape: one featurize pass shared by all arms; each step is
+      // a gradient rollup whose driver-visible state is nFeatures rows.
+      ("q237_learning_curve", (s: SparkSession, d: String) => {
+        val docs = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+        val feats = graft.ops.Classifier.featurize(
+          docs.select("doc_id", "text"), nFeatures = 64).persistTracked()
+        val labels = docs.select(col("doc_id"),
+          when(TF.qualityScore(col("text")) >= 0.62, 1.0).otherwise(0.0)
+            .as("y")).persistTracked()
+        val evIds = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+          .select("doc_id")
+        // the three arms are independent 8-round GD chains, each a strict
+        // sequence of driver-synced jobs; running them on parallel driver
+        // threads overlaps the per-round scheduling floor (9.4 → 6.1 s at
+        // sf0.1) — the arm-level parallelism a real sweep would use
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val arms = Seq(25, 50, 100).map { frac =>
+          Future {
+            val trIds = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L &&
+                pmod(TF.hash32(concat(lit("cv|"), col("doc_id"))),
+                  lit(100L)) < frac)
+              .select("doc_id").persistTracked()
+            // persist the ARM-RESTRICTED frames: every GD step reads feats
+            // twice, so 8 steps would otherwise re-run the subset join 16×
+            val ftr = feats.join(trIds, "doc_id").persistTracked()
+            val ltr = labels.join(trIds, "doc_id").persistTracked()
+            val w = graft.ops.Classifier.train(ftr, ltr,
+              nFeatures = 64, iters = 8, lr = 0.01)
+            graft.ops.Classifier.predict(feats.join(evIds, "doc_id"), w)
+              .select(col("doc_id"), round(col("score"), 6).as("score"))
+              .join(labels, "doc_id")
+              .withColumn("ok",
+                when((col("score") >= 0.5 && col("y") === 1.0) ||
+                  (col("score") < 0.5 && col("y") === 0.0), 1L).otherwise(0L))
+              .agg(count(lit(1)).as("n_eval"), sum(col("ok")).as("n_correct"))
+              .crossJoin(broadcast(trIds.agg(count(lit(1)).as("n_train"))))
+              .select(lit(frac.toLong).as("train_pct"), col("n_train"),
+                col("n_eval"), col("n_correct"),
+                expr("CAST(n_correct * 1000 div n_eval AS BIGINT)")
+                  .as("acc_pm"))
+          }
+        }
+        arms.map(f => Await.result(f, Duration.Inf))
+          .reduce(_ unionByName _).orderBy("train_pct")
+      },
+        Some {
+          val iters = 8
+          val lr = "0.01"
+          def chain(frac: Int): String = {
+            val tr = s"tr$frac"
+            val steps = (1 to iters).map { it =>
+              if (it == 1)
+                s"""g${it}_$frac AS (SELECT f, round(sum((0.5 - y) * x), 9) AS g
+            FROM feat JOIN lab USING (doc_id) JOIN $tr USING (doc_id)
+            GROUP BY f),
+          w${it}_$frac AS (SELECT f, round(-$lr * g, 9) AS w FROM g${it}_$frac)"""
+              else {
+                val pw = s"w${it - 1}_$frac"
+                s"""z${it}_$frac AS (SELECT feat.doc_id, sum($pw.w * feat.x) AS z
+            FROM feat JOIN $pw USING (f) JOIN $tr USING (doc_id)
+            GROUP BY feat.doc_id),
+          r${it}_$frac AS (SELECT z${it}_$frac.doc_id,
+              1.0 / (1.0 + exp(-z)) - lab.y AS r
+            FROM z${it}_$frac JOIN lab USING (doc_id)),
+          g${it}_$frac AS (SELECT f, round(sum(r * x), 9) AS g
+            FROM feat JOIN r${it}_$frac USING (doc_id) GROUP BY f),
+          w${it}_$frac AS (SELECT pw.f,
+              round(pw.w - $lr * coalesce(g.g, 0), 9) AS w
+            FROM $pw pw LEFT JOIN g${it}_$frac g ON pw.f = g.f)"""
+              }
+            }.mkString(",\n          ")
+            s"""$tr AS (SELECT doc_id FROM tok WHERE doc_id % 7 <> 0
+                AND ${sqlHash32("'cv|' || CAST(doc_id AS VARCHAR)")} % 100 < $frac),
+          $steps,
+          sc_$frac AS (SELECT feat.doc_id,
+              round(1.0 / (1.0 + exp(-(sum(w${iters}_$frac.w * feat.x)))), 6)
+                AS score
+            FROM feat JOIN w${iters}_$frac USING (f) JOIN ev USING (doc_id)
+            GROUP BY feat.doc_id),
+          acc_$frac AS (SELECT CAST($frac AS BIGINT) AS train_pct,
+              (SELECT CAST(count(*) AS BIGINT) FROM $tr) AS n_train,
+              CAST(count(*) AS BIGINT) AS n_eval,
+              CAST(sum(CASE WHEN (score >= 0.5 AND y = 1.0)
+                OR (score < 0.5 AND y = 0.0) THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_correct
+            FROM sc_$frac JOIN lab USING (doc_id))"""
+          }
+          s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks,
+              $sqlQuality AS q FROM documents),
+          lab AS (SELECT doc_id,
+              CASE WHEN q >= 0.62 THEN 1.0 ELSE 0.0 END AS y FROM tok),
+          base AS (SELECT doc_id, toks,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS n FROM tok),
+          ex AS (SELECT doc_id, n, unnest(toks) AS tok FROM base),
+          feat AS (
+            SELECT doc_id, f, cnt / n AS x FROM (
+              SELECT doc_id, n, ${sqlHash32("'w|' || tok")} % 64 AS f,
+                CAST(count(*) AS DOUBLE) AS cnt
+              FROM ex GROUP BY doc_id, n, f)
+            UNION ALL SELECT doc_id, 64 AS f, 1.0 AS x FROM base),
+          ev AS (SELECT doc_id FROM tok WHERE doc_id % 7 = 0),
+          ${chain(25)},
+          ${chain(50)},
+          ${chain(100)}
+          SELECT train_pct, n_train, n_eval, n_correct,
+            CAST(n_correct * 1000 // n_eval AS BIGINT) AS acc_pm
+          FROM (SELECT * FROM acc_25 UNION ALL SELECT * FROM acc_50
+            UNION ALL SELECT * FROM acc_100)
+          ORDER BY train_pct"""
+        })
     )
   }
 
