@@ -11160,7 +11160,75 @@ object Queries {
           FROM (SELECT * FROM acc_25 UNION ALL SELECT * FROM acc_50
             UNION ALL SELECT * FROM acc_100)
           ORDER BY train_pct"""
-        })
+        }),
+
+      // Keyset pagination exactness — the serving-API rule that page 2
+      // should be fetched WITHOUT re-ranking past page 1: with a total
+      // order on (sim DESC, vec_id ASC), "rows after the cursor" — the
+      // strict (sim, vec_id) comparison against page 1's last row — is
+      // provably rows 11..20 of the global order, and this query emits
+      // that proof per query (match_pm = 1000) by computing page 2 BOTH
+      // ways. At scale the cursor form is a filter + top-k (pruned scan,
+      // no rank window over skipped rows); OFFSET pagination re-ranks
+      // everything above the page. The cursor compare nests on the
+      // 6-dp-rounded sim so both engines order identically.
+      ("q238_keyset_pagination", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val scored = e.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .select("query_id", "vec_id", "sim").persistTracked()
+        val wq = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+        val ranked = scored.withColumn("rnk", row_number().over(wq))
+        val cursor = ranked.filter(col("rnk") === 10)
+          .select(col("query_id"), col("sim").as("cur_sim"),
+            col("vec_id").as("cur_id"))
+        val page2Rank = ranked.filter(col("rnk") > 10 && col("rnk") <= 20)
+          .select("query_id", "vec_id")
+        val page2Cursor = scored.join(broadcast(cursor), "query_id")
+          .filter(col("sim") < col("cur_sim") ||
+            (col("sim") === col("cur_sim") && col("vec_id") > col("cur_id")))
+          .withColumn("rnk", row_number().over(wq))
+          .filter(col("rnk") <= 10)
+          .select("query_id", "vec_id")
+        page2Cursor.groupBy("query_id").agg(count(lit(1)).as("n_page2"))
+          .join(page2Cursor.join(page2Rank, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_match")), "query_id")
+          .withColumn("match_pm",
+            expr("CAST(n_match * 1000 div n_page2 AS BIGINT)"))
+          .orderBy("query_id")
+      },
+        Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 3),
+          sc AS (SELECT q.query_id, e.vec_id,
+              round(${sqlCos01("e.embedding", "q.qe")}, 6) AS sim
+            FROM embeddings e CROSS JOIN q),
+          rk AS (SELECT query_id, vec_id, sim, row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+            FROM sc),
+          cur AS (SELECT query_id, sim AS cur_sim, vec_id AS cur_id
+            FROM rk WHERE rnk = 10),
+          p2r AS (SELECT query_id, vec_id FROM rk
+            WHERE rnk > 10 AND rnk <= 20),
+          p2c AS (SELECT query_id, vec_id FROM (
+            SELECT sc.query_id, sc.vec_id, row_number() OVER (
+                PARTITION BY sc.query_id ORDER BY sc.sim DESC, sc.vec_id)
+                AS rnk
+            FROM sc JOIN cur ON cur.query_id = sc.query_id
+            WHERE sc.sim < cur.cur_sim
+              OR (sc.sim = cur.cur_sim AND sc.vec_id > cur.cur_id))
+            WHERE rnk <= 10),
+          n2 AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_page2
+            FROM p2c GROUP BY query_id),
+          nm AS (SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_match
+            FROM p2c c JOIN p2r r
+              ON r.query_id = c.query_id AND r.vec_id = c.vec_id
+            GROUP BY c.query_id)
+          SELECT n2.query_id, n2.n_page2, nm.n_match,
+            CAST(nm.n_match * 1000 // n2.n_page2 AS BIGINT) AS match_pm
+          FROM n2 JOIN nm ON nm.query_id = n2.query_id
+          ORDER BY n2.query_id"""))
     )
   }
 

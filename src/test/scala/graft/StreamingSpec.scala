@@ -949,4 +949,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, "click", 5L * sec, 60L * sec, 2L)))
     q.stop()
   }
+
+  test("streaming burst detector: closed-hour flags equal the batch integer z-test") {
+    import graft.streaming.BurstStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val hr = 3600000000000L
+    // 30 hours of background (3 events each) + one fat hour (hour 25, 40
+    // events) + a final sentinel hour that closes hour 30
+    def eventsFor(h: Long, n: Int): Seq[BurstStream.Ev] =
+      (0 until n).map(i => BurstStream.Ev("click", h * hr + i * 1000000L))
+    val all = (0L until 25L).flatMap(eventsFor(_, 3)) ++
+      eventsFor(25L, 40) ++ (26L until 31L).flatMap(eventsFor(_, 3))
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[BurstStream.Ev]
+    val out = BurstStream.detect(input.toDF().toDF("event_type", "ts"))
+    val q = out.writeStream.format("memory").queryName("burst")
+      .outputMode("append").start()
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    val got = spark.table("burst").as[BurstStream.Flag].collect()
+      .map(f => (f.hour, f.c, f.burst)).toSet
+    // batch twin: the q223 RANGE-window integer rule on closed hours
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("eventType").orderBy("hour").rangeBetween(-24, -1)
+    val want = all.toDF()
+      .groupBy(col("eventType"), expr("ts div 3600000000000L").as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nw", count(col("c")).over(w))
+      .withColumn("sw", sum(col("c")).over(w))
+      .withColumn("s2w", sum(col("c") * col("c")).over(w))
+      .withColumn("burst", col("nw") >= 12L &&
+        (col("nw") * col("c") - col("sw")) > 0L &&
+        (col("nw") * col("s2w") - col("sw") * col("sw") === 0L ||
+          (col("nw") * col("c") - col("sw")) *
+            (col("nw") * col("c") - col("sw")) >
+            lit(9L) * (col("nw") * col("s2w") - col("sw") * col("sw"))))
+      .filter(col("hour") < 30L) // hour 30 is still open in the stream
+      .select("hour", "c", "burst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want, s"stream flags != batch rule\n got=$got\nwant=$want")
+    assert(got.contains((25L, 40L, true)), "the fat hour must flag")
+    assert(got.count(_._3) == 1, "only the fat hour flags on this fixture")
+    q.stop()
+  }
 }
