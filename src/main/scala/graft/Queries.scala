@@ -2017,6 +2017,37 @@ object Queries {
   private val clusterArtifactPaths =
     scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
 
+  /** Shared phrase-serving dataflow (q208 / q235 / q236 — one definition
+    * so the adjacency condition and tie-breaks cannot drift between the
+    * build-per-query, artifact, and incremental forms): workload = the
+    * corpus's 3 hottest trigrams (count desc, phrase asc), matching =
+    * broadcast phrase vocabulary + two (doc_id, pos±k) adjacency
+    * equi-joins over a (term, doc_id, pos) postings frame.
+    */
+  private def phraseCounts(post: DataFrame, toks: DataFrame): DataFrame = {
+    val ws = split(col("phrase"), " ")
+    val top = toks.select(explode(TF.shingles(col("toks"), 3)).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("phrase")).limit(3)
+      .select(col("phrase"), ws.getItem(0).as("w0"),
+        ws.getItem(1).as("w1"), ws.getItem(2).as("w2"))
+    val c0 = post.join(broadcast(top), col("term") === col("w0"))
+      .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("pos"))
+    val c1 = c0.as("a").join(post.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1 && col("b.term") === col("a.w1"))
+      .select(col("a.phrase").as("phrase"), col("a.w2").as("w2"),
+        col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+    c1.as("a").join(post.as("c"),
+        col("a.doc_id") === col("c.doc_id") &&
+          col("c.pos") === col("a.pos") + 2 && col("c.term") === col("a.w2"))
+      .select(col("a.phrase").as("phrase"), col("a.doc_id").as("doc_id"))
+      .groupBy("phrase").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .orderBy("phrase")
+  }
+
   private val postingsArtifactPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
   /** Materialize-once positional postings (term, doc_id, pos) over the
@@ -9342,30 +9373,11 @@ object Queries {
         val toks = t(s, d, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
           .persistTracked()
-        val ws = split(col("phrase"), " ")
-        val top = toks.select(explode(TF.shingles(col("toks"), 3)).as("phrase"))
-          .groupBy("phrase").agg(count(lit(1)).as("c"))
-          .orderBy(desc("c"), asc("phrase")).limit(3)
-          .select(col("phrase"), ws.getItem(0).as("w0"),
-            ws.getItem(1).as("w1"), ws.getItem(2).as("w2"))
         val post = toks.select(col("doc_id"), posexplode(col("toks")))
-          .withColumnRenamed("pos", "p").withColumnRenamed("col", "term")
+          .select(col("col").as("term"), col("doc_id"),
+            col("pos").cast("long").as("pos"))
           .persistTracked()
-        val c0 = post.join(broadcast(top), col("term") === col("w0"))
-          .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("p"))
-        val c1 = c0.as("a").join(post.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("b.p") === col("a.p") + 1 && col("b.term") === col("a.w1"))
-          .select(col("a.phrase").as("phrase"), col("a.w2").as("w2"),
-            col("a.doc_id").as("doc_id"), col("a.p").as("p"))
-        c1.as("a").join(post.as("c"),
-            col("a.doc_id") === col("c.doc_id") &&
-              col("c.p") === col("a.p") + 2 && col("c.term") === col("a.w2"))
-          .select(col("a.phrase").as("phrase"), col("a.doc_id").as("doc_id"))
-          .groupBy("phrase").agg(
-            countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occ"))
-          .orderBy("phrase")
+        phraseCounts(post, toks)
       },
         Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
               FROM documents),
@@ -10441,8 +10453,8 @@ object Queries {
             FROM documents),
           st AS (SELECT doc_id, source, text, page,
               trim(regexp_replace(regexp_replace(regexp_replace(
-                regexp_replace(page, '<head>.*?</head>', ' '),
-                '<footer>.*?</footer>', ' '),
+                regexp_replace(page, '<head>.*?</head>', ' ', 'g'),
+                '<footer>.*?</footer>', ' ', 'g'),
                 '<[^>]+>', ' ', 'g'),
                 '\s+', ' ', 'g')) AS extracted
             FROM w),
@@ -10733,21 +10745,27 @@ object Queries {
           .select(col("event_id"), col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
             col("event_id").as("arrival"))
+        // the correction stamp offset is DATA-DERIVED (max id + 1), not a
+        // constant: a literal would silently collide with the Scale
+        // harness's event_id shifts and corrupt the P1/P2 split
+        val off = base.agg((max(col("event_id")) + 1L).as("off"))
         val corr = base.filter(pmod(col("event_id"), lit(13L)) === 0L)
+          .crossJoin(broadcast(off))
           .select(col("event_id"), col("event_type"),
             (col("cents") + 500L).as("cents"),
-            (col("arrival") + 30000000L).as("arrival"))
-        val versions = base.unionByName(corr)
+            (col("arrival") + col("off")).as("arrival"))
+        val versions = base.unionByName(corr).persistTracked()
         def readAt(v: DataFrame): DataFrame = {
           val latest = v.groupBy("event_id")
             .agg(max(col("arrival")).as("arrival"))
           v.join(latest, Seq("event_id", "arrival"))
         }
-        val p1 = readAt(versions.filter(col("arrival") < 30000000L))
+        val p1 = readAt(versions.crossJoin(broadcast(off))
+            .filter(col("arrival") < col("off")).drop("off"))
           .groupBy("event_type").agg(sum(col("cents")).as("cents_p1"))
-        val p2 = readAt(versions)
+        val p2 = readAt(versions).crossJoin(broadcast(off))
           .groupBy("event_type").agg(sum(col("cents")).as("cents_p2"),
-            sum(when(col("arrival") >= 30000000L, 1L).otherwise(0L))
+            sum(when(col("arrival") >= col("off"), 1L).otherwise(0L))
               .as("n_corrected"))
         p1.join(p2, "event_type")
           .withColumn("delta_cents", col("cents_p2") - col("cents_p1"))
@@ -10756,19 +10774,22 @@ object Queries {
         Some("""WITH b AS (SELECT event_id, event_type,
               CAST(round(value * 100) AS BIGINT) AS cents,
               event_id AS arrival FROM events),
+          o AS (SELECT max(event_id) + 1 AS off FROM b),
           c AS (SELECT event_id, event_type, cents + 500 AS cents,
-              arrival + 30000000 AS arrival FROM b WHERE event_id % 13 = 0),
+              arrival + (SELECT off FROM o) AS arrival
+            FROM b WHERE event_id % 13 = 0),
           v AS (SELECT * FROM b UNION ALL SELECT * FROM c),
           p1v AS (SELECT * FROM (SELECT *, row_number() OVER (
               PARTITION BY event_id ORDER BY arrival DESC) AS rn
-            FROM v WHERE arrival < 30000000) WHERE rn = 1),
+            FROM v WHERE arrival < (SELECT off FROM o)) WHERE rn = 1),
           p2v AS (SELECT * FROM (SELECT *, row_number() OVER (
               PARTITION BY event_id ORDER BY arrival DESC) AS rn
             FROM v) WHERE rn = 1),
           a1 AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS cents_p1
             FROM p1v GROUP BY event_type),
           a2 AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS cents_p2,
-              CAST(sum(CASE WHEN arrival >= 30000000 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN arrival >= (SELECT off FROM o)
+                THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_corrected
             FROM p2v GROUP BY event_type)
           SELECT a1.event_type, cents_p1, cents_p2, n_corrected,
@@ -10944,30 +10965,9 @@ object Queries {
       // every phrase/term lookup after reads the bucketed table and
       // prunes to its terms' buckets).
       ("q235_postings_artifact", (s: SparkSession, d: String) => {
-        val post = postingsArtifact(s, d)
         val toks = t(s, d, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        val ws = split(col("phrase"), " ")
-        val top = toks.select(explode(TF.shingles(col("toks"), 3)).as("phrase"))
-          .groupBy("phrase").agg(count(lit(1)).as("c"))
-          .orderBy(desc("c"), asc("phrase")).limit(3)
-          .select(col("phrase"), ws.getItem(0).as("w0"),
-            ws.getItem(1).as("w1"), ws.getItem(2).as("w2"))
-        val c0 = post.join(broadcast(top), col("term") === col("w0"))
-          .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("pos"))
-        val c1 = c0.as("a").join(post.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("b.pos") === col("a.pos") + 1 && col("b.term") === col("a.w1"))
-          .select(col("a.phrase").as("phrase"), col("a.w2").as("w2"),
-            col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
-        c1.as("a").join(post.as("c"),
-            col("a.doc_id") === col("c.doc_id") &&
-              col("c.pos") === col("a.pos") + 2 && col("c.term") === col("a.w2"))
-          .select(col("a.phrase").as("phrase"), col("a.doc_id").as("doc_id"))
-          .groupBy("phrase").agg(
-            countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occ"))
-          .orderBy("phrase")
+        phraseCounts(postingsArtifact(s, d), toks)
       },
         Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
               FROM documents),
@@ -11002,27 +11002,7 @@ object Queries {
           .unionByName(shard)
         val toks = merged
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        val ws = split(col("phrase"), " ")
-        val top = toks.select(explode(TF.shingles(col("toks"), 3)).as("phrase"))
-          .groupBy("phrase").agg(count(lit(1)).as("c"))
-          .orderBy(desc("c"), asc("phrase")).limit(3)
-          .select(col("phrase"), ws.getItem(0).as("w0"),
-            ws.getItem(1).as("w1"), ws.getItem(2).as("w2"))
-        val c0 = post.join(broadcast(top), col("term") === col("w0"))
-          .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("pos"))
-        val c1 = c0.as("a").join(post.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("b.pos") === col("a.pos") + 1 && col("b.term") === col("a.w1"))
-          .select(col("a.phrase").as("phrase"), col("a.w2").as("w2"),
-            col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
-        c1.as("a").join(post.as("c"),
-            col("a.doc_id") === col("c.doc_id") &&
-              col("c.pos") === col("a.pos") + 2 && col("c.term") === col("a.w2"))
-          .select(col("a.phrase").as("phrase"), col("a.doc_id").as("doc_id"))
-          .groupBy("phrase").agg(
-            countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_occ"))
-          .orderBy("phrase")
+        phraseCounts(post, toks)
       },
         Some(s"""WITH $sqlMaintCorpus,
           tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus),
@@ -11061,22 +11041,30 @@ object Queries {
         val evIds = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
           .select("doc_id")
         // the three arms are independent 8-round GD chains, each a strict
-        // sequence of driver-synced jobs; running them on parallel driver
-        // threads overlaps the per-round scheduling floor (9.4 → 6.1 s at
-        // sf0.1) — the arm-level parallelism a real sweep would use
+        // sequence of driver-synced jobs; the arm FRAMES (with their
+        // persistTracked registrations) are built on the CALLING thread —
+        // Caches scoping is ThreadLocal, so building them inside the
+        // Futures would leak the persists into the global registry — and
+        // only the train/predict JOB chains run on parallel driver
+        // threads, overlapping the per-round scheduling floor (9.4 →
+        // 6.1 s at sf0.1): the arm-level parallelism a real sweep would
+        // use
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val arms = Seq(25, 50, 100).map { frac =>
+        val armFrames = Seq(25, 50, 100).map { frac =>
+          val trIds = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L &&
+              pmod(TF.hash32(concat(lit("cv|"), col("doc_id"))),
+                lit(100L)) < frac)
+            .select("doc_id").persistTracked()
+          // persist the ARM-RESTRICTED frames: every GD step reads feats
+          // twice, so 8 steps would otherwise re-run the subset join 16×
+          val ftr = feats.join(trIds, "doc_id").persistTracked()
+          val ltr = labels.join(trIds, "doc_id").persistTracked()
+          (frac, trIds, ftr, ltr)
+        }
+        val arms = armFrames.map { case (frac, trIds, ftr, ltr) =>
           Future {
-            val trIds = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L &&
-                pmod(TF.hash32(concat(lit("cv|"), col("doc_id"))),
-                  lit(100L)) < frac)
-              .select("doc_id").persistTracked()
-            // persist the ARM-RESTRICTED frames: every GD step reads feats
-            // twice, so 8 steps would otherwise re-run the subset join 16×
-            val ftr = feats.join(trIds, "doc_id").persistTracked()
-            val ltr = labels.join(trIds, "doc_id").persistTracked()
             val w = graft.ops.Classifier.train(ftr, ltr,
               nFeatures = 64, iters = 8, lr = 0.01)
             graft.ops.Classifier.predict(feats.join(evIds, "doc_id"), w)

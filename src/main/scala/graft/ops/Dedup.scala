@@ -62,14 +62,8 @@ object Dedup {
     require(bands * rows == numHashes, "numHashes must be divisible by bands")
 
     val hashed = shingleHashed(docs, idCol, textCol, shingleK, fastHash)
-    val banded = bandKeys(hashed, numHashes, bands, rows)
-
     // Candidate pairs: equi-join on band key (bucketed, never all-pairs).
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidates(bandKeys(hashed, numHashes, bands, rows))
 
     verifyJaccard(cand, hashed, threshold)
   }
@@ -94,12 +88,7 @@ object Dedup {
     configs.map { case (b, r) =>
       require(b * r == numHashes,
         s"config ($b, $r) does not tile the $numHashes-hash signature")
-      val banded = bandKeys(hashed, numHashes, b, r)
-      val cand = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = candidates(bandKeys(hashed, numHashes, b, r))
         .persistTracked()
       val pd = math.rint((1.0 - math.pow(1.0 - math.pow(threshold, r), b)) * 1e6) / 1e6
       cand.agg(count(lit(1)).as("n_candidates"))
@@ -137,12 +126,7 @@ object Dedup {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "numHashes must be divisible by bands")
     val hashed = shingleHashed(docs, idCol, textCol, shingleK, fastHash)
-    val banded = bandKeys(hashed, numHashes, bands, rows)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidates(bandKeys(hashed, numHashes, bands, rows))
     cand
       .join(hashed.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), "doc_a")
       .join(hashed.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), "doc_b")
@@ -181,14 +165,9 @@ object Dedup {
     val sigs = hashed
       .withColumn("sig", minhashSignature(col("hashes"), numHashes))
       .persistTracked()
-    val banded = sigs
+    val cand = candidates(sigs
       .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
-      .select("doc_id", "band")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select("doc_id", "band"))
     cand
       .join(sigs.select(col("doc_id").as("doc_a"),
         col("hashes").as("ha"), col("sig").as("sa")), "doc_a")
@@ -238,6 +217,18 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("hashes"), numHashes))
       .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
       .select("doc_id", "band")
+
+  /** Distinct ordered candidate pairs from a banded frame — ONE
+    * definition of candidate generation (band equi-join, doc_a < doc_b,
+    * dedup across shared bands) so the production pair path and the
+    * accuracy audit can never bucket differently.
+    */
+  private def candidates(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the distinct shingle-hash sets; emits pairs >= threshold, rounded.

@@ -76,16 +76,18 @@ object Models {
   /** Positional postings index (term, doc_id, pos) — the materialize-once
     * text-serving asset (the cluster artifact's counterpart for term and
     * phrase search): built from one tokenize pass, consumed by every
-    * lookup after. Corpus-sized, so written PARTITIONED BY term-hash
-    * bucket via repartition on term — at scale the serving layout is a
-    * term-bucketed table so a phrase lookup prunes to its terms'
-    * buckets instead of scanning the index.
+    * lookup after. Corpus-sized, written PARTITIONED BY a 64-way
+    * term-hash `bucket` directory column, so a lookup that filters on
+    * its terms' buckets (`bucket IN (...)` before the term join) prunes
+    * to those directories; a consumer that joins on term without the
+    * bucket filter still reads a correct (full-scan) index.
     */
   def savePostings(postings: DataFrame, path: String): Unit =
     postings.select(col("term").cast("string"), col("doc_id").cast("long"),
       col("pos").cast("long"))
-      .repartition(col("term"))
-      .write.mode("overwrite").parquet(path)
+      .withColumn("bucket", pmod(hash(col("term")), lit(64)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   def loadPostings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("term", "doc_id", "pos")

@@ -57,7 +57,14 @@ object EventDedupStream {
         col("user_id").as("userId"), col("event_type").as("eventType"),
         col("value"))
       .as[Ev]
-      .groupByKey(e => (e.userId, e.eventType, e.value))
+      // normalize -0.0 → 0.0 in the key: Scala tuple equality separates
+      // the two zero bit patterns while the pinned batch twin's SQL
+      // partitioning (Window.partitionBy("value")) treats them equal —
+      // without this, a -0.0/0.0 retry pair would split across stream
+      // keys and escape the dedup (NaN is already fine: Double.equals
+      // unifies NaNs, matching SQL's NaN grouping)
+      .groupByKey(e => (e.userId, e.eventType,
+        if (e.value == 0.0) 0.0 else e.value))
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(windowNs))
   }
