@@ -11220,10 +11220,723 @@ object Queries {
     )
   }
 
+  /** DuckDB CTE chain computing the integer-micro PageRank iterations
+    * pr0..pr`n` over the co-purchase graph CTEs (`edges`, `deg` must be
+    * in scope). Generated by the same loop count as the Spark side so
+    * the two engines run the identical fixed-point prefix.
+    */
+  private def sqlPagerankCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""pr$i AS (SELECT d.src AS node,
+            CAST(150000 + (85 * coalesce(s.sc, 0)) // 100 AS BIGINT) AS pr
+          FROM deg d LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr // dg.deg) AS sc
+            FROM edges e
+            JOIN pr${i - 1} p ON p.node = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst) s ON s.node = d.src)"""
+    }.mkString(",\n          ")
+
+  private lazy val roundElevenW9: Seq[Q] = {
+    Seq(
+      // Cohort retention matrix — the product-analytics rollup behind
+      // every "day-N retention" dashboard: cohort = the user's first
+      // purchase day (absolute epoch-ns div day-ns — no calendar
+      // arithmetic to diverge between engines), activity = distinct
+      // (user, purchase-day), retention = cohort users purchasing again
+      // at day offset k ≤ 7, in exact permille. Scale shape: the raw
+      // event stream collapses to distinct (user, day) FIRST (the only
+      // scan of the big table); everything after is user-keyed rollups
+      // over |users|×|days| rows and a cohort-keyed join — no windows,
+      // no global sort until the final |days|×8-row ORDER BY.
+      ("q239_cohort_retention", (s: SparkSession, d: String) => {
+        val uw = eventsNs(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("ts div 86400000000000").as("dy"))
+          .distinct().persistTracked()
+        val first = uw.groupBy("user_id").agg(min(col("dy")).as("cohort_dy"))
+        val cohortN = first.groupBy("cohort_dy")
+          .agg(count(lit(1)).as("n_cohort"))
+        uw.join(first, "user_id")
+          .withColumn("dy_offset", col("dy") - col("cohort_dy"))
+          .filter(col("dy_offset") <= 7L)
+          .groupBy("cohort_dy", "dy_offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(cohortN, "cohort_dy")
+          .withColumn("retained_pm",
+            expr("CAST(n_active * 1000 div n_cohort AS BIGINT)"))
+          .orderBy("cohort_dy", "dy_offset")
+      },
+        Some("""WITH uw AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 86400000000000 AS dy FROM events
+              WHERE event_type = 'purchase'),
+          f AS (SELECT user_id, min(dy) AS cohort_dy FROM uw GROUP BY user_id),
+          cn AS (SELECT cohort_dy, CAST(count(*) AS BIGINT) AS n_cohort
+            FROM f GROUP BY cohort_dy),
+          a AS (SELECT f.cohort_dy, uw.dy - f.cohort_dy AS dy_offset,
+              CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
+            FROM uw JOIN f ON f.user_id = uw.user_id
+            WHERE uw.dy - f.cohort_dy <= 7
+            GROUP BY f.cohort_dy, uw.dy - f.cohort_dy)
+          SELECT a.cohort_dy, a.dy_offset, a.n_active, cn.n_cohort,
+            CAST(a.n_active * 1000 // cn.n_cohort AS BIGINT) AS retained_pm
+          FROM a JOIN cn ON cn.cohort_dy = a.cohort_dy
+          ORDER BY a.cohort_dy, a.dy_offset""")),
+
+      // Exact AUC via the Mann–Whitney rank-sum, float-free — the one
+      // classifier metric q156 (threshold sweep) and q193 (calibration)
+      // don't give: threshold-independent ranking quality. 2U = Σ over
+      // distinct scores of n_pos·(2·n_neg_below + n_neg_at) — ties
+      // contribute the standard ½ without any fraction ever existing;
+      // auc_ppm = 10⁶·2U div (2·P·N) exactly. Scale shape: the corpus
+      // collapses to a (score_micro → n_pos, n_neg) histogram first, so
+      // the single-partition cumulative window is over ≤ 10⁶+1 rows
+      // REGARDLESS of corpus size (the q207 histogram trick) — no
+      // global sort of raw scores at any scale.
+      ("q240_exact_auc", (s: SparkSession, d: String) => {
+        val sc = classifierQuality(s, d, fastHash = false)
+          .select(col("doc_id"),
+            expr("CAST(round(score * 1000000) AS BIGINT)").as("sm"))
+        val lab = t(s, d, "documents").select(col("doc_id"),
+          when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+            .as("label"))
+        val h = sc.join(lab, "doc_id")
+          .groupBy("sm").agg(sum(col("label")).as("np"),
+            sum(lit(1L) - col("label")).as("nn"))
+        val w = Window.orderBy("sm")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cum_lt", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .agg(
+            sum(col("np") * (lit(2L) * col("cum_lt") + col("nn"))).as("u2"),
+            sum(col("np")).as("n_pos"),
+            sum(col("nn")).as("n_neg"),
+            count(lit(1)).as("n_scores"))
+          .select(col("n_pos"), col("n_neg"), col("n_scores"), col("u2"),
+            expr("CAST(u2 * 1000000 div (2 * n_pos * n_neg) AS BIGINT)")
+              .as("auc_ppm"))
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          lab AS (SELECT doc_id, CASE WHEN $sqlQuality >= 0.5
+              THEN 1 ELSE 0 END AS label FROM documents),
+          j AS (SELECT CAST(round(sc.score * 1000000) AS BIGINT) AS sm,
+              lab.label
+            FROM sc JOIN lab ON lab.doc_id = sc.doc_id),
+          h AS (SELECT sm, CAST(sum(label) AS BIGINT) AS np,
+              CAST(sum(1 - label) AS BIGINT) AS nn FROM j GROUP BY sm),
+          c AS (SELECT np, nn, CAST(coalesce(sum(nn) OVER (ORDER BY sm
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_lt FROM h),
+          a AS (SELECT CAST(sum(np * (2 * cum_lt + nn)) AS BIGINT) AS u2,
+              CAST(sum(np) AS BIGINT) AS n_pos,
+              CAST(sum(nn) AS BIGINT) AS n_neg,
+              CAST(count(*) AS BIGINT) AS n_scores FROM c)
+          SELECT n_pos, n_neg, n_scores, u2,
+            CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+          FROM a""")),
+
+      // Integer PageRank over the co-purchase graph — graph centrality
+      // as a data-curation signal (the public web-curation use: rank
+      // sources/domains by link authority; here the part co-purchase
+      // graph stands in, q233's edge source). ALL-INTEGER power
+      // iteration: pr in micros, per-edge contribution pr div deg,
+      // damping (85·Σ) div 100 — floor division everywhere, so the
+      // 8-round fixed-point prefix is bit-identical in any engine (a
+      // float PageRank's sums are order-dependent). Scale shape: edges
+      // persist once; each round is ONE node-keyed shuffle (join on src
+      // + aggregate on dst) — the standard distributed PageRank round —
+      // and the round count is fixed, not data-dependent.
+      ("q241_pagerank", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+          .persistTracked()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .persistTracked()
+        var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+          .persistTracked()
+        for (_ <- 1 to 8) {
+          val contrib = edges
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(col("dst").as("node"), expr("pr div deg").as("c"))
+          val next = deg.select(col("src").as("node"))
+            .join(contrib.groupBy("node").agg(sum(col("c")).as("sc")),
+              Seq("node"), "left")
+            .select(col("node"),
+              expr("CAST(150000 + (85 * coalesce(sc, 0L)) div 100 AS BIGINT)")
+                .as("pr"))
+            .persistTracked()
+          next.count()
+          pr = next
+        }
+        pr.orderBy(desc("pr"), asc("node")).limit(15)
+          .select(col("node"), col("pr"))
+      },
+        Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          pr_pairs AS (SELECT a.pk AS pa, b.pk AS pb
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+          edges AS (SELECT pa AS src, pb AS dst FROM pr_pairs
+            UNION ALL SELECT pb, pa FROM pr_pairs),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+          pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+            FROM deg),
+          ${sqlPagerankCtes(8)}
+          SELECT node, pr FROM pr8 ORDER BY pr DESC, node LIMIT 15""")),
+
+      // Margin-based aligned-pair mining (the CCMatrix/LASER bitext
+      // criterion): between two embedding sub-corpora A and B, score
+      // candidate pairs by cos(x,y) relative to each side's top-4
+      // neighborhood average — margin = 2·sim/(avgA(x)+avgB(y)) — and
+      // keep pairs that are MUTUAL margin-argmaxes. All ratios in exact
+      // integers: sims quantized to micros before any sum (float
+      // neighborhood means are engine-order-dependent), margin_ppm =
+      // 8·10⁶·sm div (sA+sB). Scale shape: side A is broadcast (a
+      // query-batch-sized set); the |B|×|A| scored frame is the only
+      // large intermediate and both neighborhood windows partition on
+      // its own keys (WindowGroupLimit); at corpus×corpus scale the
+      // candidate set would be IVF-gated first (the q130 pattern).
+      ("q242_margin_mining", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val a = e.filter(col("label") === 5)
+          .select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+        val b = e.filter(col("label") === 1)
+          .select(col("vec_id").as("b_id"), col("embedding").as("be"))
+        val scored = b.crossJoin(broadcast(a))
+          .withColumn("sim_raw", VF.cosine01(col("ae"), col("be")))
+          .select(col("a_id"), col("b_id"),
+            expr("CAST(round(round(sim_raw, 6) * 1000000) AS BIGINT)")
+              .as("sm"))
+          .persistTracked()
+        def topSum(part: String, other: String): DataFrame =
+          scored.withColumn("rnk", row_number().over(
+              Window.partitionBy(part).orderBy(desc("sm"), asc(other))))
+            .filter(col("rnk") <= 4)
+            .groupBy(part).agg(sum(col("sm")).as(s"s_$part"))
+        val margins = scored
+          .join(topSum("a_id", "b_id"), "a_id")
+          .join(topSum("b_id", "a_id"), "b_id")
+          .withColumn("margin_ppm",
+            expr("CAST(8000000 * sm div (s_a_id + s_b_id) AS BIGINT)"))
+          .persistTracked()
+        def best(part: String, other: String): DataFrame =
+          margins.withColumn("rnk", row_number().over(
+              Window.partitionBy(part)
+                .orderBy(desc("margin_ppm"), asc(other))))
+            .filter(col("rnk") === 1)
+            .select(col("a_id"), col("b_id"),
+              col("margin_ppm"), col("sm"))
+        best("a_id", "b_id").as("x")
+          .join(best("b_id", "a_id").as("y"),
+            col("x.a_id") === col("y.a_id") && col("x.b_id") === col("y.b_id"))
+          .select(col("x.a_id").as("a_id"), col("x.b_id").as("b_id"),
+            col("x.margin_ppm").as("margin_ppm"), col("x.sm").as("sim_micro"))
+          .orderBy("a_id")
+      },
+        Some(s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae
+              FROM embeddings WHERE label = 5),
+          b AS (SELECT vec_id AS b_id, embedding AS be
+            FROM embeddings WHERE label = 1),
+          sc AS (SELECT a.a_id, b.b_id,
+              CAST(round(round(${sqlCos01("a.ae", "b.be")}, 6) * 1000000)
+                AS BIGINT) AS sm
+            FROM b CROSS JOIN a),
+          sa AS (SELECT a_id, CAST(sum(sm) AS BIGINT) AS s_a FROM (
+            SELECT a_id, sm, row_number() OVER (PARTITION BY a_id
+              ORDER BY sm DESC, b_id) AS rnk FROM sc)
+            WHERE rnk <= 4 GROUP BY a_id),
+          sb AS (SELECT b_id, CAST(sum(sm) AS BIGINT) AS s_b FROM (
+            SELECT b_id, sm, row_number() OVER (PARTITION BY b_id
+              ORDER BY sm DESC, a_id) AS rnk FROM sc)
+            WHERE rnk <= 4 GROUP BY b_id),
+          mg AS (SELECT sc.a_id, sc.b_id, sc.sm,
+              CAST(8000000 * sc.sm // (sa.s_a + sb.s_b) AS BIGINT)
+                AS margin_ppm
+            FROM sc JOIN sa ON sa.a_id = sc.a_id
+            JOIN sb ON sb.b_id = sc.b_id),
+          ba AS (SELECT a_id, b_id, margin_ppm, sm FROM (
+            SELECT *, row_number() OVER (PARTITION BY a_id
+              ORDER BY margin_ppm DESC, b_id) AS rnk FROM mg)
+            WHERE rnk = 1),
+          bb AS (SELECT a_id, b_id FROM (
+            SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id
+              ORDER BY margin_ppm DESC, a_id) AS rnk FROM mg)
+            WHERE rnk = 1)
+          SELECT ba.a_id, ba.b_id, ba.margin_ppm, ba.sm AS sim_micro
+          FROM ba JOIN bb ON bb.a_id = ba.a_id AND bb.b_id = ba.b_id
+          ORDER BY ba.a_id""")),
+
+      // Exponential time-decay trending, float-free — the HN/Reddit-style
+      // "what's hot now" score with half-life = 1 day, computed as an
+      // arithmetic RIGHT SHIFT of integer cents by age-in-days: halving
+      // per day with floor division is bit-identical in any engine,
+      // where exp(-λ·age) sums race on float order. Channel = the props
+      // "k" attribute (regex-extracted — same parser both sides), bucketed
+      // to 10 channels. Scale shape: one narrow projection of the event
+      // stream, the max-day scalar broadcast, one channel-keyed rollup,
+      // TakeOrderedAndProject for the top-10 — no window at all.
+      ("q243_trending_decay", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .withColumn("dy", expr("ts div 86400000000000"))
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .withColumn("channel", expr(
+            "CAST(regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) AS BIGINT) div 10"))
+        val maxDay = ev.agg(max(col("dy")).as("max_dy"))
+        ev.crossJoin(broadcast(maxDay))
+          .withColumn("decayed",
+            expr("shiftright(cents, CAST(max_dy - dy AS INT))"))
+          .groupBy("channel").agg(
+            sum(col("decayed")).as("score"),
+            sum(col("cents")).as("raw_cents"),
+            count(lit(1)).as("n_events"))
+          .orderBy(desc("score"), asc("channel")).limit(10)
+      },
+        Some("""WITH e AS (SELECT
+              epoch_ns(ts) // 86400000000000 AS dy,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) // 10
+                AS channel
+            FROM events),
+          m AS (SELECT max(dy) AS max_dy FROM e)
+          SELECT channel,
+            CAST(sum(cents >> CAST(m.max_dy - dy AS INT)) AS BIGINT) AS score,
+            CAST(sum(cents) AS BIGINT) AS raw_cents,
+            CAST(count(*) AS BIGINT) AS n_events
+          FROM e CROSS JOIN m
+          GROUP BY channel, m.max_dy
+          ORDER BY score DESC, channel LIMIT 10""")),
+
+      // Zipf rank-frequency audit — does the corpus's token distribution
+      // follow the 1/rank law a natural-language corpus should? Top-20
+      // terms by frequency (TakeOrderedAndProject), Zipf prediction
+      // c₁ div rank in exact integers, deviation in ppm. A synthetic or
+      // template-heavy corpus shows up as a flat head (ratio ≫ 10⁶) —
+      // the corpus-level analogue of the per-doc repetition filters.
+      // Scale shape: one term-keyed count rollup (map-side combined),
+      // top-20 via ordered limit, then windows over the 20-row frame only.
+      ("q244_zipf_audit", (s: SparkSession, d: String) => {
+        val top = t(s, d, "documents")
+          .select(explode(TF.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), asc("term")).limit(20)
+        top
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("freq"), asc("term"))).cast("long"))
+          .withColumn("c1", max(col("freq")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .withColumn("zipf_pred", expr("c1 div rank"))
+          .withColumn("ratio_ppm",
+            expr("CAST(freq * 1000000 div zipf_pred AS BIGINT)"))
+          .select(col("rank"), col("term"), col("freq"),
+            col("zipf_pred"), col("ratio_ppm"))
+          .orderBy("rank")
+      },
+        Some(s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS term
+              FROM documents),
+          tc AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM tk GROUP BY term ORDER BY freq DESC, term LIMIT 20),
+          rk AS (SELECT term, freq,
+              CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+                AS rank,
+              max(freq) OVER () AS c1
+            FROM tc)
+          SELECT rank, term, freq, c1 // rank AS zipf_pred,
+            CAST(freq * 1000000 // (c1 // rank) AS BIGINT) AS ratio_ppm
+          FROM rk ORDER BY rank""")),
+
+      // Last-touch attribution — the composition the stream-stream
+      // AttributionStream feeds: for each purchase, the LATEST click by
+      // the same user within 24 h (TemporalJoin.asOf carries the most
+      // recent click row as one struct; the horizon check nulls carried
+      // clicks that are too old), then revenue rolled up per attributed
+      // channel with unattributed purchases as channel −1. Scale shape:
+      // asOf is ONE user-keyed union+window pass (no purchase×click
+      // join); the rollup is channel-keyed over |purchases| rows.
+      ("q245_attribution", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+        val chan = expr(
+          "CAST(regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) AS BIGINT) div 10")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(chan).as("channel"))
+          .withColumn("c_ts", col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        graft.ops.TemporalJoin.asOf(
+            purchases, clicks, "user_id", "ts", Seq("c_ts", "channel"))
+          .withColumn("attr_channel",
+            when(col("c_ts").isNotNull &&
+              col("ts") - col("c_ts") <= lit(86400000000000L), col("channel"))
+              .otherwise(lit(-1L)))
+          .groupBy("attr_channel").agg(
+            count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("attributed_cents"))
+          .orderBy("attr_channel")
+      },
+        Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts,
+              event_type, value, props FROM events),
+          ck AS (SELECT user_id, ts,
+              max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+                // 10) AS channel
+            FROM e WHERE event_type = 'click' GROUP BY user_id, ts),
+          p AS (SELECT event_id, user_id, ts,
+              CAST(round(value * 100) AS BIGINT) AS cents
+            FROM e WHERE event_type = 'purchase'),
+          j AS (SELECT p.event_id, p.cents, p.ts, ck.ts AS c_ts, ck.channel,
+              row_number() OVER (PARTITION BY p.event_id
+                ORDER BY ck.ts DESC) AS rn
+            FROM p LEFT JOIN ck
+              ON ck.user_id = p.user_id AND ck.ts <= p.ts),
+          lt AS (SELECT event_id, cents,
+              CASE WHEN c_ts IS NOT NULL AND ts - c_ts <= 86400000000000
+                THEN channel ELSE -1 END AS attr_channel
+            FROM j WHERE rn = 1)
+          SELECT attr_channel, CAST(count(*) AS BIGINT) AS n_purchases,
+            CAST(sum(cents) AS BIGINT) AS attributed_cents
+          FROM lt GROUP BY attr_channel ORDER BY attr_channel"""))
+    )
+  }
+
+  /** Positional 3-token shingles over (doc_id, text): (doc_id, pos, h)
+    * with h = md5-hash32 of the space-joined shingle, empty for docs
+    * under 3 tokens — shared by the dup-evidence and coverage-selection
+    * queries so the shingle recipe exists once. The `when` guard exists
+    * because Spark's `sequence(0, -1)` infers step −1 and yields [0, −1]
+    * instead of the empty list.
+    */
+  private def posShingles3(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", TF.tokens(col("text")))
+      .withColumn("shingles", when(size(col("toks")) >= 3,
+        expr("transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"), posexplode(col("shingles")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        TF.hash32(col("col")).as("h"))
+
+  /** DuckDB CTE chain for the greedy max-coverage rounds 1..k over a
+    * preceding `sh` CTE with distinct (doc_id, h): each round picks the
+    * doc covering the most still-uncovered shingles (gain desc, doc_id
+    * asc), exactly the Spark side's per-round argmax. Ends with `wins`
+    * = (round, doc_id, gain).
+    */
+  private def sqlCoverageCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      if (r == 1)
+        s"""g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+              FROM sh GROUP BY doc_id),
+          w1 AS (SELECT CAST(1 AS BIGINT) AS round, doc_id, gain
+            FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+          cov1 AS (SELECT DISTINCT s.h FROM sh s
+            JOIN w1 ON w1.doc_id = s.doc_id),
+          sel1 AS (SELECT doc_id FROM w1)"""
+      else
+        s"""g$r AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain
+              FROM sh s LEFT JOIN cov${r - 1} c ON c.h = s.h
+              WHERE c.h IS NULL
+                AND s.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})
+              GROUP BY s.doc_id),
+          w$r AS (SELECT CAST($r AS BIGINT) AS round, doc_id, gain
+            FROM g$r ORDER BY gain DESC, doc_id LIMIT 1),
+          cov$r AS (SELECT h FROM cov${r - 1}
+            UNION SELECT s.h FROM sh s JOIN w$r ON w$r.doc_id = s.doc_id),
+          sel$r AS (SELECT doc_id FROM sel${r - 1}
+            UNION ALL SELECT doc_id FROM w$r)"""
+    }.mkString(",\n          ")
+    val union = (1 to k).map(r => s"SELECT * FROM w$r").mkString(" UNION ALL ")
+    s"""$rounds,
+          wins AS ($union)"""
+  }
+
+  private lazy val roundElevenW10: Seq[Q] = {
+    Seq(
+      // Volume-trend fit, float-free — per event type, the OLS slope of
+      // daily event counts over day index: slope = (n·Σxy − Σx·Σy) /
+      // (n·Σxx − Σx²), emitted in exact integer micros via integer
+      // division (both engines TRUNCATE toward zero — probed, not
+      // assumed). The capacity-planning number behind "is this feed
+      // growing?". Scale shape: the event stream collapses to the
+      // (type, day) histogram first; the regression sums are one rollup
+      // over ≤ |types|×|days| rows — closed-form, no iteration, no
+      // float accumulation anywhere.
+      ("q246_volume_trend", (s: SparkSession, d: String) => {
+        val daily = eventsNs(s, d)
+          .withColumn("dy", expr("ts div 86400000000000"))
+          .groupBy("event_type", "dy").agg(count(lit(1)).as("y"))
+        val d0 = daily.agg(min(col("dy")).as("d0"))
+        daily.crossJoin(broadcast(d0))
+          .withColumn("x", col("dy") - col("d0"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_days"),
+            sum(col("y")).as("n_events"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope_micro", expr(
+            "CAST((n_days * sxy - sx * n_events) * 1000000 " +
+              "div (n_days * sxx - sx * sx) AS BIGINT)"))
+          .select("event_type", "n_days", "n_events", "slope_micro")
+          .orderBy("event_type")
+      },
+        Some("""WITH daily AS (SELECT event_type,
+              epoch_ns(ts) // 86400000000000 AS dy,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, dy),
+          d0 AS (SELECT min(dy) AS d0 FROM daily),
+          x AS (SELECT event_type, dy - d0.d0 AS x, y
+            FROM daily CROSS JOIN d0),
+          g AS (SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(y) AS BIGINT) AS n_events,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM x GROUP BY event_type)
+          SELECT event_type, n_days, n_events,
+            CAST((n_days * sxy - sx * n_events) * 1000000
+              // (n_days * sxx - sx * sx) AS BIGINT) AS slope_micro
+          FROM g ORDER BY event_type""")),
+
+      // Near-dup pair EVIDENCE extraction — the review tooling behind any
+      // dedup decision a human audits: for the 5 strongest LSH-verified
+      // pairs, the shared-shingle overlap (how many distinct 3-gram
+      // shingles the two docs share, each side's total, and the first
+      // matching position on each side — where the overlap starts).
+      // Scale shape: pairs come from the standard banded LSH pass; the
+      // evidence join touches ONLY the ≤ 2×|pairs| docs named in the
+      // report (semi-join prune before any tokenization), so the
+      // positional shingle explode is report-sized, not corpus-sized.
+      ("q247_dup_evidence", (s: SparkSession, d: String) => {
+        val corpus = nearDupCorpus(
+          t(s, d, "documents").select("doc_id", "text"))
+        val top = Dedup.minhashLsh(corpus, "doc_id", "text",
+            shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+          .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b")).limit(5)
+          .persistTracked()
+        val docsInPairs = top
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val spm = posShingles3(corpus.join(docsInPairs, "doc_id"))
+          .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
+          .persistTracked()
+        val cnt = spm.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        top.as("t")
+          .join(spm.as("a"), col("a.doc_id") === col("t.doc_a"))
+          .join(spm.as("b"), col("b.doc_id") === col("t.doc_b") &&
+            col("b.h") === col("a.h"))
+          .groupBy(col("t.doc_a").as("doc_a"), col("t.doc_b").as("doc_b"),
+            col("t.jaccard").as("jaccard"))
+          .agg(count(lit(1)).as("n_shared"),
+            min(col("a.pos")).as("first_pos_a"),
+            min(col("b.pos")).as("first_pos_b"))
+          .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+            "doc_a")
+          .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            col("n_shared"), col("n_a"), col("n_b"),
+            col("first_pos_a"), col("first_pos_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          top5 AS (SELECT doc_a, doc_b, jaccard FROM pairs_mh
+            ORDER BY jaccard DESC, doc_a, doc_b LIMIT 5),
+          dip AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM top5
+            UNION ALL SELECT doc_b FROM top5)),
+          tk AS (SELECT c.doc_id, ${sqlTokens("text")} AS toks
+            FROM corpus c JOIN dip USING (doc_id)),
+          spl AS (SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(toks) - 2, 0) + 1),
+              i -> struct_pack(pos := i - 1,
+                h := ${sqlHash32("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))) AS u
+            FROM tk),
+          spm AS (SELECT doc_id, u.h AS h, CAST(min(u.pos) AS BIGINT) AS pos
+            FROM spl GROUP BY doc_id, u.h),
+          cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM spm GROUP BY doc_id),
+          ev AS (SELECT t.doc_a, t.doc_b, t.jaccard,
+              CAST(count(*) AS BIGINT) AS n_shared,
+              min(a.pos) AS first_pos_a, min(b.pos) AS first_pos_b
+            FROM top5 t
+            JOIN spm a ON a.doc_id = t.doc_a
+            JOIN spm b ON b.doc_id = t.doc_b AND b.h = a.h
+            GROUP BY t.doc_a, t.doc_b, t.jaccard)
+          SELECT ev.doc_a, ev.doc_b, ev.jaccard, ev.n_shared,
+            ca.n AS n_a, cb.n AS n_b, ev.first_pos_a, ev.first_pos_b
+          FROM ev
+          JOIN cnt ca ON ca.doc_id = ev.doc_a
+          JOIN cnt cb ON cb.doc_id = ev.doc_b
+          ORDER BY ev.doc_a, ev.doc_b""")),
+
+      // Cohen's kappa between two labelers, float-free — chance-corrected
+      // agreement between the q43 heuristic quality rule and the q84
+      // hash-weight classifier's keep decision: κ = (p_o − p_e)/(1 − p_e)
+      // evaluated entirely in cross-multiplied integers, κ_ppm =
+      // 10⁶·(n·(n11+n00) − pe) div (n² − pe) with pe = (n11+n10)(n11+n01)
+      // + (n01+n00)(n10+n00). The number that says whether the cheap rule
+      // can stand in for the classifier. Scale shape: both labelers are
+      // per-row codegen flags; the confusion matrix is ONE global rollup.
+      ("q248_labeler_kappa", (s: SparkSession, d: String) => {
+        val cls = classifierQuality(s, d, fastHash = false)
+          .select(col("doc_id"), col("keep").as("bl"))
+        val rule = t(s, d, "documents").select(col("doc_id"),
+          when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+            .as("al"))
+        rule.join(cls, "doc_id")
+          .agg(
+            sum(col("al") * col("bl")).as("n11"),
+            sum(col("al") * (lit(1L) - col("bl"))).as("n10"),
+            sum((lit(1L) - col("al")) * col("bl")).as("n01"),
+            sum((lit(1L) - col("al")) * (lit(1L) - col("bl"))).as("n00"))
+          .withColumn("n", col("n11") + col("n10") + col("n01") + col("n00"))
+          .withColumn("pe", (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            expr("CAST((n * (n11 + n00)) * 1000 div (n * n) AS BIGINT)")
+              .as("agree_pm"),
+            expr("CAST((n * (n11 + n00) - pe) * 1000000 " +
+              "div (n * n - pe) AS BIGINT)").as("kappa_ppm"))
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          rule AS (SELECT doc_id, CASE WHEN $sqlQuality >= 0.5
+              THEN 1 ELSE 0 END AS al FROM documents),
+          j AS (SELECT rule.al,
+              CASE WHEN sc.score >= 0.5 THEN 1 ELSE 0 END AS bl
+            FROM rule JOIN sc ON sc.doc_id = rule.doc_id),
+          cm AS (SELECT
+              CAST(sum(al * bl) AS BIGINT) AS n11,
+              CAST(sum(al * (1 - bl)) AS BIGINT) AS n10,
+              CAST(sum((1 - al) * bl) AS BIGINT) AS n01,
+              CAST(sum((1 - al) * (1 - bl)) AS BIGINT) AS n00
+            FROM j),
+          k AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+              (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe
+            FROM cm)
+          SELECT n, n11, n10, n01, n00,
+            CAST((n * (n11 + n00)) * 1000 // (n * n) AS BIGINT) AS agree_pm,
+            CAST((n * (n11 + n00) - pe) * 1000000 // (n * n - pe)
+              AS BIGINT) AS kappa_ppm
+          FROM k""")),
+
+      // PMI collocations — which adjacent word pairs stick together far
+      // beyond chance: PMI = ln(c_ab·N / (c_a·c_b)) over adjacent-bigram
+      // and unigram counts (6-dp-rounded natural log over exact integer
+      // ratios — the q234/q83 precedent), support floor c_ab ≥ 5, top-15
+      // by PMI. The phrase-discovery primitive under tokenizer vocab
+      // curation (a high-PMI pair is a merge candidate BPE should learn).
+      // Scale shape: two count rollups (map-side combined) + one join of
+      // the bigram table against the broadcast-size unigram table slice
+      // it names; top-15 via ordered limit.
+      ("q249_pmi_collocations", (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .persistTracked()
+        val uni = toks.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c")).persistTracked()
+        val nt = uni.agg(sum(col("c")).as("nt"))
+        val bi = toks
+          .withColumn("bgs", when(size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks) - 2), " +
+              "i -> struct(toks[i] AS ta, toks[i+1] AS tb))"))
+            .otherwise(expr(
+              "CAST(array() AS ARRAY<STRUCT<ta: STRING, tb: STRING>>)")))
+          .select(explode(col("bgs")).as("bg"))
+          .select(col("bg.ta").as("ta"), col("bg.tb").as("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        bi
+          .join(uni.select(col("tok").as("ta"), col("c").as("ca")), "ta")
+          .join(uni.select(col("tok").as("tb"), col("c").as("cb")), "tb")
+          .crossJoin(broadcast(nt))
+          .withColumn("pmi", round(log((col("c_ab") * col("nt"))
+            .cast("double") / (col("ca") * col("cb")).cast("double")), 6))
+          .select(col("ta"), col("tb"), col("c_ab"), col("pmi"))
+          .orderBy(desc("pmi"), asc("ta"), asc("tb")).limit(15)
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM documents),
+          uni AS (SELECT unnest(toks) AS tok FROM tok),
+          uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM uni GROUP BY tok),
+          nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uc),
+          bg AS (SELECT unnest(list_transform(
+              range(1, greatest(len(toks) - 1, 0) + 1),
+              i -> struct_pack(ta := toks[i], tb := toks[i+1]))) AS u
+            FROM tok),
+          bc AS (SELECT u.ta AS ta, u.tb AS tb,
+              CAST(count(*) AS BIGINT) AS c_ab
+            FROM bg GROUP BY u.ta, u.tb HAVING count(*) >= 5)
+          SELECT bc.ta, bc.tb, bc.c_ab,
+            round(ln(CAST(bc.c_ab * nt.nt AS DOUBLE)
+              / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi
+          FROM bc
+          JOIN uc ca ON ca.tok = bc.ta
+          JOIN uc cb ON cb.tok = bc.tb
+          CROSS JOIN nt
+          ORDER BY pmi DESC, bc.ta, bc.tb LIMIT 15""")),
+
+      // Greedy max-coverage eval-set selection — pick k=5 docs that
+      // together cover the most distinct 3-gram shingles (the classic
+      // (1−1/e) greedy for submodular coverage; the diverse-subset
+      // primitive behind eval-set and demo-set curation). Each round is
+      // ONE anti-join against the covered set + a count rollup + a
+      // 1-row argmax; the covered set is bounded by k × max-doc-shingles
+      // (a broadcast-sized asset), the selected list by k — driver state
+      // is k scalars per round, never data-sized. Oracle: the same k
+      // rounds unrolled as CTEs (the q237/q241 loop-generation pattern).
+      ("q250_coverage_selection", (s: SparkSession, d: String) => {
+        import s.implicits._
+        val sh = posShingles3(t(s, d, "documents").select("doc_id", "text"))
+          .select("doc_id", "h").distinct().persistTracked()
+        var covered: DataFrame = null
+        var chosen = Seq.empty[Long]
+        var wins = Seq.empty[(Long, Long, Long)]
+        for (r <- 1 to 5) {
+          val remaining =
+            if (chosen.isEmpty) sh
+            else sh.filter(!col("doc_id").isin(chosen: _*))
+          val uncov =
+            if (covered == null) remaining
+            else remaining.join(broadcast(covered), Seq("h"), "left_anti")
+          val win = uncov.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+            .orderBy(desc("gain"), asc("doc_id")).limit(1).collect()(0)
+          val (dId, g) = (win.getLong(0), win.getLong(1))
+          wins :+= ((r.toLong, dId, g))
+          chosen :+= dId
+          val newCov = sh.filter(col("doc_id") === dId).select("h")
+          covered = (if (covered == null) newCov
+            else covered.unionByName(newCov)).distinct().persistTracked()
+        }
+        wins.toDF("round", "doc_id", "gain").orderBy("round")
+      },
+        Some(s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+              ${sqlHash32("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+            FROM tk, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS r(i)),
+          ${sqlCoverageCtes(5)}
+          SELECT round, doc_id, gain FROM wins ORDER BY round"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
-      roundEleven ++ roundElevenW7 ++ roundElevenW8
+      roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
+      roundElevenW10
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

@@ -993,4 +993,119 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._3) == 1, "only the fat hour flags on this fixture")
     q.stop()
   }
+
+  test("stream-stream attribution join: pair set equals batch rangeJoin, " +
+      "including a cross-batch pair") {
+    import graft.streaming.AttributionStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // base offset keeps every event time well above epoch 0 — the
+    // join's derived state watermark clamps at 0 and a t=0 row sits
+    // exactly on the eviction boundary
+    val base = 86400L
+    def ts(sec: Long) = new Timestamp((base + sec) * 1000L)
+    // clicks: (user, sec, channel); purchases: (user, sec, cents).
+    // Fixture is WATERMARK-SAFE: within each processAllAvailable no row's
+    // event time exceeds any pending row's time by more than the horizon,
+    // and each side is drained before the other side's later-timed data
+    // arrives — otherwise the join's event-time watermark (max seen −
+    // horizon) legitimately drops the older row as late, which is
+    // stream-stream semantics, not a bug to pin around.
+    val clicks1 = Seq((1L, 0L, 1L), (1L, 1800L, 2L), (2L, 100L, 4L))
+    val clicks2 = Seq((1L, 7200L, 3L))
+    val purchases1 = Seq((1L, 1800L, 500L)) // simultaneous click excluded
+    val purchases2 = Seq((1L, 2000L, 800L), // matches batch-1 clicks @0,@1800
+      (1L, 7300L, 700L), // matches the batch-2 click@7200
+      (2L, 5000L, 900L), // only click 4900 s earlier — outside 1 h horizon
+      (3L, 50L, 300L)) // no clicks at all
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val out = AttributionStream.pairs(
+      cIn.toDF().toDF("user_id", "c_ts", "channel"),
+      pIn.toDF().toDF("user_id", "p_ts", "cents"), horizonSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    cIn.addData(clicks1.map(c => (c._1, ts(c._2), c._3)))
+    pIn.addData(purchases1.map(p => (p._1, ts(p._2), p._3)))
+    q.processAllAvailable()
+    // purchases (low event times) drain into join state BEFORE the
+    // high-timed click@7200 can advance the watermark past them
+    pIn.addData(purchases2.map(p => (p._1, ts(p._2), p._3)))
+    q.processAllAvailable()
+    cIn.addData(clicks2.map(c => (c._1, ts(c._2), c._3)))
+    q.processAllAvailable()
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L - base,
+        r.getLong(2), r.getTimestamp(3).getTime / 1000L - base, r.getLong(4)))
+      .toSet
+    // batch twin: TemporalJoin.rangeJoin over the same data on epoch-ns
+    val ns = 1000000000L
+    val bp = (purchases1 ++ purchases2)
+      .toDF("user_id", "sec", "cents")
+      .select(col("user_id"), ((col("sec") + base) * ns).as("ts"), col("cents"))
+    val bc = (clicks1 ++ clicks2).toDF("user_id", "sec", "channel")
+      .select(col("user_id"), ((col("sec") + base) * ns).as("ts"), col("channel"))
+    val want = graft.ops.TemporalJoin.rangeJoin(
+        bp, bc, "user_id", "ts", 3600L * ns, Seq("channel"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts") / ns - base,
+        r.getAs[Long]("cents"), r.getAs[Long]("r_ts") / ns - base,
+        r.getAs[Long]("r_channel")))
+      .toSet
+    assert(got == want, s"stream pairs != batch rangeJoin\n got=$got\nwant=$want")
+    // cross-batch pairs present; simultaneous and out-of-horizon excluded
+    assert(got == Set(
+      (1L, 1800L, 500L, 0L, 1L),
+      (1L, 2000L, 800L, 0L, 1L), (1L, 2000L, 800L, 1800L, 2L),
+      (1L, 7300L, 700L, 7200L, 3L)))
+    q.stop()
+  }
+
+  test("streaming Misra-Gries top-k equals a sequential fold over the " +
+      "concatenated batches, with visible eviction") {
+    import graft.streaming.TopKStream
+    import graft.functions.MisraGries
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // k=2 counters; group g: a dominant token, a medium one, and noise
+    // tokens that force the decrement-all eviction path; group h checks
+    // state isolation
+    val b1 = Seq("a", "a", "b", "a", "c", "a", "b").zipWithIndex
+      .map { case (t, i) => TopKStream.Tok("g", i.toLong, t) } ++
+      Seq(TopKStream.Tok("h", 0L, "z"))
+    val b2 = Seq("d", "a", "b", "e", "a").zipWithIndex
+      .map { case (t, i) => TopKStream.Tok("g", 100L + i, t) } ++
+      Seq(TopKStream.Tok("h", 1L, "z"))
+    val input = MemoryStream[TopKStream.Tok]
+    val out = TopKStream.topK(spark, input.toDS(), k = 2)
+    val q = out.writeStream.format("memory").queryName("mgtopk")
+      .outputMode("update").start()
+    input.addData(b1)
+    q.processAllAvailable()
+    // update mode re-emits each group's whole summary every batch and the
+    // memory sink only APPENDS — isolate the final batch's rows by count
+    val n1 = spark.table("mgtopk").count().toInt
+    input.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("mgtopk").as[TopKStream.Hit].collect()
+      .drop(n1)
+      .groupBy(_.group)
+      .map { case (g, hits) =>
+        g -> hits.map(h => h.token -> h.count).toMap }
+    // reference: ONE sequential fold over all tokens in seq order
+    val mg = new MisraGries(2)
+    def fold(toks: Seq[TopKStream.Tok]): Map[String, Long] =
+      toks.sortBy(_.seq).foldLeft(Map.empty[String, Long]) {
+        (buf, t) => mg.reduce(buf, t.token)
+      }
+    val wantG = fold((b1 ++ b2).filter(_.group == "g"))
+    val wantH = fold((b1 ++ b2).filter(_.group == "h"))
+    assert(got("g") == wantG, s"group g: ${got("g")} != $wantG")
+    assert(got("h") == wantH)
+    // the MG guarantee on this stream: "a" (true freq 7 of 12 > 12/3)
+    // must be present, and its count understates by <= n/(k+1) = 4
+    assert(wantG.contains("a") && wantG("a") >= 7L - 4L && wantG("a") <= 7L)
+    assert(wantH == Map("z" -> 2L))
+    q.stop()
+  }
 }
