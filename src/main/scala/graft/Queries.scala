@@ -11339,12 +11339,14 @@ object Queries {
       // sources/domains by link authority; here the part co-purchase
       // graph stands in, q233's edge source). ALL-INTEGER power
       // iteration: pr in micros, per-edge contribution pr div deg,
-      // damping (85·Σ) div 100 — floor division everywhere, so the
-      // 8-round fixed-point prefix is bit-identical in any engine (a
-      // float PageRank's sums are order-dependent). Scale shape: edges
-      // persist once; each round is ONE node-keyed shuffle (join on src
-      // + aggregate on dst) — the standard distributed PageRank round —
-      // and the round count is fixed, not data-dependent.
+      // damping (85·Σ) div 100 — truncating division everywhere (both
+      // engines truncate toward zero — probed), so the 8-round
+      // fixed-point prefix is bit-identical in any engine (a float
+      // PageRank's sums are order-dependent). Execution is the hybrid
+      // Graph.pagerankInt: a catalog-sized graph (this one) runs the
+      // rounds as a driver loop under the explicit 200k-edge cap; above
+      // it each round is the standard distributed shape (edges ⋈ rank +
+      // dst-keyed aggregate), GraphSpec-pinned equal.
       ("q241_pagerank", (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -11356,28 +11358,8 @@ object Queries {
           .filter(col("n_ab") >= 2)
         val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
           .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-          .persistTracked()
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .persistTracked()
-        var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
-          .persistTracked()
-        for (_ <- 1 to 8) {
-          val contrib = edges
-            .join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(col("dst").as("node"), expr("pr div deg").as("c"))
-          val next = deg.select(col("src").as("node"))
-            .join(contrib.groupBy("node").agg(sum(col("c")).as("sc")),
-              Seq("node"), "left")
-            .select(col("node"),
-              expr("CAST(150000 + (85 * coalesce(sc, 0L)) div 100 AS BIGINT)")
-                .as("pr"))
-            .persistTracked()
-          next.count()
-          pr = next
-        }
-        pr.orderBy(desc("pr"), asc("node")).limit(15)
-          .select(col("node"), col("pr"))
+        Graph.pagerankInt(edges, iters = 8)
+          .orderBy(desc("pr"), asc("node")).limit(15)
       },
         Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
               l_partkey AS pk FROM lineitem),
@@ -11611,17 +11593,17 @@ object Queries {
   /** Positional 3-token shingles over (doc_id, text): (doc_id, pos, h)
     * with h = md5-hash32 of the space-joined shingle, empty for docs
     * under 3 tokens — shared by the dup-evidence and coverage-selection
-    * queries so the shingle recipe exists once. The `when` guard exists
-    * because Spark's `sequence(0, -1)` infers step −1 and yields [0, −1]
-    * instead of the empty list.
+    * queries so the shingle recipe exists once. Built on [[TF.shingles]]
+    * (the zip-of-shifted-slices form), NOT a positional lambda indexing
+    * into `toks`: a lambda body referencing the toks SUBTREE re-runs the
+    * tokenizer per element when the HOF executes interpreted — the
+    * round-9 q108/q81 cliff, re-measured here as an 8 s shingle build at
+    * sf0.1 vs sub-second for this form.
     */
   private def posShingles3(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", TF.tokens(col("text")))
-      .withColumn("shingles", when(size(col("toks")) >= 3,
-        expr("transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-      .select(col("doc_id"), posexplode(col("shingles")))
+    graft.ops.Par.ensure(docs, "doc_id")
+      .withColumn("toks", TF.tokens(col("text")))
+      .select(col("doc_id"), posexplode(TF.shingles(col("toks"), 3)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         TF.hash32(col("col")).as("h"))
 
@@ -11727,9 +11709,13 @@ object Queries {
         val docsInPairs = top
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
+        top.count() // materialize ONCE: three plan branches reference the
+        // cached pair frame, and an unmaterialized cache is re-computed
+        // per branch inside a single action (measured 11.6 s -> ~2 s)
         val spm = posShingles3(corpus.join(docsInPairs, "doc_id"))
           .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
           .persistTracked()
+        spm.count() // same: referenced by both sides of the evidence join
         val cnt = spm.groupBy("doc_id").agg(count(lit(1)).as("n"))
         top.as("t")
           .join(spm.as("a"), col("a.doc_id") === col("t.doc_a"))
@@ -11841,21 +11827,23 @@ object Queries {
       // the bigram table against the broadcast-size unigram table slice
       // it names; top-15 via ordered limit.
       ("q249_pmi_collocations", (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        // one positional token explode feeds BOTH count tables; adjacency
+        // via the (doc_id, pos+1) equi-join (the q208 postings pattern —
+        // no HOF lambda over toks, no second tokenize)
+        val tp = graft.ops.Par.ensure(
+            t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("tok"))
           .persistTracked()
-        val uni = toks.select(explode(col("toks")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("c")).persistTracked()
+        val uni = tp.groupBy("tok").agg(count(lit(1)).as("c"))
+          .persistTracked()
         val nt = uni.agg(sum(col("c")).as("nt"))
-        val bi = toks
-          .withColumn("bgs", when(size(col("toks")) >= 2,
-            expr("transform(sequence(0, size(toks) - 2), " +
-              "i -> struct(toks[i] AS ta, toks[i+1] AS tb))"))
-            .otherwise(expr(
-              "CAST(array() AS ARRAY<STRUCT<ta: STRING, tb: STRING>>)")))
-          .select(explode(col("bgs")).as("bg"))
-          .select(col("bg.ta").as("ta"), col("bg.tb").as("tb"))
-          .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+        val bi = tp.as("a").join(tp.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.pos") + 1 === col("b.pos"))
+          .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+          .agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 5)
         bi
           .join(uni.select(col("tok").as("ta"), col("c").as("ca")), "ta")
@@ -11901,6 +11889,7 @@ object Queries {
         import s.implicits._
         val sh = posShingles3(t(s, d, "documents").select("doc_id", "text"))
           .select("doc_id", "h").distinct().persistTracked()
+        sh.count() // materialize before the rounds fan out references
         var covered: DataFrame = null
         var chosen = Seq.empty[Long]
         var wins = Seq.empty[(Long, Long, Long)]

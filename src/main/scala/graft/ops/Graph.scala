@@ -231,4 +231,64 @@ object Graph {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     remappedOld.unionByName(newAssigned)
   }
+
+  /** Integer PageRank over a DIRECTED edge list (src, dst): `iters` fixed
+    * power-iteration rounds entirely in integer micros — initial rank
+    * 10⁶ per node, per-edge contribution `pr div out-degree`, damping
+    * `(85·Σ) div 100` — so the fixed-point prefix is bit-identical in any
+    * engine (float PageRank sums are summation-order-dependent). Returns
+    * (node, pr); nodes are the distinct edge endpoints that appear as a
+    * source (an isolated sink contributes nothing and is not ranked).
+    *
+    * Hybrid execution, the [[ccIncremental]] pattern: the edge count is
+    * measured BEFORE any collect; at or below `maxLocalEdges` (a hard
+    * driver-memory cap, ~16 B/edge) the rounds run as a driver loop over
+    * primitive arrays, else each round is the standard distributed shape —
+    * edges ⋈ rank (rank side broadcast: the node set of a co-occurrence
+    * graph is catalog-sized) + one dst-keyed aggregate, chained lazily
+    * into a single job. GraphSpec pins both arms equal.
+    */
+  def pagerankInt(edges: DataFrame, iters: Int,
+      maxLocalEdges: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    try {
+      val nEdges = e.count()
+      if (nEdges <= maxLocalEdges) {
+        val es = e.as[(Long, Long)].collect()
+        val deg = es.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+        val nodes = deg.keys.toArray.sorted
+        var pr: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to iters) {
+          val sc = collection.mutable.Map.empty[Long, Long]
+          es.foreach { case (s, t) =>
+            sc(t) = sc.getOrElse(t, 0L) + pr(s) / deg(s)
+          }
+          pr = nodes.map(n =>
+            n -> (150000L + (85L * sc.getOrElse(n, 0L)) / 100L)).toMap
+        }
+        nodes.map(n => (n, pr(n))).toSeq.toDF("node", "pr")
+      } else {
+        val nodes = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("node"), col("deg")).persist()
+        var pr = nodes.withColumn("pr", lit(1000000L))
+        for (_ <- 1 to iters) {
+          val contrib = e
+            .join(broadcast(pr.select(col("node").as("src"),
+              expr("pr div deg").as("c"))), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
+          pr = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"), col("deg"),
+              expr("CAST(150000 + (85 * coalesce(sc, 0L)) div 100 AS BIGINT)")
+                .as("pr"))
+        }
+        // materialize before releasing the inputs the plan references
+        val out = pr.select("node", "pr").localCheckpoint(true)
+        nodes.unpersist()
+        out
+      }
+    } finally e.unpersist()
+  }
 }

@@ -56,3 +56,60 @@ object SqlProbe {
     spark.stop()
   }
 }
+
+/** Per-round timing probe for the greedy coverage loop (q250). */
+object CoverProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    def tok = graft.functions.TextFunctions.tokens(col("text"))
+    val sh = graft.ops.Par.ensure(docs, "doc_id").withColumn("toks", tok)
+      .withColumn("shingles", when(size(col("toks")) >= 3,
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"), explode(col("shingles")).as("sng"))
+      .select(col("doc_id"), graft.functions.TextFunctions.hash32(col("sng")).as("h"))
+      .distinct().persist()
+    var t0 = System.nanoTime
+    val stage1 = graft.ops.Par.ensure(docs, "doc_id").withColumn("toks", tok)
+    println(s"[probe] tokens: ${stage1.select(sum(size(col("toks")))).collect()(0)} (${(System.nanoTime - t0) / 1e9} s)")
+    t0 = System.nanoTime
+    val stage2 = stage1.withColumn("shingles", when(size(col("toks")) >= 3,
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"), explode(col("shingles")).as("sng"))
+    println(s"[probe] explode: ${stage2.count()} (${(System.nanoTime - t0) / 1e9} s)")
+    t0 = System.nanoTime
+    val stage3 = stage2.select(col("doc_id"), graft.functions.TextFunctions.hash32(col("sng")).as("h"))
+    println(s"[probe] hashed: ${stage3.select(sum(col("h"))).collect()(0)} (${(System.nanoTime - t0) / 1e9} s)")
+    t0 = System.nanoTime
+    println(s"[probe] sh rows = ${sh.count()}  (${(System.nanoTime - t0) / 1e9} s)")
+    var covered: org.apache.spark.sql.DataFrame = null
+    var chosen = Seq.empty[Long]
+    for (r <- 1 to 5) {
+      t0 = System.nanoTime
+      val remaining = if (chosen.isEmpty) sh else sh.filter(!col("doc_id").isin(chosen: _*))
+      val uncov = if (covered == null) remaining
+        else remaining.join(broadcast(covered), Seq("h"), "left_anti")
+      val win = uncov.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(desc("gain"), asc("doc_id")).limit(1).collect()(0)
+      val tArg = (System.nanoTime - t0) / 1e9
+      t0 = System.nanoTime
+      chosen :+= win.getLong(0)
+      val newCov = sh.filter(col("doc_id") === win.getLong(0)).select("h")
+      covered = (if (covered == null) newCov else covered.unionByName(newCov))
+        .distinct().persist()
+      covered.count()
+      val tCov = (System.nanoTime - t0) / 1e9
+      println(f"[probe] round $r: argmax $tArg%.2f s, cover $tCov%.2f s, winner ${win.getLong(0)} gain ${win.getLong(1)}")
+    }
+    spark.stop()
+  }
+}

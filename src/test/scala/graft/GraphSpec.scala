@@ -112,4 +112,25 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(incr == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("integer PageRank: driver arm equals the distributed arm, " +
+      "and a hub outranks leaves") {
+    import spark.implicits._
+    // undirected star (hub 1 - leaves 2,3,4) plus a 5-6 edge pair and an
+    // asymmetric source 7 -> 1 (tests sink contributions and deg division)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val edges = (und.map { case (a, b) => (a, b) } ++
+      und.map { case (a, b) => (b, a) } ++ Seq((7L, 1L))).toDF("src", "dst")
+    def run(maxLocal: Long) =
+      Graph.pagerankInt(edges, iters = 8, maxLocalEdges = maxLocal)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(200000L)
+    val dist = run(0L) // force the distributed arm on the same input
+    assert(local == dist, s"driver arm != distributed arm\n $local\n $dist")
+    // the hub accumulates its three leaves' full rank plus 7's
+    assert(local(1L) > local(2L) && local(2L) == local(3L))
+    // 5-6 swap rank symmetrically; 7 has out-degree but no in-edges
+    assert(local(5L) == local(6L))
+    assert(local(7L) == 150000L)
+  }
 }
