@@ -11921,11 +11921,183 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW11: Seq[Q] = {
+    Seq(
+      // Day-of-week seasonality index — the companion to q246's trend and
+      // q223's bursts: per (event type, weekday) share vs a flat week in
+      // exact ppm (n_dow·7·10⁶ div n_type; > 10⁶ = above-average day).
+      // Weekday is raw epoch-day mod 7 (0 = Thursday, 1970-01-01) — a
+      // pure integer both engines compute identically, no calendar/locale
+      // functions to diverge. Scale shape: ONE (type, dow) rollup of the
+      // stream + a broadcast per-type total join; 35 output rows.
+      ("q251_seasonality", (s: SparkSession, d: String) => {
+        val e = eventsNs(s, d)
+          .withColumn("dow", expr("(ts div 86400000000000) % 7"))
+        val byDow = e.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n"))
+        val tot = e.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+        byDow.join(broadcast(tot), "event_type")
+          .withColumn("seasonal_ppm",
+            expr("CAST(n * 7 * 1000000 div n_type AS BIGINT)"))
+          .select("event_type", "dow", "n", "seasonal_ppm")
+          .orderBy("event_type", "dow")
+      },
+        Some("""WITH e AS (SELECT event_type,
+              (epoch_ns(ts) // 86400000000000) % 7 AS dow FROM events),
+          bd AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY event_type, dow),
+          tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+            FROM e GROUP BY event_type)
+          SELECT bd.event_type, bd.dow, bd.n,
+            CAST(bd.n * 7 * 1000000 // tt.n_type AS BIGINT) AS seasonal_ppm
+          FROM bd JOIN tt ON tt.event_type = bd.event_type
+          ORDER BY bd.event_type, bd.dow""")),
+
+      // Language-ID confusion matrix — the labeler audit (q248's family)
+      // for the q42 marker heuristic: predicted language vs the corpus's
+      // lang metadata, per-pair counts plus per-true-language accuracy in
+      // exact permille. The number that says WHERE the cheap n-gram
+      // heuristic fails (which languages bleed into 'und'). Scale shape:
+      // the predictor is a per-row codegen when-chain; the matrix is one
+      // (lang, pred) rollup; accuracy joins the broadcast per-lang total.
+      ("q252_langid_confusion", (s: SparkSession, d: String) => {
+        val pred = t(s, d, "documents")
+          .withColumn("tl", TF.tokens(lower(col("text"))))
+          .select(col("lang"), TF.langIdFromTokens(col("tl")).as("pred"))
+        val cm = pred.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+        cm.join(broadcast(tot), "lang")
+          .withColumn("hit_pm", expr(
+            "CAST(CASE WHEN lang = pred THEN n * 1000 div n_lang " +
+              "ELSE 0 END AS BIGINT)"))
+          .select("lang", "pred", "n", "n_lang", "hit_pm")
+          .orderBy("lang", "pred")
+      },
+        Some {
+          val counts = TF.langMarkers.map { case (lang, ms) =>
+            val inList = ms.map(m => s"'$m'").mkString(", ")
+            lang -> s"len(list_filter(tl, x -> x IN ($inList)))"
+          }
+          val cols = counts.map { case (l, e) => s"$e AS c_$l" }.mkString(", ")
+          val best = counts.map { case (l, _) => s"c_$l" }
+            .mkString("greatest(", ", ", ")")
+          val caseArms = counts.map { case (l, _) =>
+            s"WHEN c_$l = best AND c_$l > 0 THEN '$l'"
+          }.mkString(" ")
+          s"""WITH tok AS (SELECT lang, ${sqlTokens("lower(text)")} AS tl
+              FROM documents),
+          c AS (SELECT lang, $cols FROM tok),
+          b AS (SELECT *, $best AS best FROM c),
+          p AS (SELECT lang, CASE $caseArms ELSE 'und' END AS pred FROM b),
+          cm AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY lang, pred),
+          tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+            FROM cm GROUP BY lang)
+          SELECT cm.lang, cm.pred, cm.n, tt.n_lang,
+            CAST(CASE WHEN cm.lang = cm.pred THEN cm.n * 1000 // tt.n_lang
+              ELSE 0 END AS BIGINT) AS hit_pm
+          FROM cm JOIN tt ON tt.lang = cm.lang
+          ORDER BY cm.lang, cm.pred"""
+        }),
+
+      // Session path mining — the top event-type TRIGRAM paths inside
+      // q178's 30-minute-gap sessions (q222 gives the 1-step transition
+      // matrix; real funnels are longer). Sessions via the lag +
+      // running-sum chain, paths via two lags INSIDE the session window,
+      // counts global, top-10 deterministic. Scale shape: three window
+      // functions over the same (user-keyed, time-ordered) partitioning —
+      // one shuffle — then a |paths|-keyed rollup; no self-joins.
+      ("q253_session_paths", (s: SparkSession, d: String) => {
+        val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = eventsNs(s, d)
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wU))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > lit(1800000000000L), 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wU))
+        val wS = Window.partitionBy("user_id", "sess_id")
+          .orderBy("ts", "event_id")
+        sess
+          .withColumn("t1", lag(col("event_type"), 2).over(wS))
+          .withColumn("t2", lag(col("event_type"), 1).over(wS))
+          .filter(col("t1").isNotNull)
+          .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("t1"), asc("t2"), asc("t3")).limit(10)
+      },
+        Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+              event_type FROM events),
+          lg AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_ts FROM e),
+          ns AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR ts - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+            FROM lg),
+          ss AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS sess_id FROM ns),
+          pp AS (SELECT
+              lag(event_type, 2) OVER w AS t1,
+              lag(event_type, 1) OVER w AS t2,
+              event_type AS t3
+            FROM ss WINDOW w AS (PARTITION BY user_id, sess_id
+              ORDER BY ts, event_id))
+          SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+          FROM pp WHERE t1 IS NOT NULL
+          GROUP BY t1, t2, t3
+          ORDER BY n DESC, t1, t2, t3 LIMIT 10""")),
+
+      // Largest-remainder (Hamilton) quota allocation — split a fixed
+      // sample budget k=1000 across sources EXACTLY proportionally:
+      // base = k·n_s div N, the k − Σbase leftover seats go to the
+      // largest remainders k·n_s − base·N (integer — no float share ever
+      // exists), ties by source name. Σquota = k by construction — the
+      // property floats can't guarantee. The sampling-budget companion
+      // to q126's α-mixture and q179's weighted sampler. Scale shape:
+      // one source rollup, then windows over the |sources|-row frame.
+      ("q254_quota_allocation", (s: SparkSession, d: String) => {
+        val k = 1000L
+        val perSrc = t(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val tot = perSrc.agg(sum(col("n_docs")).as("n_total"))
+        val base = perSrc.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"$k * n_docs div n_total"))
+          .withColumn("rem", expr(s"$k * n_docs - base * n_total"))
+        val leftover = base.agg((lit(k) - sum(col("base"))).as("left_n"))
+        base.crossJoin(broadcast(leftover))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(desc("rem"), asc("source"))).cast("long"))
+          .withColumn("extra",
+            when(col("rn") <= col("left_n"), 1L).otherwise(0L))
+          .withColumn("quota", col("base") + col("extra"))
+          .select("source", "n_docs", "base", "rem", "extra", "quota")
+          .orderBy("source")
+      },
+        Some("""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source),
+          tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM ps),
+          b AS (SELECT source, n_docs,
+              1000 * n_docs // n_total AS base,
+              1000 * n_docs - (1000 * n_docs // n_total) * n_total AS rem
+            FROM ps CROSS JOIN tt),
+          lo AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS left_n FROM b),
+          r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+              AS BIGINT) AS rn FROM b)
+          SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+            CAST(rem AS BIGINT) AS rem,
+            CAST(CASE WHEN rn <= lo.left_n THEN 1 ELSE 0 END AS BIGINT)
+              AS extra,
+            CAST(base + CASE WHEN rn <= lo.left_n THEN 1 ELSE 0 END
+              AS BIGINT) AS quota
+          FROM r CROSS JOIN lo ORDER BY source"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
-      roundElevenW10
+      roundElevenW10 ++ roundElevenW11
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

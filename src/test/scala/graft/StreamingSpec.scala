@@ -1108,4 +1108,61 @@ class StreamingSpec extends SparkSpec {
     assert(wantH == Map("z" -> 2L))
     q.stop()
   }
+
+  test("native session_window streaming aggregation equals the batch " +
+      "gap-chain sessionization") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = 86400L // stay off epoch 0 (watermark clamp boundary)
+    def ts(sec: Long) = new Timestamp((base + sec) * 1000L)
+    // user 1: two sessions (gap 45 min between them); user 2: one session
+    // spanning both batches (event at +29 min keeps it alive)
+    val b1 = Seq((1L, 0L), (1L, 600L), (1L, 1200L), (2L, 100L))
+    val b2 = Seq((1L, 1200L + 2700L), (2L, 100L + 1740L))
+    // sentinels (user 99) push the watermark so append mode flushes the
+    // real sessions; their own sessions never flush and are excluded
+    val s1 = Seq((99L, 50000L))
+    val s2 = Seq((99L, 100000L))
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"), col("n"))
+    val q = out.writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    input.addData(b1.map { case (u, t) => (u, ts(t)) })
+    q.processAllAvailable()
+    input.addData(b2.map { case (u, t) => (u, ts(t)) })
+    q.processAllAvailable()
+    input.addData(s1.map { case (u, t) => (u, ts(t)) })
+    q.processAllAvailable()
+    input.addData(s2.map { case (u, t) => (u, ts(t)) })
+    q.processAllAvailable()
+    val got = spark.table("sesswin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L - base,
+        r.getTimestamp(2).getTime / 1000L - base, r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    // batch twin: the q178 gap chain (lag + running sum) over epoch secs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sec")
+    val want = (b1 ++ b2).toDF("user_id", "sec")
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        col("sec") - col("prev") > 1800L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("sec")).as("w_start"),
+        (max(col("sec")) + 1800L).as("w_end"), count(lit(1)).as("n"))
+      .select("user_id", "w_start", "w_end", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"session_window != gap chain\n got=$got\nwant=$want")
+    // user 2's session MERGED across the two micro-batches
+    assert(got.contains((2L, 100L, 100L + 1740L + 1800L, 2L)))
+    assert(got.size == 3)
+    q.stop()
+  }
 }
