@@ -12093,11 +12093,227 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW12: Seq[Q] = {
+    Seq(
+      // Two-sample chi-squared drift test — the distribution-level
+      // companion to q232's per-column profiles: do the even- and odd-id
+      // shard halves draw their classifier scores from the same
+      // distribution? Per score decile, the χ² contribution
+      // (O − E)²/E for each half against the pooled expectation, each
+      // term quantized to integer micros BEFORE the cross-row sum (the
+      // q174 rule — float sums are engine-order-dependent; the per-row
+      // doubles themselves are deterministic IEEE on both engines).
+      // Scale shape: one score pass, one (bucket, half) rollup, windows
+      // over the 10-row bucket frame only.
+      ("q255_chisq_drift", (s: SparkSession, d: String) => {
+        val sc = classifierQuality(s, d, fastHash = false)
+          .withColumn("bucket",
+            least(floor(col("score") * 10).cast("long"), lit(9L)))
+          .withColumn("half", pmod(col("doc_id"), lit(2L)))
+        val cm = sc.groupBy("bucket").agg(
+          sum(when(col("half") === 0L, 1L).otherwise(0L)).as("o_a"),
+          sum(when(col("half") === 1L, 1L).otherwise(0L)).as("o_b"))
+        val tot = cm.agg(sum(col("o_a")).as("na"), sum(col("o_b")).as("nb"))
+        cm.crossJoin(broadcast(tot))
+          .withColumn("ea", col("na").cast("double") *
+            (col("o_a") + col("o_b")).cast("double") /
+            (col("na") + col("nb")).cast("double"))
+          .withColumn("eb", col("nb").cast("double") *
+            (col("o_a") + col("o_b")).cast("double") /
+            (col("na") + col("nb")).cast("double"))
+          .withColumn("term_micro", expr(
+            "CAST(round((o_a - ea) * (o_a - ea) / ea * 1000000) AS BIGINT)" +
+              " + CAST(round((o_b - eb) * (o_b - eb) / eb * 1000000) AS BIGINT)"))
+          .select("bucket", "o_a", "o_b", "term_micro")
+          .orderBy("bucket")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+              doc_id % 2 AS half FROM sc),
+          cm AS (SELECT bucket,
+              CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+              CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+            FROM b GROUP BY bucket),
+          tt AS (SELECT CAST(sum(o_a) AS BIGINT) AS na,
+              CAST(sum(o_b) AS BIGINT) AS nb FROM cm),
+          e AS (SELECT bucket, o_a, o_b,
+              CAST(na AS DOUBLE) * CAST(o_a + o_b AS DOUBLE)
+                / CAST(na + nb AS DOUBLE) AS ea,
+              CAST(nb AS DOUBLE) * CAST(o_a + o_b AS DOUBLE)
+                / CAST(na + nb AS DOUBLE) AS eb
+            FROM cm CROSS JOIN tt)
+          SELECT bucket, o_a, o_b,
+            CAST(round((o_a - ea) * (o_a - ea) / ea * 1000000) AS BIGINT)
+              + CAST(round((o_b - eb) * (o_b - eb) / eb * 1000000) AS BIGINT)
+              AS term_micro
+          FROM e ORDER BY bucket""")),
+
+      // Benford leading-digit audit — does the event-value distribution
+      // follow Benford's law (the fraud/data-integrity canary for
+      // organically-generated amounts)? Observed share per leading digit
+      // vs the expected log10(1 + 1/d), the expectation embedded as
+      // IDENTICAL integer-ppm literals on both sides (computed once,
+      // driver-side — the lshTuning p_detect precedent). A synthetic
+      // uniform generator fails loudly — the finding IS the point on
+      // this corpus. Scale shape: leading digit is a per-row string op,
+      // then one 9-row rollup.
+      ("q256_benford_audit", (s: SparkSession, d: String) => {
+        val expected = (1 to 9).map(dd =>
+          dd -> math.rint(math.log10(1.0 + 1.0 / dd) * 1e6).toLong)
+        val expCase = expected.map { case (dd, p) =>
+          s"WHEN digit = $dd THEN ${p}L" }.mkString(" ")
+        val ev = eventsNs(s, d)
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .filter(col("cents") > 0)
+          .withColumn("digit",
+            expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)"))
+        val tot = ev.agg(count(lit(1)).as("n_total"))
+        ev.groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .withColumn("observed_ppm",
+            expr("CAST(n * 1000000 div n_total AS BIGINT)"))
+          .withColumn("benford_ppm", expr(s"CASE $expCase END"))
+          .withColumn("gap_ppm", abs(col("observed_ppm") - col("benford_ppm")))
+          .select("digit", "n", "observed_ppm", "benford_ppm", "gap_ppm")
+          .orderBy("digit")
+      },
+        Some {
+          val expCase = (1 to 9).map { dd =>
+            val p = math.rint(math.log10(1.0 + 1.0 / dd) * 1e6).toLong
+            s"WHEN digit = $dd THEN $p"
+          }.mkString(" ")
+          s"""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE round(value * 100) > 0),
+          dg AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit FROM e),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dg),
+          cm AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM dg GROUP BY digit)
+          SELECT digit, n,
+            CAST(n * 1000000 // n_total AS BIGINT) AS observed_ppm,
+            CAST(CASE $expCase END AS BIGINT) AS benford_ppm,
+            abs(CAST(n * 1000000 // n_total AS BIGINT)
+              - CASE $expCase END) AS gap_ppm
+          FROM cm CROSS JOIN tt ORDER BY digit"""
+        }),
+
+      // Order-constrained funnel — view THEN click THEN purchase, each
+      // step strictly after the previous one's FIRST occurrence (q183
+      // counts per-step membership; q206 is view→purchase only): per
+      // user, first view, first click after it, first purchase after
+      // that, with step conversion in exact permille and exact
+      // integer-minute median-free latency totals. Scale shape: three
+      // user-keyed min-rollups chained by broadcast-free equi-joins on
+      // user_id — no windows over the raw stream.
+      ("q257_ordered_funnel", (s: SparkSession, d: String) => {
+        val e = eventsNs(s, d).select("user_id", "ts", "event_type")
+          .persistTracked()
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        val nAll = e.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+        nAll
+          .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+          .withColumn("view_pm",
+            expr("CAST(n_view * 1000 div n_users AS BIGINT)"))
+          .withColumn("click_pm",
+            expr("CAST(n_click * 1000 div n_view AS BIGINT)"))
+          .withColumn("purchase_pm",
+            expr("CAST(n_purchase * 1000 div n_click AS BIGINT)"))
+      },
+        Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type
+              FROM events),
+          v AS (SELECT user_id, min(ts) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+            JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+            JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id),
+          n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM e),
+          nv AS (SELECT CAST(count(*) AS BIGINT) AS n_view FROM v),
+          nc AS (SELECT CAST(count(*) AS BIGINT) AS n_click FROM c),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS n_purchase FROM p)
+          SELECT n_users, n_view, n_click, n_purchase,
+            CAST(n_view * 1000 // n_users AS BIGINT) AS view_pm,
+            CAST(n_click * 1000 // n_view AS BIGINT) AS click_pm,
+            CAST(n_purchase * 1000 // n_click AS BIGINT) AS purchase_pm
+          FROM n CROSS JOIN nv CROSS JOIN nc CROSS JOIN np""")),
+
+      // Triangle count + global clustering coefficient — the graph-shape
+      // audit next to q241's centrality: triangles via the ordered
+      // adjacency join (a<b ⋈ b<c ⋈ a<c — the node-ordering trick that
+      // bounds the skew of the standard distributed triangle count),
+      // wedges = Σ C(deg, 2) from one degree rollup, clustering_ppm =
+      // 3·T·10⁶ div wedges, all integers. A co-purchase graph's high
+      // coefficient is what makes basket-completion work. Scale shape:
+      // two self-joins of the ordered edge list on shared endpoints —
+      // equi-joins, never cartesian — plus one degree aggregate.
+      ("q258_triangle_count", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2).select("u", "v")
+          .persistTracked()
+        e.count() // referenced three times below
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .join(e.as("e3"), col("e3.u") === col("e1.u") &&
+            col("e3.v") === col("e2.v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val deg = e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(tri))
+          .crossJoin(broadcast(wedges))
+          .withColumn("clustering_ppm",
+            expr("CAST(3 * n_triangles * 1000000 div n_wedges AS BIGINT)"))
+      },
+        Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          e AS (SELECT a.pk AS u, b.pk AS v
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+          tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+          w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+              AS n_wedges FROM deg),
+          ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+          SELECT n_edges, n_triangles, n_wedges,
+            CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+              AS clustering_ppm
+          FROM ne CROSS JOIN tri CROSS JOIN w"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
-      roundElevenW10 ++ roundElevenW11
+      roundElevenW10 ++ roundElevenW11 ++ roundElevenW12
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
