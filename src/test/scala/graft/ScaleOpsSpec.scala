@@ -373,4 +373,93 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  // Shared: assert a plan has no CartesianProduct and that every
+  // BroadcastNestedLoopJoin is a SCALAR cross (its broadcast side is a
+  // global keys=[] aggregate, i.e. exactly one row) — the legitimate
+  // broadcast-a-total shape, not a data-sized nested loop.
+  private def assertOnlyScalarCrosses(
+      df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"$what: cartesian product:\n$plan")
+    def bnlj(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+      p.collect {
+        case j: BroadcastNestedLoopJoinExec => Seq(j)
+        case a: AdaptiveSparkPlanExec => bnlj(a.executedPlan)
+        case q: QueryStageExec => bnlj(q.plan)
+      }.flatten
+    bnlj(df.queryExecution.executedPlan).foreach { j =>
+      val side = (if (j.buildSide.toString.contains("Right")) j.right else j.left).toString
+      assert(side.contains("keys=[]"),
+        s"$what: non-scalar BroadcastNestedLoopJoin build side:\n$side")
+    }
+  }
+
+  test("q249 PMI: bigram adjacency is a hash equi-join, never cartesian") {
+    val df = Queries.queries("q249_pmi_collocations")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    assertOnlyScalarCrosses(df, "q249")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q253 session paths: all windows are user-partitioned (no global order)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Queries.queries("q253_session_paths")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "every sessionization window must be user-partitioned")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q258 triangles: ordered adjacency joins are equi-joins, never cartesian") {
+    val df = Queries.queries("q258_triangle_count")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    assertOnlyScalarCrosses(df, "q258")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q240 AUC: the cumulative window runs over the score HISTOGRAM, " +
+      "not the raw corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val df = Queries.queries("q240_exact_auc")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+      }.flatten
+    val ws = find(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the rank-sum cumulative window")
+    // the window's child subtree must contain the histogram aggregate —
+    // i.e. the corpus is collapsed to (score -> counts) BEFORE any sort
+    def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: HashAggregateExec => true
+        case _: ObjectHashAggregateExec => true
+        case _: SortAggregateExec => true
+        case a: AdaptiveSparkPlanExec if hasAgg(a.executedPlan) => true
+        case q: QueryStageExec if hasAgg(q.plan) => true
+      }.isDefined
+    assert(ws.forall(w => hasAgg(w.child)),
+      "cumulative window must sit above the score histogram aggregate")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }
