@@ -12309,11 +12309,702 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW13: Seq[Q] = {
+    // Shared pair-contingency phi/jaccard expressions — the Spark `div`
+    // and DuckDB `//` forms of the identical integer math, kept adjacent
+    // so they cannot drift.
+    val phiExpr =
+      """CASE WHEN (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00) = 0
+           THEN CAST(0 AS BIGINT)
+           ELSE CAST(round(CAST(n11 * n00 - n10 * n01 AS DOUBLE) * 1000000 /
+             sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE) *
+                  CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)))
+             AS BIGINT) END"""
+    def sqlPairCte(nm: String, a: String, b: String): String =
+      s"""p_$nm AS (SELECT '$a|$b' AS pair,
+            CAST(sum($a * $b) AS BIGINT) AS n11,
+            CAST(sum($a * (1 - $b)) AS BIGINT) AS n10,
+            CAST(sum((1 - $a) * $b) AS BIGINT) AS n01,
+            CAST(sum((1 - $a) * (1 - $b)) AS BIGINT) AS n00
+          FROM base)"""
+    // k-core oracle rounds, loop-generated (q237/q241 unrolled precedent):
+    // both engines peel EXACTLY 8 rounds, so results match by construction
+    // whether or not the peel has converged. MATERIALIZED is load-bearing:
+    // every round references its predecessor twice (degree rollup + edge
+    // restriction), so inlined CTEs re-expand the whole chain 2^rounds
+    // times — DuckDB ran out of file handles re-scanning lineitem before
+    // the fix.
+    val kcoreCtes = (1 to 8).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT a FROM c${r - 1} GROUP BY a
+            HAVING count(*) >= (SELECT k FROM kk)),
+          c$r AS MATERIALIZED (SELECT c.a, c.b FROM c${r - 1} c
+            JOIN k$r x ON c.a = x.a JOIN k$r y ON c.b = y.a)"""
+    }.mkString(",\n          ")
+    val kcoreRows = (0 to 8).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+          (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM c$r) AS n_nodes,
+          (SELECT CAST(count(*) // 2 AS BIGINT) FROM c$r) AS n_edges"""
+    }.mkString(" UNION ALL ")
+    Seq(
+      // Pareto skyline over (length, lexical diversity) — the
+      // multi-objective doc-selection primitive (q164 blends objectives
+      // into ONE score; the skyline returns every doc no other doc beats
+      // on BOTH axes — the non-dominated frontier a curation run
+      // inspects before committing to a blend). Exact 2-D skyline with
+      // no global sort: value-banded x-buckets (b' > b ⇒ x' > x), per-
+      // bucket max-y, a cumulative max over the BUCKET frame gives each
+      // bucket the best y of all strictly-longer docs — anything below
+      // it is dominated cross-bucket, which prunes the corpus to a
+      // frontier-sized candidate set; exact dominance then runs on the
+      // pruned set only (broadcast anti-join, candidates ≈ skyline
+      // size, never corpus×corpus).
+      ("q259_pareto_skyline", (s: SparkSession, d: String) => {
+        val base = t(s, d, "documents")
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("doc_id"), col("n_chars").as("x"),
+            expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 " +
+              "div greatest(CAST(size(toks) AS BIGINT), 1)").as("y"))
+        val b = base.withColumn("bkt", expr("x div 256"))
+        val bm = b.groupBy("bkt").agg(max(col("y")).as("my"))
+        val wH = Window.orderBy(desc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val h = bm.withColumn("hy", max(col("my")).over(wH))
+          .select("bkt", "hy")
+        val cand = b.join(broadcast(h), Seq("bkt"))
+          .filter(col("hy").isNull || col("y") > col("hy"))
+          .select("doc_id", "x", "y")
+          .persistTracked()
+        cand.count() // materialize once; both anti-join sides read it
+        cand.as("p").join(broadcast(cand.as("q")),
+            col("q.x") >= col("p.x") && col("q.y") >= col("p.y") &&
+              (col("q.x") > col("p.x") || col("q.y") > col("p.y")),
+            "left_anti")
+          .select("doc_id", "x", "y")
+          .orderBy(desc("x"), desc("y"), asc("doc_id"))
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, n_chars AS x,
+              ${sqlTokens("text")} AS toks FROM documents),
+          b AS (SELECT doc_id, x,
+              CAST(len(list_distinct(toks)) AS BIGINT) * 1000
+                // greatest(CAST(len(toks) AS BIGINT), 1) AS y
+            FROM tok)
+          SELECT doc_id, x, y FROM b p
+          WHERE NOT EXISTS (SELECT 1 FROM b q
+            WHERE q.x >= p.x AND q.y >= p.y
+              AND (q.x > p.x OR q.y > p.y))
+          ORDER BY x DESC, y DESC, doc_id""")),
+
+      // k-anonymity audit — the release-risk governance check next to
+      // q217's contribution capping: treat (source, lang, 256-char
+      // length band) as the quasi-identifier, count equivalence classes,
+      // and report per source how many classes fall below k=5 and what
+      // share of records sits in them (the re-identification surface; a
+      // release run would suppress or generalize exactly those rows).
+      // Scale shape: one QI-keyed rollup, then a source-keyed rollup of
+      // the CLASS frame — the report never touches rows after the first
+      // aggregate.
+      ("q260_k_anonymity", (s: SparkSession, d: String) => {
+        val cls = t(s, d, "documents")
+          .select(col("source"), col("lang"),
+            expr("n_chars div 256").as("band"))
+          .groupBy("source", "lang", "band")
+          .agg(count(lit(1)).as("csize"))
+        cls.groupBy("source").agg(
+            count(lit(1)).as("n_classes"),
+            sum(col("csize")).as("n_docs"),
+            sum(when(col("csize") < 5, 1L).otherwise(0L))
+              .as("n_small_classes"),
+            sum(when(col("csize") < 5, col("csize")).otherwise(0L))
+              .as("n_at_risk"),
+            min(col("csize")).as("min_k"))
+          .withColumn("risk_pm",
+            expr("CAST(n_at_risk * 1000 div n_docs AS BIGINT)"))
+          .orderBy("source")
+      },
+        Some("""WITH cls AS (SELECT source, lang, n_chars // 256 AS band,
+              CAST(count(*) AS BIGINT) AS csize
+            FROM documents GROUP BY source, lang, n_chars // 256)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_classes,
+            CAST(sum(csize) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN csize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_small_classes,
+            CAST(sum(CASE WHEN csize < 5 THEN csize ELSE 0 END) AS BIGINT)
+              AS n_at_risk,
+            CAST(min(csize) AS BIGINT) AS min_k,
+            CAST(sum(CASE WHEN csize < 5 THEN csize ELSE 0 END) * 1000
+              // sum(csize) AS BIGINT) AS risk_pm
+          FROM cls GROUP BY source ORDER BY source""")),
+
+      // Readability audit — Flesch reading ease per source, entirely in
+      // integers: words (whitespace tokens, floored at 1), sentences
+      // ([.!?]+ runs, floored at 1), syllables (vowel-group count — the
+      // standard regex heuristic), then
+      // flesch = 206.835 − 1.015·w/s − 84.6·syll/w evaluated as
+      // micro-quantized truncating divisions in an IDENTICAL grouping on
+      // both engines (the q241-probed toward-zero semantics), so no
+      // float ulp can flip a row. The curation use: readability bands
+      // are a cheap quality prior next to q43's heuristic score.
+      // Scale shape: three per-row regex counters, one source rollup.
+      ("q261_readability", (s: SparkSession, d: String) => {
+        val r = t(s, d, "documents")
+          .withColumn("words",
+            greatest(TF.tokenCount(col("text")).cast("long"), lit(1L)))
+          .withColumn("sents", greatest(
+            expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)"), lit(1L)))
+          .withColumn("syll",
+            expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)"))
+          .withColumn("flesch_micro", expr(
+            "206835000 - (1015 * (words * 1000000 div sents)) div 1000" +
+              " - (846 * (syll * 1000000 div words)) div 10"))
+        r.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            expr("CAST(sum(flesch_micro) div count(1) AS BIGINT)")
+              .as("mean_flesch_micro"),
+            expr("CAST(sum(CASE WHEN flesch_micro < 30000000 THEN 1 " +
+              "ELSE 0 END) * 1000 div count(1) AS BIGINT)").as("hard_pm"))
+          .orderBy("source")
+      },
+        Some(s"""WITH r AS (SELECT source,
+              greatest(CAST(len(${sqlTokens("text")}) AS BIGINT), 1)
+                AS words,
+              greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                AS BIGINT), 1) AS sents,
+              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS syll
+            FROM documents),
+          f AS (SELECT source,
+              206835000 - (1015 * (words * 1000000 // sents)) // 1000
+                - (846 * (syll * 1000000 // words)) // 10 AS flesch_micro
+            FROM r)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(flesch_micro) // count(*) AS BIGINT)
+              AS mean_flesch_micro,
+            CAST(sum(CASE WHEN flesch_micro < 30000000 THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS hard_pm
+          FROM f GROUP BY source ORDER BY source""")),
+
+      // Filter-overlap audit — are the three curation filters (near-dup
+      // loser, eval-contaminated, low-quality) REDUNDANT or independent?
+      // Pairwise 2×2 contingency from ONE pass over the shared q173/q202
+      // ablation flags, with Jaccard overlap in permille and the phi
+      // coefficient in micros (sqrt evaluated once per OUTPUT row — 3
+      // rows — on exact integer marginals, so the double is
+      // deterministic). High phi between two filters means one is
+      // nearly subsumed and its pipeline stage can be dropped; q202
+      // prices filter ORDER, this prices filter MEMBERSHIP.
+      ("q262_filter_overlap", (s: SparkSession, d: String) => {
+        val base = ablationFlags(s, d)
+          .select("doc_id", "f_dup", "f_contam", "f_qual")
+          .persistTracked()
+        base.count() // one flag pass feeds all three contingency rows
+        def pairRow(a: String, b: String): DataFrame =
+          base.agg(
+              sum(col(a) * col(b)).as("n11"),
+              sum(col(a) * (lit(1L) - col(b))).as("n10"),
+              sum((lit(1L) - col(a)) * col(b)).as("n01"),
+              sum((lit(1L) - col(a)) * (lit(1L) - col(b))).as("n00"))
+            .withColumn("pair", lit(s"$a|$b"))
+        Seq(("f_dup", "f_contam"), ("f_dup", "f_qual"),
+            ("f_contam", "f_qual"))
+          .map { case (a, b) => pairRow(a, b) }
+          .reduce(_ unionByName _)
+          .withColumn("jaccard_pm", expr(
+            """CASE WHEN n11 + n10 + n01 = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(n11 * 1000 div (n11 + n10 + n01) AS BIGINT) END"""))
+          .withColumn("phi_micro", expr(phiExpr))
+          .select("pair", "n11", "n10", "n01", "n00",
+            "jaccard_pm", "phi_micro")
+          .orderBy("pair")
+      },
+        Some(s"""WITH RECURSIVE $sqlAblationCtes,
+          ${sqlPairCte("dc", "f_dup", "f_contam")},
+          ${sqlPairCte("dq", "f_dup", "f_qual")},
+          ${sqlPairCte("cq", "f_contam", "f_qual")},
+          u AS (SELECT * FROM p_dc UNION ALL
+            SELECT * FROM p_dq UNION ALL SELECT * FROM p_cq)
+          SELECT pair, n11, n10, n01, n00,
+            CASE WHEN n11 + n10 + n01 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(n11 * 1000 // (n11 + n10 + n01) AS BIGINT) END
+              AS jaccard_pm,
+            $phiExpr AS phi_micro
+          FROM u ORDER BY pair""")),
+
+      // k-core peeling trace — the cohesion audit over the co-purchase
+      // graph (q241 ranks nodes, q258 counts triangles; the k-core is
+      // the standard "dense engagement subgraph" cut): iteratively drop
+      // nodes with degree < k and report (nodes, edges) after each of 8
+      // rounds — the CURVE is the output (how fast the graph collapses
+      // to its cohesive core). k is DATA-DERIVED as half the average
+      // degree + 1, the same integer expression on both engines — a
+      // fixed k is flat on one SF's dense graph (min degree 5 at
+      // sf0.001) and empties the other's sparse one; the derived cut
+      // peels to a stable non-empty core at both (186 of 200 nodes at
+      // sf0.001, 1535 of 1880 at sf0.01 — probed). Both engines run
+      // exactly 8 unrolled rounds (q237/q241 precedent), so the trace
+      // matches whether or not the peel converged. Execution is
+      // Graph.kcoreTrace (per-round localCheckpoint + block-free, the
+      // CC lineage discipline; driver reads one scalar pair per round).
+      ("q263_kcore_trace", (s: SparkSession, d: String) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2).select("u", "v")
+          .persistTracked()
+        val e0 = pairs.count() // pairs are unique (u < v) by construction
+        val v0 = pairs.select(col("u").as("n"))
+          .unionByName(pairs.select(col("v").as("n")))
+          .agg(countDistinct(col("n"))).head().getLong(0)
+        val k = ((2L * e0 / v0) / 2L + 1L).toInt
+        Graph.kcoreTrace(pairs, "u", "v", k = k, rounds = 8)
+          .toDF("round", "n_nodes", "n_edges").orderBy("round")
+      },
+        Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          kc_pairs AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+          c0 AS MATERIALIZED (SELECT u AS a, v AS b FROM kc_pairs
+            UNION ALL SELECT v, u FROM kc_pairs),
+          kk AS MATERIALIZED (SELECT
+            (2 * (SELECT count(*) // 2 FROM c0)
+              // (SELECT count(DISTINCT a) FROM c0)) // 2 + 1 AS k),
+          $kcoreCtes
+          SELECT round, n_nodes, n_edges FROM ($kcoreRows)
+          ORDER BY round"""))
+    )
+  }
+
+  private lazy val roundElevenW14: Seq[Q] = {
+    // Deterministic Poisson(1) bootstrap weights: integer thresholds on a
+    // hash-uniform in [0, 10^6) — identical literals on both engines
+    // (cumulative pmf ·10^6: P(0)=.367879, P(≤1)=.735759, P(≤2)=.919699,
+    // P(≤3)=.980967, else 4).
+    val bootW = (u: String) =>
+      s"""CASE WHEN $u < 367879 THEN 0 WHEN $u < 735759 THEN 1
+          WHEN $u < 919699 THEN 2 WHEN $u < 980967 THEN 3 ELSE 4 END"""
+    // key:value pair matcher for the props profiler — matches a quoted
+    // key, then a string/number/bool/null value or an opening {/[ (typed
+    // object/array). Java regex and RE2 agree on every construct used.
+    val pairRe =
+      "\"\\w+\"\\s*:\\s*(\"[^\"]*\"|-?[0-9]+(\\.[0-9]+)?|true|false|null|\\{|\\[)"
+    Seq(
+      // Offline bandit replay — would an adaptive exposure policy have
+      // beaten the fixed A/B split (q205 reads the split's outcome; this
+      // prices the COUNTERFACTUAL)? Batched greedy: each day the policy
+      // picks the variant with the better cumulative conversion THROUGH
+      // THE PREVIOUS DAY (cross-multiplied integer compare — no rate
+      // division; cold start → variant 0), and the replay estimator
+      // scores the chosen variant's same-day outcome. Scale shape: the
+      // event stream collapses to a (day × variant) grid in one rollup;
+      // every window after that runs on the |days|-row frame.
+      ("q264_bandit_replay", (s: SparkSession, d: String) => {
+        import s.implicits._
+        val ev = eventsNs(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("variant", pmod(col("user_id"), lit(2L)))
+        val dv = ev.groupBy("day", "variant").agg(
+          countDistinct(when(col("event_type") === "view", col("user_id")))
+            .as("n_exp"),
+          countDistinct(
+            when(col("event_type") === "purchase", col("user_id")))
+            .as("n_conv"))
+        val grid = ev.select("day").distinct()
+          .crossJoin(broadcast(Seq(0L, 1L).toDF("variant")))
+        val w = Window.partitionBy("variant").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = grid.join(dv, Seq("day", "variant"), "left")
+          .withColumn("n_exp", coalesce(col("n_exp"), lit(0L)))
+          .withColumn("n_conv", coalesce(col("n_conv"), lit(0L)))
+          .withColumn("ce", coalesce(sum("n_exp").over(w), lit(0L)))
+          .withColumn("cc", coalesce(sum("n_conv").over(w), lit(0L)))
+        def side(v: Int): DataFrame = cum.filter(col("variant") === v)
+          .select(col("day"), col("n_exp").as(s"e$v"),
+            col("n_conv").as(s"c$v"), col("ce").as(s"ce$v"),
+            col("cc").as(s"cc$v"))
+        side(0).join(side(1), "day")
+          .withColumn("choice",
+            when(col("cc1") * col("ce0") > col("cc0") * col("ce1"), 1L)
+              .otherwise(0L))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("choice")).as("days_choice1"),
+            sum(when(col("choice") === 1L, col("e1")).otherwise(col("e0")))
+              .as("r_exp"),
+            sum(when(col("choice") === 1L, col("c1")).otherwise(col("c0")))
+              .as("r_conv"),
+            sum(col("e0")).as("t_e0"), sum(col("c0")).as("t_c0"),
+            sum(col("e1")).as("t_e1"), sum(col("c1")).as("t_c1"))
+          .withColumn("replay_pm", expr(
+            "CASE WHEN r_exp = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE CAST(r_conv * 1000 div r_exp AS BIGINT) END"))
+          .withColumn("fixed_a_pm",
+            expr("CAST(t_c0 * 1000 div t_e0 AS BIGINT)"))
+          .withColumn("fixed_b_pm",
+            expr("CAST(t_c1 * 1000 div t_e1 AS BIGINT)"))
+          .select("n_days", "days_choice1", "r_exp", "r_conv",
+            "replay_pm", "fixed_a_pm", "fixed_b_pm")
+      },
+        Some("""WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+              user_id % 2 AS variant, user_id, event_type FROM events),
+          dv AS (SELECT day, variant,
+              CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                THEN user_id END) AS BIGINT) AS n_exp,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                THEN user_id END) AS BIGINT) AS n_conv
+            FROM e GROUP BY day, variant),
+          grid AS (SELECT day, v.variant
+            FROM (SELECT DISTINCT day FROM e)
+            CROSS JOIN (SELECT unnest([0, 1]) AS variant) v),
+          cum AS (SELECT g.day, g.variant,
+              coalesce(dv.n_exp, 0) AS n_exp,
+              coalesce(dv.n_conv, 0) AS n_conv,
+              coalesce(sum(coalesce(dv.n_exp, 0)) OVER (
+                PARTITION BY g.variant ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce,
+              coalesce(sum(coalesce(dv.n_conv, 0)) OVER (
+                PARTITION BY g.variant ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cc
+            FROM grid g LEFT JOIN dv
+              ON dv.day = g.day AND dv.variant = g.variant),
+          byday AS (SELECT a.day, a.n_exp AS e0, a.n_conv AS c0,
+              b.n_exp AS e1, b.n_conv AS c1,
+              CASE WHEN b.cc * a.ce > a.cc * b.ce THEN 1 ELSE 0 END
+                AS choice
+            FROM cum a JOIN cum b ON a.day = b.day
+            WHERE a.variant = 0 AND b.variant = 1),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(choice) AS BIGINT) AS days_choice1,
+              CAST(sum(CASE WHEN choice = 1 THEN e1 ELSE e0 END)
+                AS BIGINT) AS r_exp,
+              CAST(sum(CASE WHEN choice = 1 THEN c1 ELSE c0 END)
+                AS BIGINT) AS r_conv,
+              CAST(sum(e0) AS BIGINT) AS t_e0,
+              CAST(sum(c0) AS BIGINT) AS t_c0,
+              CAST(sum(e1) AS BIGINT) AS t_e1,
+              CAST(sum(c1) AS BIGINT) AS t_c1 FROM byday)
+          SELECT n_days, days_choice1, r_exp, r_conv,
+            CASE WHEN r_exp = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(r_conv * 1000 // r_exp AS BIGINT) END AS replay_pm,
+            CAST(t_c0 * 1000 // t_e0 AS BIGINT) AS fixed_a_pm,
+            CAST(t_c1 * 1000 // t_e1 AS BIGINT) AS fixed_b_pm
+          FROM agg""")),
+
+      // Semi-structured props profiling — schema-on-read over the JSON
+      // props column: every key (at ANY nesting depth) × value type,
+      // with occurrence counts and row coverage. Extraction is pure
+      // regex (quoted key followed by a typed value token), identical
+      // Java/RE2 semantics on both engines — no JSON library in the hot
+      // path, so the profile runs as a narrow per-row scan + one
+      // (key, type) rollup. The driver's props are homogeneous
+      // ({"k": int}), so heterogeneity is PLANTED deterministically
+      // (every 13th event nests an object + array, every 5th adds a
+      // string tag + boolean flag, every 7th nulls k — CASE order
+      // resolves overlaps identically on both engines); the profiler
+      // surfaces exactly that drift, which is the tool's job: catching
+      // producers that changed the payload contract without telling
+      // anyone (q232 profiles TYPED columns; this is its
+      // semi-structured twin).
+      ("q265_props_profile", (s: SparkSession, d: String) => {
+        val kNum = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        val p2 = when(pmod(col("event_id"), lit(13L)) === 0,
+            concat(lit("{\"nested\": {\"k\": "), kNum,
+              lit("}, \"arr\": [1, 2]}")))
+          .when(pmod(col("event_id"), lit(5L)) === 0,
+            concat(lit("{\"k\": "), kNum, lit(", \"tag\": \""),
+              col("event_type"), lit("\", \"flag\": true}")))
+          .when(pmod(col("event_id"), lit(7L)) === 0, lit("{\"k\": null}"))
+          .otherwise(col("props"))
+        val ev = eventsNs(s, d).select(col("event_id"),
+          col("event_type"), p2.as("p2"))
+        val tot = ev.agg(count(lit(1)).as("n_total"))
+        ev.select(col("event_id"),
+            explode(regexp_extract_all(col("p2"), lit(pairRe), lit(0)))
+              .as("pair"))
+          .withColumn("key", regexp_extract(col("pair"), "^\"(\\w+)\"", 1))
+          .withColumn("vtype",
+            when(col("pair").rlike(":\\s*\""), "string")
+              .when(col("pair").rlike(":\\s*(true|false)"), "boolean")
+              .when(col("pair").rlike(":\\s*null"), "null")
+              .when(col("pair").rlike(":\\s*\\{"), "object")
+              .when(col("pair").rlike(":\\s*\\["), "array")
+              .otherwise("number"))
+          .groupBy("key", "vtype").agg(
+            count(lit(1)).as("n_occurrences"),
+            countDistinct(col("event_id")).as("n_rows"))
+          .crossJoin(broadcast(tot))
+          .withColumn("coverage_pm",
+            expr("CAST(n_rows * 1000 div n_total AS BIGINT)"))
+          .select("key", "vtype", "n_occurrences", "n_rows", "coverage_pm")
+          .orderBy("key", "vtype")
+      },
+        Some(s"""WITH p AS (SELECT event_id,
+              CASE WHEN event_id % 13 = 0 THEN '{"nested": {"k": '
+                  || regexp_extract(props, '"k": ([0-9]+)', 1)
+                  || '}, "arr": [1, 2]}'
+                WHEN event_id % 5 = 0 THEN '{"k": '
+                  || regexp_extract(props, '"k": ([0-9]+)', 1)
+                  || ', "tag": "' || event_type || '", "flag": true}'
+                WHEN event_id % 7 = 0 THEN '{"k": null}'
+                ELSE props END AS p2
+            FROM events),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p),
+          pr AS (SELECT event_id,
+              unnest(regexp_extract_all(p2, '$pairRe', 0)) AS pair
+            FROM p),
+          ty AS (SELECT event_id,
+              regexp_extract(pair, '^"(\\w+)"', 1) AS key,
+              CASE WHEN regexp_matches(pair, ':\\s*"') THEN 'string'
+                WHEN regexp_matches(pair, ':\\s*(true|false)')
+                  THEN 'boolean'
+                WHEN regexp_matches(pair, ':\\s*null') THEN 'null'
+                WHEN regexp_matches(pair, ':\\s*\\{') THEN 'object'
+                WHEN regexp_matches(pair, ':\\s*\\[') THEN 'array'
+                ELSE 'number' END AS vtype
+            FROM pr)
+          SELECT key, vtype, CAST(count(*) AS BIGINT) AS n_occurrences,
+            CAST(count(DISTINCT event_id) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT event_id) * 1000 // n_total AS BIGINT)
+              AS coverage_pm
+          FROM ty CROSS JOIN tt
+          GROUP BY key, vtype, n_total ORDER BY key, vtype""")),
+
+      // Bootstrap confidence interval for a corpus statistic — the error
+      // bars a datasheet (q162) should carry: per source, the mean
+      // token count with a 32-replicate Poisson bootstrap [p5, p95]
+      // band. Replicate weights are DETERMINISTIC Poisson(1) draws
+      // (integer thresholds on the q62 hash-uniform — stable across
+      // runs, engines, and partitionings), so the whole CI is exact
+      // integers and hash-comparable. Scale shape: one ×32 bounded
+      // explode, one (source, replicate) rollup, rank windows over
+      // 32-row frames; no resampled copy of the corpus ever
+      // materializes (the weight IS the resample).
+      ("q266_bootstrap_ci", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok"))
+          .persistTracked()
+        val rm = docs
+          .withColumn("b", explode(expr("sequence(0, 31)")))
+          .withColumn("u", pmod(TF.hash32(concat(lit("boot|"),
+            col("doc_id").cast("string"), lit("|"),
+            col("b").cast("string"))), lit(1000000L)))
+          .withColumn("w", expr(bootW("u")))
+          .groupBy("source", "b").agg(
+            sum(col("w") * col("n_tok")).as("sw"),
+            sum(col("w")).as("nw"))
+          .withColumn("rep_micro", expr(
+            "CASE WHEN nw = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE CAST(sw * 1000000 div nw AS BIGINT) END"))
+        val wr = Window.partitionBy("source").orderBy("rep_micro", "b")
+        val ci = rm.withColumn("rnk", row_number().over(wr))
+          .groupBy("source").agg(
+            max(when(col("rnk") === 2, col("rep_micro"))).as("lo_micro"),
+            max(when(col("rnk") === 31, col("rep_micro"))).as("hi_micro"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(n_tok) * 1000000 div count(1) AS BIGINT)")
+              .as("mean_micro"))
+          .join(ci, "source")
+          .select("source", "n_docs", "mean_micro", "lo_micro", "hi_micro")
+          .orderBy("source")
+      },
+        Some(s"""WITH docs AS (SELECT doc_id, source,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+            FROM documents),
+          reps AS (SELECT doc_id, source, n_tok,
+              unnest(range(0, 32)) AS b FROM docs),
+          wts AS (SELECT source, b, n_tok,
+              ${bootW(sqlHash32(
+                "'boot|' || CAST(doc_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)") + " % 1000000")} AS w
+            FROM reps),
+          rm AS (SELECT source, b,
+              CAST(sum(w * n_tok) AS BIGINT) AS sw,
+              CAST(sum(w) AS BIGINT) AS nw
+            FROM wts GROUP BY source, b),
+          rep AS (SELECT source, b,
+              CASE WHEN nw = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(sw * 1000000 // nw AS BIGINT) END AS rep_micro
+            FROM rm),
+          rk AS (SELECT source, rep_micro, row_number() OVER (
+              PARTITION BY source ORDER BY rep_micro, b) AS rnk FROM rep),
+          ci AS (SELECT source,
+              max(CASE WHEN rnk = 2 THEN rep_micro END) AS lo_micro,
+              max(CASE WHEN rnk = 31 THEN rep_micro END) AS hi_micro
+            FROM rk GROUP BY source),
+          ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) * 1000000 // count(*) AS BIGINT)
+                AS mean_micro
+            FROM docs GROUP BY source)
+          SELECT ex.source, n_docs, mean_micro, lo_micro, hi_micro
+          FROM ex JOIN ci ON ci.source = ex.source ORDER BY ex.source""")),
+
+      // PII redaction with end-to-end proof — q120 DETECTS; a release
+      // pipeline must REMOVE and prove it removed: plant an email +
+      // phone contact line on every 9th doc, redact both patterns to
+      // typed placeholders, and emit per source the docs touched, spans
+      // replaced, characters removed, and a leak_count column that
+      // re-scans the REDACTED text (must be 0 — the proof travels with
+      // the report). Pure per-row regex chain, one source rollup;
+      // identical Java/RE2 pattern semantics, and the oracle's
+      // regexp_replace carries the 'g' flag (DuckDB replaces first
+      // match only by default — the q226 lesson).
+      ("q267_pii_redaction", (s: SparkSession, d: String) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        val planted = t(s, d, "documents")
+          .withColumn("text2",
+            when(pmod(col("doc_id"), lit(9L)) === 0,
+              concat(col("text"), lit(" Contact: user"),
+                col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+                lpad(pmod(col("doc_id"), lit(10000L)).cast("string"),
+                  4, "0"), lit(".")))
+              .otherwise(col("text")))
+        // regexes go through lit()/Column overloads, never expr(): a SQL
+        // string literal would eat the backslashes ('\+' -> dangling '+')
+        planted
+          .withColumn("n_emails",
+            regexp_count(col("text2"), lit(emailRe)).cast("long"))
+          .withColumn("n_phones",
+            regexp_count(col("text2"), lit(phoneRe)).cast("long"))
+          .withColumn("red", regexp_replace(
+            regexp_replace(col("text2"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]"))
+          .withColumn("leak",
+            (regexp_count(col("red"), lit(emailRe))
+              + regexp_count(col("red"), lit(phoneRe))).cast("long"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_emails") + col("n_phones") > 0, 1L)
+              .otherwise(0L)).as("docs_with_pii"),
+            sum(col("n_emails")).as("n_emails"),
+            sum(col("n_phones")).as("n_phones"),
+            sum(length(col("text2")).cast("long")
+              - length(col("red")).cast("long")).as("chars_removed"),
+            sum(col("leak")).as("leak_count"))
+          .orderBy("source")
+      },
+        Some {
+          val em = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+          val ph = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+          s"""WITH planted AS (SELECT source,
+              CASE WHEN doc_id % 9 = 0 THEN text || ' Contact: user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                ELSE text END AS text2
+            FROM documents),
+          red AS (SELECT source, text2,
+              CAST(len(regexp_extract_all(text2, '$em')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(text2, '$ph')) AS BIGINT)
+                AS n_phones,
+              regexp_replace(regexp_replace(text2, '$em', '[EMAIL]', 'g'),
+                '$ph', '[PHONE]', 'g') AS r
+            FROM planted)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_with_pii,
+            CAST(sum(n_emails) AS BIGINT) AS n_emails,
+            CAST(sum(n_phones) AS BIGINT) AS n_phones,
+            CAST(sum(len(text2) - len(r)) AS BIGINT) AS chars_removed,
+            CAST(sum(len(regexp_extract_all(r, '$em'))
+              + len(regexp_extract_all(r, '$ph'))) AS BIGINT)
+              AS leak_count
+          FROM red GROUP BY source ORDER BY source"""
+        }),
+
+      // CUSUM changepoint detection — WHERE did a volume regime shift,
+      // not just that an hour burst (q223 flags outlier hours; CUSUM
+      // localizes a sustained LEVEL change): per event type, daily
+      // counts on a dense day grid, S_t = Σ_{d≤t} (n_days·c_d − total)
+      // — the mean-centered cumulative sum scaled by n_days so every
+      // term stays an exact integer — and the changepoint is the day
+      // maximizing |S_t| (earliest day breaks ties). A sustained shift
+      // is PLANTED for one type (every 'error' event in the late half
+      // of the day range re-emitted — count doubles after the
+      // midpoint), so the detector must localize near the midpoint for
+      // that type while organic types report their noise peak. Scale
+      // shape: one (type, day) rollup; every window runs on the dense
+      // |types|×|days| grid frame.
+      ("q268_cusum_changepoint", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .select("event_type", "day")
+          .persistTracked()
+        val mm = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .head()
+        val dmid = (mm.getLong(0) + mm.getLong(1)) / 2
+        val all = ev.unionByName(
+          ev.filter(col("event_type") === "error" && col("day") >= dmid))
+        val daily = all.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val grid = ev.select("day").distinct()
+          .crossJoin(broadcast(ev.select("event_type").distinct()))
+        val dense = grid.join(daily, Seq("event_type", "day"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val tot = dense.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"), sum(col("c")).as("total"))
+        val wS = Window.partitionBy("event_type").orderBy("day")
+        val wMin = Window.partitionBy("event_type")
+        val cusum = dense.join(tot, "event_type")
+          .withColumn("s",
+            sum(col("n_days") * col("c") - col("total")).over(wS))
+          .withColumn("d_min", min(col("day")).over(wMin))
+        val wRk = Window.partitionBy("event_type")
+          .orderBy(desc("s_abs"), asc("day"))
+        cusum.withColumn("s_abs", abs(col("s")))
+          .withColumn("rnk", row_number().over(wRk))
+          .filter(col("rnk") === 1)
+          .select(col("event_type"), col("n_days"), col("total"),
+            (col("day") - col("d_min")).as("cp_day_off"),
+            col("s_abs").as("s_abs_max"),
+            signum(col("s")).cast("long").as("direction"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_type,
+              epoch_ns(ts) // 86400000000000 AS day FROM events),
+          mm AS (SELECT (min(day) + max(day)) // 2 AS dmid FROM e),
+          a AS (SELECT * FROM e UNION ALL
+            SELECT * FROM e WHERE event_type = 'error'
+              AND day >= (SELECT dmid FROM mm)),
+          daily AS (SELECT event_type, day,
+              CAST(count(*) AS BIGINT) AS c
+            FROM a GROUP BY event_type, day),
+          grid AS (SELECT t.event_type, dd.day
+            FROM (SELECT DISTINCT event_type FROM e) t
+            CROSS JOIN (SELECT DISTINCT day FROM e) dd),
+          dense AS (SELECT g.event_type, g.day,
+              coalesce(daily.c, 0) AS c
+            FROM grid g LEFT JOIN daily
+              ON daily.event_type = g.event_type AND daily.day = g.day),
+          tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(c) AS BIGINT) AS total
+            FROM dense GROUP BY event_type),
+          cusum AS (SELECT d.event_type, d.day, t.n_days, t.total,
+              CAST(sum(t.n_days * d.c - t.total) OVER (
+                PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS s,
+              min(d.day) OVER (PARTITION BY d.event_type) AS d_min
+            FROM dense d JOIN tot t ON t.event_type = d.event_type),
+          rk AS (SELECT event_type, n_days, total,
+              day - d_min AS cp_day_off, abs(s) AS s_abs,
+              CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS direction,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(s) DESC, day) AS rnk
+            FROM cusum)
+          SELECT event_type, n_days, total, cp_day_off,
+            s_abs AS s_abs_max, direction
+          FROM rk WHERE rnk = 1 ORDER BY event_type"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
-      roundElevenW10 ++ roundElevenW11 ++ roundElevenW12
+      roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
+      roundElevenW14
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

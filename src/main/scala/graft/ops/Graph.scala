@@ -291,4 +291,66 @@ object Graph {
       }
     } finally e.unpersist()
   }
+
+  /** k-core peeling trace: iteratively drop nodes of degree < `k` from
+    * the undirected graph and report the (nodes, edges) curve after each
+    * of EXACTLY `rounds` rounds — the curve is the deliverable (how fast
+    * the graph collapses to its cohesive core), and a fixed round count
+    * keeps the result reproducible in any engine whether or not the peel
+    * has converged (the q237/q241 unrolled-iteration contract).
+    *
+    * Scale shape: each round is one degree rollup + two semi-joins on
+    * the shrinking edge frame; every round is localCheckpoint'ed
+    * (lineage truncation — the chained semi-joins otherwise triple the
+    * logical plan per round and analysis cost grows 3^rounds) and the
+    * previous round's blocks are freed once its successor is
+    * materialized; the driver reads ONE (nodes, edges) scalar pair per
+    * round — the [[connectedComponents]] "driver reads counts only"
+    * discipline. Nothing survives the call: all checkpoint blocks are
+    * freed before returning the bounded `rounds + 1`-row trace.
+    */
+  def kcoreTrace(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      rounds: Int): Seq[(Long, Long, Long)] = {
+    require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0 (got $k, $rounds)")
+    val sc = edges.sparkSession.sparkContext
+    val e = edges.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val out = df.localCheckpoint()
+      val ids = out.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+      (out, ids)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def stats(ed: DataFrame): (Long, Long) = {
+      val row = ed.agg(countDistinct(col("a")), count(lit(1))).head()
+      (row.getLong(0), row.getLong(1) / 2)
+    }
+    var (cur, blocks) = ckpt(sym)
+    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    try {
+      trace += { val (n, ed) = stats(cur); (0L, n, ed) }
+      for (r <- 1 to rounds) {
+        val keep = cur.groupBy("a").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("a")
+        val (next, nextBlocks) = ckpt(cur
+          .join(keep, Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi"))
+        trace += { val (n, ed) = stats(next); (r.toLong, n, ed) }
+        free(blocks)
+        cur = next
+        blocks = nextBlocks
+      }
+    } finally free(blocks)
+    trace.toSeq
+  }
 }
