@@ -12999,12 +12999,209 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW15: Seq[Q] = {
+    // Truncated discrete-Laplace (two-sided geometric) noise for the DP
+    // release: alpha = e^-eps at eps = 1, support clipped to [-8, 8]
+    // (tail mass beyond is ~2e-4 and lands on the +8 else-arm). The
+    // cumulative pmf thresholds are computed ONCE here in driver-side
+    // double math and embedded as identical integer literals in both
+    // engines' CASE — the q266 Poisson-weight precedent.
+    val dpAlpha = math.exp(-1.0)
+    val dpCuts: Seq[(Int, Long)] = {
+      val ks = -8 to 8
+      val pmf = ks.map(k =>
+        (1 - dpAlpha) / (1 + dpAlpha) * math.pow(dpAlpha, math.abs(k)))
+      val cum = pmf.scanLeft(0.0)(_ + _).tail
+      ks.zip(cum).map { case (k, c) => (k, math.round(c * 1000000)) }
+    }
+    val dpNoise = (u: String) =>
+      dpCuts.init.map { case (k, c) => s"WHEN $u < $c THEN CAST($k AS BIGINT)" }
+        .mkString("CASE ", " ", " ELSE CAST(8 AS BIGINT) END")
+    Seq(
+      // Semi-supervised label propagation — spread a scarce label over
+      // the near-dup similarity graph (the weak-supervision primitive:
+      // a 1-in-7 seeded "long-doc" label reaches unseeded neighbors by
+      // integer majority vote; ties stay unlabeled; assigned labels
+      // freeze). The copies' seed set intentionally differs from the
+      // originals' (10^7 mod 7 = 3 shifts the residue), so propagation
+      // provably fires across planted pairs. Scale shape: per round ONE
+      // key-partitioned edge⋈frontier join + a vote rollup + an
+      // anti-join — frontier-sized, never corpus²; the deliverable is
+      // the 3-row labeled-coverage curve, the unrolled-round contract
+      // of q237/q241/q263.
+      ("q269_label_propagation", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = nearDupCorpus(docs).persistTracked()
+        val pairs = graft.ops.Dedup.minhashLsh(
+          corpus, "doc_id", "text", threshold = 0.5)
+        val edges = pairs
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+          .distinct().persistTracked()
+        val l0 = corpus.filter(pmod(col("doc_id"), lit(7L)) === 0)
+          .select(col("doc_id").as("id"),
+            when(length(col("text")) >= 300, lit(1L)).otherwise(lit(0L))
+              .as("lab"))
+          .persistTracked()
+        def step(cur: DataFrame): DataFrame = {
+          val votes = edges
+            .join(cur.select(col("id").as("b"), col("lab")), Seq("b"))
+            .groupBy("a").agg(sum(col("lab")).as("n1"), count(lit(1)).as("n"))
+            .withColumn("n0", col("n") - col("n1"))
+            .filter(col("n1") =!= col("n0"))
+            .select(col("a").as("id"),
+              when(col("n1") > col("n0"), lit(1L)).otherwise(lit(0L))
+                .as("lab"))
+          cur.unionByName(votes.join(cur.select("id"), Seq("id"), "left_anti"))
+        }
+        val l1 = step(l0).persistTracked()
+        val l2 = step(l1)
+        def stat(df: DataFrame, r: Int): DataFrame =
+          df.agg(count(lit(1)).as("n_labeled"),
+              coalesce(sum(col("lab")), lit(0L)).as("n_pos"))
+            .select(lit(r.toLong).as("round"), col("n_labeled"), col("n_pos"))
+        stat(l0, 0).unionByName(stat(l1, 1)).unionByName(stat(l2, 2))
+          .orderBy("round")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          l0 AS (SELECT doc_id AS id,
+              CASE WHEN len(text) >= 300 THEN 1 ELSE 0 END AS lab
+            FROM corpus WHERE doc_id % 7 = 0),
+          v1 AS (SELECT e.a, CAST(sum(l.lab) AS BIGINT) AS n1,
+              CAST(count(*) AS BIGINT) AS n
+            FROM edges e JOIN l0 l ON l.id = e.b GROUP BY e.a),
+          nw1 AS (SELECT a AS id,
+              CASE WHEN n1 > n - n1 THEN 1 ELSE 0 END AS lab
+            FROM v1 WHERE n1 <> n - n1
+              AND a NOT IN (SELECT id FROM l0)),
+          l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM nw1),
+          v2 AS (SELECT e.a, CAST(sum(l.lab) AS BIGINT) AS n1,
+              CAST(count(*) AS BIGINT) AS n
+            FROM edges e JOIN l1 l ON l.id = e.b GROUP BY e.a),
+          nw2 AS (SELECT a AS id,
+              CASE WHEN n1 > n - n1 THEN 1 ELSE 0 END AS lab
+            FROM v2 WHERE n1 <> n - n1
+              AND a NOT IN (SELECT id FROM l1)),
+          l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM nw2)
+          SELECT CAST(0 AS BIGINT) AS round,
+              CAST(count(*) AS BIGINT) AS n_labeled,
+              CAST(coalesce(sum(lab), 0) AS BIGINT) AS n_pos FROM l0
+          UNION ALL SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(coalesce(sum(lab), 0) AS BIGINT) FROM l1
+          UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(coalesce(sum(lab), 0) AS BIGINT) FROM l2
+          ORDER BY round""")),
+
+      // Repeated-content exposure — the "deduplicating training data"
+      // measurement (Lee et al.'s repetition histogram): how much of
+      // the raw training token stream is content seen k times, from
+      // the persisted cluster artifact (consumer #17). Per cluster
+      // multiplicity: docs, token mass, its share of the stream, and
+      // excess_pm — the fraction of that bucket's tokens a keeper-only
+      // pass would drop (q210 prices the same pass in storage chars
+      // per source; this is the training-exposure view by k). Scale
+      // shape: the artifact is |clustered docs| rows; csize is a
+      // cluster-keyed rollup of the ARTIFACT, never the corpus; the
+      // report is |multiplicities| rows.
+      ("q270_repetition_exposure", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = nearDupCorpus(docs)
+        val art = clusterArtifact(s, d, fastHash = false)
+          .select("doc_id", "cluster", "is_keeper")
+        val csize = art.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        val base = corpus
+          .select(col("doc_id"),
+            size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+          .join(art, Seq("doc_id"), "left")
+          .join(csize, Seq("cluster"), "left")
+          .withColumn("mult", coalesce(col("csize"), lit(1L)))
+          .withColumn("keep", coalesce(col("is_keeper"), lit(1L)))
+        val tot = base.agg(sum(col("n_tok")).as("tot"))
+        base.groupBy("mult").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok"),
+            sum(when(col("keep") === 1L, col("n_tok")).otherwise(0L))
+              .as("tok_kept"))
+          .crossJoin(broadcast(tot))
+          .select(col("mult").as("multiplicity"), col("n_docs"),
+            col("n_tok"),
+            expr("CAST(n_tok * 1000 div tot AS BIGINT)").as("share_pm"),
+            expr("CAST((n_tok - tok_kept) * 1000 div n_tok AS BIGINT)")
+              .as("excess_pm"))
+          .orderBy("multiplicity")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          cs AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize
+            FROM cc GROUP BY lab),
+          base AS (SELECT c.doc_id,
+              CAST(len(${sqlTokens("c.text")}) AS BIGINT) AS n_tok,
+              coalesce(cs.csize, 1) AS mult,
+              CASE WHEN cc.id IS NULL OR cc.id = cc.lab THEN 1 ELSE 0 END
+                AS keep
+            FROM corpus c
+            LEFT JOIN cc ON cc.id = c.doc_id
+            LEFT JOIN cs ON cs.lab = cc.lab),
+          tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot FROM base)
+          SELECT mult AS multiplicity, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS n_tok,
+            CAST(sum(n_tok) * 1000 // tot AS BIGINT) AS share_pm,
+            CAST((sum(n_tok) - sum(CASE WHEN keep = 1 THEN n_tok
+              ELSE 0 END)) * 1000 // sum(n_tok) AS BIGINT) AS excess_pm
+          FROM base CROSS JOIN tot
+          GROUP BY mult, tot ORDER BY mult""")),
+
+      // Differentially-private aggregate release — the mechanism that
+      // completes the DP prep chain (q217 bounds per-user contribution;
+      // q260 audits k-anonymity): per event type, the user count with
+      // contribution capped at 1 (sensitivity-1 by construction) plus
+      // truncated discrete-Laplace noise at eps = 1, with the true
+      // count, the noise draw, and the released value side by side —
+      // the calibration evidence a privacy reviewer reads. The noise is
+      // a DETERMINISTIC inverse-CDF draw on the q62 hash-uniform so the
+      // whole release is exact integers and hash-comparable. Scale
+      // shape: one (type, user) distinct + one |types|-row rollup; the
+      // noise CASE runs on the |types|-row frame.
+      ("q271_dp_release", (s: SparkSession, d: String) => {
+        eventsNs(s, d).select("event_type", "user_id").distinct()
+          .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+          .withColumn("u", pmod(TF.hash32(
+            concat(lit("dp|"), col("event_type"))), lit(1000000L)))
+          .withColumn("noise", expr(dpNoise("u")))
+          .select(col("event_type"), col("n_users"), col("noise"),
+            (col("n_users") + col("noise")).as("released"),
+            abs(col("noise")).as("err_abs"))
+          .orderBy("event_type")
+      },
+        Some(s"""WITH t AS (SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type),
+          n AS (SELECT event_type, n_users,
+              ${dpNoise(sqlHash32("'dp|' || event_type") + " % 1000000")}
+                AS noise
+            FROM t)
+          SELECT event_type, n_users, noise,
+            n_users + noise AS released, abs(noise) AS err_abs
+          FROM n ORDER BY event_type"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
-      roundElevenW14
+      roundElevenW14 ++ roundElevenW15
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
