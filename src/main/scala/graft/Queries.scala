@@ -13196,12 +13196,205 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW16: Seq[Q] = {
+    Seq(
+      // Point-in-time-correct feature join audit — the feature-store
+      // leakage check: for every purchase (label row), the user's click
+      // count STRICTLY BEFORE the label timestamp (the as-of value a
+      // training join must use) next to the full-history count a naive
+      // user-keyed join would attach, and the contamination that
+      // difference represents. Same-ts clicks are excluded by the
+      // (ts, side) ordering — purchases sort before clicks at equal ts,
+      // so the running sum at the label row cannot see them. Scale
+      // shape: ONE user-keyed union+window pass (the TemporalJoin.asOf
+      // dataflow — no purchase×click join) + a 1-row rollup.
+      ("q272_pit_features", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(1L).as("side"),
+            lit(1L).as("inc"))
+        val labels = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0L).as("side"),
+            lit(0L).as("inc"))
+        val wRun = Window.partitionBy("user_id").orderBy("ts", "side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("user_id")
+        clicks.unionByName(labels)
+          .withColumn("pit", sum(col("inc")).over(wRun))
+          .withColumn("total", sum(col("inc")).over(wAll))
+          .filter(col("side") === 0)
+          .agg(count(lit(1)).as("n_labels"),
+            sum(when(col("total") > col("pit"), 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(col("pit")).as("pit_clicks"),
+            sum(col("total") - col("pit")).as("future_clicks"))
+          .withColumn("contaminated_pm", expr(
+            "CAST(n_contaminated * 1000 div n_labels AS BIGINT)"))
+      },
+        Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type
+              FROM events),
+          u AS (SELECT user_id, ts, 1 AS side, 1 AS inc FROM e
+              WHERE event_type = 'click'
+            UNION ALL SELECT user_id, ts, 0, 0 FROM e
+              WHERE event_type = 'purchase'),
+          r AS (SELECT user_id, ts, side,
+              CAST(sum(inc) OVER (PARTITION BY user_id ORDER BY ts, side
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS pit,
+              CAST(sum(inc) OVER (PARTITION BY user_id) AS BIGINT) AS total
+            FROM u)
+          SELECT CAST(count(*) AS BIGINT) AS n_labels,
+            CAST(sum(CASE WHEN total > pit THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_contaminated,
+            CAST(sum(pit) AS BIGINT) AS pit_clicks,
+            CAST(sum(total - pit) AS BIGINT) AS future_clicks,
+            CAST(sum(CASE WHEN total > pit THEN 1 ELSE 0 END) * 1000
+              // count(*) AS BIGINT) AS contaminated_pm
+          FROM r WHERE side = 0""")),
+
+      // Multi-touch linear attribution — q245 gives the last click ALL
+      // the credit; the linear model splits each purchase's cents
+      // equally over EVERY click in the 24 h window (integer
+      // micro-cents, div-truncated identically on both engines), with
+      // no-touch purchases as channel −1. The deliverable is the
+      // channel-credit table under the second standard model, next to
+      // q245's — the pair an attribution owner compares. Scale shape:
+      // TemporalJoin.rangeJoin is bin-bucketed (never purchase×click),
+      // the per-purchase touch count is a window over matched pairs
+      // (bounded by clicks-per-user-day), and the rollup is
+      // channel-keyed.
+      ("q273_multitouch", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+        val chan = expr(
+          "CAST(regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) AS BIGINT) div 10")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(chan).as("channel"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val touched = graft.ops.TemporalJoin.rangeJoin(
+          purchases, clicks, "user_id", "ts",
+          86400000000000L, Seq("channel"))
+        val wK = Window.partitionBy("event_id")
+        val credited = touched
+          .withColumn("k", count(lit(1)).over(wK))
+          .select(col("r_channel").as("channel"),
+            expr("CAST(cents * 1000000 div k AS BIGINT)").as("credit"))
+        val untouched = purchases
+          .join(touched.select("event_id").distinct(),
+            Seq("event_id"), "left_anti")
+          .select(lit(-1L).as("channel"),
+            (col("cents") * lit(1000000L)).as("credit"))
+        val perChan = credited.unionByName(untouched)
+          .groupBy("channel").agg(
+            count(lit(1)).as("n_touches"),
+            sum(col("credit")).as("credit_micro"))
+        val tot = perChan.agg(sum(col("credit_micro")).as("tot"))
+        perChan.crossJoin(broadcast(tot))
+          .select(col("channel"), col("n_touches"), col("credit_micro"),
+            expr("CAST(credit_micro * 1000 div tot AS BIGINT)")
+              .as("share_pm"))
+          .orderBy("channel")
+      },
+        Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts,
+              event_type, value, props FROM events),
+          ck AS (SELECT user_id, ts,
+              max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+                // 10) AS channel
+            FROM e WHERE event_type = 'click' GROUP BY user_id, ts),
+          p AS (SELECT event_id, user_id, ts,
+              CAST(round(value * 100) AS BIGINT) AS cents
+            FROM e WHERE event_type = 'purchase'),
+          m AS (SELECT p.event_id, p.cents, ck.channel FROM p
+            JOIN ck ON ck.user_id = p.user_id
+              AND ck.ts >= p.ts - 86400000000000 AND ck.ts < p.ts),
+          cr AS (SELECT channel,
+              CAST(cents * 1000000 // (count(*) OVER (PARTITION BY event_id))
+                AS BIGINT) AS credit
+            FROM m),
+          un AS (SELECT CAST(-1 AS BIGINT) AS channel,
+              CAST(cents * 1000000 AS BIGINT) AS credit
+            FROM p WHERE event_id NOT IN (SELECT event_id FROM m)),
+          pc AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+              CAST(sum(credit) AS BIGINT) AS credit_micro
+            FROM (SELECT * FROM cr UNION ALL SELECT * FROM un)
+            GROUP BY channel),
+          tt AS (SELECT CAST(sum(credit_micro) AS BIGINT) AS tot FROM pc)
+          SELECT channel, n_touches, credit_micro,
+            CAST(credit_micro * 1000 // tot AS BIGINT) AS share_pm
+          FROM pc CROSS JOIN tt ORDER BY channel""")),
+
+      // Training-step provenance — loss-spike forensics: which documents
+      // did step t consume? Steps are the q63 packing's bins in a
+      // deterministic global order with CLOSED-FORM positions (the
+      // q176/q192 trick: per-(lang, shard) bin counts roll up to a
+      // SMALL frame, a window over THAT frame gives each key its global
+      // offset, and step = offset + bin — no global sort ever touches
+      // the doc or bin frames). Five probe steps at the {1,3,5,7,9}
+      // deciles of the step range answer "what did the run see there":
+      // doc-id span, doc count, token fill. Scale shape: one pack
+      // window (q63's), one bins rollup, offsets on the |lang×shard|
+      // frame, probe filter via a broadcast 5-row join.
+      ("q274_step_provenance", (s: SparkSession, d: String) => {
+        val packed = packAssign(t(s, d, "documents"), Seq(asc("doc_id")))
+        val bins = packed.groupBy("lang", "shard", "bin").agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(col("n_tok")).as("bin_tokens"))
+        val keyCounts = bins.groupBy("lang", "shard")
+          .agg(count(lit(1)).as("n_bins"))
+        val wOff = Window.orderBy("lang", "shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = keyCounts
+          .withColumn("off", sum(col("n_bins")).over(wOff) - col("n_bins"))
+        val steps = bins.join(offsets, Seq("lang", "shard"))
+          .withColumn("step", col("off") + col("bin"))
+        val tot = offsets.agg(sum(col("n_bins")).as("tot"))
+        val probes = tot.select(explode(array(
+            (1 to 9 by 2).map(i => expr(s"CAST(tot * $i div 10 AS BIGINT)")): _*))
+          .as("step"))
+        steps.join(broadcast(probes), Seq("step"))
+          .select(col("step"), col("lang"), col("shard"), col("bin"),
+            col("n_docs"), col("first_doc"), col("last_doc"),
+            col("bin_tokens"),
+            expr("CAST(bin_tokens * 1000 div 2048 AS BIGINT)").as("fill_pm"))
+          .orderBy("step")
+      },
+        Some(s"""WITH ${sqlPack("documents", "doc_id")},
+          bins AS (SELECT lang, shard, bin,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(doc_id) AS BIGINT) AS first_doc,
+              CAST(max(doc_id) AS BIGINT) AS last_doc,
+              CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+            FROM c_pack GROUP BY lang, shard, bin),
+          kc AS (SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_bins
+            FROM bins GROUP BY lang, shard),
+          offs AS (SELECT lang, shard, n_bins,
+              CAST(sum(n_bins) OVER (ORDER BY lang, shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bins
+                AS BIGINT) AS off
+            FROM kc),
+          st AS (SELECT b.*, o.off + b.bin AS step
+            FROM bins b JOIN offs o
+              ON o.lang = b.lang AND o.shard = b.shard),
+          tt AS (SELECT CAST(sum(n_bins) AS BIGINT) AS tot FROM offs),
+          pr AS (SELECT unnest([tot * 1 // 10, tot * 3 // 10, tot * 5 // 10,
+              tot * 7 // 10, tot * 9 // 10]) AS step FROM tt)
+          SELECT st.step, lang, shard, bin, n_docs, first_doc, last_doc,
+            bin_tokens,
+            CAST(bin_tokens * 1000 // 2048 AS BIGINT) AS fill_pm
+          FROM st JOIN pr ON pr.step = st.step ORDER BY st.step"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
-      roundElevenW14 ++ roundElevenW15
+      roundElevenW14 ++ roundElevenW15 ++ roundElevenW16
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
