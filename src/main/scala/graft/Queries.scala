@@ -13389,12 +13389,260 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW17: Seq[Q] = {
+    // Quintile-cutoff CTEs for the RFM query: a value-keyed histogram
+    // per metric (the q207/q88 discipline — the only unpartitioned
+    // window runs over the HISTOGRAM frame, bounded by the metric's
+    // value space, never by user count) and the four cutoffs
+    // c_k = min v with 5·cum(v) ≥ k·N.
+    def sqlCuts(m: String): String =
+      s"""h_$m AS (SELECT $m AS v, CAST(count(*) AS BIGINT) AS cnt
+            FROM ru GROUP BY $m),
+          cu_$m AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum FROM h_$m),
+          ct_$m AS (SELECT
+            min(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 1 THEN v END) AS ${m}_c1,
+            min(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 2 THEN v END) AS ${m}_c2,
+            min(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 3 THEN v END) AS ${m}_c3,
+            min(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 4 THEN v END) AS ${m}_c4
+            FROM cu_$m)"""
+    Seq(
+      // Embedding-store health audit — the QA pass an embedding owner
+      // runs before serving from a store: per dimension, count, zero
+      // share, mean, RMS energy, and the value range. Components are
+      // micro-quantized to EXACT integers before any cross-row sum and
+      // squares accumulate in decimal(38,0)/HUGEINT (the q174 drift
+      // discipline — float sums are engine-order-dependent); the final
+      // sqrt runs on one exact integer per dimension, so the report is
+      // hash-comparable. A dead or saturated dimension (zero_pm near
+      // 1000, rms near 0, or a collapsed min=max) is the store
+      // corruption this surfaces. Scale shape: the 64× posexplode
+      // collapses under map-side partial aggregation to |dims| rows per
+      // partition before the one |dims|-key shuffle.
+      ("q275_embedding_health", (s: SparkSession, d: String) => {
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        t(s, d, "embeddings")
+          .select(posexplode(col("embedding")))
+          .select(col("pos").cast("long").as("dim"),
+            col("col").as("x"),
+            expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)")
+              .as("q"))
+          .groupBy("dim").agg(
+            count(lit(1)).as("n"),
+            sum(when(col("x") === 0.0f, 1L).otherwise(0L)).as("zero_n"),
+            sum(col("q")).as("sq"),
+            sum(dec(col("q")) * dec(col("q"))).as("sq2"),
+            min(col("q")).as("min_micro"),
+            max(col("q")).as("max_micro"))
+          .select(col("dim"), col("n"),
+            expr("CAST(zero_n * 1000 div n AS BIGINT)").as("zero_pm"),
+            expr("CAST(sq div n AS BIGINT)").as("mean_micro"),
+            round(sqrt(col("sq2").cast("double") / col("n").cast("double")))
+              .cast("long").as("rms_micro"),
+            col("min_micro"), col("max_micro"))
+          .orderBy("dim")
+      },
+        Some("""WITH comp AS (SELECT u.i - 1 AS dim, embedding[u.i] AS x,
+              CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                AS BIGINT) AS q
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+          SELECT CAST(dim AS BIGINT) AS dim,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) * 1000 // count(*)
+              AS BIGINT) AS zero_pm,
+            CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_micro,
+            CAST(round(sqrt(CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE))) AS BIGINT) AS rms_micro,
+            CAST(min(q) AS BIGINT) AS min_micro,
+            CAST(max(q) AS BIGINT) AS max_micro
+          FROM comp GROUP BY dim ORDER BY dim""")),
+
+      // Pairwise feature-correlation matrix — the profiling pass behind
+      // any "length is a quality proxy" claim: exact Pearson r between
+      // chars, tokens, and distinct-token counts from ONE corpus rollup
+      // (all nine sums are integers; the only doubles are the final
+      // cross-multiplied numerator/denominator, identical exact
+      // integers rounded to double on both engines — the q174
+      // argument). r_micro for (chars,tokens) near 10^6 and a visibly
+      // lower (chars,uniq) is the expected saturation signature of
+      // natural text. Scale shape: one narrow per-row map + one 1-row
+      // aggregate; the 3-row matrix is built from that single row.
+      ("q276_feature_corr", (s: SparkSession, d: String) => {
+        val f = t(s, d, "documents").select(
+          length(col("text")).cast("long").as("c"),
+          size(TF.tokens(col("text"))).cast("long").as("tk"),
+          size(array_distinct(TF.tokens(col("text")))).cast("long").as("u"))
+        val sums = f.agg(
+          count(lit(1)).as("n"),
+          sum(col("c")).as("sc"), sum(col("tk")).as("st"),
+          sum(col("u")).as("su"),
+          sum(col("c") * col("c")).as("scc"),
+          sum(col("tk") * col("tk")).as("stt"),
+          sum(col("u") * col("u")).as("suu"),
+          sum(col("c") * col("tk")).as("sct"),
+          sum(col("c") * col("u")).as("scu"),
+          sum(col("tk") * col("u")).as("stu"))
+        def rMicro(sxy: String, sx: String, sy: String,
+                   sxx: String, syy: String): String =
+          s"""CAST(round((CAST(n AS DOUBLE) * $sxy - CAST($sx AS DOUBLE) * $sy)
+              * 1000000 / (sqrt(CAST(n AS DOUBLE) * $sxx
+                - CAST($sx AS DOUBLE) * $sx)
+              * sqrt(CAST(n AS DOUBLE) * $syy - CAST($sy AS DOUBLE) * $sy)))
+              AS BIGINT)"""
+        sums.select(col("n"), explode(array(
+            struct(lit("chars|tokens").as("pair"),
+              expr(rMicro("sct", "sc", "st", "scc", "stt")).as("r_micro")),
+            struct(lit("chars|uniq").as("pair"),
+              expr(rMicro("scu", "sc", "su", "scc", "suu")).as("r_micro")),
+            struct(lit("tokens|uniq").as("pair"),
+              expr(rMicro("stu", "st", "su", "stt", "suu")).as("r_micro"))))
+            .as("e"))
+          .select(col("e.pair").as("pair"), col("n"), col("e.r_micro")
+            .as("r_micro"))
+          .orderBy("pair")
+      },
+        Some(s"""WITH f AS (SELECT CAST(len(text) AS BIGINT) AS c,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS tk,
+              CAST(len(list_distinct(${sqlTokens("text")})) AS BIGINT) AS u
+            FROM documents),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(c) AS BIGINT) AS sc, CAST(sum(tk) AS BIGINT) AS st,
+              CAST(sum(u) AS BIGINT) AS su,
+              CAST(sum(c * c) AS BIGINT) AS scc,
+              CAST(sum(tk * tk) AS BIGINT) AS stt,
+              CAST(sum(u * u) AS BIGINT) AS suu,
+              CAST(sum(c * tk) AS BIGINT) AS sct,
+              CAST(sum(c * u) AS BIGINT) AS scu,
+              CAST(sum(tk * u) AS BIGINT) AS stu
+            FROM f)
+          SELECT 'chars|tokens' AS pair, n,
+            CAST(round((CAST(n AS DOUBLE) * sct - CAST(sc AS DOUBLE) * st)
+              * 1000000 / (sqrt(CAST(n AS DOUBLE) * scc
+                - CAST(sc AS DOUBLE) * sc)
+              * sqrt(CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)))
+              AS BIGINT) AS r_micro FROM s
+          UNION ALL SELECT 'chars|uniq', n,
+            CAST(round((CAST(n AS DOUBLE) * scu - CAST(sc AS DOUBLE) * su)
+              * 1000000 / (sqrt(CAST(n AS DOUBLE) * scc
+                - CAST(sc AS DOUBLE) * sc)
+              * sqrt(CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)))
+              AS BIGINT) FROM s
+          UNION ALL SELECT 'tokens|uniq', n,
+            CAST(round((CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+              * 1000000 / (sqrt(CAST(n AS DOUBLE) * stt
+                - CAST(st AS DOUBLE) * st)
+              * sqrt(CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)))
+              AS BIGINT) FROM s
+          ORDER BY pair""")),
+
+      // RFM segmentation — the classic customer-value grid: per
+      // purchasing user, Recency (last purchase day), Frequency
+      // (purchase count), Monetary (whole-dollar total — quantized so
+      // the monetary histogram keys on the bounded price grid, not on
+      // |users| distinct sums), each banded into quintiles by exact
+      // histogram cutoffs c_k = min v with 5·cum(v) ≥ k·N; band =
+      // 1 + |{k : v > c_k}|. The deliverable is the populated segment
+      // grid with revenue share — which (R,F,M) cells hold the money.
+      // Scale shape: one (user) rollup, three value-keyed histograms
+      // (windows over HISTOGRAM frames, bounded by day range / count
+      // range / price grid), cutoffs broadcast back as one row.
+      ("q277_rfm_segments", (s: SparkSession, d: String) => {
+        val ru = eventsNs(s, d).filter(col("event_type") === "purchase")
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .groupBy("user_id").agg(
+            max(col("day")).as("r"),
+            count(lit(1)).as("f"),
+            (sum(col("cents")) / lit(100L)).cast("long").as("m"),
+            sum(col("cents")).as("cents"))
+          .persistTracked()
+        val n = ru.agg(count(lit(1)).as("n"))
+        def cutsOf(c: String): DataFrame = {
+          val hist = ru.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+          val wc = Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          hist.withColumn("cum", sum(col("cnt")).over(wc))
+            .crossJoin(broadcast(n))
+            .agg(
+              min(when(col("cum") * 5 >= col("n") * 1, col("v")))
+                .as(s"${c}_c1"),
+              min(when(col("cum") * 5 >= col("n") * 2, col("v")))
+                .as(s"${c}_c2"),
+              min(when(col("cum") * 5 >= col("n") * 3, col("v")))
+                .as(s"${c}_c3"),
+              min(when(col("cum") * 5 >= col("n") * 4, col("v")))
+                .as(s"${c}_c4"))
+        }
+        def band(c: String): Column =
+          lit(1L) +
+            when(col(c) > col(s"${c}_c1"), 1L).otherwise(0L) +
+            when(col(c) > col(s"${c}_c2"), 1L).otherwise(0L) +
+            when(col(c) > col(s"${c}_c3"), 1L).otherwise(0L) +
+            when(col(c) > col(s"${c}_c4"), 1L).otherwise(0L)
+        val tot = ru.agg(sum(col("cents")).as("tot"))
+        ru.crossJoin(broadcast(cutsOf("r")))
+          .crossJoin(broadcast(cutsOf("f")))
+          .crossJoin(broadcast(cutsOf("m")))
+          .select(band("r").as("r_band"), band("f").as("f_band"),
+            band("m").as("m_band"), col("cents"))
+          .groupBy("r_band", "f_band", "m_band").agg(
+            count(lit(1)).as("n_users"),
+            sum(col("cents")).as("cents"))
+          .crossJoin(broadcast(tot))
+          .withColumn("revenue_pm",
+            expr("CAST(cents * 1000 div tot AS BIGINT)"))
+          .drop("tot")
+          .orderBy("r_band", "f_band", "m_band")
+      },
+        Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, value
+              FROM events WHERE event_type = 'purchase'),
+          ru AS (SELECT user_id,
+              max(ts // 86400000000000) AS r,
+              CAST(count(*) AS BIGINT) AS f,
+              CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                // 100 AS BIGINT) AS m,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM e GROUP BY user_id),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ru),
+          ${sqlCuts("r")},
+          ${sqlCuts("f")},
+          ${sqlCuts("m")},
+          tt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM ru),
+          b AS (SELECT
+              1 + (CASE WHEN r > r_c1 THEN 1 ELSE 0 END)
+                + (CASE WHEN r > r_c2 THEN 1 ELSE 0 END)
+                + (CASE WHEN r > r_c3 THEN 1 ELSE 0 END)
+                + (CASE WHEN r > r_c4 THEN 1 ELSE 0 END) AS r_band,
+              1 + (CASE WHEN f > f_c1 THEN 1 ELSE 0 END)
+                + (CASE WHEN f > f_c2 THEN 1 ELSE 0 END)
+                + (CASE WHEN f > f_c3 THEN 1 ELSE 0 END)
+                + (CASE WHEN f > f_c4 THEN 1 ELSE 0 END) AS f_band,
+              1 + (CASE WHEN m > m_c1 THEN 1 ELSE 0 END)
+                + (CASE WHEN m > m_c2 THEN 1 ELSE 0 END)
+                + (CASE WHEN m > m_c3 THEN 1 ELSE 0 END)
+                + (CASE WHEN m > m_c4 THEN 1 ELSE 0 END) AS m_band,
+              cents
+            FROM ru CROSS JOIN ct_r CROSS JOIN ct_f CROSS JOIN ct_m)
+          SELECT CAST(r_band AS BIGINT) AS r_band,
+            CAST(f_band AS BIGINT) AS f_band,
+            CAST(m_band AS BIGINT) AS m_band,
+            CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(cents) AS BIGINT) AS cents,
+            CAST(sum(cents) * 1000 // tot AS BIGINT) AS revenue_pm
+          FROM b CROSS JOIN tt
+          GROUP BY r_band, f_band, m_band, tot
+          ORDER BY r_band, f_band, m_band"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
-      roundElevenW14 ++ roundElevenW15 ++ roundElevenW16
+      roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
