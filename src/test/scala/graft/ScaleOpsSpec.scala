@@ -462,4 +462,87 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("q272 pit features: every window is user-partitioned (no global order)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Queries.queries("q272_pit_features")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "running-sum and total windows must be partitioned by user_id")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q274 step provenance: the pack window is key-partitioned; the only " +
+      "unpartitioned windows run over the small bins-per-key frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val df = Queries.queries("q274_step_provenance")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: HashAggregateExec => true
+        case _: ObjectHashAggregateExec => true
+        case _: SortAggregateExec => true
+        case a: AdaptiveSparkPlanExec if hasAgg(a.executedPlan) => true
+        case q: QueryStageExec if hasAgg(q.plan) => true
+      }.isDefined
+    val ws = windows(df.queryExecution.executedPlan)
+    val (global, keyed) = ws.partition(_.partitionSpec.isEmpty)
+    assert(keyed.nonEmpty, "expected the (lang, shard)-partitioned pack window")
+    // the offsets window is allowed to be global ONLY because its child
+    // subtree contains the bins-per-key aggregate (the q176/q192
+    // closed-form trick): the doc frame never reaches a global sort
+    assert(global.forall(w => hasAgg(w.child)),
+      "a global window without an aggregate child would sort the doc frame")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q277 RFM: every unpartitioned window runs over a value-keyed " +
+      "HISTOGRAM aggregate, never the user frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val df = Queries.queries("q277_rfm_segments")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: HashAggregateExec => true
+        case _: ObjectHashAggregateExec => true
+        case _: SortAggregateExec => true
+        case a: AdaptiveSparkPlanExec if hasAgg(a.executedPlan) => true
+        case q: QueryStageExec if hasAgg(q.plan) => true
+      }.isDefined
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the three histogram cutoff windows")
+    assert(ws.filter(_.partitionSpec.isEmpty).forall(w => hasAgg(w.child)),
+      "every global cutoff window must sit above its value histogram")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"cutoff rows should broadcast back onto users:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }

@@ -867,6 +867,57 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming pit features: label emissions equal the q272 batch window, " +
+      "counter carried across batches, same-ts click excluded") {
+    import graft.streaming.PitCountStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sec = 1000000000L
+    // user 1: two clicks, a label, a SAME-TS (label, click) tie, then a
+    // cross-batch label that must see batch-1 clicks in its count;
+    // user 2: label before any click (count 0)
+    val batch1 = Seq(
+      PitCountStream.Ev(1L, 10L * sec, isLabel = false, 101L),
+      PitCountStream.Ev(1L, 20L * sec, isLabel = false, 102L),
+      PitCountStream.Ev(1L, 30L * sec, isLabel = true, 103L),
+      PitCountStream.Ev(1L, 40L * sec, isLabel = true, 104L), // ties with
+      PitCountStream.Ev(1L, 40L * sec, isLabel = false, 105L), // this click
+      PitCountStream.Ev(2L, 5L * sec, isLabel = true, 201L))
+    val batch2 = Seq( // user 1's counter is 3 in state (clicks 101/102/105)
+      PitCountStream.Ev(1L, 50L * sec, isLabel = true, 106L),
+      PitCountStream.Ev(2L, 60L * sec, isLabel = false, 202L),
+      PitCountStream.Ev(2L, 70L * sec, isLabel = true, 203L))
+    val input = MemoryStream[PitCountStream.Ev]
+    val out = PitCountStream.features(
+      input.toDF().toDF("user_id", "ts", "is_label", "id"))
+    val q = out.writeStream.format("memory").queryName("pitfeat")
+      .outputMode("append").start()
+    input.addData(batch1)
+    q.processAllAvailable()
+    input.addData(batch2)
+    q.processAllAvailable()
+    val got = spark.table("pitfeat").as[PitCountStream.Feat]
+      .collect().map(f => (f.id, f.pitCount)).toMap
+    // batch twin: q272's union + (ts, side) running-sum window
+    val all = (batch1 ++ batch2).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId")
+      .orderBy(col("ts"), when(col("isLabel"), 0L).otherwise(1L), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = all
+      .withColumn("pit",
+        sum(when(col("isLabel"), 0L).otherwise(1L)).over(w))
+      .filter(col("isLabel"))
+      .select("id", "pit").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"stream pit != batch window\n got=$got\nwant=$want")
+    // the tie label (104) must NOT count its same-ts click (105)
+    assert(got(103L) == 2L && got(104L) == 2L && got(106L) == 3L &&
+      got(201L) == 0L && got(203L) == 1L)
+    q.stop()
+  }
+
   test("streaming IVF routing: Ann.ivfAssignDist runs unchanged on a vector stream, " +
       "equals the batch assignment") {
     import spark.implicits._
