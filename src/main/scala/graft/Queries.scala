@@ -13637,12 +13637,246 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW18: Seq[Q] = {
+    // Bit-interleave for the z-order query: 4 bits of the length band at
+    // odd positions, 3 bits of the lang code at even — pure integer
+    // div/mod arithmetic, identical on both engines.
+    def zExpr(a: String, b: String): String =
+      ((0 until 4).map(i => s"(($a div ${1 << i}) % 2) * ${1 << (2 * i + 1)}") ++
+        (0 until 3).map(i => s"(($b div ${1 << i}) % 2) * ${1 << (2 * i)}"))
+        .mkString(" + ")
+    def sqlZExpr(a: String, b: String): String =
+      ((0 until 4).map(i => s"(($a // ${1 << i}) % 2) * ${1 << (2 * i + 1)}") ++
+        (0 until 3).map(i => s"(($b // ${1 << i}) % 2) * ${1 << (2 * i)}"))
+        .mkString(" + ")
+    val langCode =
+      "CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 " +
+        "WHEN lang = 'es' THEN 2 WHEN lang = 'fr' THEN 3 ELSE 4 END"
+    Seq(
+      // Compaction planning — the small-file problem's OPTIMIZE step as
+      // a query: simulated files (64-doc shards with byte sizes), files
+      // under half the 16 KiB target are compaction candidates, and the
+      // plan packs candidates into merge bins by running fill in file
+      // order within source (the q63 packer on the FILES frame — the
+      // window runs over |files| rows, 64× smaller than the corpus, and
+      // is source-partitioned). The deliverable is the merge work list:
+      // per (source, bin), files in, bytes in, and fill vs target — what
+      // a table-maintenance job executes. Healthy files are reported as
+      // bin −1 (left in place).
+      ("q278_compaction_plan", (s: SparkSession, d: String) => {
+        val files = t(s, d, "documents")
+          .groupBy(col("source"), expr("doc_id div 64").as("file_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("bytes"))
+        val target = 16384L
+        val cand = files.filter(col("bytes") < target / 2)
+        val wFill = Window.partitionBy("source").orderBy("file_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val planned = cand
+          .withColumn("cum", sum(col("bytes")).over(wFill))
+          .withColumn("bin", expr(s"(cum - bytes) div $target"))
+        val healthy = files.filter(col("bytes") >= target / 2)
+          .withColumn("bin", lit(-1L))
+        planned.select("source", "bin", "n_docs", "bytes")
+          .unionByName(healthy.select("source", "bin", "n_docs", "bytes"))
+          .groupBy("source", "bin").agg(
+            count(lit(1)).as("n_files"),
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("bytes")).as("bytes"))
+          .withColumn("fill_pm",
+            expr(s"CAST(bytes * 1000 div $target AS BIGINT)"))
+          .orderBy("source", "bin")
+      },
+        Some("""WITH files AS (SELECT source, doc_id // 64 AS file_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(text)) AS BIGINT) AS bytes
+            FROM documents GROUP BY source, doc_id // 64),
+          cand AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY source
+              ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS cum
+            FROM files WHERE bytes < 8192),
+          planned AS (SELECT source, (cum - bytes) // 16384 AS bin,
+              n_docs, bytes FROM cand),
+          healthy AS (SELECT source, CAST(-1 AS BIGINT) AS bin, n_docs,
+              bytes FROM files WHERE bytes >= 8192),
+          u AS (SELECT * FROM planned UNION ALL SELECT * FROM healthy)
+          SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+            CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            CAST(sum(bytes) AS BIGINT) AS bytes,
+            CAST(sum(bytes) * 1000 // 16384 AS BIGINT) AS fill_pm
+          FROM u GROUP BY source, bin ORDER BY source, bin""")),
+
+      // Z-order layout audit — does a space-filling-curve layout earn
+      // its rewrite? Docs get a z-value interleaving the 4-bit length
+      // band (odd bit positions) with the 3-bit lang code (even) in
+      // pure integer arithmetic; the z layout cuts the z RANGE into 8
+      // equal-width files (a pure per-row function of z — no global
+      // sort materializes the layout), the baseline layout is the
+      // doc_id sharding. For a lang = 'en' scan, the report prices both
+      // layouts in files hit and scan share — min/max pruning evidence
+      // BEFORE paying for the rewrite. The honest result: z-order
+      // prunes partially (lang sits in the low bits), and the measured
+      // permille IS the deliverable.
+      ("q279_zorder_layout", (s: SparkSession, d: String) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
+            least(expr("CAST(length(text) div 64 AS BIGINT)"), lit(15L))
+              .as("a"),
+            expr(s"CAST($langCode AS BIGINT)").as("b"))
+          .withColumn("z", expr(zExpr("a", "b")))
+        val zmax = base.agg(max(col("z")).as("zmax"))
+        val zed = base.crossJoin(broadcast(zmax))
+          .withColumn("file_z", expr("z * 8 div (zmax + 1)"))
+          .withColumn("file_id", expr("doc_id div 64"))
+        def audit(fileCol: String, name: String): DataFrame =
+          zed.groupBy(col(fileCol).as("file")).agg(
+              sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+            .agg(count(lit(1)).as("n_files"),
+              sum(when(col("n_en") > 0, 1L).otherwise(0L)).as("files_hit"))
+            .select(lit(name).as("layout"), col("n_files"), col("files_hit"),
+              expr("CAST(files_hit * 1000 div n_files AS BIGINT)")
+                .as("scan_pm"))
+        audit("file_id", "id_sharding").unionByName(audit("file_z", "zorder"))
+          .orderBy("layout")
+      },
+        Some(s"""WITH base AS (SELECT doc_id, lang,
+              least(CAST(len(text) // 64 AS BIGINT), 15) AS a,
+              CAST($langCode AS BIGINT) AS b
+            FROM documents),
+          z AS (SELECT doc_id, lang, ${sqlZExpr("a", "b")} AS z FROM base),
+          zm AS (SELECT max(z) AS zmax FROM z),
+          zed AS (SELECT doc_id, lang,
+              z * 8 // (zmax + 1) AS file_z,
+              doc_id // 64 AS file_id
+            FROM z CROSS JOIN zm),
+          a1 AS (SELECT file_id AS file,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+            FROM zed GROUP BY file_id),
+          a2 AS (SELECT file_z AS file,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+            FROM zed GROUP BY file_z)
+          SELECT 'id_sharding' AS layout,
+            CAST(count(*) AS BIGINT) AS n_files,
+            CAST(sum(CASE WHEN n_en > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS files_hit,
+            CAST(sum(CASE WHEN n_en > 0 THEN 1 ELSE 0 END) * 1000
+              // count(*) AS BIGINT) AS scan_pm
+          FROM a1
+          UNION ALL SELECT 'zorder', CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN n_en > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN n_en > 0 THEN 1 ELSE 0 END) * 1000
+              // count(*) AS BIGINT)
+          FROM a2 ORDER BY layout""")),
+
+      // Incremental materialized-view maintenance — the lambda-
+      // architecture correctness proof: the per-(type, day) aggregate
+      // state (count, cents sum, min, max — all MERGEABLE) computed on
+      // the first 90% of arrivals, merged with the delta shard's state
+      // by pure state algebra (counts/sums add, min/max combine), must
+      // equal the full recompute EXACTLY. The report emits the per-type
+      // key counts and a match_pm column that must read 1000 — the
+      // evidence travels with the result (q220's exactness-proof
+      // pattern). Scale shape: two keyed rollups + one key-aligned
+      // merge join + a |types|-row audit rollup; the view is
+      // maintained by touching ONLY the delta, never re-scanning base.
+      ("q280_view_maintenance", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .persistTracked()
+        val cut = ev.agg(
+            (min(col("event_id")) +
+              expr("CAST((max(event_id) - min(event_id)) * 9 div 10 AS BIGINT)"))
+              .as("cut")).head().getLong(0)
+        def state(df: DataFrame): DataFrame =
+          df.groupBy("event_type", "day").agg(
+            count(lit(1)).as("n"), sum(col("cents")).as("s"),
+            min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        val base = state(ev.filter(col("event_id") <= cut))
+        val delta = state(ev.filter(col("event_id") > cut))
+        val merged = base.select(col("event_type"), col("day"),
+            col("n").as("bn"), col("s").as("bs"),
+            col("mn").as("bmn"), col("mx").as("bmx"))
+          .join(delta.select(col("event_type"), col("day"),
+            col("n").as("dn"), col("s").as("ds"),
+            col("mn").as("dmn"), col("mx").as("dmx")),
+            Seq("event_type", "day"), "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+              .as("s"),
+            least(coalesce(col("bmn"), col("dmn")),
+              coalesce(col("dmn"), col("bmn"))).as("mn"),
+            greatest(coalesce(col("bmx"), col("dmx")),
+              coalesce(col("dmx"), col("bmx"))).as("mx"))
+        val full = state(ev)
+        merged.join(full.select(col("event_type"), col("day"),
+            col("n").as("fn"), col("s").as("fs"),
+            col("mn").as("fmn"), col("mx").as("fmx")),
+            Seq("event_type", "day"), "full_outer")
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_keys"),
+            sum(when(col("n") === col("fn") && col("s") === col("fs") &&
+              col("mn") === col("fmn") && col("mx") === col("fmx"), 1L)
+              .otherwise(0L)).as("n_match"),
+            sum(col("fn")).as("total_events"),
+            sum(col("fs")).as("total_cents"))
+          .withColumn("match_pm",
+            expr("CAST(n_match * 1000 div n_keys AS BIGINT)"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_id, event_type,
+              epoch_ns(ts) // 86400000000000 AS day,
+              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          cc AS (SELECT min(event_id)
+              + CAST((max(event_id) - min(event_id)) * 9 // 10 AS BIGINT)
+              AS cut FROM e),
+          base AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS s, min(cents) AS mn,
+              max(cents) AS mx
+            FROM e WHERE event_id <= (SELECT cut FROM cc)
+            GROUP BY event_type, day),
+          delta AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS s, min(cents) AS mn,
+              max(cents) AS mx
+            FROM e WHERE event_id > (SELECT cut FROM cc)
+            GROUP BY event_type, day),
+          merged AS (SELECT
+              coalesce(b.event_type, d.event_type) AS event_type,
+              coalesce(b.day, d.day) AS day,
+              coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+              coalesce(b.s, 0) + coalesce(d.s, 0) AS s,
+              least(coalesce(b.mn, d.mn), coalesce(d.mn, b.mn)) AS mn,
+              greatest(coalesce(b.mx, d.mx), coalesce(d.mx, b.mx)) AS mx
+            FROM base b FULL OUTER JOIN delta d
+              ON d.event_type = b.event_type AND d.day = b.day),
+          full_r AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS s, min(cents) AS mn,
+              max(cents) AS mx
+            FROM e GROUP BY event_type, day)
+          SELECT coalesce(m.event_type, f.event_type) AS event_type,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(CASE WHEN m.n = f.n AND m.s = f.s AND m.mn = f.mn
+              AND m.mx = f.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+            CAST(sum(f.n) AS BIGINT) AS total_events,
+            CAST(sum(f.s) AS BIGINT) AS total_cents,
+            CAST(sum(CASE WHEN m.n = f.n AND m.s = f.s AND m.mn = f.mn
+              AND m.mx = f.mx THEN 1 ELSE 0 END) * 1000 // count(*)
+              AS BIGINT) AS match_pm
+          FROM merged m FULL OUTER JOIN full_r f
+            ON f.event_type = m.event_type AND f.day = m.day
+          GROUP BY coalesce(m.event_type, f.event_type)
+          ORDER BY event_type"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
-      roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17
+      roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
+      roundElevenW18
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
