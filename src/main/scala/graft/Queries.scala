@@ -13870,13 +13870,191 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW19: Seq[Q] = {
+    Seq(
+      // Context-window sizing — the truncation-cost report a context
+      // budget is chosen from: for each candidate window L, the docs
+      // that would truncate and the token mass lost, in exact permille.
+      // The L grid is scaled to THIS corpus's token distribution
+      // (~8–90 tokens/doc) so every arm shows a real trade-off; the
+      // operator is the same at 2k/8k/32k. Complements q152 (padding
+      // waste of the chosen window) and q177 (cross-doc attention cost
+      // of packing): this prices the THIRD failure mode, truncation.
+      // Scale shape: one narrow per-row map, a ×4 bounded explode, one
+      // |L|-row rollup.
+      ("q281_context_sizing", (s: SparkSession, d: String) => {
+        t(s, d, "documents")
+          .select(TF.tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("l", explode(expr("array(16L, 32L, 64L, 128L)")))
+          .groupBy("l").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_tok") > col("l"), 1L).otherwise(0L))
+              .as("n_truncated"),
+            sum(col("n_tok")).as("tokens_total"),
+            sum(greatest(col("n_tok") - col("l"), lit(0L)))
+              .as("tokens_lost"))
+          .select(col("l"), col("n_docs"), col("n_truncated"),
+            expr("CAST(n_truncated * 1000 div n_docs AS BIGINT)")
+              .as("truncated_pm"),
+            col("tokens_total"), col("tokens_lost"),
+            expr("CAST(tokens_lost * 1000 div tokens_total AS BIGINT)")
+              .as("lost_pm"))
+          .orderBy("l")
+      },
+        Some(s"""WITH n AS (SELECT CAST(len(${sqlTokens("text")}) AS BIGINT)
+              AS n_tok FROM documents),
+          x AS (SELECT n_tok, CAST(u.l AS BIGINT) AS l
+            FROM n, unnest([16, 32, 64, 128]) AS u(l))
+          SELECT l, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN n_tok > l THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_truncated,
+            CAST(sum(CASE WHEN n_tok > l THEN 1 ELSE 0 END) * 1000
+              // count(*) AS BIGINT) AS truncated_pm,
+            CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+            CAST(sum(greatest(n_tok - l, 0)) AS BIGINT) AS tokens_lost,
+            CAST(sum(greatest(n_tok - l, 0)) * 1000 // sum(n_tok)
+              AS BIGINT) AS lost_pm
+          FROM x GROUP BY l ORDER BY l""")),
+
+      // KWIC snippet extraction — the serving step after q208's phrase
+      // match: for each of the corpus's 3 hottest trigrams, the first
+      // occurrence (min doc, then min token position) rendered as a
+      // ±2-token keyword-in-context snippet, next to the phrase's
+      // corpus-wide hit counts. Positions come from the positional
+      // shingle explode; the snippet slice touches ONE row per phrase.
+      // Scale shape: per-row shingling + a broadcast top-3 semi-join;
+      // everything after the match rollup runs on report-sized frames.
+      ("q282_kwic_snippets", (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .persistTracked()
+        val tri = toks
+          .select(col("doc_id"), posexplode(TF.shingles(col("toks"), 3)))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("phrase"))
+        val top3 = tri.groupBy("phrase").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("phrase")).limit(3)
+          .select("phrase", "c")
+        val m = tri.join(broadcast(top3.select("phrase")), Seq("phrase"))
+        val stats = m.groupBy("phrase").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("doc_id"))
+        val firstPos = m.join(stats.select("phrase", "doc_id"),
+            Seq("phrase", "doc_id"))
+          .groupBy("phrase", "doc_id").agg(min(col("pos")).as("pos"))
+        stats.join(firstPos, Seq("phrase", "doc_id"))
+          .join(toks, Seq("doc_id"))
+          .withColumn("s0", greatest(col("pos") - 2, lit(0L)))
+          .withColumn("e0",
+            least(col("pos") + 4, size(col("toks")).cast("long") - 1))
+          .select(col("phrase"), col("n_docs"), col("n_occ"),
+            col("doc_id"), col("pos"),
+            array_join(slice(col("toks"), (col("s0") + 1).cast("int"),
+              (col("e0") - col("s0") + 1).cast("int")), " ").as("snippet"))
+          .orderBy("phrase")
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM documents),
+          sh AS (SELECT doc_id, toks, ${sqlShingleList(3)} AS shingles
+            FROM tok),
+          tri AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+              shingles[u.i] AS phrase
+            FROM sh, unnest(range(1, len(shingles) + 1)) AS u(i)),
+          top3 AS (SELECT phrase FROM (
+            SELECT phrase, count(*) AS c FROM tri GROUP BY phrase
+            ORDER BY c DESC, phrase LIMIT 3)),
+          m AS (SELECT tri.* FROM tri JOIN top3 USING (phrase)),
+          st AS (SELECT phrase,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_occ,
+              CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM m GROUP BY phrase),
+          fp AS (SELECT m.phrase, m.doc_id, CAST(min(m.pos) AS BIGINT)
+              AS pos
+            FROM m JOIN st ON st.phrase = m.phrase
+              AND st.doc_id = m.doc_id
+            GROUP BY m.phrase, m.doc_id)
+          SELECT st.phrase, st.n_docs, st.n_occ, st.doc_id, fp.pos,
+            array_to_string(list_slice(tok.toks,
+              CAST(greatest(fp.pos - 2, 0) + 1 AS BIGINT),
+              CAST(least(fp.pos + 4, len(tok.toks) - 1) + 1 AS BIGINT)),
+              ' ') AS snippet
+          FROM st JOIN fp ON fp.phrase = st.phrase
+          JOIN tok ON tok.doc_id = st.doc_id
+          ORDER BY st.phrase""")),
+
+      // Training manifest — the end-to-end materialization of the
+      // training-data tier's product: the q113 fractional-epoch
+      // upsample (per-lang epoch factors, deterministic extra-copy
+      // draw, per-COPY 32-way sharding) feeds the q63 running-fill
+      // packer per (lang, shard), and the manifest reports what a
+      // loader would mount: per shard, copies vs unique docs, packed
+      // bins, token mass, and bin fill. The composition — upsample THEN
+      // shard THEN pack — is the load-bearing order: copies of one doc
+      // land in different shards, so no shard sees the same content
+      // twice in an epoch. Scale shape: a bounded explode, one FK-
+      // shaped token join, one (lang, shard)-partitioned pack window,
+      // one |lang×shard|-row rollup.
+      ("q283_training_manifest", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val up = epochUpsample(docs.select("doc_id", "lang"))
+        val toks = docs.select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok"))
+        val w = Window.partitionBy("lang", "shard")
+          .orderBy("doc_id", "copy")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        up.join(toks, "doc_id")
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", expr("(cum - n_tok) div 2048"))
+          .groupBy("lang", "shard").agg(
+            count(lit(1)).as("n_copies"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            (max(col("bin")) + 1).as("n_bins"),
+            sum(col("n_tok")).as("tokens"))
+          .withColumn("fill_pm",
+            expr("CAST(tokens * 1000 div (n_bins * 2048) AS BIGINT)"))
+          .orderBy("lang", "shard")
+      },
+        Some(s"""WITH e AS (SELECT doc_id, lang,
+            (CASE lang WHEN 'en' THEN 1700 WHEN 'de' THEN 2300
+              WHEN 'es' THEN 600 WHEN 'fr' THEN 1000 WHEN 'zh' THEN 1250
+              ELSE 1000 END) AS pm
+          FROM documents),
+          c AS (SELECT doc_id, lang, pm // 1000 +
+              (CASE WHEN ${sqlHash32("'ep|' || CAST(doc_id AS VARCHAR)")}
+                % 1000 < pm % 1000 THEN 1 ELSE 0 END) AS n
+            FROM e),
+          up AS (SELECT doc_id, lang, CAST(u.copy AS BIGINT) AS copy,
+              CAST(${sqlHash32(
+                "'shard|' || CAST(doc_id AS VARCHAR) || '#' || CAST(u.copy AS VARCHAR)")}
+                % 32 AS BIGINT) AS shard
+            FROM c, unnest(range(1, n + 1)) AS u(copy)),
+          tk AS (SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT)
+              AS n_tok FROM documents),
+          packed AS (SELECT up.lang, up.shard, up.doc_id, tk.n_tok,
+              CAST((sum(tk.n_tok) OVER (PARTITION BY up.lang, up.shard
+                ORDER BY up.doc_id, up.copy
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - tk.n_tok) // 2048 AS BIGINT) AS bin
+            FROM up JOIN tk ON tk.doc_id = up.doc_id)
+          SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_copies,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+            CAST(sum(n_tok) AS BIGINT) AS tokens,
+            CAST(sum(n_tok) * 1000 // ((max(bin) + 1) * 2048) AS BIGINT)
+              AS fill_pm
+          FROM packed GROUP BY lang, shard ORDER BY lang, shard"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
-      roundElevenW18
+      roundElevenW18 ++ roundElevenW19
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
