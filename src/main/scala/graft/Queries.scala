@@ -14048,13 +14048,225 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW20: Seq[Q] = {
+    // DuckDB arm of the per-segment language-ID — the q42 marker CASE
+    // generated from the SAME TF.langMarkers table (identical arm order,
+    // so tie precedence cannot drift) over a segment list expression.
+    val segLangCase: String = {
+      val counts = TF.langMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        lang -> s"len(list_filter(seg, x -> x IN ($inList)))"
+      }
+      val best = counts.map(_._2).mkString("greatest(", ", ", ")")
+      val arms = counts.map { case (l, e) =>
+        s"WHEN $e = $best AND $e > 0 THEN '$l'"
+      }.mkString(" ")
+      s"CASE $arms ELSE 'und' END"
+    }
+    // French-marker plant for the code-switch query: appended to every
+    // 13th doc on BOTH engines so the detector provably fires.
+    val frPlant = " le et les des le et les des le et les des"
+    Seq(
+      // Autocomplete index — search-serving: for the 5 hottest 3-char
+      // prefixes, the top-3 completions by corpus frequency. Two
+      // WindowGroupLimit-shaped rollups: prefix totals pick the hot
+      // prefixes (broadcast back), completions rank inside each prefix
+      // partition — no global sort; the output is 15 rows whatever the
+      // corpus size.
+      ("q284_autocomplete", (s: SparkSession, d: String) => {
+        val tc = t(s, d, "documents")
+          .select(explode(TF.tokens(lower(col("text")))).as("tok"))
+          .filter(length(col("tok")) >= 4)
+          .withColumn("prefix", substring(col("tok"), 1, 3))
+          .groupBy("prefix", "tok").agg(count(lit(1)).as("cnt"))
+          .persistTracked()
+        val hot = tc.groupBy("prefix").agg(sum(col("cnt")).as("tot"))
+          .orderBy(desc("tot"), asc("prefix")).limit(5)
+          .select("prefix", "tot")
+        val wr = Window.partitionBy("prefix")
+          .orderBy(desc("cnt"), asc("tok"))
+        tc.join(broadcast(hot), Seq("prefix"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .select(col("prefix"), col("rnk").cast("long").as("rnk"),
+            col("tok").as("completion"), col("cnt"), col("tot"))
+          .orderBy("prefix", "rnk")
+      },
+        Some(s"""WITH tk AS (SELECT unnest(${sqlTokens("lower(text)")})
+              AS tok FROM documents),
+          tc AS (SELECT substr(tok, 1, 3) AS prefix, tok,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM tk WHERE len(tok) >= 4 GROUP BY substr(tok, 1, 3), tok),
+          hot AS (SELECT prefix, CAST(sum(cnt) AS BIGINT) AS tot FROM tc
+            GROUP BY prefix ORDER BY tot DESC, prefix LIMIT 5),
+          rk AS (SELECT tc.prefix, tc.tok, tc.cnt, hot.tot,
+              row_number() OVER (PARTITION BY tc.prefix
+                ORDER BY tc.cnt DESC, tc.tok) AS rnk
+            FROM tc JOIN hot ON hot.prefix = tc.prefix)
+          SELECT prefix, CAST(rnk AS BIGINT) AS rnk, tok AS completion,
+            cnt, tot
+          FROM rk WHERE rnk <= 3 ORDER BY prefix, rnk""")),
+
+      // SymSpell spelling correction — candidate lookup by DELETION
+      // hashing, not pairwise edit distance: the dictionary (freq ≥ 5,
+      // len ≥ 4) explodes into single-char deletion variants (bounded
+      // ×len), probes (the top-20 terms with their 2nd char deleted —
+      // deterministic planted typos) do the same, and candidates are an
+      // EQUI-join on the variant key — the q224 blocking idea taken to
+      // exactness: every edit-distance-1 pair shares a variant, so the
+      // verify (levenshtein ≤ 1) runs on candidates only, never
+      // vocab × probes. Report per typo: candidate count, the best
+      // correction by (distance, frequency desc, term), and whether it
+      // recovered the true term.
+      ("q285_spell_correct", (s: SparkSession, d: String) => {
+        val delExpr = (c: String) => expr(
+          s"transform(sequence(1, length($c)), i -> " +
+            s"concat(substring($c, 1, i - 1), " +
+            s"substring($c, i + 1, length($c))))")
+        val vocab = t(s, d, "documents")
+          .select(explode(TF.tokens(lower(col("text")))).as("term"))
+          .filter(length(col("term")) >= 4)
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") >= 5)
+          .persistTracked()
+        val vIdx = vocab
+          .select(col("term"), col("freq"),
+            explode(concat(array(col("term")), delExpr("term")))
+              .as("variant"))
+          .distinct()
+        val probes = vocab.orderBy(desc("freq"), asc("term")).limit(20)
+          .select(col("term").as("true_term"),
+            concat(substring(col("true_term"), 1, 1),
+              expr("substring(true_term, 3, length(true_term))"))
+              .as("typo"))
+        val pIdx = probes
+          .select(col("typo"), col("true_term"),
+            explode(concat(array(col("typo")), delExpr("typo")))
+              .as("variant"))
+          .distinct()
+        val cand = pIdx.join(vIdx, Seq("variant"))
+          .select("typo", "true_term", "term", "freq").distinct()
+          .filter(levenshtein(col("typo"), col("term")) <= 1)
+        val wBest = Window.partitionBy("typo").orderBy(
+          levenshtein(col("typo"), col("term")), desc("freq"), asc("term"))
+        cand.withColumn("rnk", row_number().over(wBest))
+          .groupBy("typo", "true_term").agg(
+            count(lit(1)).as("n_candidates"),
+            max(when(col("rnk") === 1, col("term"))).as("best"))
+          .withColumn("hit",
+            when(col("best") === col("true_term"), 1L).otherwise(0L))
+          .orderBy("typo")
+      },
+        Some(s"""WITH tk AS (SELECT unnest(${sqlTokens("lower(text)")})
+              AS term FROM documents),
+          vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM tk WHERE len(term) >= 4 GROUP BY term
+            HAVING count(*) >= 5),
+          vidx AS (SELECT DISTINCT term, freq, u.variant FROM vocab,
+            unnest(list_append(list_transform(range(1, len(term) + 1),
+              i -> substr(term, 1, i - 1) || substr(term, i + 1)), term))
+              AS u(variant)),
+          probes AS (SELECT term AS true_term,
+              substr(term, 1, 1) || substr(term, 3) AS typo
+            FROM vocab ORDER BY freq DESC, term LIMIT 20),
+          pidx AS (SELECT DISTINCT typo, true_term, u.variant FROM probes,
+            unnest(list_append(list_transform(range(1, len(typo) + 1),
+              i -> substr(typo, 1, i - 1) || substr(typo, i + 1)), typo))
+              AS u(variant)),
+          cand AS (SELECT DISTINCT p.typo, p.true_term, v.term, v.freq
+            FROM pidx p JOIN vidx v ON v.variant = p.variant
+            WHERE levenshtein(p.typo, v.term) <= 1),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY typo
+              ORDER BY levenshtein(typo, term), freq DESC, term) AS rnk
+            FROM cand)
+          SELECT typo, true_term, CAST(count(*) AS BIGINT) AS n_candidates,
+            max(CASE WHEN rnk = 1 THEN term END) AS best,
+            CAST(CASE WHEN max(CASE WHEN rnk = 1 THEN term END) = true_term
+              THEN 1 ELSE 0 END AS BIGINT) AS hit
+          FROM rk GROUP BY typo, true_term ORDER BY typo""")),
+
+      // Code-switch detection — segment-level language consistency (q42
+      // IDs the whole doc; mixed-language documents hide a foreign tail
+      // the doc-level argmax smooths over): 16-token segments of the
+      // lowercased token stream each get the marker-heuristic language,
+      // and a doc is code-switched when any segment predicts a THIRD
+      // language (≠ doc lang, ≠ und). A French-marker suffix planted on
+      // every 13th doc proves the detector fires; the per-lang rollup
+      // reports mixed-doc and segment shares in exact permille. Scale
+      // shape: per-row segmentation (bounded explode), per-segment
+      // marker counts are narrow HOFs, one |langs|-row rollup.
+      ("q286_code_switching", (s: SparkSession, d: String) => {
+        val planted = t(s, d, "documents")
+          .withColumn("text2",
+            when(pmod(col("doc_id"), lit(13L)) === 0,
+              concat(col("text"), lit(frPlant))).otherwise(col("text")))
+        val segs = planted
+          .select(col("doc_id"), col("lang"),
+            TF.tokens(lower(col("text2"))).as("tl"))
+          .filter(size(col("tl")) > 0)
+          .withColumn("si", explode(expr(
+            "sequence(0, CAST((size(tl) - 1) div 16 AS INT))")))
+          .withColumn("seg", expr("slice(tl, si * 16 + 1, 16)"))
+          .withColumn("pred", TF.langIdFromTokens(col("seg")))
+        val perDoc = segs.groupBy("doc_id", "lang").agg(
+          count(lit(1)).as("n_seg"),
+          sum(when(col("pred") === "und", 1L).otherwise(0L)).as("n_und"),
+          sum(when(col("pred") =!= col("lang") && col("pred") =!= "und",
+            1L).otherwise(0L)).as("n_foreign"))
+        perDoc.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_foreign") > 0, 1L).otherwise(0L)).as("n_mixed"),
+            sum(col("n_seg")).as("n_seg"),
+            sum(col("n_und")).as("n_und"),
+            sum(col("n_foreign")).as("n_foreign"))
+          .select(col("lang"), col("n_docs"), col("n_mixed"),
+            expr("CAST(n_mixed * 1000 div n_docs AS BIGINT)")
+              .as("mixed_pm"),
+            col("n_seg"),
+            expr("CAST(n_und * 1000 div n_seg AS BIGINT)").as("und_pm"),
+            expr("CAST(n_foreign * 1000 div n_seg AS BIGINT)")
+              .as("foreign_pm"))
+          .orderBy("lang")
+      },
+        Some(s"""WITH planted AS (SELECT doc_id, lang,
+              CASE WHEN doc_id % 13 = 0 THEN text || '$frPlant'
+                ELSE text END AS text2
+            FROM documents),
+          tok AS (SELECT doc_id, lang, ${sqlTokens("lower(text2)")} AS tl
+            FROM planted),
+          segs AS (SELECT doc_id, lang,
+              list_slice(tl, u.si * 16 + 1,
+                least(u.si * 16 + 16, len(tl))) AS seg
+            FROM tok, unnest(range(0, (len(tl) - 1) // 16 + 1)) AS u(si)
+            WHERE len(tl) > 0),
+          pred AS (SELECT doc_id, lang, $segLangCase AS pred FROM segs),
+          per_doc AS (SELECT doc_id, lang,
+              CAST(count(*) AS BIGINT) AS n_seg,
+              CAST(sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_und,
+              CAST(sum(CASE WHEN pred <> lang AND pred <> 'und' THEN 1
+                ELSE 0 END) AS BIGINT) AS n_foreign
+            FROM pred GROUP BY doc_id, lang)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN n_foreign > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mixed,
+            CAST(sum(CASE WHEN n_foreign > 0 THEN 1 ELSE 0 END) * 1000
+              // count(*) AS BIGINT) AS mixed_pm,
+            CAST(sum(n_seg) AS BIGINT) AS n_seg,
+            CAST(sum(n_und) * 1000 // sum(n_seg) AS BIGINT) AS und_pm,
+            CAST(sum(n_foreign) * 1000 // sum(n_seg) AS BIGINT)
+              AS foreign_pm
+          FROM per_doc GROUP BY lang ORDER BY lang"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
-      roundElevenW18 ++ roundElevenW19
+      roundElevenW18 ++ roundElevenW19 ++ roundElevenW20
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
