@@ -14260,13 +14260,101 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW21: Seq[Q] = {
+    // (table, pk, fk) triples of the star schema for the planner-stats
+    // query — one definition driving both engines' per-table rollups.
+    val statTables: Seq[(String, String, String)] = Seq(
+      ("region", "r_regionkey", "r_regionkey"),
+      ("nation", "n_nationkey", "n_regionkey"),
+      ("customer", "c_custkey", "c_nationkey"),
+      ("supplier", "s_suppkey", "s_nationkey"),
+      ("part", "p_partkey", "p_partkey"),
+      ("orders", "o_orderkey", "o_custkey"),
+      ("lineitem", "l_orderkey", "l_partkey"))
+    Seq(
+      // Data-subject access extract (GDPR art. 15) — the governance
+      // query next to q166's takedown cascade and q271's DP release:
+      // for the 5 heaviest users (deterministic probe set: event count
+      // desc, id asc), everything the system holds about them, per
+      // event type — counts, first/last activity in epoch minutes,
+      // purchase cents. Scale shape: the probe set broadcasts into a
+      // semi-join prune BEFORE any rollup, so the extract touches only
+      // the subjects' rows — the access path a DSAR endpoint needs at
+      // any scale.
+      ("q287_dsar_extract", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+        val probes = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("user_id")).limit(5)
+          .select("user_id")
+        ev.join(broadcast(probes), Seq("user_id"), "left_semi")
+          .groupBy("user_id", "event_type").agg(
+            count(lit(1)).as("n_events"),
+            expr("CAST(min(ts) div 60000000000 AS BIGINT)")
+              .as("first_min"),
+            expr("CAST(max(ts) div 60000000000 AS BIGINT)")
+              .as("last_min"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("cents"))
+          .orderBy("user_id", "event_type")
+      },
+        Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,
+              value FROM events),
+          probes AS (SELECT user_id FROM (
+            SELECT user_id, count(*) AS c FROM e GROUP BY user_id
+            ORDER BY c DESC, user_id LIMIT 5))
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(min(ts) // 60000000000 AS BIGINT) AS first_min,
+            CAST(max(ts) // 60000000000 AS BIGINT) AS last_min,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS cents
+          FROM e JOIN probes USING (user_id)
+          GROUP BY user_id, event_type ORDER BY user_id, event_type""")),
+
+      // Planner-statistics materialization — the CBO input table a join
+      // planner (or a human reading an EXPLAIN) consumes: per star-
+      // schema table, row count, primary-key and one FK distinct
+      // counts, FK fanout in exact permille (rows·1000/NDV — the join
+      // multiplicity estimate), and whether the table fits a 10 MiB
+      // broadcast under a 64-bytes/row model. One 1-row aggregate per
+      // table, unioned; the report is |tables| rows. This is the
+      // evidence behind every broadcast() decision the suite makes.
+      ("q288_planner_stats", (s: SparkSession, d: String) => {
+        statTables.map { case (tbl, pk, fk) =>
+          t(s, d, tbl).agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col(pk)).as("pk_ndv"),
+              countDistinct(col(fk)).as("fk_ndv"))
+            .select(lit(tbl).as("table_name"), col("n_rows"),
+              col("pk_ndv"), col("fk_ndv"),
+              expr("CAST(n_rows * 1000 div fk_ndv AS BIGINT)")
+                .as("fk_fanout_pm"),
+              expr("CAST(CASE WHEN n_rows * 64 < 10485760 THEN 1 ELSE 0 " +
+                "END AS BIGINT)").as("broadcastable"))
+        }.reduce(_ unionByName _).orderBy("table_name")
+      },
+        Some(statTables.map { case (tbl, pk, fk) =>
+          s"""SELECT '$tbl' AS table_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT $pk) AS BIGINT) AS pk_ndv,
+            CAST(count(DISTINCT $fk) AS BIGINT) AS fk_ndv,
+            CAST(count(*) * 1000 // count(DISTINCT $fk) AS BIGINT)
+              AS fk_fanout_pm,
+            CAST(CASE WHEN count(*) * 64 < 10485760 THEN 1 ELSE 0 END
+              AS BIGINT) AS broadcastable
+          FROM $tbl"""
+        }.mkString("", " UNION ALL ", " ORDER BY table_name")))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
-      roundElevenW18 ++ roundElevenW19 ++ roundElevenW20
+      roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

@@ -867,6 +867,51 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("native dropDuplicatesWithinWatermark equals batch first-occurrence " +
+      "dedup on the retry key") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the declarative sibling of EventDedupStream: Spark's built-in
+    // watermark-bounded dedup keeps the FIRST row per key and drops
+    // later arrivals while the key is inside the watermark window —
+    // with all retries inside the delay, the drained stream equals the
+    // batch distinct-first per (user, type, value)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val batch1 = Seq(
+      (1L, "click", 1.0, at(0), 1L),
+      (1L, "click", 1.0, at(10), 2L),  // retry — dropped
+      (2L, "click", 1.0, at(5), 3L),
+      (1L, "click", 2.0, at(7), 4L))   // different value — kept
+    val batch2 = Seq(
+      (1L, "click", 1.0, at(40), 5L),  // retry across batches — dropped
+      (3L, "view", 1.0, at(50), 6L))
+    val input = MemoryStream[(Long, String, Double, java.sql.Timestamp, Long)]
+    val out = input.toDF()
+      .toDF("user_id", "event_type", "value", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+    val q = out.writeStream.format("memory").queryName("natdedup")
+      .outputMode("append").start()
+    input.addData(batch1)
+    q.processAllAvailable()
+    input.addData(batch2)
+    q.processAllAvailable()
+    val got = spark.table("natdedup").select("event_id").as[Long]
+      .collect().toSet
+    // batch twin: first (ts, event_id) row per key
+    val want = (batch1 ++ batch2)
+      .toDF("user_id", "event_type", "value", "ts", "event_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type", "value")
+          .orderBy("ts", "event_id")))
+      .filter(col("rn") === 1).select("event_id").as[Long].collect().toSet
+    assert(got == want, s"native dedup != batch first-occurrence\n got=$got\nwant=$want")
+    assert(got == Set(1L, 3L, 4L, 6L))
+    q.stop()
+  }
+
   test("streaming pit features: label emissions equal the q272 batch window, " +
       "counter carried across batches, same-ts click excluded") {
     import graft.streaming.PitCountStream
