@@ -12313,8 +12313,12 @@ object Queries {
     // Shared pair-contingency phi/jaccard expressions — the Spark `div`
     // and DuckDB `//` forms of the identical integer math, kept adjacent
     // so they cannot drift.
+    // zero-marginal guard as OR-of-comparisons, NOT a product: the
+    // four-way BIGINT product overflows int64 at ~55k docs (DuckDB
+    // raises, Spark with ANSI off silently wraps — engine divergence)
     val phiExpr =
-      """CASE WHEN (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00) = 0
+      """CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0
+             OR n11 + n01 = 0 OR n10 + n00 = 0
            THEN CAST(0 AS BIGINT)
            ELSE CAST(round(CAST(n11 * n00 - n10 * n01 AS DOUBLE) * 1000000 /
              sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE) *
@@ -13554,7 +13558,7 @@ object Queries {
           .groupBy("user_id").agg(
             max(col("day")).as("r"),
             count(lit(1)).as("f"),
-            (sum(col("cents")) / lit(100L)).cast("long").as("m"),
+            expr("CAST(sum(cents) div 100 AS BIGINT)").as("m"),
             sum(col("cents")).as("cents"))
           .persistTracked()
         val n = ru.agg(count(lit(1)).as("n"))

@@ -345,10 +345,14 @@ object Graph {
         val (next, nextBlocks) = ckpt(cur
           .join(keep, Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi"))
-        trace += { val (n, ed) = stats(next); (r.toLong, n, ed) }
-        free(blocks)
+        // take ownership of the new round's blocks BEFORE any further
+        // action: if stats(next) throws, the finally must free THESE,
+        // not just the previous round's
+        val prevBlocks = blocks
         cur = next
         blocks = nextBlocks
+        trace += { val (n, ed) = stats(next); (r.toLong, n, ed) }
+        free(prevBlocks)
       }
     } finally free(blocks)
     trace.toSeq
