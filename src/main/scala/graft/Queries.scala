@@ -14352,13 +14352,211 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW22: Seq[Q] = {
+    Seq(
+      // MDM survivorship — the golden-record step AFTER dedup decides
+      // who matches: q141's keeper keeps one whole ROW; survivorship
+      // composes the golden record per FIELD (min id as the surviving
+      // key, the longest text as the surviving content — each rule
+      // deterministic), so a golden can mix fields from different
+      // members. The report (artifact consumer #18) prices exactly
+      // that: per cluster-size bucket, how many goldens are field-mixed
+      // (longest-text member ≠ min-id member) — the merge complexity an
+      // MDM owner reviews before turning on auto-merge. Scale shape:
+      // artifact join + two cluster-keyed argmax rollups (struct-max,
+      // no window), report is |sizes| rows.
+      ("q289_survivorship", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = nearDupCorpus(docs)
+        val art = clusterArtifact(s, d, fastHash = false)
+          .select("doc_id", "cluster")
+        val members = corpus.join(art, Seq("doc_id"))
+          .select(col("cluster"), col("doc_id"),
+            length(col("text")).cast("long").as("len"))
+        // same (len desc, doc_id asc) tie rule as the oracle, via the
+        // identical encoded key (len ≤ ~600, ids < 2·10^7 — no overlap)
+        val golden = members.groupBy("cluster").agg(
+          count(lit(1)).as("csize"),
+          min(col("doc_id")).as("id_member"),
+          max_by(col("doc_id"),
+            col("len") * lit(100000000L) - col("doc_id")).as("len_member"))
+        golden
+          .select(col("csize"),
+            when(col("len_member") =!= col("id_member"), 1L)
+              .otherwise(0L).as("mixed"))
+          .groupBy("csize").agg(
+            count(lit(1)).as("n_goldens"),
+            sum(col("mixed")).as("n_mixed"))
+          .withColumn("mixed_pm",
+            expr("CAST(n_mixed * 1000 div n_goldens AS BIGINT)"))
+          .orderBy("csize")
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+          members AS (SELECT cc.lab AS cluster, c.doc_id,
+              CAST(len(c.text) AS BIGINT) AS len
+            FROM corpus c JOIN cc ON cc.id = c.doc_id),
+          golden AS (SELECT cluster,
+              CAST(count(*) AS BIGINT) AS csize,
+              CAST(min(doc_id) AS BIGINT) AS id_member,
+              CAST(max_by(doc_id, len * 100000000 - doc_id) AS BIGINT)
+                AS len_member
+            FROM members GROUP BY cluster)
+          SELECT csize, CAST(count(*) AS BIGINT) AS n_goldens,
+            CAST(sum(CASE WHEN len_member <> id_member THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mixed,
+            CAST(sum(CASE WHEN len_member <> id_member THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS mixed_pm
+          FROM golden GROUP BY csize ORDER BY csize""")),
+
+      // Bitemporal read — valid time × transaction time: "what did we
+      // BELIEVE at transaction cutoff T1 each user's status WAS at
+      // valid day T2" vs what the full log says. The transaction clock
+      // is an ARRIVAL index decorrelated from event time (the q216
+      // lateness model: every 23rd event arrives after everything
+      // else — the driver's event_id order is otherwise the arrival
+      // order, under which nothing before-T2 could ever arrive late
+      // and the revision count degenerates to 0); T1 sits between the
+      // on-time block and the late block, so the belief at T1 misses
+      // exactly the late 1-in-23. The report counts, per believed
+      // status, users whose belief the late arrivals REVISED — the
+      // late-data exposure of any point-in-time readout. Scale shape:
+      // two user-keyed argmax rollups (struct-max, no window over
+      // versions) + one user-aligned join; |statuses| rows.
+      ("q290_bitemporal_read", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .filter(col("event_type").isin("signup", "click", "purchase"))
+          .withColumn("day", expr("ts div 86400000000000"))
+          .persistTracked()
+        val ids = ev.agg(max(col("event_id")).as("mx"),
+            expr("CAST((min(ts div 86400000000000) " +
+              "+ max(ts div 86400000000000)) div 2 AS BIGINT)").as("t2"))
+          .head()
+        val (mx, t2) = (ids.getLong(0), ids.getLong(1))
+        val withArr = ev.withColumn("arr",
+          col("event_id") + when(pmod(col("event_id"), lit(23L)) === 0,
+            lit(10L) * mx).otherwise(lit(0L)))
+        val t1 = 5L * mx
+        def beliefAt(df: DataFrame): DataFrame =
+          df.filter(col("day") <= t2)
+            .groupBy("user_id").agg(
+              max(struct(col("ts"), col("event_id"),
+                col("event_type").as("status"))).as("pick"))
+            .select(col("user_id"), col("pick.status").as("status"))
+        val b1 = beliefAt(withArr.filter(col("arr") <= t1))
+        val bFull = beliefAt(withArr)
+        b1.select(col("user_id"), col("status").as("s1"))
+          .join(bFull.select(col("user_id"), col("status").as("s2")),
+            Seq("user_id"), "full_outer")
+          .groupBy(coalesce(col("s1"), lit("none")).as("believed_t1"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(coalesce(col("s1"), lit("none")) =!=
+              coalesce(col("s2"), lit("none")), 1L).otherwise(0L))
+              .as("n_revised"))
+          .withColumn("revised_pm",
+            expr("CAST(n_revised * 1000 div n_users AS BIGINT)"))
+          .orderBy("believed_t1")
+      },
+        Some("""WITH e AS (SELECT event_id, user_id, event_type,
+              epoch_ns(ts) AS ts, epoch_ns(ts) // 86400000000000 AS day
+            FROM events
+            WHERE event_type IN ('signup', 'click', 'purchase')),
+          ids AS (SELECT max(event_id) AS mx,
+              (min(day) + max(day)) // 2 AS t2 FROM e),
+          a AS (SELECT e.*, event_id + CASE WHEN event_id % 23 = 0
+              THEN 10 * (SELECT mx FROM ids) ELSE 0 END AS arr FROM e),
+          b1 AS (SELECT user_id, event_type AS s1 FROM (
+            SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                AS rn
+            FROM a WHERE day <= (SELECT t2 FROM ids)
+              AND arr <= 5 * (SELECT mx FROM ids)) WHERE rn = 1),
+          bf AS (SELECT user_id, event_type AS s2 FROM (
+            SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                AS rn
+            FROM e WHERE day <= (SELECT t2 FROM ids)) WHERE rn = 1)
+          SELECT coalesce(s1, 'none') AS believed_t1,
+            CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(CASE WHEN coalesce(s1, 'none') <> coalesce(s2, 'none')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_revised,
+            CAST(sum(CASE WHEN coalesce(s1, 'none') <> coalesce(s2, 'none')
+              THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+              AS revised_pm
+          FROM b1 FULL OUTER JOIN bf USING (user_id)
+          GROUP BY coalesce(s1, 'none') ORDER BY believed_t1""")),
+
+      // Growth accounting — the new/retained/resurrected/churned
+      // decomposition every weekly-actives chart hides: users collapse
+      // to distinct (user, week) activity, ONE user-keyed lag gives
+      // each active week its previous active week, and the class is a
+      // pure comparison (first-ever = new; prev = w−1 retained; prev <
+      // w−1 resurrected; churned(w) = active(w−1) − retained(w), read
+      // from the rollups with a 1-step self-join on the |weeks| frame).
+      // q228 counts actives exactly; this explains their composition.
+      ("q291_growth_accounting", (s: SparkSession, d: String) => {
+        val uw = eventsNs(s, d)
+          .select(col("user_id"),
+            expr("ts div 604800000000000").as("week"))
+          .distinct()
+        val wl = Window.partitionBy("user_id").orderBy("week")
+        val classed = uw
+          .withColumn("prev", lag(col("week"), 1).over(wl))
+          .select(col("week"),
+            when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+            when(col("prev") === col("week") - 1, 1L).otherwise(0L)
+              .as("is_ret"),
+            when(col("prev").isNotNull && col("prev") < col("week") - 1,
+              1L).otherwise(0L).as("is_res"))
+        val per = classed.groupBy("week").agg(
+          count(lit(1)).as("n_active"),
+          sum(col("is_new")).as("n_new"),
+          sum(col("is_ret")).as("n_retained"),
+          sum(col("is_res")).as("n_resurrected"))
+        per.join(per.select((col("week") + 1).as("week"),
+            col("n_active").as("prev_active")), Seq("week"), "left")
+          .select(col("week"), col("n_active"), col("n_new"),
+            col("n_retained"), col("n_resurrected"),
+            (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+              .as("n_churned"))
+          .orderBy("week")
+      },
+        Some("""WITH uw AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 604800000000000 AS week FROM events),
+          cl AS (SELECT week,
+              lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev
+            FROM uw),
+          per AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+              CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+              CAST(sum(CASE WHEN prev = week - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+              CAST(sum(CASE WHEN prev IS NOT NULL AND prev < week - 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+            FROM cl GROUP BY week)
+          SELECT p.week, p.n_active, p.n_new, p.n_retained,
+            p.n_resurrected,
+            coalesce(q.n_active, 0) - p.n_retained AS n_churned
+          FROM per p LEFT JOIN per q ON q.week = p.week - 1
+          ORDER BY p.week"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
       roundEleven ++ roundElevenW7 ++ roundElevenW8 ++ roundElevenW9 ++
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
-      roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21
+      roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
+      roundElevenW22
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
