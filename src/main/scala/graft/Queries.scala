@@ -14549,6 +14549,107 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW23: Seq[Q] = {
+    // FK joins audited by the cardinality-estimate query: (name, left
+    // table, right table, left key, right key) — one list driving both
+    // engines.
+    val estJoins: Seq[(String, String, String, String, String)] = Seq(
+      ("orders_customer", "orders", "customer", "o_custkey", "c_custkey"),
+      ("lineitem_orders", "lineitem", "orders", "l_orderkey", "o_orderkey"),
+      ("lineitem_part", "lineitem", "part", "l_partkey", "p_partkey"),
+      ("nation_region", "nation", "region", "n_regionkey", "r_regionkey"))
+    // FD candidates for the discovery query: (table, determinant,
+    // dependent) — a mix of true key-FDs and expected violations.
+    val fdCands: Seq[(String, String, String)] = Seq(
+      ("events", "event_id", "user_id"),
+      ("events", "user_id", "event_type"),
+      ("documents", "doc_id", "lang"),
+      ("documents", "source", "lang"),
+      ("orders", "o_orderkey", "o_custkey"))
+    Seq(
+      // Join cardinality-estimate audit — how good is the textbook
+      // |L⋈R| ≈ |L|·|R| / max(ndv_L, ndv_R) formula (the estimate
+      // q288's stats feed a cost-based planner) on THIS schema? Per FK
+      // join: the estimate from three 1-row stat aggregates, the
+      // actual join count, and the signed error in permille — the
+      // calibration evidence behind trusting (or distrusting) a CBO's
+      // join ordering. Scale shape: per join, two 1-row NDV rollups
+      // and one key-counted equi-join; the report is |joins| rows.
+      ("q292_join_estimate", (s: SparkSession, d: String) => {
+        estJoins.map { case (nm, lt, rt, lk, rk) =>
+          val l = t(s, d, lt); val r = t(s, d, rt)
+          val stats = l.agg(count(lit(1)).as("nl"),
+              countDistinct(col(lk)).as("ndvl"))
+            .crossJoin(r.agg(count(lit(1)).as("nr"),
+              countDistinct(col(rk)).as("ndvr")))
+          val actual = l.select(col(lk).as("k"))
+            .join(r.select(col(rk).as("k")), "k")
+            .agg(count(lit(1)).as("actual"))
+          stats.crossJoin(actual)
+            .select(lit(nm).as("join_name"), col("nl"), col("nr"),
+              greatest(col("ndvl"), col("ndvr")).as("ndv_max"),
+              expr("CAST(nl * nr div greatest(ndvl, ndvr) AS BIGINT)")
+                .as("est"),
+              col("actual"),
+              expr("CAST((nl * nr div greatest(ndvl, ndvr) - actual) " +
+                "* 1000 div actual AS BIGINT)").as("err_pm"))
+        }.reduce(_ unionByName _).orderBy("join_name")
+      },
+        Some(estJoins.map { case (nm, lt, rt, lk, rk) =>
+          s"""SELECT '$nm' AS join_name,
+            (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS nl,
+            (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS nr,
+            greatest((SELECT CAST(count(DISTINCT $lk) AS BIGINT) FROM $lt),
+              (SELECT CAST(count(DISTINCT $rk) AS BIGINT) FROM $rt))
+              AS ndv_max,
+            CAST((SELECT count(*) FROM $lt) * (SELECT count(*) FROM $rt)
+              // greatest((SELECT count(DISTINCT $lk) FROM $lt),
+                (SELECT count(DISTINCT $rk) FROM $rt)) AS BIGINT) AS est,
+            (SELECT CAST(count(*) AS BIGINT) FROM $lt l
+              JOIN $rt r ON l.$lk = r.$rk) AS actual,
+            CAST(((SELECT count(*) FROM $lt) * (SELECT count(*) FROM $rt)
+              // greatest((SELECT count(DISTINCT $lk) FROM $lt),
+                (SELECT count(DISTINCT $rk) FROM $rt))
+              - (SELECT count(*) FROM $lt l JOIN $rt r ON l.$lk = r.$rk))
+              * 1000 // (SELECT count(*) FROM $lt l
+                JOIN $rt r ON l.$lk = r.$rk) AS BIGINT) AS err_pm"""
+        }.mkString("", " UNION ALL ", " ORDER BY join_name"))),
+
+      // Functional-dependency discovery — schema profiling beyond
+      // q232's per-column fingerprints: does column A determine column
+      // B? Exact test per candidate: FD holds iff
+      // ndv(A) = ndv(A, B); violating determinant values are the
+      // difference. Candidates mix true key-FDs (event_id→user_id,
+      // doc_id→lang, o_orderkey→o_custkey — must read holds=1) with
+      // expected violations (user_id→event_type, source→lang) — the
+      // discovery distinguishing them IS the deliverable a data
+      // modeler reads. Scale shape: two distinct-count aggregates per
+      // candidate; the report is |candidates| rows.
+      ("q293_fd_discovery", (s: SparkSession, d: String) => {
+        fdCands.map { case (tbl, a, b) =>
+          t(s, d, tbl).agg(
+              countDistinct(col(a)).as("ndv_a"),
+              countDistinct(col(a), col(b)).as("ndv_ab"))
+            .select(lit(s"$tbl.$a->$b").as("candidate"),
+              col("ndv_a"), col("ndv_ab"),
+              when(col("ndv_a") === col("ndv_ab"), 1L).otherwise(0L)
+                .as("fd_holds"),
+              (col("ndv_ab") - col("ndv_a")).as("extra_pairs"))
+        }.reduce(_ unionByName _).orderBy("candidate")
+      },
+        Some(fdCands.map { case (tbl, a, b) =>
+          s"""SELECT '$tbl.$a->$b' AS candidate,
+            CAST(count(DISTINCT $a) AS BIGINT) AS ndv_a,
+            CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS ndv_ab,
+            CAST(CASE WHEN count(DISTINCT $a) = count(DISTINCT ($a, $b))
+              THEN 1 ELSE 0 END AS BIGINT) AS fd_holds,
+            CAST(count(DISTINCT ($a, $b)) - count(DISTINCT $a) AS BIGINT)
+              AS extra_pairs
+          FROM $tbl"""
+        }.mkString("", " UNION ALL ", " ORDER BY candidate")))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -14556,7 +14657,7 @@ object Queries {
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
-      roundElevenW22
+      roundElevenW22 ++ roundElevenW23
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
