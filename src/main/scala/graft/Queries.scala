@@ -14650,6 +14650,241 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW24: Seq[Q] = {
+    Seq(
+      // Adaptive-tier retrieval — the serving POLICY on top of the fixed
+      // cascades (q148/q199/q200 price each tier; this decides PER
+      // QUERY): score the cheap matryoshka-16 prefix, and if the top-2
+      // margin clears 0.02 answer from the prefix ranking alone,
+      // otherwise pay the fp32 re-rank of the 20-pool. The report shows
+      // each query's chosen tier, its margin, and whether the adaptive
+      // answer matches the exact full-corpus top-1 — the evidence for
+      // setting the margin knob. Scale shape: one broadcast
+      // query×corpus prefix scan (the q161 brute shape), then every
+      // window runs over 20-row pools.
+      ("q294_adaptive_tier", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 5)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val ps = corpus.crossJoin(broadcast(qs))
+          .withColumn("psim", round(VF.cosine01(
+            expr("slice(embedding, 1, 16)"), expr("slice(qe, 1, 16)")), 6))
+        val wp = Window.partitionBy("query_id")
+          .orderBy(desc("psim"), asc("vec_id"))
+        val pool = ps.withColumn("prnk", row_number().over(wp))
+          .filter(col("prnk") <= 20).persistTracked()
+        val margin = pool.groupBy("query_id").agg(
+            max(when(col("prnk") === 1, col("psim"))).as("p1"),
+            max(when(col("prnk") === 2, col("psim"))).as("p2"),
+            max(when(col("prnk") === 1, col("vec_id"))).as("prefix_top"))
+          .withColumn("margin_micro",
+            round((col("p1") - col("p2")) * 1e6).cast("long"))
+        val wf = Window.partitionBy("query_id")
+          .orderBy(desc("sim"), asc("vec_id"))
+        val full = pool
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("frnk", row_number().over(wf))
+          .filter(col("frnk") === 1)
+          .select(col("query_id"), col("vec_id").as("full_top"))
+        val exact = corpus.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("rnk", row_number().over(wf))
+          .filter(col("rnk") === 1)
+          .select(col("query_id"), col("vec_id").as("exact_top"))
+        margin.join(full, "query_id").join(exact, "query_id")
+          .withColumn("tier",
+            when(col("margin_micro") >= 20000, "prefix").otherwise("full"))
+          .withColumn("answer",
+            when(col("tier") === "prefix", col("prefix_top"))
+              .otherwise(col("full_top")))
+          .select(col("query_id"), col("tier"), col("margin_micro"),
+            col("answer"),
+            when(col("answer") === col("exact_top"), 1L).otherwise(0L)
+              .as("agree"))
+          .orderBy("query_id")
+      },
+        Some {
+          val pcos = sqlCos01("list_slice(e.embedding, 1, 16)",
+            "list_slice(q.qe, 1, 16)")
+          val fcos = sqlCos01("e.embedding", "q.qe")
+          s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 5),
+          ps AS (SELECT q.query_id, e.vec_id, e.embedding, q.qe,
+              round($pcos, 6) AS psim
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5),
+          pool AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY psim DESC, vec_id) AS prnk
+            FROM ps) WHERE prnk <= 20),
+          mg AS (SELECT query_id,
+              max(CASE WHEN prnk = 1 THEN psim END) AS p1,
+              max(CASE WHEN prnk = 2 THEN psim END) AS p2,
+              max(CASE WHEN prnk = 1 THEN vec_id END) AS prefix_top
+            FROM pool GROUP BY query_id),
+          fl AS (SELECT query_id, vec_id AS full_top FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY round(${sqlCos01("embedding", "qe")}, 6) DESC,
+                  vec_id) AS frnk
+            FROM pool) WHERE frnk = 1),
+          ex AS (SELECT query_id, vec_id AS exact_top FROM (
+            SELECT q.query_id, e.vec_id, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY round($fcos, 6) DESC, e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5)
+            WHERE rnk = 1),
+          rep AS (SELECT mg.query_id,
+              CAST(round((p1 - p2) * 1000000) AS BIGINT) AS margin_micro,
+              prefix_top, full_top, exact_top
+            FROM mg JOIN fl ON fl.query_id = mg.query_id
+            JOIN ex ON ex.query_id = mg.query_id)
+          SELECT query_id,
+            CASE WHEN margin_micro >= 20000 THEN 'prefix' ELSE 'full' END
+              AS tier,
+            margin_micro,
+            CAST(CASE WHEN margin_micro >= 20000 THEN prefix_top
+              ELSE full_top END AS BIGINT) AS answer,
+            CAST(CASE WHEN (CASE WHEN margin_micro >= 20000
+                THEN prefix_top ELSE full_top END) = exact_top
+              THEN 1 ELSE 0 END AS BIGINT) AS agree
+          FROM rep ORDER BY query_id"""
+        }),
+
+      // Hubness audit — the high-dimensional ANN pathology (Radovanović
+      // et al.): a few vectors appear in MANY queries' top-k lists,
+      // degrading result diversity. 50 broadcast queries take exact
+      // top-10; the k-occurrence histogram (how many corpus vectors
+      // were hit c times, including the zero row) is the skew evidence
+      // an index owner reads before trusting recall numbers. Scale
+      // shape: one broadcast query×corpus scan, WindowGroupLimit
+      // top-k, then |hit set| and histogram-sized rollups.
+      ("q295_hubness", (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 50).persistTracked()
+        val qs = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("sim"), asc("vec_id"))
+        val hits = corpus.crossJoin(broadcast(qs))
+          .withColumn("sim", round(VF.cosine01(col("embedding"), col("qe")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .groupBy("vec_id").agg(count(lit(1)).as("occ"))
+        val hist = hits.groupBy("occ").agg(count(lit(1)).as("n_vecs"))
+        val zero = corpus.agg(count(lit(1)).as("nc"))
+          .crossJoin(hits.agg(count(lit(1)).as("nh")))
+          .select(lit(0L).as("occ"), (col("nc") - col("nh")).as("n_vecs"))
+        hist.unionByName(zero).filter(col("n_vecs") > 0).orderBy("occ")
+      },
+        Some {
+          val fcos = sqlCos01("e.embedding", "q.qe")
+          s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 50),
+          hits AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS occ FROM (
+            SELECT q.query_id, e.vec_id, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY round($fcos, 6) DESC, e.vec_id) AS rnk
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 50)
+            WHERE rnk <= 10 GROUP BY vec_id),
+          hist AS (SELECT occ, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM hits GROUP BY occ),
+          zero AS (SELECT CAST(0 AS BIGINT) AS occ,
+            (SELECT count(*) FROM embeddings WHERE vec_id >= 50)
+              - (SELECT count(*) FROM hits) AS n_vecs)
+          SELECT occ, CAST(n_vecs AS BIGINT) AS n_vecs FROM (
+            SELECT * FROM hist UNION ALL SELECT * FROM zero)
+          WHERE n_vecs > 0 ORDER BY occ"""
+        }),
+
+      // Pseudo-relevance-feedback query expansion (Rocchio shape) — the
+      // retrieval technique between plain term search and the dense
+      // tiers: pass 1 ranks by the hottest ≥4-char term's count, the
+      // top-10 docs VOTE the 3 strongest co-occurring terms, pass 2
+      // re-ranks on the expanded term set, and the report shows the
+      // expansion and how much the answer set moved (overlap@10 / new
+      // docs) — the offline eval of whether PRF helps on this corpus.
+      // Scale shape: ONE (doc, term) count frame feeds both passes and
+      // the expansion vote; the term sets broadcast; every window runs
+      // over top-10-sized frames.
+      ("q296_prf_expansion", (s: SparkSession, d: String) => {
+        val tc = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TF.tokens(lower(col("text")))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .persistTracked()
+        val q0 = tc.filter(length(col("tok")) >= 4)
+          .groupBy("tok").agg(sum(col("c")).as("tot"))
+          .orderBy(desc("tot"), asc("tok")).limit(1).select("tok")
+        def top10(scored: DataFrame): DataFrame = {
+          val w = Window.orderBy(desc("score"), asc("doc_id"))
+          scored.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 10)
+        }
+        val pass1 = top10(tc.join(broadcast(q0), Seq("tok"))
+          .groupBy("doc_id").agg(sum(col("c")).as("score")))
+          .persistTracked()
+        val exp = tc
+          .join(pass1.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(broadcast(q0.withColumnRenamed("tok", "q0tok")),
+            col("tok") === col("q0tok"), "left_anti")
+          .filter(length(col("tok")) >= 4)
+          .groupBy("tok").agg(sum(col("c")).as("tot"))
+          .orderBy(desc("tot"), asc("tok")).limit(3)
+          .withColumn("erank", row_number().over(Window.orderBy(
+            desc("tot"), asc("tok"))))
+          .persistTracked()
+        val terms = q0.unionByName(exp.select("tok"))
+        val pass2 = top10(tc.join(broadcast(terms), Seq("tok"))
+          .groupBy("doc_id").agg(sum(col("c")).as("score")))
+        val overlap = pass1.select("doc_id")
+          .join(pass2.select("doc_id"), "doc_id")
+          .agg(count(lit(1)).as("overlap10"))
+        val expCols = exp.groupBy().agg(
+          max(when(col("erank") === 1, col("tok"))).as("exp1"),
+          max(when(col("erank") === 2, col("tok"))).as("exp2"),
+          max(when(col("erank") === 3, col("tok"))).as("exp3"))
+        q0.select(col("tok").as("query_term"))
+          .crossJoin(expCols).crossJoin(overlap)
+          .withColumn("new_docs", lit(10L) - col("overlap10"))
+      },
+        Some(s"""WITH tk AS (SELECT doc_id,
+              unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
+          tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY doc_id, tok),
+          q0 AS (SELECT tok FROM (
+            SELECT tok, sum(c) AS tot FROM tc WHERE len(tok) >= 4
+            GROUP BY tok ORDER BY tot DESC, tok LIMIT 1)),
+          p1 AS (SELECT doc_id FROM (
+            SELECT tc.doc_id, sum(tc.c) AS score,
+              row_number() OVER (ORDER BY sum(tc.c) DESC, tc.doc_id)
+                AS rnk
+            FROM tc JOIN q0 ON q0.tok = tc.tok GROUP BY tc.doc_id)
+            WHERE rnk <= 10),
+          ex AS (SELECT tok, tot,
+              row_number() OVER (ORDER BY tot DESC, tok) AS erank
+            FROM (SELECT tc.tok, sum(tc.c) AS tot FROM tc
+              JOIN p1 ON p1.doc_id = tc.doc_id
+              WHERE len(tc.tok) >= 4
+                AND tc.tok NOT IN (SELECT tok FROM q0)
+              GROUP BY tc.tok ORDER BY tot DESC, tok LIMIT 3)),
+          terms AS (SELECT tok FROM q0 UNION ALL SELECT tok FROM ex),
+          p2 AS (SELECT doc_id FROM (
+            SELECT tc.doc_id, sum(tc.c) AS score,
+              row_number() OVER (ORDER BY sum(tc.c) DESC, tc.doc_id)
+                AS rnk
+            FROM tc JOIN terms ON terms.tok = tc.tok GROUP BY tc.doc_id)
+            WHERE rnk <= 10),
+          ov AS (SELECT CAST(count(*) AS BIGINT) AS overlap10
+            FROM p1 JOIN p2 USING (doc_id))
+          SELECT (SELECT tok FROM q0) AS query_term,
+            (SELECT tok FROM ex WHERE erank = 1) AS exp1,
+            (SELECT tok FROM ex WHERE erank = 2) AS exp2,
+            (SELECT tok FROM ex WHERE erank = 3) AS exp3,
+            overlap10, 10 - overlap10 AS new_docs
+          FROM ov"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -14657,7 +14892,7 @@ object Queries {
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
-      roundElevenW22 ++ roundElevenW23
+      roundElevenW22 ++ roundElevenW23 ++ roundElevenW24
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
