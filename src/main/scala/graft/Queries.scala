@@ -14885,6 +14885,158 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW25: Seq[Q] = {
+    Seq(
+      // Sliced model evaluation — q240's exact Mann–Whitney AUC per
+      // SOURCE slice: the fairness/robustness readout that a single
+      // global AUC hides (a model can rank well overall and badly on
+      // one feed). Same histogram discipline per slice — (source,
+      // score) keyed rollup, cumulative window partitioned BY SOURCE
+      // over histogram rows — and degenerate slices (a single class)
+      // report auc_ppm = −1 instead of dividing by zero. Scale shape:
+      // one classifier scan, one (source, score)-keyed rollup, windows
+      // over per-source histograms, |sources| output rows.
+      ("q297_sliced_eval", (s: SparkSession, d: String) => {
+        val sc = classifierQuality(s, d, fastHash = false)
+          .select(col("doc_id"),
+            expr("CAST(round(score * 1000000) AS BIGINT)").as("sm"))
+        val lab = t(s, d, "documents").select(col("doc_id"), col("source"),
+          when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+            .as("label"))
+        val h = sc.join(lab, "doc_id")
+          .groupBy("source", "sm").agg(sum(col("label")).as("np"),
+            sum(lit(1L) - col("label")).as("nn"))
+        val w = Window.partitionBy("source").orderBy("sm")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cum_lt", coalesce(sum(col("nn")).over(w), lit(0L)))
+          .groupBy("source").agg(
+            sum(col("np") * (lit(2L) * col("cum_lt") + col("nn"))).as("u2"),
+            sum(col("np")).as("n_pos"),
+            sum(col("nn")).as("n_neg"))
+          .select(col("source"), col("n_pos"), col("n_neg"),
+            expr("""CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+              ELSE u2 * 1000000 div (2 * n_pos * n_neg) END AS BIGINT)""")
+              .as("auc_ppm"))
+          .orderBy("source")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          lab AS (SELECT doc_id, source, CASE WHEN $sqlQuality >= 0.5
+              THEN 1 ELSE 0 END AS label FROM documents),
+          j AS (SELECT lab.source,
+              CAST(round(sc.score * 1000000) AS BIGINT) AS sm, lab.label
+            FROM sc JOIN lab ON lab.doc_id = sc.doc_id),
+          h AS (SELECT source, sm, CAST(sum(label) AS BIGINT) AS np,
+              CAST(sum(1 - label) AS BIGINT) AS nn
+            FROM j GROUP BY source, sm),
+          c AS (SELECT source, np, nn,
+              CAST(coalesce(sum(nn) OVER (PARTITION BY source ORDER BY sm
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_lt FROM h),
+          a AS (SELECT source,
+              CAST(sum(np * (2 * cum_lt + nn)) AS BIGINT) AS u2,
+              CAST(sum(np) AS BIGINT) AS n_pos,
+              CAST(sum(nn) AS BIGINT) AS n_neg
+            FROM c GROUP BY source)
+          SELECT source, n_pos, n_neg,
+            CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+              ELSE u2 * 1000000 // (2 * n_pos * n_neg) END AS BIGINT)
+              AS auc_ppm
+          FROM a ORDER BY source""")),
+
+      // Rank-biased overlap (Webber et al.) between two rankers — the
+      // ranking-agreement metric that weights the HEAD: ranker A = raw
+      // count of the hottest term, ranker B = count density (per-token
+      // micro) — genuinely different orders over the same matched
+      // docs. A doc with ranks (ra, rb) joins every depth
+      // d ≥ max(ra, rb), so the per-depth intersection |A_d ∩ B_d| is
+      // ONE grid join against a 10-row depth frame — no sequential
+      // merge simulates the interleave. Output: per depth the overlap
+      // and agreement permille, plus the cumulative RBO term at
+      // p = 0.9 (weights as micro literals — identical doubles both
+      // engines). Scale shape: term postings → two top-10 rankings
+      // (WindowGroupLimit over matched docs), then everything runs on
+      // ≤10-row frames.
+      ("q298_rbo_rankers", (s: SparkSession, d: String) => {
+        val tc = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(TF.tokens(col("text"))).cast("long").as("n_tok"),
+            explode(TF.tokens(lower(col("text")))).as("tok"))
+          .groupBy("doc_id", "n_tok", "tok").agg(count(lit(1)).as("c"))
+          .persistTracked()
+        val q0 = tc.filter(length(col("tok")) >= 4)
+          .groupBy("tok").agg(sum(col("c")).as("tot"))
+          .orderBy(desc("tot"), asc("tok")).limit(1).select("tok")
+        val matched = tc.join(broadcast(q0), Seq("tok"))
+          .select(col("doc_id"), col("c"),
+            expr("CAST(c * 1000000 div n_tok AS BIGINT)").as("dens"))
+        // top-10 via TakeOrderedAndProject, NOT a global rank window —
+        // the row_number only runs on the already-reduced 10-row frame
+        def rankOf(score: Column, nm: String): DataFrame =
+          matched.orderBy(score.desc, col("doc_id")).limit(10)
+            .withColumn(nm,
+              row_number().over(Window.orderBy(score.desc, col("doc_id"))))
+            .select(col("doc_id"), col(nm))
+        val ab = rankOf(col("c"), "ra")
+          .join(rankOf(col("dens"), "rb"), Seq("doc_id"))
+          .withColumn("rmax", greatest(col("ra"), col("rb")))
+        val depths = matched.sparkSession.range(1, 11)
+          .select(col("id").as("depth"))
+        val wgt = (1 to 10).map(dd =>
+          (dd, math.round(math.pow(0.9, dd - 1) * 0.1 * 1000000)))
+        val wCase = wgt.map { case (dd, ww) => s"WHEN depth = $dd THEN $ww" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        depths.join(ab, col("rmax") <= col("depth"), "left")
+          .groupBy("depth").agg(
+            count(col("doc_id")).as("overlap"))
+          .withColumn("agree_pm",
+            expr("CAST(overlap * 1000 div depth AS BIGINT)"))
+          .withColumn("rbo_term_micro",
+            expr(s"CAST(($wCase) * overlap div depth AS BIGINT)"))
+          .withColumn("rbo_cum_micro", sum(col("rbo_term_micro")).over(
+            Window.orderBy("depth")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("depth")
+      },
+        Some {
+          val wgt = (1 to 10).map(dd =>
+            (dd, math.round(math.pow(0.9, dd - 1) * 0.1 * 1000000)))
+          val wCase = wgt.map { case (dd, ww) => s"WHEN depth = $dd THEN $ww" }
+            .mkString("CASE ", " ", " ELSE 0 END")
+          s"""WITH tk AS (SELECT doc_id,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok,
+              unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
+          tc AS (SELECT doc_id, n_tok, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY doc_id, n_tok, tok),
+          q0 AS (SELECT tok FROM (
+            SELECT tok, sum(c) AS tot FROM tc WHERE len(tok) >= 4
+            GROUP BY tok ORDER BY tot DESC, tok LIMIT 1)),
+          m AS (SELECT tc.doc_id, tc.c,
+              CAST(tc.c * 1000000 // tc.n_tok AS BIGINT) AS dens
+            FROM tc JOIN q0 ON q0.tok = tc.tok),
+          ra AS (SELECT doc_id, rn AS ra FROM (SELECT doc_id,
+              row_number() OVER (ORDER BY c DESC, doc_id) AS rn FROM m)
+            WHERE rn <= 10),
+          rb AS (SELECT doc_id, rn AS rb FROM (SELECT doc_id,
+              row_number() OVER (ORDER BY dens DESC, doc_id) AS rn FROM m)
+            WHERE rn <= 10),
+          ab AS (SELECT ra.doc_id, greatest(ra.ra, rb.rb) AS rmax
+            FROM ra JOIN rb USING (doc_id)),
+          d AS (SELECT CAST(u.depth AS BIGINT) AS depth
+            FROM unnest(range(1, 11)) AS u(depth)),
+          o AS (SELECT d.depth,
+              CAST(count(ab.doc_id) AS BIGINT) AS overlap
+            FROM d LEFT JOIN ab ON ab.rmax <= d.depth GROUP BY d.depth)
+          SELECT depth, overlap,
+            CAST(overlap * 1000 // depth AS BIGINT) AS agree_pm,
+            CAST(($wCase) * overlap // depth AS BIGINT) AS rbo_term_micro,
+            CAST(sum(($wCase) * overlap // depth) OVER (ORDER BY depth
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS rbo_cum_micro
+          FROM o ORDER BY depth"""
+        })
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -14892,7 +15044,7 @@ object Queries {
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
-      roundElevenW22 ++ roundElevenW23 ++ roundElevenW24
+      roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
