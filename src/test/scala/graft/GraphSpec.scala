@@ -133,4 +133,36 @@ class GraphSpec extends SparkSpec {
     assert(local(5L) == local(6L))
     assert(local(7L) == 150000L)
   }
+
+  test("k-core trace equals a reference peel and frees every checkpoint block") {
+    import spark.implicits._
+    // triangle {1,2,3} (2-core) + pendant path 3-4-5 + isolated edge 6-7:
+    // round 1 at k=2 drops 5/6/7, round 2 drops 4, then stable
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L)).toDF("a", "b")
+    def refPeel(es: Set[(Long, Long)], k: Int, rounds: Int): Seq[(Long, Long, Long)] = {
+      var cur = es.flatMap(e => Seq(e, e.swap))
+      def stat(r: Int) = (r.toLong,
+        cur.map(_._1).toSet.size.toLong,
+        (cur.size / 2).toLong)
+      val out = scala.collection.mutable.ArrayBuffer(stat(0))
+      for (r <- 1 to rounds) {
+        val deg = cur.groupBy(_._1).map { case (n, es2) => n -> es2.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        cur = cur.filter(e => keep(e._1) && keep(e._2))
+        out += stat(r)
+      }
+      out.toSeq
+    }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = graft.ops.Graph.kcoreTrace(edges, "a", "b", k = 2, rounds = 3)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"kcoreTrace leaked checkpoint blocks: ${after -- before}")
+    val want = refPeel(Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (6L, 7L)), 2, 3)
+    assert(got == want, s"trace mismatch\n got=$got\nwant=$want")
+    // the curve itself: 7 nodes/6 edges -> drops pendants -> the triangle
+    assert(got.head == (0L, 7L, 6L) && got.last == (3L, 3L, 3L))
+  }
 }

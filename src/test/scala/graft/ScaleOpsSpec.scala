@@ -545,4 +545,45 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.ops.Caches.release()
   }
+
+  test("q297 sliced AUC: the cumulative window is source-partitioned AND " +
+      "sits above the histogram aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val df = Queries.queries("q297_sliced_eval")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+      }.flatten
+    def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: HashAggregateExec => true
+        case _: ObjectHashAggregateExec => true
+        case _: SortAggregateExec => true
+        case a: AdaptiveSparkPlanExec if hasAgg(a.executedPlan) => true
+        case q: QueryStageExec if hasAgg(q.plan) => true
+      }.isDefined
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "per-slice cumulative window must be partitioned by source")
+    assert(ws.forall(w => hasAgg(w.child)),
+      "the window must run over the (source, score) histogram, not raw docs")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
+
+  test("q298 RBO: both ranker top-10s are TakeOrderedAndProject; rank " +
+      "windows only touch the reduced frames") {
+    val df = Queries.queries("q298_rbo_rankers")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ranker top-10 must be TakeOrderedAndProject, not a global sort+filter:\n$plan")
+    spark.catalog.clearCache()
+    graft.ops.Caches.release()
+  }
 }
