@@ -15037,6 +15037,123 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW26: Seq[Q] = {
+    Seq(
+      // Exact Kolmogorov–Smirnov drift per source — the unbinned
+      // complement to q255's chi-squared (which needs a decile choice)
+      // and q232's min/max fingerprints: per source, the KS statistic
+      // max_v |F_src(v) − F_pool(v)| over doc lengths, cross-multiplied
+      // to stay integer until the final ppm division, plus the length
+      // at which the divergence peaks. Scale shape: ONE (source, v)
+      // histogram + the pool histogram; F_src is evaluated on the
+      // pool-value grid (|sources| × |distinct lengths| rows — bounded
+      // by the value space, never by doc count); cumulative windows
+      // partitioned per source.
+      ("q299_ks_drift", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), length(col("text")).cast("long").as("v"))
+          .persistTracked()
+        val poolH = docs.groupBy("v").agg(count(lit(1)).as("pc"))
+        val wPool = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val poolC = poolH.withColumn("cum_pool", sum(col("pc")).over(wPool))
+        val srcH = docs.groupBy("source", "v").agg(count(lit(1)).as("sc"))
+        val grid = poolC.select("v", "cum_pool")
+          .crossJoin(broadcast(docs.select("source").distinct()))
+          .join(srcH, Seq("source", "v"), "left")
+          .withColumn("sc", coalesce(col("sc"), lit(0L)))
+        val wSrc = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cums = grid.withColumn("cum_src", sum(col("sc")).over(wSrc))
+        val ns = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val np = docs.agg(count(lit(1)).as("n_pool"))
+        val dev = cums.join(broadcast(ns), "source")
+          .crossJoin(broadcast(np))
+          .withColumn("dev",
+            abs(col("cum_src") * col("n_pool")
+              - col("cum_pool") * col("n_src")))
+        val wMax = Window.partitionBy("source")
+          .orderBy(desc("dev"), asc("v"))
+        dev.withColumn("rnk", row_number().over(wMax))
+          .filter(col("rnk") === 1)
+          .select(col("source"), col("n_src"),
+            expr("CAST(dev * 1000000 div (n_src * n_pool) AS BIGINT)")
+              .as("ks_ppm"),
+            col("v").as("peak_len"))
+          .orderBy("source")
+      },
+        Some("""WITH docs AS (SELECT source,
+              CAST(len(text) AS BIGINT) AS v FROM documents),
+          ph AS (SELECT v, CAST(count(*) AS BIGINT) AS pc FROM docs
+            GROUP BY v),
+          pc AS (SELECT v, CAST(sum(pc) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pool FROM ph),
+          sh AS (SELECT source, v, CAST(count(*) AS BIGINT) AS sc
+            FROM docs GROUP BY source, v),
+          grid AS (SELECT s.source, p.v, p.cum_pool,
+              coalesce(sh.sc, 0) AS sc
+            FROM pc p CROSS JOIN (SELECT DISTINCT source FROM docs) s
+            LEFT JOIN sh ON sh.source = s.source AND sh.v = p.v),
+          cums AS (SELECT source, v, cum_pool,
+              CAST(sum(sc) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_src FROM grid),
+          ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+            FROM docs GROUP BY source),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM docs),
+          dev AS (SELECT c.source, c.v, ns.n_src, np.n_pool,
+              abs(c.cum_src * np.n_pool - c.cum_pool * ns.n_src) AS dev
+            FROM cums c JOIN ns ON ns.source = c.source CROSS JOIN np),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY dev DESC, v) AS rnk FROM dev)
+          SELECT source, n_src,
+            CAST(dev * 1000000 // (n_src * n_pool) AS BIGINT) AS ks_ppm,
+            v AS peak_len
+          FROM rk WHERE rnk = 1 ORDER BY source""")),
+
+      // Schema-evolution merge read — the lakehouse read every long-
+      // lived table needs: a v1 shard written before `source` existed
+      // (simulated: even ids with the column projected away) unions
+      // with the v2 shard under allowMissingColumns semantics, the
+      // missing column null-fills, and the backfill rule
+      // (coalesce → 'legacy') makes the merged table total. The report
+      // proves the merge loses nothing: per final source, rows and the
+      // count that came through the v1 path. Scale shape: two
+      // projections of one scan + a |sources|-row rollup — schema
+      // evolution costs nothing at read time beyond the null-fill.
+      ("q300_schema_merge", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val v1 = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .select("doc_id", "lang")
+        val v2 = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+          .select("doc_id", "lang", "source")
+        v1.unionByName(v2, allowMissingColumns = true)
+          .withColumn("from_v1", when(col("source").isNull, 1L)
+            .otherwise(0L))
+          .withColumn("source", coalesce(col("source"), lit("legacy")))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("from_v1")).as("n_from_v1"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("source")
+      },
+        Some("""WITH v1 AS (SELECT doc_id, lang,
+              CAST(NULL AS VARCHAR) AS source
+            FROM documents WHERE doc_id % 2 = 0),
+          v2 AS (SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 2 = 1),
+          m AS (SELECT doc_id, lang,
+              CASE WHEN source IS NULL THEN 1 ELSE 0 END AS from_v1,
+              coalesce(source, 'legacy') AS source
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(from_v1) AS BIGINT) AS n_from_v1,
+            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM m GROUP BY source ORDER BY source"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -15044,7 +15161,8 @@ object Queries {
       roundElevenW10 ++ roundElevenW11 ++ roundElevenW12 ++ roundElevenW13 ++
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
-      roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25
+      roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
+      roundElevenW26
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
