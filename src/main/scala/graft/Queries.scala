@@ -15154,6 +15154,195 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW27: Seq[Q] = {
+    Seq(
+      // Consistent-hashing rebalance audit — the shard-placement
+      // planning number: scaling 8 → 9 workers moves ~1/9 of keys on a
+      // 16-vnode hash ring but ~8/9 under naive mod-hash. Both
+      // assignments are computed EXACTLY: the ring is a broadcast
+      // (node, vnode-position) table, each key takes the first
+      // position at-or-after its hash (wraparound = the (pos < h) sort
+      // flag), via a per-key window over the 144-row broadcast — never
+      // a ring-sized shuffle. The two-row report is the migration cost
+      // estimate an operator reads before a resize.
+      ("q301_consistent_hashing", (s: SparkSession, d: String) => {
+        val keys = t(s, d, "documents")
+          .select(col("doc_id"),
+            TF.hash32(concat(lit("key|"), col("doc_id").cast("string")))
+              .as("h"))
+          .persistTracked()
+        def ring(n: Int): DataFrame = {
+          val rows = for (i <- 0 until n; v <- 0 until 16)
+            yield (i.toLong, v.toLong)
+          val sp = keys.sparkSession
+          import sp.implicits._
+          rows.toDF("node", "v")
+            .withColumn("pos", TF.hash32(concat(lit("node|"),
+              col("node").cast("string"), lit("|"),
+              col("v").cast("string"))))
+        }
+        def assign(n: Int, nm: String): DataFrame = {
+          val w = Window.partitionBy("doc_id").orderBy(
+            when(col("pos") >= col("h"), 0L).otherwise(1L),
+            col("pos"), col("node"))
+          keys.crossJoin(broadcast(ring(n)))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("doc_id"), col("node").as(nm))
+        }
+        val ch = assign(8, "n8").join(assign(9, "n9"), "doc_id")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("n8") =!= col("n9"), 1L).otherwise(0L))
+              .as("moved"))
+          .select(lit("consistent_ring").as("strategy"), col("n_keys"),
+            col("moved"),
+            expr("CAST(moved * 1000 div n_keys AS BIGINT)").as("moved_pm"))
+        val mod = keys.agg(count(lit(1)).as("n_keys"),
+            sum(when(pmod(col("h"), lit(8L)) =!= pmod(col("h"), lit(9L)),
+              1L).otherwise(0L)).as("moved"))
+          .select(lit("mod_hash").as("strategy"), col("n_keys"),
+            col("moved"),
+            expr("CAST(moved * 1000 div n_keys AS BIGINT)").as("moved_pm"))
+        ch.unionByName(mod).orderBy("strategy")
+      },
+        Some {
+          def ringSql(n: Int): String =
+            s"""SELECT CAST(u.i // 16 AS BIGINT) AS node,
+              CAST(${sqlHash32(
+                "'node|' || CAST(u.i // 16 AS VARCHAR) || '|' || CAST(u.i % 16 AS VARCHAR)")}
+                AS BIGINT) AS pos
+            FROM unnest(range(0, ${n * 16})) AS u(i)"""
+          def assignSql(n: Int): String =
+            s"""SELECT doc_id, node FROM (
+              SELECT k.doc_id, r.node, row_number() OVER (
+                  PARTITION BY k.doc_id
+                  ORDER BY (CASE WHEN r.pos >= k.h THEN 0 ELSE 1 END),
+                    r.pos, r.node) AS rn
+              FROM keys k CROSS JOIN (${ringSql(n)}) r) WHERE rn = 1"""
+          s"""WITH keys AS (SELECT doc_id,
+              CAST(${sqlHash32("'key|' || CAST(doc_id AS VARCHAR)")}
+                AS BIGINT) AS h FROM documents),
+          a8 AS (${assignSql(8)}),
+          a9 AS (${assignSql(9)}),
+          ch AS (SELECT 'consistent_ring' AS strategy,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(CASE WHEN a8.node <> a9.node THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved
+            FROM a8 JOIN a9 USING (doc_id)),
+          md AS (SELECT 'mod_hash' AS strategy,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved
+            FROM keys)
+          SELECT strategy, n_keys, moved,
+            CAST(moved * 1000 // n_keys AS BIGINT) AS moved_pm
+          FROM (SELECT * FROM ch UNION ALL SELECT * FROM md)
+          ORDER BY strategy"""
+        }),
+
+      // Next-basket recommendation eval — the recsys readout on the
+      // relational side: train part-co-occurrence (q233's order-width-
+      // bounded pair explode) on every customer's orders EXCEPT their
+      // last (no leakage), recommend top-3 parts for the second-to-
+      // last basket's context, and score hit@3 against the held-out
+      // last basket. Scale shape: the co-occurrence table is part-
+      // keyed (FK-shaped join from context parts), per-customer top-3
+      // via partitioned windows; the eval rollup is one row.
+      ("q302_next_basket", (s: SparkSession, d: String) => {
+        val ord = t(s, d, "orders").select("o_orderkey", "o_custkey",
+          "o_orderdate")
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        val wSeq = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        val seq = ord.withColumn("rev", row_number().over(wSeq))
+          .persistTracked()
+        val trainOrders = seq.filter(col("rev") > 1).select("o_orderkey")
+        val testB = seq.filter(col("rev") === 1)
+          .select(col("o_custkey"), col("o_orderkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey").as("test_part"))
+        val ctxB = seq.filter(col("rev") === 2)
+          .select(col("o_custkey"), col("o_orderkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey").as("ctx_part"))
+        val baskets = li.join(trainOrders,
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey").distinct()
+          .persistTracked()
+        // support >= 2 floor (the q233 a-priori convention): a pair seen
+        // once is noise and would otherwise dominate the scored frame
+        val cooc = baskets.as("a").join(baskets.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"),
+            col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val scored = ctxB.join(cooc, col("ctx_part") === col("p1"))
+          .join(ctxB.select(col("o_custkey").as("ck2"),
+            col("ctx_part").as("cp2")),
+            col("o_custkey") === col("ck2") && col("p2") === col("cp2"),
+            "left_anti")
+          .groupBy("o_custkey", "p2").agg(sum(col("w")).as("score"))
+        val wRec = Window.partitionBy("o_custkey")
+          .orderBy(desc("score"), asc("p2"))
+        val recs = scored.withColumn("rn", row_number().over(wRec))
+          .filter(col("rn") <= 3)
+        val hits = recs
+          .select(col("o_custkey").as("rck"), col("p2"))
+          .join(testB, col("rck") === col("o_custkey") &&
+            col("p2") === col("test_part"))
+          .select("rck").distinct()
+          .agg(count(lit(1)).as("n_hit"))
+        recs.select("o_custkey").distinct()
+          .agg(count(lit(1)).as("n_eval"))
+          .crossJoin(hits)
+          .select(col("n_eval"), col("n_hit"),
+            expr("CAST(n_hit * 1000 div n_eval AS BIGINT)").as("hit_pm"))
+      },
+        Some("""WITH seq AS (SELECT o_custkey, o_orderkey,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rev
+            FROM orders),
+          train AS (SELECT o_orderkey FROM seq WHERE rev > 1),
+          testb AS (SELECT s.o_custkey, l.l_partkey AS test_part
+            FROM seq s JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+            WHERE s.rev = 1),
+          ctxb AS (SELECT s.o_custkey, l.l_partkey AS ctx_part
+            FROM seq s JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+            WHERE s.rev = 2),
+          baskets AS (SELECT DISTINCT l.l_orderkey, l.l_partkey
+            FROM lineitem l JOIN train t ON t.o_orderkey = l.l_orderkey),
+          cooc AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+              CAST(count(*) AS BIGINT) AS w
+            FROM baskets a JOIN baskets b
+              ON b.l_orderkey = a.l_orderkey
+              AND b.l_partkey <> a.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 2),
+          scored AS (SELECT c.o_custkey, co.p2,
+              CAST(sum(co.w) AS BIGINT) AS score
+            FROM ctxb c JOIN cooc co ON co.p1 = c.ctx_part
+            WHERE NOT EXISTS (SELECT 1 FROM ctxb c2
+              WHERE c2.o_custkey = c.o_custkey
+                AND c2.ctx_part = co.p2)
+            GROUP BY c.o_custkey, co.p2),
+          recs AS (SELECT o_custkey, p2 FROM (
+            SELECT o_custkey, p2, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY score DESC, p2) AS rn
+            FROM scored) WHERE rn <= 3),
+          hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
+            SELECT DISTINCT r.o_custkey FROM recs r
+            JOIN testb t ON t.o_custkey = r.o_custkey
+              AND t.test_part = r.p2)),
+          ev AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+              AS n_eval FROM recs)
+          SELECT n_eval, n_hit,
+            CAST(n_hit * 1000 // n_eval AS BIGINT) AS hit_pm
+          FROM ev CROSS JOIN hits"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -15162,7 +15351,7 @@ object Queries {
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
-      roundElevenW26
+      roundElevenW26 ++ roundElevenW27
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
