@@ -15343,6 +15343,222 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW28: Seq[Q] = {
+    Seq(
+      // Multi-source BFS hop histogram over the co-purchase graph
+      // (q233 edges, support ≥ 2): how far is every part from its
+      // nearest hub (top-5 by degree, ties by part id)? Four fixed
+      // frontier-expansion rounds via the hybrid Graph.bfsHops — the
+      // CC dataflow with distance labels instead of component minima
+      // (driver adjacency loop under the 200k-edge cap, per-round
+      // edge⋈distance join + min aggregate above it; GraphSpec pins
+      // the arms equal). Unreached parts report hop −1. The hop
+      // histogram is the topology evidence behind q241's PageRank and
+      // q258's clustering coefficient: how centralized the
+      // co-purchase structure actually is.
+      ("q303_bfs_hops", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().persistTracked()
+        val und = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+          .persistTracked()
+        val hubs = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+          .orderBy(desc("dg"), asc("src")).limit(5)
+        val dist = Graph.bfsHops(edges,
+          hubs.select(col("src").as("node")), rounds = 4)
+        li.select("pk").distinct()
+          .join(dist, col("pk") === col("node"), "left")
+          .select(coalesce(col("dd"), lit(-1L)).as("hop"))
+          .groupBy("hop").agg(count(lit(1)).as("n_parts"))
+          .orderBy("hop")
+      },
+        Some {
+          def round(k: Int): String =
+            s"""d$k AS MATERIALIZED (SELECT node, min(dd) AS dd FROM (
+              SELECT node, dd FROM d${k - 1}
+              UNION ALL SELECT e.dst, d${k - 1}.dd + 1
+              FROM d${k - 1} JOIN e ON e.src = d${k - 1}.node)
+            GROUP BY node)"""
+          s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          und AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+          e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM und
+            UNION ALL SELECT pb, pa FROM und),
+          hubs AS MATERIALIZED (SELECT src FROM (
+            SELECT src, count(*) AS dg FROM e GROUP BY src)
+            ORDER BY dg DESC, src LIMIT 5),
+          d0 AS MATERIALIZED (SELECT src AS node, CAST(0 AS BIGINT) AS dd
+            FROM hubs),
+          ${(1 to 4).map(round).mkString(",\n          ")}
+          SELECT coalesce(d4.dd, -1) AS hop,
+            CAST(count(*) AS BIGINT) AS n_parts
+          FROM (SELECT DISTINCT pk FROM li) n
+          LEFT JOIN d4 ON d4.node = n.pk
+          GROUP BY hop ORDER BY hop"""
+        }),
+
+      // Depth-1 CART: the best single token-count split predicting the
+      // q43 quality label, chosen by exact integer Gini. Candidate
+      // thresholds are every distinct token count — the search runs
+      // over the (n_tok → count, positives) HISTOGRAM (91 rows here,
+      // bounded by the value space at any corpus size; q207 trick), so
+      // the only unpartitioned window is histogram-sized. Weighted
+      // impurity in integer micros: Σ_side (c² − pos² − neg²)·10⁶ div c
+      // — truncating div applied identically on both engines (q241
+      // verified the semantics). Report = the chosen stump, its
+      // per-side majority predictions, and accuracy vs the majority-
+      // class baseline. Squares ≤ (6·10⁵)²·10⁶ at sf0.1 — int64-safe;
+      // a 100 TB run lifts the products to decimal(38,0) (q174).
+      ("q304_decision_stump", (s: SparkSession, d: String) => {
+        val hist = t(s, d, "documents")
+          .select(size(TF.tokens(col("text"))).cast("long").as("n_tok"),
+            when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+              .as("label"))
+          .groupBy("n_tok")
+          .agg(count(lit(1)).as("c"), sum("label").as("p"))
+        val w = Window.orderBy("n_tok")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = hist.agg(sum("c").as("n"), sum("p").as("np"))
+        val best = hist
+          .withColumn("cl", sum("c").over(w))
+          .withColumn("pl", sum("p").over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("n_tok").as("threshold"), col("cl"), col("pl"),
+            (col("n") - col("cl")).as("cr"),
+            (col("np") - col("pl")).as("pr"),
+            col("n"), col("np"))
+          .withColumn("cost_micro",
+            expr("""(cl*cl - pl*pl - (cl-pl)*(cl-pl)) * 1000000 div cl
+              + CASE WHEN cr = 0 THEN 0
+                ELSE (cr*cr - pr*pr - (cr-pr)*(cr-pr)) * 1000000 div cr
+                END"""))
+          .orderBy(asc("cost_micro"), asc("threshold")).limit(1)
+        best.select(col("threshold"), col("cost_micro"),
+          when(col("pl") * 2 >= col("cl"), 1L).otherwise(0L)
+            .as("pred_left"),
+          when(col("pr") * 2 >= col("cr"), 1L).otherwise(0L)
+            .as("pred_right"),
+          expr("""CAST((greatest(pl, cl - pl) + greatest(pr, cr - pr))
+            * 1000 div n AS BIGINT)""").as("acc_pm"),
+          expr("CAST(greatest(np, n - np) * 1000 div n AS BIGINT)")
+            .as("base_pm"))
+      },
+        Some(s"""WITH lab AS (SELECT
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok,
+              CASE WHEN $sqlQuality >= 0.5 THEN 1 ELSE 0 END AS label
+            FROM documents),
+          hist AS (SELECT n_tok, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(label) AS BIGINT) AS p
+            FROM lab GROUP BY n_tok),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+              CAST(sum(p) AS BIGINT) AS np FROM hist),
+          cand AS (SELECT n_tok AS threshold,
+              sum(c) OVER (ORDER BY n_tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+              sum(p) OVER (ORDER BY n_tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl
+            FROM hist),
+          scored AS (SELECT threshold, cl, pl, n.n - cl AS cr,
+              n.np - pl AS pr, n.n AS n, n.np AS np
+            FROM cand CROSS JOIN tot n),
+          costed AS (SELECT *,
+              (cl*cl - pl*pl - (cl-pl)*(cl-pl)) * 1000000 // cl
+              + CASE WHEN cr = 0 THEN 0
+                ELSE (cr*cr - pr*pr - (cr-pr)*(cr-pr)) * 1000000 // cr
+                END AS cost_micro
+            FROM scored),
+          best AS (SELECT * FROM costed
+            ORDER BY cost_micro, threshold LIMIT 1)
+          SELECT threshold, cost_micro,
+            CAST(CASE WHEN pl * 2 >= cl THEN 1 ELSE 0 END AS BIGINT)
+              AS pred_left,
+            CAST(CASE WHEN pr * 2 >= cr THEN 1 ELSE 0 END AS BIGINT)
+              AS pred_right,
+            CAST((greatest(pl, cl - pl) + greatest(pr, cr - pr))
+              * 1000 // n AS BIGINT) AS acc_pm,
+            CAST(greatest(np, n - np) * 1000 // n AS BIGINT) AS base_pm
+          FROM best""")),
+
+      // Revenue concentration — exact Gini coefficient + Lorenz top-
+      // decile/top-percentile shares over per-customer revenue. The
+      // sorted-rank sum a textbook Gini needs NEVER sorts customers:
+      // revenue quantizes to the kilodollar grid (q277's monetary-
+      // histogram trick) and the tie-aware rank sum is closed-form per
+      // histogram bucket (positions cum+1..cum+c sum to c·cum +
+      // c(c+1)/2), so every window runs over the ≤7.4k-row value
+      // histogram. The one big product (2S·10⁶) rides in
+      // decimal(38,0)/HUGEINT before the integral divide (q174
+      // discipline). Order cents are exact via round(·100) (q205).
+      ("q305_revenue_gini", (s: SparkSession, d: String) => {
+        val rev = t(s, d, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("cents"))
+          .select(expr("cents div 100000").as("v"))
+        val hist = rev.groupBy("v").agg(count(lit(1)).as("c"))
+        val wAsc = Window.orderBy(asc("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wDesc = Window.orderBy(desc("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val terms = hist
+          .withColumn("cum", coalesce(sum("c").over(wAsc), lit(0L)))
+          .withColumn("cum_above", coalesce(sum("c").over(wDesc), lit(0L)))
+          .withColumn("n_all", sum("c").over(wAll))
+        terms
+          .agg(sum("c").as("n"),
+            sum(expr("v * c")).as("t"),
+            sum(expr("v * (c * cum + (c * (c + 1)) div 2)")).as("s"),
+            sum(expr("""v * least(c,
+              greatest(n_all div 10 - cum_above, 0))""")).as("top10"),
+            sum(expr("""v * least(c,
+              greatest(n_all div 100 - cum_above, 0))""")).as("top1"))
+          .select(col("n").as("n_customers"), col("t").as("total_kusd"),
+            expr("""CAST((CAST(2 AS DECIMAL(38,0)) * s - (n + 1) * t)
+              * 1000000 div (n * t) AS BIGINT)""").as("gini_ppm"),
+            expr("CAST(top10 * 1000 div t AS BIGINT)").as("top10_share_pm"),
+            expr("CAST(top1 * 1000 div t AS BIGINT)").as("top1_share_pm"))
+      },
+        Some("""WITH rev AS (SELECT o_custkey,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM orders GROUP BY o_custkey),
+          hist AS (SELECT cents // 100000 AS v, CAST(count(*) AS BIGINT) AS c
+            FROM rev GROUP BY 1),
+          terms AS (SELECT v, c,
+              coalesce(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+              coalesce(sum(c) OVER (ORDER BY v DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_above,
+              sum(c) OVER () AS n_all
+            FROM hist),
+          agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+              CAST(sum(v * c) AS BIGINT) AS t,
+              CAST(sum(v * (c * cum + (c * (c + 1)) // 2)) AS BIGINT) AS s,
+              CAST(sum(v * least(c, greatest(n_all // 10 - cum_above, 0)))
+                AS BIGINT) AS top10,
+              CAST(sum(v * least(c, greatest(n_all // 100 - cum_above, 0)))
+                AS BIGINT) AS top1
+            FROM terms)
+          SELECT n AS n_customers, t AS total_kusd,
+            CAST((CAST(2 AS HUGEINT) * s - (n + 1) * t)
+              * 1000000 // (n * t) AS BIGINT) AS gini_ppm,
+            CAST(top10 * 1000 // t AS BIGINT) AS top10_share_pm,
+            CAST(top1 * 1000 // t AS BIGINT) AS top1_share_pm
+          FROM agg"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -15351,7 +15567,7 @@ object Queries {
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
-      roundElevenW26 ++ roundElevenW27
+      roundElevenW26 ++ roundElevenW27 ++ roundElevenW28
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap

@@ -357,4 +357,58 @@ object Graph {
     } finally free(blocks)
     trace.toSeq
   }
+
+  /** Multi-source BFS hop distances: `rounds` fixed frontier-expansion
+    * iterations from `sources` over directed `edges` (callers supply both
+    * directions for undirected graphs). Returns (node, dd) for every node
+    * reached within `rounds` hops; dd = 0 for sources.
+    *
+    * Hybrid execution, the [[pagerankInt]] pattern: edge count measured
+    * BEFORE any collect; at or below `maxLocalEdges` the BFS is a driver
+    * loop over an adjacency map, else each round is ONE edge ⋈ distance
+    * join (distance side broadcast — the node set of a co-occurrence
+    * graph is catalog-sized, never corpus-sized) + a min aggregate,
+    * persisted per round (each round reads its predecessor TWICE — expand
+    * + union — so unpersisted lineage doubles every iteration).
+    * GraphSpec pins both arms equal.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int,
+      maxLocalEdges: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    try {
+      val nEdges = e.count()
+      if (nEdges <= maxLocalEdges) {
+        val adj = e.as[(Long, Long)].collect().groupBy(_._1)
+          .map { case (s, xs) => s -> xs.map(_._2) }
+        val dist = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        sources.select(col("node").cast("long")).as[Long].collect()
+          .foreach(s => dist(s) = 0L)
+        var frontier = dist.keys.toArray
+        for (k <- 1 to rounds if frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+            .distinct.filterNot(dist.contains)
+          frontier.foreach(n => dist(n) = k.toLong)
+        }
+        dist.toSeq.toDF("node", "dd")
+      } else {
+        var dist = sources.select(col("node").cast("long"), lit(0L).as("dd"))
+          .persist()
+        val rounds0 = scala.collection.mutable.ArrayBuffer(dist)
+        for (_ <- 1 to rounds) {
+          dist = e.join(broadcast(dist), e("src") === dist("node"))
+            .select(col("dst").as("node"), (col("dd") + 1L).as("dd"))
+            .unionByName(dist)
+            .groupBy("node").agg(min("dd").as("dd"))
+            .persist()
+          rounds0 += dist
+        }
+        val out = dist.localCheckpoint(true)
+        rounds0.foreach(_.unpersist())
+        out
+      }
+    } finally e.unpersist()
+  }
 }

@@ -134,6 +134,24 @@ class GraphSpec extends SparkSpec {
     assert(local(7L) == 150000L)
   }
 
+  test("multi-source BFS: driver arm equals the distributed arm, " +
+      "rounds bound reach, nearest source wins") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus isolated edge 8-9; sources {1, 5}: node 3 is
+    // 2 hops from both, node 6 is 1 from source 5, node 8/9 unreachable
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (8L, 9L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val sources = Seq(1L, 5L).toDF("node")
+    def run(maxLocal: Long) =
+      Graph.bfsHops(edges, sources, rounds = 2, maxLocalEdges = maxLocal)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(200000L)
+    val dist = run(0L) // force the distributed arm on the same input
+    assert(local == dist, s"driver arm != distributed arm\n $local\n $dist")
+    assert(local == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L,
+      3L -> 2L)) // 8/9 unreached within 2 rounds; 3 reached at min hop 2
+  }
+
   test("k-core trace equals a reference peel and frees every checkpoint block") {
     import spark.implicits._
     // triangle {1,2,3} (2-core) + pendant path 3-4-5 + isolated edge 6-7:
