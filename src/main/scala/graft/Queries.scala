@@ -15559,6 +15559,249 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW29: Seq[Q] = {
+    Seq(
+      // Lexical vs semantic near-dup AGREEMENT — the cross-family audit
+      // linking the two dedup arms the suite prices separately: MinHash-
+      // LSH shingle pairs (q45 config) vs bag-of-words embedding-cosine
+      // pairs over the SAME corpus. The semantic vector is order-
+      // invariant by construction (16 integer dims = summed md5-byte
+      // projections of token OCCURRENCES), so the planted reversed-token
+      // re-publications (every 20th doc) have IDENTICAL vectors —
+      // semantic recall 1000‰ — while token reversal destroys every
+      // 3-shingle — lexical recall ~0: the disagreement IS the finding
+      // (reorder-invariance is what embedding dedup buys). Semantic
+      // candidates come from a 16-sign-bit bucket equi-join (never
+      // all-pairs); the cosine≥0.98 verify is fully cross-multiplied
+      // (num²·2500 ≥ 2401·|a|²|b|² in decimal(38,0)/HUGEINT — no float
+      // touches pair membership).
+      ("q306_lex_sem_agreement", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              array_join(reverse(TF.tokens(col("text"))), " ").as("text")))
+          .persistTracked()
+        val lex = Dedup.minhashLsh(corpus, "doc_id", "text",
+            shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b").persistTracked()
+        val dims = 0 until 16
+        val vecs = corpus
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .withColumn("h", md5(col("tok")))
+          .groupBy("doc_id")
+          .agg(
+            sum(expr(s"CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) - 128")).as("a0"),
+            dims.tail.map(j => sum(expr(
+              s"CAST(conv(substring(h, ${2 * j + 1}, 2), 16, 10) AS BIGINT) - 128"))
+              .as(s"a$j")): _*)
+        val keyed = vecs
+          .withColumn("bkey", expr(dims.map(j =>
+            s"CASE WHEN a$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")))
+          .withColumn("sq", expr(dims.map(j => s"a$j * a$j").mkString(" + ")))
+          .persistTracked()
+        val sem = keyed.as("x").join(keyed.as("y"),
+            col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .withColumn("num",
+            expr(dims.map(j => s"x.a$j * y.a$j").mkString(" + ")))
+          .filter(col("num") > 0 && expr(
+            """CAST(num AS DECIMAL(38,0)) * num * 2500
+              >= CAST(2401 AS DECIMAL(38,0)) * x.sq * y.sq"""))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .persistTracked()
+        def one(df: DataFrame, nm: String): DataFrame =
+          df.agg(count(lit(1)).as(nm))
+        val both = lex.join(sem, Seq("doc_a", "doc_b"))
+        val isPlant = col("doc_b") === col("doc_a") + 10000000L &&
+          col("doc_a") % 20 === 0
+        one(lex, "n_lex")
+          .crossJoin(one(sem, "n_sem"))
+          .crossJoin(one(both, "n_both"))
+          .crossJoin(one(lex.filter(isPlant), "lex_plant"))
+          .crossJoin(one(sem.filter(isPlant), "sem_plant"))
+          .crossJoin(one(docs.filter(col("doc_id") % 20 === 0), "n_plants"))
+          .select(col("n_lex"), col("n_sem"), col("n_both"),
+            (col("n_lex") - col("n_both")).as("lex_only"),
+            (col("n_sem") - col("n_both")).as("sem_only"),
+            expr("CAST(lex_plant * 1000 div n_plants AS BIGINT)")
+              .as("planted_lex_pm"),
+            expr("CAST(sem_plant * 1000 div n_plants AS BIGINT)")
+              .as("planted_sem_pm"))
+      },
+        Some {
+          val dims = 0 until 16
+          val aSum = dims.map(j =>
+            s"""sum(CAST(concat('0x', substr(h, ${2 * j + 1}, 2)) AS BIGINT)
+              - 128) AS a$j""").mkString(",\n              ")
+          val bkey = dims.map(j =>
+            s"CASE WHEN a$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+          val sq = dims.map(j => s"a$j * a$j").mkString(" + ")
+          val num = dims.map(j => s"x.a$j * y.a$j").mkString(" + ")
+          s"""WITH corpus AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000000,
+              array_to_string(list_reverse(${sqlTokens("text")}), ' ')
+            FROM documents WHERE doc_id % 20 = 0),
+          ${sqlMinhashPairCtes(0.5)},
+          lex AS (SELECT doc_a, doc_b FROM pairs_mh),
+          hx AS (SELECT doc_id, md5(t.tok) AS h
+            FROM corpus, unnest(${sqlTokens("text")}) AS t(tok)),
+          vec AS (SELECT doc_id,
+              $aSum
+            FROM hx GROUP BY doc_id),
+          keyed AS (SELECT *, $bkey AS bkey, $sq AS sq FROM vec),
+          sem0 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              ($num) AS num, x.sq AS sa, y.sq AS sb
+            FROM keyed x JOIN keyed y
+              ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          sem AS (SELECT doc_a, doc_b FROM sem0
+            WHERE num > 0 AND CAST(num AS HUGEINT) * num * 2500
+              >= CAST(2401 AS HUGEINT) * sa * sb),
+          cb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+            FROM lex JOIN sem USING (doc_a, doc_b)),
+          cl AS (SELECT CAST(count(*) AS BIGINT) AS n_lex FROM lex),
+          cs AS (SELECT CAST(count(*) AS BIGINT) AS n_sem FROM sem),
+          lp AS (SELECT CAST(count(*) AS BIGINT) AS lex_plant FROM lex
+            WHERE doc_b = doc_a + 10000000 AND doc_a % 20 = 0),
+          sp AS (SELECT CAST(count(*) AS BIGINT) AS sem_plant FROM sem
+            WHERE doc_b = doc_a + 10000000 AND doc_a % 20 = 0),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS n_plants
+            FROM documents WHERE doc_id % 20 = 0)
+          SELECT n_lex, n_sem, n_both,
+            n_lex - n_both AS lex_only, n_sem - n_both AS sem_only,
+            CAST(lex_plant * 1000 // n_plants AS BIGINT) AS planted_lex_pm,
+            CAST(sem_plant * 1000 // n_plants AS BIGINT) AS planted_sem_pm
+          FROM cl CROSS JOIN cs CROSS JOIN cb CROSS JOIN lp
+          CROSS JOIN sp CROSS JOIN np"""
+        }),
+
+      // Greedy k-center coreset (farthest-first traversal, k = 5) over
+      // the embedding store — the submodular DIVERSITY selection
+      // primitive next to q250's coverage greedy: each round picks the
+      // vector FARTHEST from its nearest chosen center (argmin of
+      // max euclid01-similarity, 6-dp-rounded so cross-engine float
+      // summation cannot flip the argmin; ties by vec_id). Per round:
+      // ONE corpus scan against the ≤4 broadcast centers + a bounded
+      // top-1 — the driver sees k−1 single-row argmins, never data
+      // (the q250/Bpe per-round-argmax discipline). Oracle = 4
+      // unrolled MATERIALIZED CTE rounds sharing the identical
+      // tie-break. cov_sim = the winner's similarity to its nearest
+      // prior center (null for the seed = min vec_id).
+      ("q307_kcenter_coreset", (s: SparkSession, d: String) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+          .persistTracked()
+        val seed = emb.orderBy("vec_id").limit(1)
+          .select("vec_id").head().getLong(0)
+        var chosen = Seq(seed)
+        var rows = Seq((1L, seed, Option.empty[Double]))
+        for (r <- 2 to 5) {
+          val centers = emb.filter(col("vec_id").isin(chosen: _*))
+            .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+          val win = emb.filter(!col("vec_id").isin(chosen: _*))
+            .crossJoin(broadcast(centers))
+            .withColumn("sim",
+              round(VF.euclidian01(col("embedding"), col("cemb")), 6))
+            .groupBy("vec_id").agg(max("sim").as("cov"))
+            .orderBy(asc("cov"), asc("vec_id")).limit(1).head()
+          chosen = chosen :+ win.getLong(0)
+          rows = rows :+ ((r.toLong, win.getLong(0),
+            Some(win.getDouble(1))))
+        }
+        rows.toDF("round", "vec_id", "cov_sim").orderBy("round")
+      },
+        Some {
+          def round(k: Int): String =
+            s"""r$k AS MATERIALIZED (SELECT v.vec_id AS vec_id, cov FROM (
+              SELECT v.vec_id,
+                max(round(${sqlEuclid01("v.embedding", "c.embedding")}, 6))
+                  AS cov
+              FROM e v, e c
+              WHERE c.vec_id IN (SELECT vec_id FROM ch${k - 1})
+                AND v.vec_id NOT IN (SELECT vec_id FROM ch${k - 1})
+              GROUP BY v.vec_id) v
+            ORDER BY cov, vec_id LIMIT 1),
+          ch$k AS (SELECT vec_id FROM ch${k - 1}
+            UNION ALL SELECT vec_id FROM r$k)"""
+          s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding
+            FROM embeddings),
+          c1 AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+          ch1 AS (SELECT vec_id FROM c1),
+          ${(2 to 5).map(round).mkString(",\n          ")}
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS round, vec_id,
+              CAST(NULL AS DOUBLE) AS cov_sim FROM c1
+            ${(2 to 5).map(k =>
+              s"UNION ALL SELECT $k, vec_id, cov FROM r$k").mkString("\n            ")}
+          ) ORDER BY round"""
+        }),
+
+      // Forecast backtest — seasonal-naive (day − 7) vs naive (day − 1)
+      // one-step-ahead prediction of daily event counts per type,
+      // scored by exact integer MAE (milli-events/day) over every day
+      // both predictors exist. The dense (type × day) grid is q268's:
+      // observed-day spine × broadcast type set, zero-filled; the
+      // predictor joins key on (type, day−k) — CALENDAR offsets, not
+      // row offsets, so a gapped spine cannot silently misalign a lag.
+      // All frames after the first rollup are grid-sized.
+      ("q308_forecast_backtest", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .select("event_type", "day").persistTracked()
+        val daily = ev.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val dense = ev.select("day").distinct()
+          .crossJoin(broadcast(ev.select("event_type").distinct()))
+          .join(daily, Seq("event_type", "day"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .persistTracked()
+        val p1 = dense.select(col("event_type"),
+          (col("day") + 1).as("day"), col("c").as("p1"))
+        val p7 = dense.select(col("event_type"),
+          (col("day") + 7).as("day"), col("c").as("p7"))
+        dense.join(p1, Seq("event_type", "day"))
+          .join(p7, Seq("event_type", "day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("c") - col("p1"))).as("e1"),
+            sum(abs(col("c") - col("p7"))).as("e7"))
+          .select(col("event_type"), col("n_days"),
+            expr("CAST(e1 * 1000 div n_days AS BIGINT)")
+              .as("mae_naive_milli"),
+            expr("CAST(e7 * 1000 div n_days AS BIGINT)")
+              .as("mae_seasonal_milli"),
+            when(col("e7") < col("e1"), lit("seasonal"))
+              .when(col("e1") < col("e7"), lit("naive"))
+              .otherwise(lit("tie")).as("winner"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_type,
+              epoch_ns(ts) // 86400000000000 AS day FROM events),
+          daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY event_type, day),
+          dense AS (SELECT t.event_type, dd.day, coalesce(daily.c, 0) AS c
+            FROM (SELECT DISTINCT event_type FROM e) t
+            CROSS JOIN (SELECT DISTINCT day FROM e) dd
+            LEFT JOIN daily ON daily.event_type = t.event_type
+              AND daily.day = dd.day),
+          j AS (SELECT d.event_type, d.c, p1.c AS p1, p7.c AS p7
+            FROM dense d
+            JOIN dense p1 ON p1.event_type = d.event_type
+              AND p1.day = d.day - 1
+            JOIN dense p7 ON p7.event_type = d.event_type
+              AND p7.day = d.day - 7)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(abs(c - p1)) * 1000 // count(*) AS BIGINT)
+              AS mae_naive_milli,
+            CAST(sum(abs(c - p7)) * 1000 // count(*) AS BIGINT)
+              AS mae_seasonal_milli,
+            CASE WHEN sum(abs(c - p7)) < sum(abs(c - p1)) THEN 'seasonal'
+              WHEN sum(abs(c - p1)) < sum(abs(c - p7)) THEN 'naive'
+              ELSE 'tie' END AS winner
+          FROM j GROUP BY event_type ORDER BY event_type"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -15567,7 +15810,7 @@ object Queries {
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
-      roundElevenW26 ++ roundElevenW27 ++ roundElevenW28
+      roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
