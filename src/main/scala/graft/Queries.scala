@@ -15802,6 +15802,163 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW30: Seq[Q] = {
+    Seq(
+      // Supplier delay blame — the TPC-H Q21 shape on this schema
+      // (no commitdate: "late" = shipped > 90 days after the order):
+      // suppliers who were the ONLY late supplier in a multi-supplier
+      // order. The textbook form is a double correlated
+      // EXISTS / NOT EXISTS — and that is exactly what the ORACLE
+      // runs; the Spark side is the scale rewrite: one (order,
+      // supplier) rollup, one order-keyed rollup (n_suppliers,
+      // n_late), one join back — no self-join ever touches lineitem,
+      // and the gate proves the rewrite equivalent. Top-10 by blame
+      // count, ties by name.
+      ("q309_delay_blame", (s: SparkSession, d: String) => {
+        val per = t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .agg(max(when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("late"))
+          .persistTracked()
+        val ord = per.groupBy("ok")
+          .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+        per.filter(col("late") === 1L)
+          .join(ord, "ok")
+          .filter(col("n_supp") > 1 && col("n_late") === 1L)
+          .groupBy("sk").agg(count(lit(1)).as("numwait"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("sk") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(desc("numwait"), asc("s_name")).limit(10)
+      },
+        Some("""WITH per AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+              max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2)
+          SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+          FROM per p1 JOIN supplier ON s_suppkey = p1.sk
+          WHERE p1.late = 1
+            AND EXISTS (SELECT 1 FROM per p2
+              WHERE p2.ok = p1.ok AND p2.sk <> p1.sk)
+            AND NOT EXISTS (SELECT 1 FROM per p3
+              WHERE p3.ok = p1.ok AND p3.sk <> p1.sk AND p3.late = 1)
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name LIMIT 10""")),
+
+      // National market share — the TPC-H Q8 shape: of all revenue
+      // ASIA-region customers generated, what share per year came
+      // from NATION_2's suppliers? Line revenue is exact cents
+      // (round(extprice·(1−disc)·100) — identical per-row IEEE double
+      // product both engines, q205 discipline) so the yearly share is
+      // an integer permille. Plan shape: the fact table joins only
+      // BROADCAST dimensions (customer-side nation/region prune,
+      // supplier-side nation tag); one year-keyed rollup.
+      ("q310_market_share", (s: SparkSession, d: String) => {
+        val nat = t(s, d, "nation")
+        val custAsia = t(s, d, "customer")
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("c_custkey"))
+        val suppNat = t(s, d, "supplier")
+          .join(nat.select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .select(year(col("o_orderdate")).cast("long").as("o_year"),
+            expr("""CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)""").as("cents"),
+            col("supp_nation"))
+          .groupBy("o_year")
+          .agg(sum("cents").as("total_cents"),
+            sum(when(col("supp_nation") === "NATION_2", col("cents"))
+              .otherwise(0L)).as("nation_cents"))
+          .select(col("o_year"), col("total_cents"), col("nation_cents"),
+            expr("CAST(nation_cents * 1000 div total_cents AS BIGINT)")
+              .as("share_pm"))
+          .orderBy("o_year")
+      },
+        Some("""WITH ca AS (SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'),
+          sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey),
+          rev AS (SELECT year(o_orderdate) AS o_year,
+              CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) AS cents,
+              supp_nation
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN ca ON o_custkey = ca.c_custkey
+            JOIN sn ON l_suppkey = sn.s_suppkey)
+          SELECT CAST(o_year AS BIGINT) AS o_year,
+            CAST(sum(cents) AS BIGINT) AS total_cents,
+            CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents
+              ELSE 0 END) AS BIGINT) AS nation_cents,
+            CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents
+              ELSE 0 END) * 1000
+              // sum(cents) AS BIGINT) AS share_pm
+          FROM rev GROUP BY o_year ORDER BY o_year""")),
+
+      // Dormant high-balance customers — the TPC-H Q22 shape: customers
+      // whose balance beats the positive-balance average but who placed
+      // NO order since 2000-01-01 (every synthetic customer has SOME
+      // order, so literal never-ordered is empty — recency-dormancy is
+      // the form churn screens actually run), rolled up per nation.
+      // The cutoff is an INTEGER-FLOOR average over exact cents
+      // (round(·100) per row): a float average's engine-order ulp
+      // could flip a boundary customer, an integer cutoff cannot.
+      // Dormancy = LEFT-ANTI against the distinct recent-order
+      // custkeys (oracle: NOT EXISTS).
+      ("q311_dormant_rich", (s: SparkSession, d: String) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+          .persistTracked()
+        val cut = cust.filter(col("cents") > 0)
+          .agg(expr("CAST(sum(cents) div count(1) AS BIGINT)").as("cutoff"))
+        cust.crossJoin(broadcast(cut))
+          .filter(col("cents") > col("cutoff"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_custs"), sum("cents").as("total_cents"))
+          .select(col("n_name"), col("n_custs"), col("total_cents"),
+            expr("CAST(total_cents div n_custs AS BIGINT)").as("avg_cents"))
+          .orderBy("n_name")
+      },
+        Some("""WITH cust AS (SELECT c_custkey, c_nationkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer),
+          cut AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS cutoff
+            FROM cust WHERE cents > 0)
+          SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+            CAST(sum(cents) AS BIGINT) AS total_cents,
+            CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+          FROM cust CROSS JOIN cut
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE cents > cutoff
+            AND NOT EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY n_name ORDER BY n_name"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -15810,7 +15967,8 @@ object Queries {
       roundElevenW14 ++ roundElevenW15 ++ roundElevenW16 ++ roundElevenW17 ++
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
-      roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29
+      roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
+      roundElevenW30
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
