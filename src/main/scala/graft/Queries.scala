@@ -15959,6 +15959,244 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW31: Seq[Q] = {
+    Seq(
+      // Multinomial Naive Bayes — the COUNTING model family next to the
+      // GD classifier (q107/q237): add-one-smoothed per-token
+      // log-likelihood ratios vs the q107 language label (lang ∈
+      // {en, de}), trained on doc_id % 7 ≠ 0 and scored on the
+      // held-out seventh (q237's split). On THIS corpus the verdict is
+      // an honest null carried in-band (base_pm next to acc_pm, the
+      // q302 convention): every language draws from one shared
+      // template vocabulary, so bag-of-words NB lands near the
+      // majority-class baseline — the same non-separability q252
+      // reads from the marker-heuristic side. (A first cut against
+      // the q43 quality label was fully degenerate — all-positive
+      // predictions; the q221 homogeneous-corpus lesson.) Every log term quantizes to 6-dp integer micros BEFORE
+      // any cross-row sum (the q83 discipline — float log sums are
+      // engine-order-dependent; integer sums are exact), unseen test
+      // tokens take the constant α-floor ratio, and the decision is an
+      // exact integer sign test. Train = ONE (token, class) rollup;
+      // scoring joins the BROADCAST vocabulary table — the token
+      // stream never shuffles (q83's scale shape).
+      ("q312_naive_bayes", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"),
+            when(col("lang").isin("en", "de"), 1L).otherwise(0L).as("y"))
+          .persistTracked()
+        val train = docs.filter(col("doc_id") % 7 =!= 0)
+        val cnt = train.select(col("y"), explode(col("toks")).as("tok"))
+          .groupBy("tok")
+          .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"))
+        val tot = cnt.agg(sum("n1").as("t1"), sum("n0").as("t0"),
+          count(lit(1)).as("v"))
+        val pri = train.agg(
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("d1"),
+          count(lit(1)).as("dn"))
+        val llr = cnt.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            expr("""CAST(round((ln((n1 + 1) / CAST(t1 + v AS DOUBLE))
+              - ln((n0 + 1) / CAST(t0 + v AS DOUBLE))) * 1000000)
+              AS BIGINT)""").as("llr_micro"))
+        val consts = tot.crossJoin(pri).select(
+          expr("""CAST(round((ln(1.0 / (t1 + v))
+            - ln(1.0 / (t0 + v))) * 1000000) AS BIGINT)""")
+            .as("unseen_micro"),
+          expr("""CAST(round((ln(CAST(d1 AS DOUBLE))
+            - ln(CAST(dn - d1 AS DOUBLE))) * 1000000) AS BIGINT)""")
+            .as("prior_micro"),
+          col("dn").as("n_train"))
+        val scored = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("y"), explode(col("toks")).as("tok"))
+          .join(broadcast(llr), Seq("tok"), "left")
+          .crossJoin(broadcast(consts))
+          .groupBy("doc_id", "y", "prior_micro", "n_train")
+          .agg(sum(coalesce(col("llr_micro"), col("unseen_micro")))
+            .as("ts"))
+          .withColumn("pred",
+            when(col("ts") + col("prior_micro") > 0, 1L).otherwise(0L))
+        scored.groupBy("n_train").agg(
+            count(lit(1)).as("n_test"),
+            sum(when(col("pred") === 1 && col("y") === 1, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("pred") === 1 && col("y") === 0, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("pred") === 0 && col("y") === 1, 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("pred") === 0 && col("y") === 0, 1L)
+              .otherwise(0L)).as("tn"))
+          .select(col("n_train"), col("n_test"), col("tp"), col("fp"),
+            col("fn"), col("tn"),
+            expr("CAST((tp + tn) * 1000 div n_test AS BIGINT)")
+              .as("acc_pm"),
+            expr("CAST(greatest(tp + fn, fp + tn) * 1000 div n_test" +
+              " AS BIGINT)").as("base_pm"))
+      },
+        Some(s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS toks,
+              CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS y
+            FROM documents),
+          train AS (SELECT * FROM docs WHERE doc_id % 7 <> 0),
+          cnt AS (SELECT t.tok,
+              CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+            FROM train, unnest(toks) AS t(tok) GROUP BY t.tok),
+          tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+              CAST(sum(n0) AS BIGINT) AS t0,
+              CAST(count(*) AS BIGINT) AS v FROM cnt),
+          pri AS (SELECT
+              CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+              CAST(count(*) AS BIGINT) AS dn FROM train),
+          llr AS (SELECT tok,
+              CAST(round((ln((n1 + 1) / CAST(t1 + v AS DOUBLE))
+                - ln((n0 + 1) / CAST(t0 + v AS DOUBLE))) * 1000000)
+                AS BIGINT) AS llr_micro
+            FROM cnt CROSS JOIN tot),
+          consts AS (SELECT
+              CAST(round((ln(1.0 / (t1 + v)) - ln(1.0 / (t0 + v)))
+                * 1000000) AS BIGINT) AS unseen_micro,
+              CAST(round((ln(CAST(d1 AS DOUBLE))
+                - ln(CAST(dn - d1 AS DOUBLE))) * 1000000) AS BIGINT)
+                AS prior_micro,
+              dn AS n_train
+            FROM tot CROSS JOIN pri),
+          sc AS (SELECT e.doc_id, e.y, c.prior_micro, c.n_train,
+              CAST(sum(coalesce(l.llr_micro, c.unseen_micro)) AS BIGINT)
+                AS ts
+            FROM (SELECT doc_id, y, t.tok FROM docs,
+              unnest(toks) AS t(tok) WHERE doc_id % 7 = 0) e
+            LEFT JOIN llr l ON l.tok = e.tok
+            CROSS JOIN consts c
+            GROUP BY e.doc_id, e.y, c.prior_micro, c.n_train),
+          pr AS (SELECT *, CASE WHEN ts + prior_micro > 0 THEN 1 ELSE 0
+              END AS pred FROM sc)
+          SELECT n_train, CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn,
+            CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000
+              // count(*) AS BIGINT) AS acc_pm,
+            CAST(greatest(sum(y), count(*) - sum(y)) * 1000
+              // count(*) AS BIGINT) AS base_pm
+          FROM pr GROUP BY n_train""")),
+
+      // Join-key skew audit — the pre-salting evidence behind every
+      // shuffle-join sizing decision (q288's planner-statistics
+      // sibling): for each lineitem FK, the key-multiplicity profile —
+      // NDV, max key count, exact p50/p99 of the per-key count via the
+      // q207 histogram rule over the (count → n_keys) frame, and the
+      // hottest key's load relative to uniform in exact ppm
+      // (max·ndv·10⁶ div rows — >10⁶ means some reducer gets more
+      // than its fair share). The raw fact table is touched ONCE per
+      // family; every window runs over the multiplicity histogram.
+      ("q313_join_skew_audit", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey").persistTracked()
+        def fam(k: String): DataFrame = {
+          val hist = li.groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
+            .groupBy("c").agg(count(lit(1)).as("nk"))
+          val wcum = Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+          hist.withColumn("cum", sum("nk").over(wcum))
+            .withColumn("nall", sum("nk").over(wAll))
+            .agg(sum(expr("c * nk")).as("n_rows"),
+              sum("nk").as("ndv"), max("c").as("max_cnt"),
+              min(when(col("cum") * 100 >= col("nall") * 50, col("c")))
+                .as("p50_cnt"),
+              min(when(col("cum") * 100 >= col("nall") * 99, col("c")))
+                .as("p99_cnt"))
+            .select(lit(k).as("key_col"), col("n_rows"), col("ndv"),
+              col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+              expr("CAST(max_cnt * ndv * 1000000 div n_rows AS BIGINT)")
+                .as("hot_over_uniform_ppm"))
+        }
+        fam("l_orderkey").unionByName(fam("l_partkey"))
+          .unionByName(fam("l_suppkey"))
+          .orderBy("key_col")
+      },
+        Some {
+          def fam(k: String): String =
+            s"""SELECT '$k' AS key_col, n_rows, ndv, max_cnt, p50_cnt,
+              p99_cnt,
+              CAST(max_cnt * ndv * 1000000 // n_rows AS BIGINT)
+                AS hot_over_uniform_ppm
+            FROM (SELECT CAST(sum(c * nk) AS BIGINT) AS n_rows,
+                CAST(sum(nk) AS BIGINT) AS ndv,
+                CAST(max(c) AS BIGINT) AS max_cnt,
+                CAST(min(CASE WHEN cum * 100 >= nall * 50 THEN c END)
+                  AS BIGINT) AS p50_cnt,
+                CAST(min(CASE WHEN cum * 100 >= nall * 99 THEN c END)
+                  AS BIGINT) AS p99_cnt
+              FROM (SELECT c, nk,
+                  sum(nk) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                    AS cum,
+                  sum(nk) OVER () AS nall
+                FROM (SELECT c, CAST(count(*) AS BIGINT) AS nk
+                  FROM (SELECT $k, CAST(count(*) AS BIGINT) AS c
+                    FROM lineitem GROUP BY $k) GROUP BY c)))"""
+          Seq("l_orderkey", "l_partkey", "l_suppkey").map(fam)
+            .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+              "\n) ORDER BY key_col")
+        }),
+
+      // ABC / Pareto part classification — the classic inventory
+      // analysis: parts ranked by revenue, class A = the head covering
+      // 80% of cumulative revenue, B to 95%, C the tail, reported as
+      // (class → parts, revenue, share). Line revenue is exact cents;
+      // the descending cumulative window runs over the PART-level
+      // rollup — a catalog-bounded frame (q288's NDV convention), 300×
+      // smaller than the fact table here and bounded by catalog size
+      // at any corpus scale; class boundaries are cross-multiplied
+      // (cum·1000 vs T·800/950 — no float share ever computed).
+      ("q314_abc_analysis", (s: SparkSession, d: String) => {
+        val rev = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("""CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT)""").as("cents"))
+          .groupBy("l_partkey").agg(sum("cents").as("cents"))
+        val wcum = Window.orderBy(desc("cents"), asc("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        rev.withColumn("cum", sum("cents").over(wcum))
+          .withColumn("tot", sum("cents").over(wAll))
+          .withColumn("cls",
+            when(col("cum") * 1000 <= col("tot") * 800, "A")
+              .when(col("cum") * 1000 <= col("tot") * 950, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"),
+            max("tot").as("tot"))
+          .select(col("cls"), col("n_parts"), col("cents"),
+            expr("CAST(cents * 1000 div tot AS BIGINT)").as("share_pm"))
+          .orderBy("cls")
+      },
+        Some("""WITH rev AS (SELECT l_partkey,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey),
+          cu AS (SELECT l_partkey, cents,
+              sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(cents) OVER () AS tot
+            FROM rev),
+          cl AS (SELECT *, CASE WHEN cum * 1000 <= tot * 800 THEN 'A'
+              WHEN cum * 1000 <= tot * 950 THEN 'B' ELSE 'C' END AS cls
+            FROM cu)
+          SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+            CAST(sum(cents) AS BIGINT) AS cents,
+            CAST(sum(cents) * 1000 // max(tot) AS BIGINT) AS share_pm
+          FROM cl GROUP BY cls ORDER BY cls"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -15968,7 +16206,7 @@ object Queries {
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
-      roundElevenW30
+      roundElevenW30 ++ roundElevenW31
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
