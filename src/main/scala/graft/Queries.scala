@@ -16197,6 +16197,200 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW32: Seq[Q] = {
+    // smallest b >= 1 with 2^b >= x, as a CASE chain valid in BOTH SQL
+    // dialects (b <= 21 covers every cardinality these tables reach; a
+    // float log2 at the exact-power boundary could round either way)
+    def bitsCase(x: String): String =
+      (1 to 21).map(b => s"WHEN $x <= ${1L << b} THEN $b")
+        .mkString("CASE ", " ", " ELSE 22 END")
+    Seq(
+      // Columnar encoding advisor — the lakehouse layout decision
+      // q288's planner stats feed: for six lineitem columns, would
+      // dictionary encoding pay? dict_bytes = ndv·width + bit-packed
+      // codes ((n·ceil(log2 ndv)+7) div 8), vs raw n·width, savings
+      // in signed permille (negative = dictionary LOSES, as it does
+      // for near-unique keys). All six NDVs come from ONE aggregate
+      // pass over the fact table; the code-width ceil(log2) is an
+      // integer CASE chain, not a float log that could flip at an
+      // exact power of two.
+      ("q315_encoding_advisor", (s: SparkSession, d: String) => {
+        val cols = Seq(("l_returnflag", 1L), ("l_linestatus", 1L),
+          ("l_quantity", 8L), ("l_partkey", 8L), ("l_suppkey", 8L),
+          ("l_shipdate", 8L))
+        val st = t(s, d, "lineitem").agg(
+          count(lit(1)).as("n"),
+          cols.map { case (c, _) =>
+            countDistinct(col(c)).as(s"ndv_$c") }: _*)
+          .persistTracked()
+        cols.map { case (c, w) =>
+          st.select(lit(c).as("col_name"), col("n"),
+            col(s"ndv_$c").as("ndv"),
+            expr(bitsCase(s"ndv_$c")).cast("long").as("bits"),
+            (col("n") * w).as("raw_bytes"))
+            .withColumn("dict_bytes",
+              expr(s"ndv * $w + (n * bits + 7) div 8"))
+            .select(col("col_name"), col("n"), col("ndv"), col("bits"),
+              col("raw_bytes"), col("dict_bytes"),
+              expr("""CAST((raw_bytes - dict_bytes) * 1000 div raw_bytes
+                AS BIGINT)""").as("savings_pm"))
+        }.reduce(_.unionByName(_)).orderBy("col_name")
+      },
+        Some {
+          def fam(c: String, w: Long): String =
+            s"""SELECT '$c' AS col_name, n, ndv,
+              CAST(${bitsCase("ndv")} AS BIGINT) AS bits,
+              n * $w AS raw_bytes,
+              ndv * $w + (n * (${bitsCase("ndv")}) + 7) // 8 AS dict_bytes,
+              CAST((n * $w - (ndv * $w + (n * (${bitsCase("ndv")}) + 7) // 8))
+                * 1000 // (n * $w) AS BIGINT) AS savings_pm
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT $c) AS BIGINT) AS ndv FROM lineitem)"""
+          Seq(("l_returnflag", 1L), ("l_linestatus", 1L),
+            ("l_quantity", 8L), ("l_partkey", 8L), ("l_suppkey", 8L),
+            ("l_shipdate", 8L))
+            .map { case (c, w) => fam(c, w) }
+            .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+              "\n) ORDER BY col_name")
+        }),
+
+      // Incremental JOIN-view maintenance — q280 proved the aggregate
+      // side; this proves the CROSS-TERM identity Δ(L⋈O) = ΔL⋈O ∪
+      // L⋈ΔO ∪ ΔL⋈ΔO on a per-customer revenue view, with the two
+      // tables split INDEPENDENTLY (late-arriving lines for existing
+      // orders AND new orders — an FK-aligned split would silently
+      // skip both cross terms). The merged view equals the full
+      // recompute key-for-key (match_pm travels with the result), and
+      // the delta-term row counts sit beside it: the update touched
+      // delta-sized joins, never base⋈base again.
+      ("q316_ivm_join_view", (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), (col("o_orderkey") % 10 === 0).as("od"))
+          .persistTracked()
+        val l = t(s, d, "lineitem").select(col("l_orderkey"),
+          expr("""CAST(round(l_extendedprice * (1 - l_discount) * 100)
+            AS BIGINT)""").as("cents"),
+          (col("l_linenumber") >= 4).as("ld"))
+          .persistTracked()
+        def view(lf: DataFrame, of: DataFrame): DataFrame =
+          lf.join(of, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        val quads = Seq(
+          ("base", view(l.filter(!col("ld")), o.filter(!col("od")))),
+          ("dl_ob", view(l.filter(col("ld")), o.filter(!col("od")))),
+          ("lb_do", view(l.filter(!col("ld")), o.filter(col("od")))),
+          ("dl_do", view(l.filter(col("ld")), o.filter(col("od")))))
+          .map { case (nm, df) => nm -> df.persistTracked() }
+        val merged = quads.map(_._2).reduce(_.unionByName(_))
+          .groupBy("o_custkey")
+          .agg(sum("n").as("n"), sum("s").as("s"))
+        val full = view(l, o)
+        val proof = merged
+          .join(full.select(col("o_custkey"), col("n").as("fn"),
+            col("s").as("fs")), Seq("o_custkey"), "full_outer")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("n") === col("fn") && col("s") === col("fs"),
+              1L).otherwise(0L)).as("n_match"),
+            sum("fn").as("total_lines"), sum("fs").as("total_cents"))
+        def rows(df: DataFrame, nm: String): DataFrame =
+          df.agg(sum("n").as(nm))
+        proof
+          .crossJoin(rows(quads(1)._2, "rows_dl_ob"))
+          .crossJoin(rows(quads(2)._2, "rows_lb_do"))
+          .crossJoin(rows(quads(3)._2, "rows_dl_do"))
+          .select(col("n_customers"), col("total_lines"),
+            col("total_cents"), col("rows_dl_ob"), col("rows_lb_do"),
+            col("rows_dl_do"),
+            expr("CAST(n_match * 1000 div n_customers AS BIGINT)")
+              .as("match_pm"))
+      },
+        Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+              o_orderkey % 10 = 0 AS od FROM orders),
+          l AS (SELECT l_orderkey,
+              CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) AS cents,
+              l_linenumber >= 4 AS ld FROM lineitem),
+          j AS (SELECT o_custkey, cents, ld, od FROM l
+            JOIN o ON l_orderkey = o_orderkey),
+          q AS (SELECT o_custkey, ld, od, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS s
+            FROM j GROUP BY o_custkey, ld, od),
+          merged AS (SELECT o_custkey, CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(s) AS BIGINT) AS s FROM q GROUP BY o_custkey),
+          full_v AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS fn,
+              CAST(sum(cents) AS BIGINT) AS fs
+            FROM j GROUP BY o_custkey),
+          proof AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(CASE WHEN m.n = f.fn AND m.s = f.fs THEN 1
+                ELSE 0 END) AS BIGINT) AS n_match,
+              CAST(sum(f.fn) AS BIGINT) AS total_lines,
+              CAST(sum(f.fs) AS BIGINT) AS total_cents
+            FROM merged m FULL OUTER JOIN full_v f USING (o_custkey)),
+          terms AS (SELECT
+              CAST(sum(CASE WHEN ld AND NOT od THEN n ELSE 0 END)
+                AS BIGINT) AS rows_dl_ob,
+              CAST(sum(CASE WHEN NOT ld AND od THEN n ELSE 0 END)
+                AS BIGINT) AS rows_lb_do,
+              CAST(sum(CASE WHEN ld AND od THEN n ELSE 0 END)
+                AS BIGINT) AS rows_dl_do
+            FROM q)
+          SELECT n_customers, total_lines, total_cents, rows_dl_ob,
+            rows_lb_do, rows_dl_do,
+            CAST(n_match * 1000 // n_customers AS BIGINT) AS match_pm
+          FROM proof CROSS JOIN terms""")),
+
+      // Percent-of-parent hierarchical rollup — the OLAP drill view
+      // q218's ROLLUP counts from the other direction: each nation's
+      // revenue share OF ITS REGION and each region's share of global,
+      // in exact permille from cents. Three rollup levels, each parent
+      // joined back BROADCAST (region and global frames are
+      // dimension-sized); the fact table is touched once.
+      ("q317_pct_of_parent", (s: SparkSession, d: String) => {
+        val natRev = t(s, d, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum("cents").as("cents"))
+          .persistTracked()
+        val regRev = natRev.groupBy("r_name")
+          .agg(sum("cents").as("r_cents"))
+        val glob = regRev.agg(sum("r_cents").as("g_cents"))
+        natRev.join(broadcast(regRev), "r_name")
+          .crossJoin(broadcast(glob))
+          .select(col("r_name"), col("n_name"), col("cents"),
+            expr("CAST(cents * 1000 div r_cents AS BIGINT)")
+              .as("share_of_region_pm"),
+            expr("CAST(r_cents * 1000 div g_cents AS BIGINT)")
+              .as("region_share_pm"))
+          .orderBy("r_name", "n_name")
+      },
+        Some("""WITH nr AS (SELECT r_name, n_name,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name),
+          rr AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS r_cents
+            FROM nr GROUP BY r_name),
+          g AS (SELECT CAST(sum(r_cents) AS BIGINT) AS g_cents FROM rr)
+          SELECT nr.r_name, n_name, cents,
+            CAST(cents * 1000 // r_cents AS BIGINT) AS share_of_region_pm,
+            CAST(r_cents * 1000 // g_cents AS BIGINT) AS region_share_pm
+          FROM nr JOIN rr ON nr.r_name = rr.r_name CROSS JOIN g
+          ORDER BY nr.r_name, n_name"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -16206,7 +16400,7 @@ object Queries {
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
-      roundElevenW30 ++ roundElevenW31
+      roundElevenW30 ++ roundElevenW31 ++ roundElevenW32
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
