@@ -16391,6 +16391,193 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW33: Seq[Q] = {
+    Seq(
+      // Predicate-correlation audit — the CONJUNCTIVE-selectivity
+      // sibling of q292's join-estimate audit: for each pair of three
+      // document predicates (lang = 'en'; quality ≥ 0.5; tokens ≥ 40),
+      // the planner's independence estimate sel(A)·sel(B) vs the
+      // actual joint selectivity, plus the correlation lift in exact
+      // ppm (q233's cross-multiplied convention — lift > 10⁶ means
+      // the predicates are positively correlated and an independence-
+      // assuming optimizer UNDERESTIMATES the conjunction). All three
+      // pairs come from ONE flag-aggregate pass over the corpus.
+      ("q318_predicate_correlation", (s: SparkSession, d: String) => {
+        val st = t(s, d, "documents")
+          .select(
+            when(col("lang") === "en", 1L).otherwise(0L).as("fa"),
+            when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+              .as("fb"),
+            when(size(TF.tokens(col("text"))) >= 40, 1L).otherwise(0L)
+              .as("fc"))
+          .agg(count(lit(1)).as("n"), sum("fa").as("na"),
+            sum("fb").as("nb"), sum("fc").as("nc"),
+            sum(col("fa") * col("fb")).as("nab"),
+            sum(col("fa") * col("fc")).as("nac"),
+            sum(col("fb") * col("fc")).as("nbc"))
+          .persistTracked()
+        def pair(nm: String, a: String, b: String, ab: String): DataFrame =
+          st.select(lit(nm).as("pair"), col("n"),
+            col(a).as("n_a"), col(b).as("n_b"), col(ab).as("n_ab"),
+            expr(s"CAST($ab * 1000000 div n AS BIGINT)").as("actual_ppm"),
+            expr(s"CAST($a * $b * 1000000 div (n * n) AS BIGINT)")
+              .as("indep_ppm"),
+            expr(s"""CAST(CASE WHEN $a * $b = 0 THEN -1
+              ELSE $ab * n * 1000000 div ($a * $b) END AS BIGINT)""")
+              .as("lift_ppm"))
+        pair("lang_x_quality", "na", "nb", "nab")
+          .unionByName(pair("lang_x_length", "na", "nc", "nac"))
+          .unionByName(pair("quality_x_length", "nb", "nc", "nbc"))
+          .orderBy("pair")
+      },
+        Some {
+          def pair(nm: String, a: String, b: String, ab: String): String =
+            s"""SELECT '$nm' AS pair, n, $a AS n_a, $b AS n_b,
+              $ab AS n_ab,
+              CAST($ab * 1000000 // n AS BIGINT) AS actual_ppm,
+              CAST($a * $b * 1000000 // (n * n) AS BIGINT) AS indep_ppm,
+              CAST(CASE WHEN $a * $b = 0 THEN -1
+                ELSE $ab * n * 1000000 // ($a * $b) END AS BIGINT)
+                AS lift_ppm
+            FROM st"""
+          s"""WITH fl AS (SELECT
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS fa,
+              CASE WHEN $sqlQuality >= 0.5 THEN 1 ELSE 0 END AS fb,
+              CASE WHEN len(${sqlTokens("text")}) >= 40 THEN 1 ELSE 0 END
+                AS fc
+            FROM documents),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(fa) AS BIGINT) AS na, CAST(sum(fb) AS BIGINT) AS nb,
+              CAST(sum(fc) AS BIGINT) AS nc,
+              CAST(sum(fa * fb) AS BIGINT) AS nab,
+              CAST(sum(fa * fc) AS BIGINT) AS nac,
+              CAST(sum(fb * fc) AS BIGINT) AS nbc
+            FROM fl)
+          SELECT * FROM (
+            ${pair("lang_x_quality", "na", "nb", "nab")}
+            UNION ALL ${pair("lang_x_length", "na", "nc", "nac")}
+            UNION ALL ${pair("quality_x_length", "nb", "nc", "nbc")}
+          ) ORDER BY pair"""
+        }),
+
+      // CDC net-effect compaction — the Debezium-log → table-merge
+      // algebra next to q231's latest-wins read: the event stream
+      // becomes an I/U/D op log per (user, type) key (first occurrence
+      // = INSERT, repeats = UPDATE, every event_id ≡ 0 mod 17 = DELETE
+      // marker), and compaction keeps ONE row per key — the last value
+      // if the final op isn't a delete, nothing otherwise (I…D
+      // sequences vanish entirely, the classic tombstone collapse).
+      // One key-partitioned window pass; the report prices the
+      // compaction per event type: ops in, net upserts, net drops,
+      // surviving-row permille.
+      ("q319_cdc_compaction", (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(desc("ts"), desc("event_id"))
+        eventsNs(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"),
+            when(col("event_id") % 17 === 0, lit("D"))
+              .otherwise(lit("UP")).as("op"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_ops"),
+            max(when(col("rn") === 1, col("op"))).as("last_op"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_keys"), sum("n_ops").as("n_ops"),
+            sum(when(col("last_op") =!= "D", 1L).otherwise(0L))
+              .as("net_upserts"),
+            sum(when(col("last_op") === "D", 1L).otherwise(0L))
+              .as("net_drops"))
+          .select(col("event_type"), col("n_keys"), col("n_ops"),
+            col("net_upserts"), col("net_drops"),
+            expr("CAST(net_upserts * 1000 div n_ops AS BIGINT)")
+              .as("kept_pm"))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT user_id, event_type, event_id,
+              epoch_ns(ts) AS tsn,
+              CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'UP' END AS op
+            FROM events),
+          r AS (SELECT user_id, event_type, op,
+              row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM e),
+          k AS (SELECT user_id, event_type,
+              CAST(count(*) AS BIGINT) AS n_ops,
+              max(CASE WHEN rn = 1 THEN op END) AS last_op
+            FROM r GROUP BY user_id, event_type)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(n_ops) AS BIGINT) AS n_ops,
+            CAST(sum(CASE WHEN last_op <> 'D' THEN 1 ELSE 0 END)
+              AS BIGINT) AS net_upserts,
+            CAST(sum(CASE WHEN last_op = 'D' THEN 1 ELSE 0 END)
+              AS BIGINT) AS net_drops,
+            CAST(sum(CASE WHEN last_op <> 'D' THEN 1 ELSE 0 END) * 1000
+              // sum(n_ops) AS BIGINT) AS kept_pm
+          FROM k GROUP BY event_type ORDER BY event_type""")),
+
+      // A-priori level 3 — frequent TRIPLES via the classic downward-
+      // closure candidate generation on top of q233's pairs: a triple
+      // is only assembled from a frequent (a, b) pair extended by a
+      // third in-order item, then BOTH other sub-pairs must be
+      // frequent (left-semi probes) before the support count — the
+      // candidate space is pruned twice before the only wide rollup.
+      // On these uniform synthetic baskets the honest reading is weak
+      // structure (max triple support 3 at sf0.001, 2 at sf0.01 — the
+      // q302 at-chance convention); the pruned DATAFLOW is the
+      // deliverable. Top-10 by support, item-id tie-break.
+      ("q320_apriori_triples", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().persistTracked()
+        val fp = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+          .select("pa", "pb").persistTracked()
+        val inOrder = fp.join(li.as("ab"), col("pa") === col("ab.pk"))
+          .select(col("ab.ok").as("ok"), col("pa"), col("pb"))
+        val cand = inOrder.as("io")
+          .join(li.as("x"), col("x.ok") === col("io.ok")
+            && col("x.pk") === col("io.pb"))
+          .select(col("io.ok").as("ok2"), col("io.pa").as("pa"),
+            col("io.pb").as("pb"))
+          .join(li.as("c"), col("c.ok") === col("ok2")
+            && col("c.pk") > col("pb"))
+          .select(col("ok2").as("ok"), col("pa"), col("pb"),
+            col("c.pk").as("pc"))
+          .join(fp.select(col("pa").as("ja"), col("pb").as("jc")),
+            col("pa") === col("ja") && col("pc") === col("jc"), "left_semi")
+          .join(fp.select(col("pa").as("jb"), col("pb").as("jc2")),
+            col("pb") === col("jb") && col("pc") === col("jc2"),
+            "left_semi")
+        cand.groupBy("pa", "pb", "pc")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(desc("support"), asc("pa"), asc("pb"), asc("pc"))
+          .limit(10)
+      },
+        Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          fp AS (SELECT a.pk AS pa, b.pk AS pb
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+          cand AS (SELECT x.ok, f.pa, f.pb, c.pk AS pc
+            FROM fp f
+            JOIN li a2 ON a2.pk = f.pa
+            JOIN li x ON x.ok = a2.ok AND x.pk = f.pb
+            JOIN li c ON c.ok = x.ok AND c.pk > f.pb
+            WHERE EXISTS (SELECT 1 FROM fp f2
+                WHERE f2.pa = f.pa AND f2.pb = c.pk)
+              AND EXISTS (SELECT 1 FROM fp f3
+                WHERE f3.pa = f.pb AND f3.pb = c.pk))
+          SELECT pa, pb, pc, CAST(count(*) AS BIGINT) AS support
+          FROM cand GROUP BY pa, pb, pc HAVING count(*) >= 2
+          ORDER BY support DESC, pa, pb, pc LIMIT 10"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -16400,7 +16587,7 @@ object Queries {
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
-      roundElevenW30 ++ roundElevenW31 ++ roundElevenW32
+      roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
