@@ -16578,6 +16578,254 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW34: Seq[Q] = {
+    Seq(
+      // Bot detection by inter-event regularity — the abuse-tier screen:
+      // a scripted client's gaps are metronomic where a human's are
+      // bursty. Per user with ≥ 5 gaps, the squared coefficient of
+      // variation of MINUTE-quantized gaps (minutes keep n·Σg² inside
+      // int64 at any fleet scale; sub-minute-only users floor to S = 0
+      // and are exempt), flagged when CV² < 1% — evaluated as
+      // 100·(n·Q − S²) < S², fully cross-multiplied. A planted
+      // metronome user (200 events exactly 60 s apart, id and epoch
+      // DATA-DERIVED so Scale-harness id shifts can't collide — the
+      // q231 lesson) must flag; organic flags ride alongside. One
+      // user-partitioned lag + one rollup.
+      ("q321_bot_regularity", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d).select(col("user_id"), col("ts"))
+          .persistTracked()
+        val b = ev.agg(min(col("ts")).as("t0"),
+          max(col("user_id")).cast("long").as("mu")).head()
+        val t0 = b.getLong(0); val botId = b.getLong(1) + 1L
+        val bot = s.range(200).select(lit(botId).as("user_id"),
+          (lit(t0) + col("id") * 60000000000L).as("ts"))
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val gaps = ev.select(col("user_id").cast("long").as("user_id"),
+            col("ts"))
+          .unionByName(bot)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"),
+            expr("(ts - prev) div 60000000000").as("g"))
+        val per = gaps.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+            sum(expr("g * g")).as("qg"))
+          .filter(col("n") >= 5)
+          .withColumn("flagged",
+            when(col("sg") > 0 &&
+              lit(100L) * (col("n") * col("qg") - col("sg") * col("sg"))
+                < col("sg") * col("sg"), 1L).otherwise(0L))
+        per.agg(count(lit(1)).as("n_users"),
+            sum("flagged").as("n_flagged"),
+            max(when(col("user_id") === botId, col("flagged")))
+              .as("bot_flagged"))
+          .select(col("n_users"), col("n_flagged"), col("bot_flagged"),
+            (col("n_flagged") - col("bot_flagged")).as("organic_flagged"))
+      },
+        Some("""WITH base AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+              epoch_ns(ts) AS tsn FROM events),
+          bd AS (SELECT min(tsn) AS t0, max(user_id) + 1 AS bot_id
+            FROM base),
+          ev AS (SELECT user_id, tsn FROM base
+            UNION ALL SELECT bd.bot_id, bd.t0 + u.i * 60000000000
+            FROM bd, unnest(range(200)) AS u(i)),
+          gaps AS (SELECT user_id, (tsn - prev) // 60000000000 AS g
+            FROM (SELECT user_id, tsn, lag(tsn) OVER (
+                PARTITION BY user_id ORDER BY tsn) AS prev FROM ev)
+            WHERE prev IS NOT NULL),
+          per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(g) AS BIGINT) AS sg,
+              CAST(sum(g * g) AS BIGINT) AS qg
+            FROM gaps GROUP BY user_id HAVING count(*) >= 5),
+          fl AS (SELECT user_id,
+              CASE WHEN sg > 0 AND 100 * (n * qg - sg * sg) < sg * sg
+                THEN 1 ELSE 0 END AS flagged
+            FROM per)
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(flagged) AS BIGINT) AS n_flagged,
+            CAST(max(CASE WHEN user_id = (SELECT bot_id FROM bd)
+              THEN flagged END) AS BIGINT) AS bot_flagged,
+            CAST(sum(flagged) - max(CASE WHEN user_id =
+              (SELECT bot_id FROM bd) THEN flagged END) AS BIGINT)
+              AS organic_flagged
+          FROM fl""")),
+
+      // One GNN message-passing layer as a join — GraphSAGE-style mean
+      // aggregation over the co-purchase graph with the node DEGREE as
+      // the input feature: h(v) = (x(v) + Σ_{u∈N(v)} x(u)) div
+      // (deg(v)+1), entirely in integers. The layer IS one edge ⋈
+      // feature join + one dst-keyed rollup — the exact dataflow a
+      // distributed GNN framework would emit, here as two shuffles
+      // with map-side combine. Output: the h-value histogram in
+      // width-10 buckets (bounded by the feature range, not the
+      // graph).
+      ("q322_gnn_layer", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().persistTracked()
+        val und = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 2)
+        val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+          .persistTracked()
+        val feat = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("x")).persistTracked()
+        val msg = edges
+          .join(feat.select(col("node").as("src"), col("x")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("x").as("sx"), count(lit(1)).as("degv"))
+        feat.join(msg, "node")
+          .select(col("node"),
+            expr("(x + sx) div (degv + 1)").as("h"))
+          .groupBy(expr("h div 10").as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"), min("h").as("min_h"),
+            max("h").as("max_h"))
+          .orderBy("bucket")
+      },
+        Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          und AS (SELECT a.pk AS pa, b.pk AS pb
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+          e AS (SELECT pa AS src, pb AS dst FROM und
+            UNION ALL SELECT pb, pa FROM und),
+          feat AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY src),
+          msg AS (SELECT e.dst AS node, CAST(sum(f.x) AS BIGINT) AS sx,
+              CAST(count(*) AS BIGINT) AS degv
+            FROM e JOIN feat f ON f.node = e.src GROUP BY e.dst),
+          h AS (SELECT feat.node, (feat.x + msg.sx) // (msg.degv + 1)
+              AS h
+            FROM feat JOIN msg ON msg.node = feat.node)
+          SELECT h // 10 AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT)
+              AS max_h
+          FROM h GROUP BY bucket ORDER BY bucket""")),
+
+      // Embedding outliers by centroid distance, robust — q275 profiles
+      // dimensions, q225 profiles values; this flags whole VECTORS:
+      // distance² to the own-label centroid with a median/MAD rule.
+      // Components micro-quantize to exact integers (q174), the
+      // centroid is an integer-floor per-dimension mean, d² is an
+      // EXACT integer (≤ 64·(2·10⁷)² — int64-safe), and median/MAD
+      // come from q225's two histogram passes keyed by label. Planted
+      // 3×-rescaled re-publications of every 50th vector (float×3 is
+      // exact in double) must flag while leaving the median/MAD
+      // anchored — the q225 robustness story in embedding space.
+      ("q323_embedding_outliers", (s: SparkSession, d: String) => {
+        val e0 = t(s, d, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("label").cast("long").as("label"), col("embedding"))
+        val corpus = e0.unionByName(
+          e0.filter(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+              expr("transform(embedding, x -> x * CAST(3.0 AS FLOAT))")
+                .as("embedding")))
+          .persistTracked()
+        val comp = corpus.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)")
+              .as("q"))
+          .persistTracked()
+        val nLab = corpus.groupBy("label").agg(count(lit(1)).as("nl"))
+        val cent = comp.groupBy("label", "pos").agg(sum("q").as("sq"))
+          .join(broadcast(nLab), "label")
+          .select(col("label"), col("pos"),
+            expr("sq div nl").as("cq"))
+        val d2 = comp.join(broadcast(cent), Seq("label", "pos"))
+          .groupBy("vec_id", "label")
+          .agg(sum(expr("(q - cq) * (q - cq)")).as("d2"))
+          .persistTracked()
+        def medianOf(df: DataFrame, v: String): DataFrame = {
+          val hist = df.groupBy("label", v).agg(count(lit(1)).as("c"))
+          val wcum = Window.partitionBy("label").orderBy(v)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          hist.withColumn("cum", sum("c").over(wcum))
+            .withColumn("n", sum("c").over(Window.partitionBy("label")))
+            .groupBy("label")
+            .agg(min(when(col("cum") * 2 >= col("n"), col(v)))
+              .as(s"med_$v"))
+        }
+        val med = medianOf(d2.select(col("label"), col("d2")), "d2")
+        val dev = d2.join(broadcast(med), "label")
+          .select(col("label"), abs(col("d2") - col("med_d2")).as("adev"))
+        val mad = medianOf(dev, "adev")
+        d2.join(broadcast(med), "label").join(broadcast(mad), "label")
+          .withColumn("flag",
+            when(abs(col("d2") - col("med_d2")) >
+              lit(5L) * col("med_adev"), 1L).otherwise(0L))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            max("med_d2").as("median_d2"), max("med_adev").as("mad_d2"),
+            sum("flag").as("n_outliers"),
+            sum(when(col("vec_id") >= 100000L, 1L).otherwise(0L))
+              .as("n_planted"),
+            sum(when(col("vec_id") >= 100000L, col("flag"))
+              .otherwise(0L)).as("planted_flagged"))
+          .orderBy("label")
+      },
+        Some("""WITH e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+              CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+          corpus AS (SELECT * FROM e0
+            UNION ALL SELECT vec_id + 100000, label,
+              list_transform(embedding, x -> x * CAST(3.0 AS FLOAT))
+            FROM e0 WHERE vec_id % 50 = 0),
+          comp AS (SELECT vec_id, label, u.i AS pos,
+              CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                AS BIGINT) AS q
+            FROM corpus, unnest(range(1, len(embedding) + 1)) AS u(i)),
+          nl AS (SELECT label, CAST(count(*) AS BIGINT) AS nl
+            FROM corpus GROUP BY label),
+          cent AS (SELECT c.label, c.pos,
+              CAST(sum(c.q) AS BIGINT) // max(nl.nl) AS cq
+            FROM comp c JOIN nl ON nl.label = c.label
+            GROUP BY c.label, c.pos),
+          d2 AS (SELECT vec_id, c.label,
+              CAST(sum((q - cq) * (q - cq)) AS BIGINT) AS d2
+            FROM comp c JOIN cent ON cent.label = c.label
+              AND cent.pos = c.pos
+            GROUP BY vec_id, c.label),
+          h1 AS (SELECT label, d2, CAST(count(*) AS BIGINT) AS c
+            FROM d2 GROUP BY label, d2),
+          c1 AS (SELECT label, d2, c,
+              sum(c) OVER (PARTITION BY label ORDER BY d2
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY label) AS n FROM h1),
+          med AS (SELECT label,
+              CAST(min(CASE WHEN cum * 2 >= n THEN d2 END) AS BIGINT)
+                AS med_d2 FROM c1 GROUP BY label),
+          dv AS (SELECT d2.label, abs(d2.d2 - med.med_d2) AS adev
+            FROM d2 JOIN med ON med.label = d2.label),
+          h2 AS (SELECT label, adev, CAST(count(*) AS BIGINT) AS c
+            FROM dv GROUP BY label, adev),
+          c2 AS (SELECT label, adev, c,
+              sum(c) OVER (PARTITION BY label ORDER BY adev
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER (PARTITION BY label) AS n FROM h2),
+          mad AS (SELECT label,
+              CAST(min(CASE WHEN cum * 2 >= n THEN adev END) AS BIGINT)
+                AS med_adev FROM c2 GROUP BY label)
+          SELECT d2.label, CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(max(med.med_d2) AS BIGINT) AS median_d2,
+            CAST(max(mad.med_adev) AS BIGINT) AS mad_d2,
+            CAST(sum(CASE WHEN abs(d2.d2 - med.med_d2)
+              > 5 * mad.med_adev THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_outliers,
+            CAST(sum(CASE WHEN vec_id >= 100000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_planted,
+            CAST(sum(CASE WHEN vec_id >= 100000
+              AND abs(d2.d2 - med.med_d2) > 5 * mad.med_adev
+              THEN 1 ELSE 0 END) AS BIGINT) AS planted_flagged
+          FROM d2
+          JOIN med ON med.label = d2.label
+          JOIN mad ON mad.label = d2.label
+          GROUP BY d2.label ORDER BY d2.label"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -16587,7 +16835,7 @@ object Queries {
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
-      roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33
+      roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++ roundElevenW34
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
