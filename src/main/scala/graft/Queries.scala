@@ -16826,6 +16826,203 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW35: Seq[Q] = {
+    Seq(
+      // Equi-depth histogram construction — the optimizer-stats artifact
+      // q288/q315 assume: 8 equal-row buckets over order totals on the
+      // KILODOLLAR value grid (q305's trick — the histogram is bounded by
+      // the price range, never by |orders|). Each distinct value goes
+      // wholly to the bucket of its LAST row ((cum−1)·8 div n), so heavy
+      // values never split and the construction is one cumulative window
+      // over the value histogram. The per-bucket signed deviation from
+      // n/8 (in permille) prices how far value skew pushes the buckets
+      // from ideal equi-depth.
+      ("q324_equidepth_histogram", (s: SparkSession, d: String) => {
+        val hist = t(s, d, "orders")
+          .select(expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) div 100000")
+            .as("kd"))
+          .groupBy("kd").agg(count(lit(1)).as("c"))
+        val tot = hist.agg(sum("c").as("n"))
+        val wc = Window.orderBy("kd")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum("c").over(wc))
+          .crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("(cum - 1) * 8 div n"))
+          .groupBy("bucket")
+          .agg(min("kd").as("lo_kd"), max("kd").as("hi_kd"),
+            sum("c").as("n_rows"), max("n").as("n"))
+          .select(col("bucket"), col("lo_kd"), col("hi_kd"), col("n_rows"),
+            expr("CAST((n_rows * 8 - n) * 1000 div n AS BIGINT)")
+              .as("dev_pm"))
+          .orderBy("bucket")
+      },
+        Some("""WITH hist AS (SELECT
+              CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS kd,
+              CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1),
+          cw AS (SELECT kd, c,
+              sum(c) OVER (ORDER BY kd ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(c) OVER () AS n
+            FROM hist)
+          SELECT (cum - 1) * 8 // n AS bucket,
+            CAST(min(kd) AS BIGINT) AS lo_kd,
+            CAST(max(kd) AS BIGINT) AS hi_kd,
+            CAST(sum(c) AS BIGINT) AS n_rows,
+            CAST((sum(c) * 8 - max(n)) * 1000 // max(n) AS BIGINT)
+              AS dev_pm
+          FROM cw GROUP BY 1 ORDER BY bucket""")),
+
+      // Zone-map pruning audit — the data-skipping counterpart to q279's
+      // z-order: per-file (min, max) shipdate zone maps under an
+      // id-sharded layout (64 equal orderkey ranges, closed form — no
+      // layout is materialized) vs a month-partitioned layout, probed
+      // with the modal month's date range. Overlap tests run on the
+      // FILES frame (≤ 64 + |months| rows); the fact table is scanned
+      // once. id-sharded honestly reads ~1000‰ files hit (dates are
+      // uniform across id order) — the audit's finding is the gap.
+      ("q325_zonemap_pruning", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(
+            col("l_orderkey").as("ok"),
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div " +
+              "86400000000").as("day"),
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .as("mkey"))
+          .persistTracked()
+        val top = li.groupBy("mkey").agg(count(lit(1)).as("c"),
+            min("day").as("pmin"), max("day").as("pmax"))
+          .orderBy(desc("c"), asc("mkey")).limit(1)
+          .select(col("pmin"), col("pmax"))
+        val den = li.agg((max("ok") + 1L).as("den"))
+        val base = li.crossJoin(broadcast(top)).crossJoin(broadcast(den))
+          .withColumn("fa", expr("ok * 64 div den"))
+          .withColumn("m", when(col("day").between(col("pmin"),
+            col("pmax")), 1L).otherwise(0L))
+          .persistTracked()
+        def roll(fcol: String, nm: String): DataFrame =
+          base.groupBy(col(fcol).as("f"))
+            .agg(count(lit(1)).as("nr"), min("day").as("mn"),
+              max("day").as("mx"), sum("m").as("nmatch"),
+              max("pmin").as("pmin"), max("pmax").as("pmax"))
+            .withColumn("hit", when(col("mn") <= col("pmax") &&
+              col("mx") >= col("pmin"), 1L).otherwise(0L))
+            .agg(count(lit(1)).as("n_files"), sum("hit").as("files_hit"),
+              sum(col("hit") * col("nr")).as("rows_scanned"),
+              sum("nmatch").as("rows_matched"))
+            .select(lit(nm).as("layout"), col("n_files"),
+              col("files_hit"),
+              expr("CAST(files_hit * 1000 div n_files AS BIGINT)")
+                .as("hit_pm"),
+              col("rows_scanned"), col("rows_matched"))
+        roll("fa", "id_sharded")
+          .unionByName(roll("mkey", "month_partitioned"))
+          .orderBy("layout")
+      },
+        Some("""WITH li AS (SELECT l_orderkey AS ok,
+              epoch_us(l_shipdate) // 86400000000 AS day,
+              year(l_shipdate) * 100 + month(l_shipdate) AS mkey
+            FROM lineitem),
+          top AS (SELECT min(day) AS pmin, max(day) AS pmax
+            FROM li WHERE mkey = (SELECT mkey FROM li GROUP BY mkey
+              ORDER BY count(*) DESC, mkey LIMIT 1)),
+          den AS (SELECT max(ok) + 1 AS den FROM li),
+          base AS (SELECT ok * 64 // den.den AS fa, mkey, day,
+              CASE WHEN day BETWEEN pmin AND pmax THEN 1 ELSE 0 END AS m,
+              pmin, pmax
+            FROM li CROSS JOIN top CROSS JOIN den),
+          ra AS (SELECT fa AS f, CAST(count(*) AS BIGINT) AS nr,
+              min(day) AS mn, max(day) AS mx,
+              CAST(sum(m) AS BIGINT) AS nmatch,
+              max(pmin) AS pmin, max(pmax) AS pmax
+            FROM base GROUP BY fa),
+          rb AS (SELECT mkey AS f, CAST(count(*) AS BIGINT) AS nr,
+              min(day) AS mn, max(day) AS mx,
+              CAST(sum(m) AS BIGINT) AS nmatch,
+              max(pmin) AS pmin, max(pmax) AS pmax
+            FROM base GROUP BY mkey),
+          agg AS (
+            SELECT 'id_sharded' AS layout,
+              CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(CASE WHEN mn <= pmax AND mx >= pmin THEN 1
+                ELSE 0 END) AS BIGINT) AS files_hit,
+              CAST(sum(CASE WHEN mn <= pmax AND mx >= pmin THEN nr
+                ELSE 0 END) AS BIGINT) AS rows_scanned,
+              CAST(sum(nmatch) AS BIGINT) AS rows_matched
+            FROM ra
+            UNION ALL
+            SELECT 'month_partitioned',
+              CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN mn <= pmax AND mx >= pmin THEN 1
+                ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN mn <= pmax AND mx >= pmin THEN nr
+                ELSE 0 END) AS BIGINT),
+              CAST(sum(nmatch) AS BIGINT)
+            FROM rb)
+          SELECT layout, n_files, files_hit,
+            CAST(files_hit * 1000 // n_files AS BIGINT) AS hit_pm,
+            rows_scanned, rows_matched
+          FROM agg ORDER BY layout""")),
+
+      // Boolean retrieval over the persisted postings — postings-artifact
+      // consumer #3 (q235 phrases, q236 increments): AND / OR / AND-NOT
+      // set algebra on the posting lists of three df-ranked terms
+      // (ranks 1, 8, 16 of 31 — this corpus's vocabulary). The three
+      // lists are pruned out by ONE broadcast semi-join on the loaded
+      // term-bucketed index, then every set op is a flag rollup per doc
+      // — no per-op join, and the report never touches the corpus.
+      ("q326_boolean_retrieval", (s: SparkSession, d: String) => {
+        val pl = postingsArtifact(s, d)
+          .select(col("term"), col("doc_id")).distinct()
+          .persistTracked()
+        val wr = Window.orderBy(desc("df"), asc("term"))
+        val ranks = pl.groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("r", row_number().over(wr))
+          .filter(col("r").isin(1, 8, 16))
+        val flags = pl.join(broadcast(ranks), "term")
+          .groupBy("doc_id")
+          .agg(max(when(col("r") === 1, 1L).otherwise(0L)).as("fa"),
+            max(when(col("r") === 8, 1L).otherwise(0L)).as("fb"),
+            max(when(col("r") === 16, 1L).otherwise(0L)).as("fc"))
+        val dfs = ranks.groupBy()
+          .agg(max(when(col("r") === 1, col("df"))).as("df_a"),
+            max(when(col("r") === 8, col("df"))).as("df_b"),
+            max(when(col("r") === 16, col("df"))).as("df_c"))
+        flags.agg(
+            sum(col("fa") * col("fb")).as("n_a_and_b"),
+            sum(when(col("fa") + col("fb") > 0, 1L).otherwise(0L))
+              .as("n_a_or_b"),
+            sum(col("fa") * (lit(1L) - col("fc"))).as("n_a_not_c"),
+            sum(col("fa") * col("fb") * (lit(1L) - col("fc")))
+              .as("n_a_and_b_not_c"))
+          .crossJoin(broadcast(dfs))
+      },
+        Some(s"""WITH pl AS (SELECT DISTINCT tok AS term, doc_id
+            FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+              FROM documents) WHERE len(tok) > 0),
+          ranks AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+              row_number() OVER (ORDER BY count(*) DESC, term) AS r
+            FROM pl GROUP BY term
+            QUALIFY r IN (1, 8, 16)),
+          flags AS (SELECT doc_id,
+              max(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS fa,
+              max(CASE WHEN r = 8 THEN 1 ELSE 0 END) AS fb,
+              max(CASE WHEN r = 16 THEN 1 ELSE 0 END) AS fc
+            FROM pl JOIN ranks USING (term) GROUP BY doc_id),
+          dfs AS (SELECT
+              CAST(max(CASE WHEN r = 1 THEN df END) AS BIGINT) AS df_a,
+              CAST(max(CASE WHEN r = 8 THEN df END) AS BIGINT) AS df_b,
+              CAST(max(CASE WHEN r = 16 THEN df END) AS BIGINT) AS df_c
+            FROM ranks)
+          SELECT CAST(sum(fa * fb) AS BIGINT) AS n_a_and_b,
+            CAST(sum(CASE WHEN fa + fb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a_or_b,
+            CAST(sum(fa * (1 - fc)) AS BIGINT) AS n_a_not_c,
+            CAST(sum(fa * fb * (1 - fc)) AS BIGINT) AS n_a_and_b_not_c,
+            max(df_a) AS df_a, max(df_b) AS df_b, max(df_c) AS df_c
+          FROM flags CROSS JOIN dfs"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -16835,7 +17032,8 @@ object Queries {
       roundElevenW18 ++ roundElevenW19 ++ roundElevenW20 ++ roundElevenW21 ++
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
-      roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++ roundElevenW34
+      roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++
+      roundElevenW34 ++ roundElevenW35
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
