@@ -17023,6 +17023,202 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW36: Seq[Q] = {
+    Seq(
+      // HITS hubs & authorities — the OTHER classic link-analysis
+      // iteration next to q241's integer PageRank, on the naturally
+      // BIPARTITE customer→part purchase graph (hub = customer,
+      // authority = part). Three mutual-reinforcement rounds entirely
+      // in integer ppm: raw scores are edge⋈score joins + key rollups,
+      // normalization is raw·10⁶ div Σraw with the scalar sum broadcast
+      // (all magnitudes int64-safe: raw ≤ maxdeg·10⁶, Σ ≤ |edges|·10⁶).
+      // Oracle: the three rounds unrolled as CTEs. Top-10 authorities,
+      // id tie-break.
+      ("q327_hits_authorities", (s: SparkSession, d: String) => {
+        val edges = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            col("o_custkey").as("ck")),
+            col("ok") === col("o_orderkey"))
+          .select("ck", "pk").distinct().persistTracked()
+        def normalize(df: DataFrame, node: String): DataFrame = {
+          val tot = df.agg(sum("raw").as("tot"))
+          df.crossJoin(broadcast(tot))
+            .select(col(node), expr("raw * 1000000 div tot").as("score"))
+        }
+        // score frames are node-sized (≤ |parts| rows) — broadcast them
+        // so the edge frame never shuffles for the join; the only
+        // exchange per round is the key rollup's partial-agg output
+        def authStep(h: DataFrame): DataFrame = normalize(
+          edges.join(broadcast(h.withColumnRenamed("score", "hs")), "ck")
+            .groupBy("pk").agg(sum("hs").as("raw")), "pk")
+        def hubStep(a: DataFrame): DataFrame = normalize(
+          edges.join(broadcast(a.withColumnRenamed("score", "as_")), "pk")
+            .groupBy("ck").agg(sum("as_").as("raw")), "ck")
+        val h0 = edges.select("ck").distinct()
+          .withColumn("score", lit(1000000L))
+        val a1 = authStep(h0).persistTracked()
+        val h1 = hubStep(a1).persistTracked()
+        val a2 = authStep(h1).persistTracked()
+        val h2 = hubStep(a2).persistTracked()
+        authStep(h2)
+          .select(col("pk"), col("score").as("auth_ppm"))
+          .orderBy(desc("auth_ppm"), asc("pk")).limit(10)
+      },
+        Some {
+          def norm(src: String, node: String, out: String): String =
+            s"""$out AS (SELECT $node,
+              CAST(raw * 1000000 // (SELECT sum(raw) FROM $src)
+                AS BIGINT) AS score FROM $src)"""
+          def auth(h: String, out: String): String =
+            s"""${out}_raw AS (SELECT pk, CAST(sum(h.score) AS BIGINT)
+                AS raw FROM edges e JOIN $h h USING (ck) GROUP BY pk),
+            ${norm(s"${out}_raw", "pk", out)}"""
+          def hub(a: String, out: String): String =
+            s"""${out}_raw AS (SELECT ck, CAST(sum(a.score) AS BIGINT)
+                AS raw FROM edges e JOIN $a a USING (pk) GROUP BY ck),
+            ${norm(s"${out}_raw", "ck", out)}"""
+          s"""WITH edges AS (SELECT DISTINCT o_custkey AS ck,
+                l_partkey AS pk
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            h0 AS (SELECT DISTINCT ck, CAST(1000000 AS BIGINT) AS score
+              FROM edges),
+            ${auth("h0", "a1")},
+            ${hub("a1", "h1")},
+            ${auth("h1", "a2")},
+            ${hub("a2", "h2")},
+            ${auth("h2", "a3")}
+            SELECT pk, score AS auth_ppm FROM a3
+            ORDER BY auth_ppm DESC, pk LIMIT 10"""
+        }),
+
+      // Autocorrelation periodicity scan — signed lag-k autocorrelation
+      // (k = 1…7) of daily event counts per type over q308's dense
+      // zero-filled grid, plus a PLANTED weekly type (c = 200 + 500
+      // every 7th epoch-day) that must peak at lag 7. r² is fully
+      // cross-multiplied — signed_r2_ppm = sign·(nΣxy−ΣxΣy)²·10⁶ div
+      // ((nΣxx−Σx²)(nΣyy−Σy²)) — with every product riding
+      // decimal(38,0)/HUGEINT (n·Σxx squares past int64 at fleet
+      // volume; q174 discipline). Lags key on CALENDAR day offsets
+      // (q308: a gapped spine cannot misalign), and all seven arms read
+      // one persisted grid bounded by types × days.
+      ("q328_autocorrelation", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .select("event_type", "day").persistTracked()
+        val daily = ev.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val spine = ev.select("day").distinct()
+        val organic = spine
+          .crossJoin(broadcast(ev.select("event_type").distinct()))
+          .join(daily, Seq("event_type", "day"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val planted = spine.select(lit("planted_weekly").as("event_type"),
+          col("day"),
+          (lit(200L) + when(col("day") % 7 === 0, 500L).otherwise(0L))
+            .as("c"))
+        val dense = organic.unionByName(planted).persistTracked()
+        val arms = (1 to 7).map { k =>
+          dense.as("x").join(dense.as("y"),
+              col("x.event_type") === col("y.event_type") &&
+                col("y.day") === col("x.day") - k)
+            .groupBy(col("x.event_type").as("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("x.c")).as("sx"), sum(col("y.c")).as("sy"),
+              sum(col("x.c") * col("y.c")).as("sxy"),
+              sum(col("x.c") * col("x.c")).as("sxx"),
+              sum(col("y.c") * col("y.c")).as("syy"))
+            .withColumn("lag", lit(k.toLong))
+        }
+        arms.reduce(_.unionByName(_))
+          .select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+            expr("""CAST(CASE
+              WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+              ELSE CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                * CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000
+                div (CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                  * CAST(n * syy - sy * sy AS DECIMAL(38,0)))
+              END AS BIGINT)""").as("signed_r2_ppm"))
+          .orderBy("event_type", "lag")
+      },
+        Some {
+          val arm = (1 to 7).map(k =>
+            s"""SELECT x.event_type, CAST($k AS BIGINT) AS lag,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x.c) AS HUGEINT) AS sx,
+              CAST(sum(y.c) AS HUGEINT) AS sy,
+              CAST(sum(x.c * y.c) AS HUGEINT) AS sxy,
+              CAST(sum(x.c * x.c) AS HUGEINT) AS sxx,
+              CAST(sum(y.c * y.c) AS HUGEINT) AS syy
+            FROM dense x JOIN dense y ON y.event_type = x.event_type
+              AND y.day = x.day - $k
+            GROUP BY x.event_type""").mkString("\nUNION ALL\n")
+          s"""WITH e AS (SELECT event_type,
+                epoch_ns(ts) // 86400000000000 AS day FROM events),
+            daily AS (SELECT event_type, day,
+                CAST(count(*) AS BIGINT) AS c
+              FROM e GROUP BY event_type, day),
+            spine AS (SELECT DISTINCT day FROM e),
+            dense AS (SELECT t.event_type, s.day, coalesce(daily.c, 0)
+                  AS c
+              FROM (SELECT DISTINCT event_type FROM e) t
+              CROSS JOIN spine s
+              LEFT JOIN daily ON daily.event_type = t.event_type
+                AND daily.day = s.day
+              UNION ALL
+              SELECT 'planted_weekly', day,
+                200 + CASE WHEN day % 7 = 0 THEN 500 ELSE 0 END
+              FROM spine),
+            arms AS ($arm)
+            SELECT event_type, lag, n AS n_pairs,
+              CAST(CASE
+                WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+                ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                  * (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                  // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                END AS BIGINT) AS signed_r2_ppm
+            FROM arms ORDER BY event_type, lag"""
+        }),
+
+      // l-diversity audit — the sensitive-attribute check k-anonymity
+      // (q260) misses: a class can hold many rows yet expose everyone
+      // in it if they all share one sensitive value. Quasi-identifiers
+      // = (lang, 16-token length band), sensitive = source; a class
+      // violates l = 3 when it carries fewer than 3 distinct sources.
+      // ONE class rollup (countDistinct rides the same pass as the doc
+      // count), then a lang-keyed report — the corpus is touched once.
+      ("q329_l_diversity", (s: SparkSession, d: String) => {
+        val classes = t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            (size(TF.tokens(col("text"))) / 16).cast("long").as("band"))
+          .groupBy("lang", "band")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("source").as("div"))
+        classes.groupBy("lang")
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("div") < 3, 1L).otherwise(0L))
+              .as("n_violating"),
+            sum(when(col("div") < 3, col("n_docs")).otherwise(0L))
+              .as("docs_in_violating"),
+            min("div").as("min_diversity"))
+          .orderBy("lang")
+      },
+        Some(s"""WITH cls AS (SELECT lang,
+              len(${sqlTokens("text")}) // 16 AS band,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT source) AS BIGINT) AS div
+            FROM documents GROUP BY lang, band)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+            CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violating,
+            CAST(sum(CASE WHEN div < 3 THEN n_docs ELSE 0 END)
+              AS BIGINT) AS docs_in_violating,
+            CAST(min(div) AS BIGINT) AS min_diversity
+          FROM cls GROUP BY lang ORDER BY lang"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -17033,7 +17229,7 @@ object Queries {
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
       roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++
-      roundElevenW34 ++ roundElevenW35
+      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
