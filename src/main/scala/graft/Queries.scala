@@ -17219,6 +17219,249 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW37: Seq[Q] = {
+    Seq(
+      // Leave-one-out target encoding + leakage proof — the feature-
+      // engineering hazard behind q272's point-in-time audit, for
+      // CATEGORICAL features: encoding source by its target mean leaks
+      // each row's own label back into its feature. Per source the
+      // naive-vs-LOO gap has a CLOSED FORM from (n, s) alone —
+      // y=1 rows differ by |s·10⁶ div n − (s−1)·10⁶ div (n−1)|, y=0
+      // rows by |s·10⁶ div n − s·10⁶ div (n−1)| — so the audit is ONE
+      // source rollup, no per-doc encoding frame. A planted singleton
+      // source (n=1, y=1) shows the worst case: naive encodes its own
+      // label exactly (10⁶), LOO falls back to the global prior.
+      ("q330_target_encoding_leak", (s: SparkSession, d: String) => {
+        val base = t(s, d, "documents")
+          .select(col("source"),
+            when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+              .as("y"))
+        val corpus = base.unionByName(
+          s.range(1).select(lit("planted_singleton").as("source"),
+            lit(1L).as("y")))
+        val per = corpus.groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("y").as("p"))
+          .persistTracked()
+        val glob = per.agg(sum("n").as("gn"), sum("p").as("gp"))
+        per.crossJoin(broadcast(glob))
+          .withColumn("prior", expr("gp * 1000000 div gn"))
+          .withColumn("enc_naive_micro", expr("p * 1000000 div n"))
+          .withColumn("d1", expr("""CASE WHEN n = 1
+            THEN abs(enc_naive_micro - prior)
+            ELSE abs(enc_naive_micro - (p - 1) * 1000000 div (n - 1))
+            END"""))
+          .withColumn("d0", expr("""CASE WHEN n = 1 THEN 0
+            ELSE abs(enc_naive_micro - p * 1000000 div (n - 1)) END"""))
+          .select(col("source"), col("n").as("n_docs"),
+            col("p").as("n_pos"), col("enc_naive_micro"),
+            expr("(p * d1 + (n - p) * d0) div n").as("leak_micro"))
+          .orderBy("source")
+      },
+        Some(s"""WITH base AS (SELECT source,
+              CASE WHEN $sqlQuality >= 0.5 THEN 1 ELSE 0 END AS y
+            FROM documents
+            UNION ALL SELECT 'planted_singleton', 1),
+          per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS p
+            FROM base GROUP BY source),
+          g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+              CAST(sum(p) AS BIGINT) AS gp FROM per),
+          enc AS (SELECT source, n, p,
+              gp * 1000000 // gn AS prior,
+              p * 1000000 // n AS enc_naive_micro
+            FROM per CROSS JOIN g),
+          dd AS (SELECT *,
+              CASE WHEN n = 1 THEN abs(enc_naive_micro - prior)
+                ELSE abs(enc_naive_micro - (p - 1) * 1000000 // (n - 1))
+                END AS d1,
+              CASE WHEN n = 1 THEN 0
+                ELSE abs(enc_naive_micro - p * 1000000 // (n - 1))
+                END AS d0
+            FROM enc)
+          SELECT source, n AS n_docs, p AS n_pos, enc_naive_micro,
+            (p * d1 + (n - p) * d0) // n AS leak_micro
+          FROM dd ORDER BY source""")),
+
+      // k-fold cross-validation of the q304 decision stump — the
+      // eval protocol the single-split queries (q237's curve, q193's
+      // calibration) don't give: 3 folds by doc_id mod 3, each fold's
+      // threshold trained on the OTHER two via the value-histogram
+      // Gini search (every candidate threshold from one cumulative
+      // window over the ≤|distinct lengths| histogram), then scored on
+      // the held-out fold. Three arms over one persisted labeled
+      // frame; oracle = the fold arms loop-generated as CTEs.
+      ("q331_kfold_stump", (s: SparkSession, d: String) => {
+        val lab = t(s, d, "documents")
+          .select((col("doc_id") % 3).as("fold"),
+            size(TF.tokens(col("text"))).cast("long").as("n_tok"),
+            when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+              .as("label"))
+          .persistTracked()
+        val wc = Window.orderBy("n_tok")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bests = (0 to 2).map { f =>
+          val hist = lab.filter(col("fold") =!= f)
+            .groupBy("n_tok")
+            .agg(count(lit(1)).as("c"), sum("label").as("p"))
+          val tot = hist.agg(sum("c").as("n"), sum("p").as("np"))
+          hist.withColumn("cl", sum("c").over(wc))
+            .withColumn("pl", sum("p").over(wc))
+            .crossJoin(broadcast(tot))
+            .select(col("n_tok").as("thr"), col("cl"), col("pl"),
+              (col("n") - col("cl")).as("cr"),
+              (col("np") - col("pl")).as("pr"))
+            .withColumn("cost_micro",
+              expr("""(cl*cl - pl*pl - (cl-pl)*(cl-pl)) * 1000000 div cl
+                + CASE WHEN cr = 0 THEN 0
+                  ELSE (cr*cr - pr*pr - (cr-pr)*(cr-pr)) * 1000000
+                    div cr END"""))
+            .orderBy(asc("cost_micro"), asc("thr")).limit(1)
+            .select(lit(f.toLong).as("fold"), col("thr"),
+              when(col("pl") * 2 >= col("cl"), 1L).otherwise(0L)
+                .as("pred_left"),
+              when(col("pr") * 2 >= col("cr"), 1L).otherwise(0L)
+                .as("pred_right"))
+        }.reduce(_.unionByName(_))
+        lab.join(broadcast(bests), "fold")
+          .groupBy("fold")
+          .agg(max("thr").as("threshold"),
+            max("pred_left").as("pred_left"),
+            max("pred_right").as("pred_right"),
+            count(lit(1)).as("n_test"),
+            sum(when(
+              (col("n_tok") <= col("thr") &&
+                col("label") === col("pred_left")) ||
+              (col("n_tok") > col("thr") &&
+                col("label") === col("pred_right")), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("fold"), col("threshold"), col("pred_left"),
+            col("pred_right"), col("n_test"),
+            expr("CAST(n_correct * 1000 div n_test AS BIGINT)")
+              .as("test_acc_pm"))
+          .orderBy("fold")
+      },
+        Some {
+          def arm(f: Int): String =
+            s"""hist$f AS (SELECT n_tok, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(label) AS BIGINT) AS p
+              FROM lab WHERE fold <> $f GROUP BY n_tok),
+            tot$f AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                CAST(sum(p) AS BIGINT) AS np FROM hist$f),
+            cand$f AS (SELECT n_tok AS thr,
+                sum(c) OVER (ORDER BY n_tok ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cl,
+                sum(p) OVER (ORDER BY n_tok ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS pl
+              FROM hist$f),
+            best$f AS (SELECT CAST($f AS BIGINT) AS fold, thr,
+                CAST(CASE WHEN pl * 2 >= cl THEN 1 ELSE 0 END AS BIGINT)
+                  AS pred_left,
+                CAST(CASE WHEN (np - pl) * 2 >= (n - cl) THEN 1 ELSE 0
+                  END AS BIGINT) AS pred_right
+              FROM cand$f CROSS JOIN tot$f
+              ORDER BY (cl*cl - pl*pl - (cl-pl)*(cl-pl)) * 1000000 // cl
+                + CASE WHEN n - cl = 0 THEN 0
+                  ELSE ((n-cl)*(n-cl) - (np-pl)*(np-pl)
+                    - ((n-cl)-(np-pl))*((n-cl)-(np-pl))) * 1000000
+                    // (n - cl) END, thr
+              LIMIT 1)"""
+          s"""WITH lab AS (SELECT doc_id % 3 AS fold,
+                CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok,
+                CASE WHEN $sqlQuality >= 0.5 THEN 1 ELSE 0 END AS label
+              FROM documents),
+            ${(0 to 2).map(arm).mkString(",\n            ")},
+            bests AS (SELECT * FROM best0
+              UNION ALL SELECT * FROM best1
+              UNION ALL SELECT * FROM best2)
+            SELECT fold, max(thr) AS threshold,
+              max(pred_left) AS pred_left,
+              max(pred_right) AS pred_right,
+              CAST(count(*) AS BIGINT) AS n_test,
+              CAST(sum(CASE WHEN (n_tok <= thr AND label = pred_left)
+                OR (n_tok > thr AND label = pred_right) THEN 1 ELSE 0
+                END) * 1000 // count(*) AS BIGINT) AS test_acc_pm
+            FROM lab JOIN bests USING (fold)
+            GROUP BY fold ORDER BY fold"""
+        }),
+
+      // Incremental surrogate-key dimension load — the warehouse key-
+      // assignment pattern: generation 1 assigns dense keys to the
+      // base corpus's sources (row_number over the ≤|sources| distinct
+      // frame — no fact row is ever ranked), then an arriving shard
+      // introduces NEW sources (planted '_new' variants) that must get
+      // fresh keys AFTER max_old while every existing key stays frozen.
+      // The proof travels with the result: stability_pm = 1000 (old
+      // keys unchanged) and every shard doc resolves through the
+      // merged broadcast dimension.
+      ("q332_surrogate_keys", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 0,
+              concat(col("source"), lit("_new")))
+              .otherwise(col("source")).as("src"),
+            (col("doc_id") % 10 === 0).as("shard"))
+          .persistTracked()
+        val wk = Window.orderBy("src")
+        val dim1 = docs.filter(!col("shard")).select("src").distinct()
+          .withColumn("skey", row_number().over(wk).cast("long"))
+          .persistTracked()
+        val mo = dim1.agg(max("skey").as("mx"))
+        val fresh = docs.filter(col("shard")).select("src").distinct()
+          .join(dim1.select("src"), Seq("src"), "left_anti")
+          .withColumn("rn", row_number().over(wk).cast("long"))
+          .crossJoin(broadcast(mo))
+          .select(col("src"), (col("mx") + col("rn")).as("skey"))
+        val dim2 = dim1.unionByName(fresh).persistTracked()
+        val stab = dim2.join(dim1.withColumnRenamed("skey", "old_key"),
+            "src")
+          .agg(count(lit(1)).as("n_old"),
+            sum(when(col("skey") === col("old_key"), 1L).otherwise(0L))
+              .as("n_stable"))
+        val resolved = docs.filter(col("shard"))
+          .join(broadcast(dim2), "src")
+          .agg(count(lit(1)).as("n_shard_docs"),
+            countDistinct("skey").as("n_shard_sources"))
+        stab.crossJoin(resolved)
+          .crossJoin(dim2.agg(count(lit(1)).as("n_total_sources"),
+            max("skey").as("max_key")))
+          .select(col("n_old").as("n_old_sources"),
+            (col("n_total_sources") - col("n_old")).as("n_new_sources"),
+            col("max_key"), col("n_shard_docs"), col("n_shard_sources"),
+            expr("CAST(n_stable * 1000 div n_old AS BIGINT)")
+              .as("stability_pm"))
+      },
+        Some("""WITH docs AS (SELECT doc_id,
+              CASE WHEN doc_id % 20 = 0 THEN source || '_new'
+                ELSE source END AS src,
+              doc_id % 10 = 0 AS shard
+            FROM documents),
+          dim1 AS (SELECT src, CAST(row_number() OVER (ORDER BY src)
+                AS BIGINT) AS skey
+            FROM (SELECT DISTINCT src FROM docs WHERE NOT shard)),
+          fresh AS (SELECT f.src,
+              (SELECT max(skey) FROM dim1)
+                + CAST(row_number() OVER (ORDER BY f.src) AS BIGINT)
+                AS skey
+            FROM (SELECT DISTINCT src FROM docs WHERE shard) f
+            WHERE f.src NOT IN (SELECT src FROM dim1)),
+          dim2 AS (SELECT * FROM dim1 UNION ALL SELECT * FROM fresh),
+          stab AS (SELECT CAST(count(*) AS BIGINT) AS n_old,
+              CAST(sum(CASE WHEN d2.skey = d1.skey THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable
+            FROM dim2 d2 JOIN dim1 d1 USING (src)),
+          res AS (SELECT CAST(count(*) AS BIGINT) AS n_shard_docs,
+              CAST(count(DISTINCT skey) AS BIGINT) AS n_shard_sources
+            FROM docs JOIN dim2 USING (src) WHERE shard),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total_sources,
+              CAST(max(skey) AS BIGINT) AS max_key FROM dim2)
+          SELECT n_old AS n_old_sources,
+            n_total_sources - n_old AS n_new_sources, max_key,
+            n_shard_docs, n_shard_sources,
+            CAST(n_stable * 1000 // n_old AS BIGINT) AS stability_pm
+          FROM stab CROSS JOIN res CROSS JOIN tot"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -17229,7 +17472,7 @@ object Queries {
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
       roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++
-      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36
+      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
