@@ -17462,6 +17462,222 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW38: Seq[Q] = {
+    // smallest b >= 1 with 2^b >= x (shared with q315's advisor; a
+    // float log2 could flip at an exact power of two)
+    def bitsCase(x: String): String =
+      (1 to 21).map(b => s"WHEN $x <= ${1L << b} THEN $b")
+        .mkString("CASE ", " ", " ELSE 22 END")
+    Seq(
+      // Delta-encoding advisor — q315 priced dictionaries; this prices
+      // DELTA + zigzag bit-packing per storage file (q325's 64
+      // closed-form orderkey ranges; storage order = (orderkey,
+      // linenumber)) for a clustered column (l_orderkey — tiny
+      // adjacent deltas) vs an unclustered one (ship epoch-day —
+      // effectively random in id order). Per file the code width is
+      // ceil(log2(2·max|Δ|+1)) as an integer CASE chain; all windows
+      // are FILE-partitioned (never global), and the report is two
+      // rows: raw vs delta bytes with signed savings permille — both
+      // compress (the day range is narrow), but the clustered column's
+      // edge (952‰ vs 795‰ at sf0.01) is the layout decision's price.
+      ("q333_delta_encoding", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div " +
+              "86400000000").as("day"))
+        val den = li.agg((max("ok") + 1L).as("den"))
+        val wf = Window.partitionBy("f").orderBy("ok", "ln")
+        val lagged = li.crossJoin(broadcast(den))
+          .withColumn("f", expr("ok * 64 div den"))
+          .withColumn("d_ok",
+            abs(col("ok") - lag("ok", 1).over(wf)))
+          .withColumn("d_day",
+            abs(col("day") - lag("day", 1).over(wf)))
+          .persistTracked()
+        def cost(dcol: String, nm: String): DataFrame =
+          lagged.groupBy("f")
+            .agg(count(lit(1)).as("n"),
+              coalesce(max(col(dcol)), lit(0L)).as("mx"))
+            .withColumn("bits",
+              expr(bitsCase("2 * mx + 1")).cast("long"))
+            .agg(sum(expr("n * 8")).as("raw_bytes"),
+              sum(expr("(n * bits + 7) div 8 + 8")).as("delta_bytes"))
+            .select(lit(nm).as("col_name"), col("raw_bytes"),
+              col("delta_bytes"),
+              expr("""CAST((raw_bytes - delta_bytes) * 1000
+                div raw_bytes AS BIGINT)""").as("savings_pm"))
+        cost("d_ok", "l_orderkey")
+          .unionByName(cost("d_day", "ship_day"))
+          .orderBy("col_name")
+      },
+        Some {
+          def fam(dcol: String, nm: String): String =
+            s"""SELECT '$nm' AS col_name,
+              CAST(sum(n * 8) AS BIGINT) AS raw_bytes,
+              CAST(sum((n * bits + 7) // 8 + 8) AS BIGINT)
+                AS delta_bytes,
+              CAST((sum(n * 8) - sum((n * bits + 7) // 8 + 8)) * 1000
+                // sum(n * 8) AS BIGINT) AS savings_pm
+            FROM (SELECT f, CAST(count(*) AS BIGINT) AS n,
+                CAST(${bitsCase(s"2 * coalesce(max($dcol), 0) + 1")}
+                  AS BIGINT) AS bits
+              FROM lagged GROUP BY f)"""
+          s"""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                epoch_us(l_shipdate) // 86400000000 AS day,
+                l_orderkey * 64 // (SELECT max(l_orderkey) + 1
+                  FROM lineitem) AS f
+              FROM lineitem),
+            lagged AS (SELECT f,
+                abs(ok - lag(ok) OVER (PARTITION BY f ORDER BY ok, ln))
+                  AS d_ok,
+                abs(day - lag(day) OVER (PARTITION BY f ORDER BY ok,
+                  ln)) AS d_day
+              FROM li)
+            SELECT * FROM (
+              ${fam("d_ok", "l_orderkey")}
+              UNION ALL
+              ${fam("d_day", "ship_day")}
+            ) ORDER BY col_name"""
+        }),
+
+      // Feed completeness monitor — the data-SLA report: per event
+      // type, days with data vs the observed spine, and the LONGEST
+      // missing run (consecutive zero days collapse via the day −
+      // row_number run trick over the ZERO-days frame — grid-sized,
+      // never the event stream). A planted type present only on
+      // (day div 3) even windows must read longest_gap = 3; organic
+      // types on this feed read complete — that contrast is the
+      // monitor working.
+      ("q334_feed_completeness", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .select("event_type", "day").persistTracked()
+        val spine = ev.select("day").distinct()
+        val daily = ev.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+        val organic = spine
+          .crossJoin(broadcast(ev.select("event_type").distinct()))
+          .join(daily, Seq("event_type", "day"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val planted = spine.select(
+          lit("planted_gappy").as("event_type"), col("day"),
+          when(expr("(day div 3) % 2 = 0"), 10L).otherwise(0L).as("c"))
+        val dense = organic.unionByName(planted).persistTracked()
+        val wz = Window.partitionBy("event_type").orderBy("day")
+        val gaps = dense.filter(col("c") === 0L)
+          .withColumn("grp",
+            col("day") - row_number().over(wz))
+          .groupBy("event_type", "grp")
+          .agg(count(lit(1)).as("run"))
+          .groupBy("event_type")
+          .agg(max("run").as("longest_gap"))
+        dense.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(when(col("c") > 0, 1L).otherwise(0L))
+              .as("days_with_data"),
+            sum(when(col("c") === 0, 1L).otherwise(0L))
+              .as("days_missing"))
+          .join(gaps, Seq("event_type"), "left")
+          .withColumn("longest_gap",
+            coalesce(col("longest_gap"), lit(0L)))
+          .orderBy("event_type")
+      },
+        Some("""WITH e AS (SELECT event_type,
+              epoch_ns(ts) // 86400000000000 AS day FROM events),
+          spine AS (SELECT DISTINCT day FROM e),
+          daily AS (SELECT event_type, day,
+              CAST(count(*) AS BIGINT) AS c
+            FROM e GROUP BY event_type, day),
+          dense AS (SELECT t.event_type, s.day, coalesce(daily.c, 0)
+                AS c
+            FROM (SELECT DISTINCT event_type FROM e) t
+            CROSS JOIN spine s
+            LEFT JOIN daily ON daily.event_type = t.event_type
+              AND daily.day = s.day
+            UNION ALL
+            SELECT 'planted_gappy', day,
+              CASE WHEN (day // 3) % 2 = 0 THEN 10 ELSE 0 END
+            FROM spine),
+          z AS (SELECT event_type, day,
+              day - row_number() OVER (PARTITION BY event_type
+                ORDER BY day) AS grp
+            FROM dense WHERE c = 0),
+          g AS (SELECT event_type,
+              CAST(max(run) AS BIGINT) AS longest_gap
+            FROM (SELECT event_type, grp,
+                CAST(count(*) AS BIGINT) AS run
+              FROM z GROUP BY event_type, grp)
+            GROUP BY event_type)
+          SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS days_with_data,
+            CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS days_missing,
+            coalesce(max(g.longest_gap), 0) AS longest_gap
+          FROM dense d LEFT JOIN g ON g.event_type = d.event_type
+          GROUP BY d.event_type ORDER BY d.event_type""")),
+
+      // Item-item collaborative similarity — the recommender's
+      // neighbor table next to q302's next-basket eval: normalized
+      // co-purchase cosine sim(i,j) = co(i,j)/√(deg i·deg j), squared
+      // and fully cross-multiplied (s2 = co²·10⁶ div (deg_i·deg_j) —
+      // no sqrt ulp can reorder neighbors), top-3 neighbors for the 5
+      // highest-degree anchor items via per-anchor windows over the
+      // pair frame (support ≥ 2 keeps it bounded; anchors broadcast).
+      ("q335_item_similarity", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().persistTracked()
+        val deg = li.groupBy("pk").agg(count(lit(1)).as("deg"))
+          .persistTracked()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= 2)
+        val sym = pairs.select(col("pa").as("item"),
+            col("pb").as("nbr"), col("co"))
+          .unionByName(pairs.select(col("pb").as("item"),
+            col("pa").as("nbr"), col("co")))
+        val anchors = deg.orderBy(desc("deg"), asc("pk")).limit(5)
+          .select(col("pk").as("item"), col("deg").as("deg_i"))
+        val wr = Window.partitionBy("item")
+          .orderBy(desc("s2_ppm"), asc("nbr"))
+        sym.join(broadcast(anchors), "item")
+          .join(deg.select(col("pk").as("nbr"), col("deg").as("deg_j")),
+            "nbr")
+          .withColumn("s2_ppm",
+            expr("co * co * 1000000 div (deg_i * deg_j)"))
+          .withColumn("rank", row_number().over(wr).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("item", "rank", "nbr", "co", "s2_ppm")
+          .orderBy("item", "rank")
+      },
+        Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS deg
+            FROM li GROUP BY pk),
+          pairs AS (SELECT a.pk AS pa, b.pk AS pb,
+              CAST(count(*) AS BIGINT) AS co
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+          sym AS (SELECT pa AS item, pb AS nbr, co FROM pairs
+            UNION ALL SELECT pb, pa, co FROM pairs),
+          anchors AS (SELECT pk AS item, deg AS deg_i FROM deg
+            ORDER BY deg DESC, pk LIMIT 5),
+          scored AS (SELECT s.item, s.nbr, s.co,
+              s.co * s.co * 1000000 // (a.deg_i * dj.deg) AS s2_ppm
+            FROM sym s JOIN anchors a ON a.item = s.item
+            JOIN deg dj ON dj.pk = s.nbr),
+          ranked AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY item ORDER BY s2_ppm DESC, nbr)
+              AS BIGINT) AS rank
+            FROM scored)
+          SELECT item, rank, nbr, co, CAST(s2_ppm AS BIGINT) AS s2_ppm
+          FROM ranked WHERE rank <= 3 ORDER BY item, rank"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -17472,7 +17688,7 @@ object Queries {
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
       roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++
-      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37
+      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37 ++ roundElevenW38
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
