@@ -17678,6 +17678,262 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW39: Seq[Q] = {
+    Seq(
+      // Embedding dimension-pair correlation screen — the redundancy
+      // audit behind any dimension-pruning decision (q275 profiles
+      // dims alone, q276 correlates 3 scalar features): exact signed
+      // Pearson r² for all 120 pairs of a 16-dim probe subspace, from
+      // ONE (vec, pos) explode self-joined per vector (n×120 product
+      // rows collapse under map-side combine to 120 keys). Components
+      // quantize to the CENTI grid — micros would push num² past
+      // decimal(38,0) at fleet volume; a correlation screen on the
+      // 0.01 grid is deterministic on both engines. Top-5 by |r²|,
+      // (i, j) tie-break.
+      ("q336_dim_correlation", (s: SparkSession, d: String) => {
+        val comp = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .filter(col("pos") < 16)
+          .select(col("vec_id"), col("pos"),
+            expr("CAST(round(CAST(col AS DOUBLE) * 100) AS BIGINT)")
+              .as("q"))
+          .persistTracked()
+        comp.as("a").join(comp.as("b"),
+            col("a.vec_id") === col("b.vec_id") &&
+              col("a.pos") < col("b.pos"))
+          .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a.q")).as("sx"), sum(col("b.q")).as("sy"),
+            sum(col("a.q") * col("b.q")).as("sxy"),
+            sum(col("a.q") * col("a.q")).as("sxx"),
+            sum(col("b.q") * col("b.q")).as("syy"))
+          .select(col("i"), col("j"), col("n").as("n_vecs"),
+            expr("""CAST(CASE
+              WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+              ELSE CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+                * CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                * CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000
+                div (CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                  * CAST(n * syy - sy * sy AS DECIMAL(38,0)))
+              END AS BIGINT)""").as("signed_r2_ppm"))
+          .orderBy(abs(col("signed_r2_ppm")).desc, col("i"), col("j"))
+          .limit(5)
+      },
+        Some("""WITH comp AS (SELECT vec_id, u.i - 1 AS pos,
+              CAST(round(CAST(embedding[u.i] AS DOUBLE) * 100)
+                AS BIGINT) AS q
+            FROM embeddings, unnest(range(1, 17)) AS u(i)),
+          st AS (SELECT a.pos AS i, b.pos AS j,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(a.q) AS HUGEINT) AS sx,
+              CAST(sum(b.q) AS HUGEINT) AS sy,
+              CAST(sum(a.q * b.q) AS HUGEINT) AS sxy,
+              CAST(sum(a.q * a.q) AS HUGEINT) AS sxx,
+              CAST(sum(b.q * b.q) AS HUGEINT) AS syy
+            FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+              AND a.pos < b.pos
+            GROUP BY a.pos, b.pos)
+          SELECT i, j, n AS n_vecs,
+            CAST(CASE
+              WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+              ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                * (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+              END AS BIGINT) AS signed_r2_ppm
+          FROM st
+          ORDER BY abs(signed_r2_ppm) DESC, i, j LIMIT 5""")),
+
+      // Medoid keeper audit — artifact consumer #19: the persisted
+      // clusters keep the MIN-ID member; the retrieval-quality keeper
+      // is the MEDOID (the member maximizing summed exact shingle
+      // Jaccard to its partners). All pair work is IN-cluster only
+      // (members semi-join the corpus, shingle intersections join on
+      // (cluster, shingle)), so the frames are bounded by cluster
+      // sizes, never the corpus. Two-member clusters tie to min-id by
+      // construction; the report counts where a ≥3 cluster's medoid
+      // disagrees with the stored keeper — the honest price of the
+      // min-id convention.
+      ("q337_medoid_keeper", (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = nearDupCorpus(docs)
+        val art = clusterArtifact(s, d, fastHash = false)
+          .persistTracked()
+        val members = art.select("cluster", "doc_id")
+        val sh = corpus.join(members, "doc_id")
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("cluster"), col("doc_id"),
+            explode(array_distinct(TF.shingles(col("toks"), 3)))
+              .as("g"))
+          .persistTracked()
+        val sz = sh.groupBy("cluster", "doc_id")
+          .agg(count(lit(1)).as("nsh"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.cluster") === col("b.cluster") &&
+              col("a.g") === col("b.g") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.cluster").as("cluster"),
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("inter"))
+        val jacc = inter
+          .join(sz.select(col("cluster"), col("doc_id").as("da"),
+            col("nsh").as("sa")), Seq("cluster", "da"))
+          .join(sz.select(col("cluster"), col("doc_id").as("db"),
+            col("nsh").as("sb")), Seq("cluster", "db"))
+          .select(col("cluster"), col("da"), col("db"),
+            expr("inter * 1000000 div (sa + sb - inter)").as("jpm"))
+        val scores = jacc.select(col("cluster"),
+            col("da").as("doc_id"), col("jpm"))
+          .unionByName(jacc.select(col("cluster"),
+            col("db").as("doc_id"), col("jpm")))
+          .groupBy("cluster", "doc_id").agg(sum("jpm").as("score"))
+        val wm = Window.partitionBy("cluster")
+          .orderBy(desc("score"), asc("doc_id"))
+        val medoid = members.join(scores, Seq("cluster", "doc_id"),
+            "left")
+          .withColumn("score", coalesce(col("score"), lit(0L)))
+          .withColumn("rn", row_number().over(wm))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("medoid"))
+        medoid
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("medoid") === col("cluster"), 1L)
+              .otherwise(0L)).as("medoid_eq_keeper"))
+          .select(col("n_clusters"), col("medoid_eq_keeper"),
+            (col("n_clusters") - col("medoid_eq_keeper"))
+              .as("medoid_differs"),
+            expr("""CAST((n_clusters - medoid_eq_keeper) * 1000
+              div n_clusters AS BIGINT)""").as("differs_pm"))
+      },
+        Some(s"""WITH RECURSIVE $sqlDupCorpus,
+          ${sqlMinhashPairCtes(0.5)},
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_mh
+            UNION SELECT doc_b, doc_a FROM pairs_mh),
+          reach(id, lab) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+          cc AS (SELECT id AS doc_id, min(lab) AS cluster
+            FROM reach GROUP BY id),
+          sh AS (SELECT cc.cluster, cc.doc_id,
+              unnest(list_distinct(${sqlShingleList(3)})) AS g
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM corpus) tk
+            JOIN cc ON cc.doc_id = tk.doc_id),
+          sz AS (SELECT cluster, doc_id, CAST(count(*) AS BIGINT)
+              AS nsh FROM sh GROUP BY cluster, doc_id),
+          inter AS (SELECT a.cluster, a.doc_id AS da, b.doc_id AS db,
+              CAST(count(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.cluster = b.cluster AND a.g = b.g
+              AND a.doc_id < b.doc_id
+            GROUP BY a.cluster, a.doc_id, b.doc_id),
+          jacc AS (SELECT i.cluster, i.da, i.db,
+              i.inter * 1000000 // (za.nsh + zb.nsh - i.inter) AS jpm
+            FROM inter i
+            JOIN sz za ON za.cluster = i.cluster AND za.doc_id = i.da
+            JOIN sz zb ON zb.cluster = i.cluster AND zb.doc_id = i.db),
+          scores AS (SELECT cluster, doc_id,
+              CAST(sum(jpm) AS BIGINT) AS score
+            FROM (SELECT cluster, da AS doc_id, jpm FROM jacc
+              UNION ALL SELECT cluster, db, jpm FROM jacc)
+            GROUP BY cluster, doc_id),
+          medoid AS (SELECT cluster, doc_id AS medoid
+            FROM (SELECT m.cluster, m.doc_id,
+                row_number() OVER (PARTITION BY m.cluster
+                  ORDER BY coalesce(s.score, 0) DESC, m.doc_id) AS rn
+              FROM cc m LEFT JOIN scores s ON s.cluster = m.cluster
+                AND s.doc_id = m.doc_id)
+            WHERE rn = 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(CASE WHEN medoid = cluster THEN 1 ELSE 0 END)
+              AS BIGINT) AS medoid_eq_keeper,
+            CAST(sum(CASE WHEN medoid <> cluster THEN 1 ELSE 0 END)
+              AS BIGINT) AS medoid_differs,
+            CAST(sum(CASE WHEN medoid <> cluster THEN 1 ELSE 0 END)
+              * 1000 // count(*) AS BIGINT) AS differs_pm
+          FROM medoid""")),
+
+      // Quantile normalization across sources — the cross-source
+      // calibration map (microarray-style): each source's length
+      // distribution is mapped onto the GLOBAL quantile function, all
+      // on the token-count value grid (both histograms bounded by the
+      // length range; the mapping join is grid×grid). Mapped value of
+      // a source value at inclusive position p is the min global value
+      // with cum ≥ p·N div n_s. A planted source (every 10th doc at
+      // half length) must shift UP strongly under normalization while
+      // organic sources sit near identity — the monitor working.
+      ("q338_quantile_norm", (s: SparkSession, d: String) => {
+        val lens = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TF.tokens(col("text"))).cast("long").as("v"))
+        val corpus = lens.select("source", "v").unionByName(
+          lens.filter(col("doc_id") % 10 === 0)
+            .select(lit("planted_short").as("source"),
+              expr("v div 2").as("v")))
+          .persistTracked()
+        val sh = corpus.groupBy("source", "v")
+          .agg(count(lit(1)).as("c"))
+        val ws = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sh2 = sh.withColumn("p", sum("c").over(ws))
+          .withColumn("ns",
+            sum("c").over(Window.partitionBy("source")))
+        val gh = corpus.groupBy("v").agg(count(lit(1)).as("cg"))
+        val wg = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gh2 = gh.withColumn("cumg", sum("cg").over(wg))
+          .withColumn("nn", sum("cg").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .select(col("v").as("gv"), col("cumg"), col("nn"))
+        val mapped = sh2
+          .join(broadcast(gh2),
+            col("cumg") * col("ns") >= col("p") * col("nn"))
+          .groupBy("source", "v", "c")
+          .agg(min("gv").as("mv"))
+        mapped.groupBy("source")
+          .agg(sum("c").as("n_docs"),
+            sum(col("c") * col("v")).as("sv"),
+            sum(col("c") * col("mv")).as("sm"))
+          .select(col("source"), col("n_docs"),
+            expr("sv * 1000000 div n_docs").as("mean_raw_micro"),
+            expr("sm * 1000000 div n_docs").as("mean_mapped_micro"),
+            expr("(sm - sv) * 1000000 div n_docs").as("shift_micro"))
+          .orderBy("source")
+      },
+        Some(s"""WITH lens AS (SELECT doc_id, source,
+              CAST(len(${sqlTokens("text")}) AS BIGINT) AS v
+            FROM documents),
+          corpus AS (SELECT source, v FROM lens
+            UNION ALL SELECT 'planted_short', v // 2 FROM lens
+            WHERE doc_id % 10 = 0),
+          sh AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+            FROM corpus GROUP BY source, v),
+          sh2 AS (SELECT source, v, c,
+              sum(c) OVER (PARTITION BY source ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS p,
+              sum(c) OVER (PARTITION BY source) AS ns
+            FROM sh),
+          gh AS (SELECT v AS gv, CAST(count(*) AS BIGINT) AS cg
+            FROM corpus GROUP BY v),
+          gh2 AS (SELECT gv,
+              sum(cg) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING)
+                AS cumg,
+              sum(cg) OVER () AS nn
+            FROM gh),
+          mapped AS (SELECT source, v, c, min(gv) AS mv
+            FROM sh2 JOIN gh2 ON cumg * ns >= p * nn
+            GROUP BY source, v, c)
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+            CAST(sum(c * v) * 1000000 // sum(c) AS BIGINT)
+              AS mean_raw_micro,
+            CAST(sum(c * mv) * 1000000 // sum(c) AS BIGINT)
+              AS mean_mapped_micro,
+            CAST((sum(c * mv) - sum(c * v)) * 1000000 // sum(c)
+              AS BIGINT) AS shift_micro
+          FROM mapped GROUP BY source ORDER BY source"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -17688,7 +17944,7 @@ object Queries {
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
       roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++
-      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37 ++ roundElevenW38
+      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37 ++ roundElevenW38 ++ roundElevenW39
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
