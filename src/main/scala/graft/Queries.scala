@@ -17934,6 +17934,260 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW40: Seq[Q] = {
+    Seq(
+      // Exact set-similarity join via PREFIX FILTERING (PPJoin-lite) —
+      // the deterministic-exact counterpart to MinHash-LSH: order each
+      // doc's 3-shingle set rarest-first (global df), keep only the
+      // first n − ⌈0.8n⌉ + 1 shingles as the prefix, and candidates
+      // are pairs sharing a PREFIX shingle — the classic theorem says
+      // every pair with J ≥ 0.8 must. Verification is exact integer
+      // cross-multiplication (5·inter ≥ 4·union — no ppm rounding at
+      // the threshold). The ORACLE generates pairs from the FULL
+      // intersection join (ground truth), so the gate literally proves
+      // prefix filtering lost nothing; its candidate count rides along
+      // as the pruning evidence.
+      ("q339_prefix_filter_join", (s: SparkSession, d: String) => {
+        val corpus = nearDupCorpus(
+          t(s, d, "documents").select("doc_id", "text"))
+        val sh = corpus
+          .withColumn("toks", TF.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(array_distinct(TF.shingles(col("toks"), 3)))
+              .as("g"))
+          .persistTracked()
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dfc = sh.groupBy("g").agg(count(lit(1)).as("dfc"))
+        val wp = Window.partitionBy("doc_id").orderBy("dfc", "g")
+        // dfc is shingle-keyed (bounded by the shingle space, ~30 B a
+        // row) — broadcast it so the corpus-sized sh never shuffles
+        // for the rarity lookup; sz rides the same doc-keyed exchange
+        // the window needs anyway
+        val prefix = sh.join(broadcast(dfc), "g").join(sz, "doc_id")
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5")
+            + 1)
+          .select("doc_id", "g")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.g") === col("b.g") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct().persistTracked()
+        val inter = cand
+          .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("g")),
+            Seq("db", "g"))
+          .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+        val verified = inter
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")),
+            "da")
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")),
+            "db")
+          .filter(expr("5 * inter >= 4 * (na + nb - inter)"))
+          .select(col("da"), col("db"),
+            expr("inter * 1000000 div (na + nb - inter)").as("jpm"))
+        cand.agg(count(lit(1)).as("n_candidate_pairs"))
+          .crossJoin(verified.agg(count(lit(1)).as("n_pairs_t08"),
+            coalesce(max("jpm"), lit(0L)).as("max_jacc_ppm")))
+          .crossJoin(sz.agg(count(lit(1)).as("n_docs")))
+          .select("n_docs", "n_candidate_pairs", "n_pairs_t08",
+            "max_jacc_ppm")
+      },
+        Some(s"""WITH $sqlDupCorpus,
+          sh AS (SELECT doc_id,
+              unnest(list_distinct(${sqlShingleList(3)})) AS g
+            FROM (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM corpus)),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM sh GROUP BY doc_id),
+          dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS dfc
+            FROM sh GROUP BY g),
+          pfx AS (SELECT doc_id, g FROM (
+              SELECT sh.doc_id, sh.g, sz.n,
+                row_number() OVER (PARTITION BY sh.doc_id
+                  ORDER BY dfc.dfc, sh.g) AS rn
+              FROM sh JOIN dfc ON dfc.g = sh.g
+              JOIN sz ON sz.doc_id = sh.doc_id)
+            WHERE rn <= n - (4 * n + 4) // 5 + 1),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM pfx a JOIN pfx b ON a.g = b.g
+              AND a.doc_id < b.doc_id),
+          inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              CAST(count(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+          verified AS (SELECT i.da, i.db,
+              i.inter * 1000000 // (za.n + zb.n - i.inter) AS jpm
+            FROM inter i
+            JOIN sz za ON za.doc_id = i.da
+            JOIN sz zb ON zb.doc_id = i.db
+            WHERE 5 * i.inter >= 4 * (za.n + zb.n - i.inter))
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM sz) AS n_docs,
+            (SELECT CAST(count(*) AS BIGINT) FROM cand)
+              AS n_candidate_pairs,
+            (SELECT CAST(count(*) AS BIGINT) FROM verified)
+              AS n_pairs_t08,
+            (SELECT CAST(coalesce(max(jpm), 0) AS BIGINT)
+              FROM verified) AS max_jacc_ppm""")),
+
+      // Table fingerprints + corruption localization — the integrity
+      // primitive under q280's view maintenance: per-file (16
+      // closed-form orderkey ranges) ORDER-INDEPENDENT fingerprints
+      // (sum of portable row hashes — commutative, so shard
+      // fingerprints merge to the table fingerprint by pure addition,
+      // and no read order can change them). A planted corruption (the
+      // max orderkey's lines read with partkey+1 — one order, one
+      // file) must flip EXACTLY its own file's fingerprint — the
+      // report is the 16-row file table with match flags.
+      ("q340_table_fingerprint", (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("l_partkey").as("pk"))
+          .persistTracked()
+        val den = li.agg((max("ok") + 1L).as("den"),
+          max("ok").as("mxok"))
+        val base = li.crossJoin(broadcast(den))
+          .withColumn("f", expr("ok * 16 div den"))
+        def fp(pkCol: Column, nm: String): DataFrame =
+          base.withColumn("h", TF.hash32(concat_ws("|",
+              col("ok"), col("ln"), pkCol)))
+            .groupBy("f")
+            .agg(count(lit(1)).as(s"n_$nm"), sum("h").as(s"fp_$nm"))
+        val fpA = fp(col("pk"), "a")
+        val fpB = fp(when(col("ok") === col("mxok"),
+          col("pk") + 1L).otherwise(col("pk")), "b")
+        fpA.join(fpB, "f")
+          .select(col("f"), col("n_a").as("n_rows"), col("fp_a"),
+            col("fp_b"),
+            when(col("fp_a") === col("fp_b"), 1L).otherwise(0L)
+              .as("fp_match"))
+          .orderBy("f")
+      },
+        Some(s"""WITH den AS (SELECT max(l_orderkey) + 1 AS den,
+              max(l_orderkey) AS mxok FROM lineitem),
+          base AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+              l_partkey AS pk, mxok,
+              l_orderkey * 16 // den AS f
+            FROM lineitem CROSS JOIN den),
+          fa AS (SELECT f, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(${sqlHash32("ok || '|' || ln || '|' || pk")})
+                AS BIGINT) AS fp_a
+            FROM base GROUP BY f),
+          fb AS (SELECT f,
+              CAST(sum(${sqlHash32(
+                "ok || '|' || ln || '|' || (CASE WHEN ok = mxok THEN pk + 1 ELSE pk END)")})
+                AS BIGINT) AS fp_b
+            FROM base GROUP BY f)
+          SELECT fa.f, n_rows, fp_a, fp_b,
+            CAST(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END AS BIGINT)
+              AS fp_match
+          FROM fa JOIN fb ON fb.f = fa.f ORDER BY fa.f""")),
+
+      // Inverse-propensity off-policy evaluation — the OTHER standard
+      // OPE estimator next to q264's replay: a fixed target policy is
+      // learned on the FIRST half of days (the variant with the higher
+      // training-half conversion rate, cross-multiplied), then the
+      // eval half's logged view exposures score it two ways — IPS
+      // (each matched exposure's same-day purchase cents weighted by
+      // 1/propensity = 2 under the uniform hash split) and the direct
+      // matched-mean. Rewards in exact micro-dollars per exposure;
+      // one (user, day) purchase rollup joins the view log once.
+      ("q341_ips_offpolicy", (s: SparkSession, d: String) => {
+        val ev = eventsNs(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .persistTracked()
+        val mid = ev.agg(((min("day") + max("day")) / 2).cast("long")
+          .as("mid"))
+        val pol = ev.filter(col("event_type").isin("view", "purchase"))
+          .crossJoin(broadcast(mid))
+          .filter(col("day") < col("mid"))
+          .withColumn("variant", pmod(col("user_id"), lit(2L)))
+          .groupBy("variant")
+          .agg(countDistinct(when(col("event_type") === "view",
+            col("user_id"))).as("e"),
+            countDistinct(when(col("event_type") === "purchase",
+              col("user_id"))).as("c"))
+        val pistar = pol.groupBy()
+          .agg(max(when(col("variant") === 0, col("c"))).as("c0"),
+            max(when(col("variant") === 0, col("e"))).as("e0"),
+            max(when(col("variant") === 1, col("c"))).as("c1"),
+            max(when(col("variant") === 1, col("e"))).as("e1"))
+          .select(when(col("c1") * col("e0") > col("c0") * col("e1"),
+            1L).otherwise(0L).as("pistar"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("day"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+            .as("cents"))
+        val views = ev.filter(col("event_type") === "view")
+          .crossJoin(broadcast(mid)).filter(col("day") >= col("mid"))
+          .select(col("user_id"), col("day"),
+            pmod(col("user_id"), lit(2L)).as("variant"))
+        views.join(pur, Seq("user_id", "day"), "left")
+          .withColumn("r", coalesce(col("cents"), lit(0L)))
+          .crossJoin(broadcast(pistar))
+          .withColumn("m",
+            when(col("variant") === col("pistar"), 1L).otherwise(0L))
+          .agg(max("pistar").as("pistar"),
+            count(lit(1)).as("n_views"),
+            sum("m").as("n_matched"),
+            sum("r").as("logged_cents"),
+            sum(col("m") * col("r")).as("matched_cents"))
+          .select(col("pistar"), col("n_views"), col("n_matched"),
+            expr("logged_cents * 10000 div n_views")
+              .as("logged_micro"),
+            expr("""CASE WHEN n_matched = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(matched_cents * 10000 div n_matched AS BIGINT)
+              END""").as("dm_micro"),
+            expr("2 * matched_cents * 10000 div n_views")
+              .as("ips_micro"))
+      },
+        Some("""WITH e AS (SELECT user_id, event_type, value,
+              epoch_ns(ts) // 86400000000000 AS day FROM events),
+          mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+          pol AS (SELECT user_id % 2 AS variant,
+              CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                THEN user_id END) AS BIGINT) AS ex,
+              CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                THEN user_id END) AS BIGINT) AS c
+            FROM e CROSS JOIN mid
+            WHERE day < mid AND event_type IN ('view', 'purchase')
+            GROUP BY 1),
+          pistar AS (SELECT CAST(CASE WHEN
+              (SELECT c FROM pol WHERE variant = 1)
+                * (SELECT ex FROM pol WHERE variant = 0)
+              > (SELECT c FROM pol WHERE variant = 0)
+                * (SELECT ex FROM pol WHERE variant = 1)
+              THEN 1 ELSE 0 END AS BIGINT) AS pistar),
+          pur AS (SELECT user_id, day,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM e WHERE event_type = 'purchase' GROUP BY user_id, day),
+          v AS (SELECT e.user_id, e.day, e.user_id % 2 AS variant,
+              coalesce(pur.cents, 0) AS r
+            FROM e CROSS JOIN mid
+            LEFT JOIN pur ON pur.user_id = e.user_id
+              AND pur.day = e.day
+            WHERE e.event_type = 'view' AND e.day >= mid),
+          agg AS (SELECT max(pistar) AS pistar,
+              CAST(count(*) AS BIGINT) AS n_views,
+              CAST(sum(CASE WHEN variant = pistar THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+              CAST(sum(r) AS BIGINT) AS logged_cents,
+              CAST(sum(CASE WHEN variant = pistar THEN r ELSE 0 END)
+                AS BIGINT) AS matched_cents
+            FROM v CROSS JOIN pistar)
+          SELECT pistar, n_views, n_matched,
+            CAST(logged_cents * 10000 // n_views AS BIGINT)
+              AS logged_micro,
+            CASE WHEN n_matched = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(matched_cents * 10000 // n_matched AS BIGINT)
+              END AS dm_micro,
+            CAST(2 * matched_cents * 10000 // n_views AS BIGINT)
+              AS ips_micro
+          FROM agg"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -17944,7 +18198,7 @@ object Queries {
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
       roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++
-      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37 ++ roundElevenW38 ++ roundElevenW39
+      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37 ++ roundElevenW38 ++ roundElevenW39 ++ roundElevenW40
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
