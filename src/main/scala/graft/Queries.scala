@@ -18188,6 +18188,272 @@ object Queries {
     )
   }
 
+  private lazy val roundElevenW41: Seq[Q] = {
+    Seq(
+      // Interpolated Kneser–Ney bigram smoothing — the production
+      // smoother (every n-gram LM toolkit's default) next to q91's
+      // stupid-backoff: the discount D = 3/4 moves mass from observed
+      // bigrams to a CONTINUATION unigram (how many distinct contexts a
+      // word follows — "Francisco" is frequent but predictable, so KN
+      // demotes it). With D = 3/4 the whole estimate is exact in
+      // quarters: P_KN(w|v)·1e6 = (max(4·c(vw)−3, 0)·Nt +
+      // 3·N1+(v·)·N1+(·w)) · 1e6 div (4·c(v)·Nt), no float anywhere
+      // (at fleet volume the 4·c·Nt·1e6 product moves to decimal(38)).
+      // Probe = the 20 hottest bigrams, with the MLE ratio alongside —
+      // the discount visible per row. Scale shape: one bigram rollup
+      // (map-side combine); context/continuation stats are GROUP BYs
+      // over the bigram-TYPE frame (≪ token stream); probe via
+      // TakeOrderedAndProject; stat frames broadcast onto 20 rows.
+      ("q342_kneser_ney", (s: SparkSession, d: String) => {
+        val toks = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val emptyPairs = array().cast("array<struct<prev:string,tok:string>>")
+        val bi = toks.select(explode(
+            when(size(col("toks")) < 2, emptyPairs)
+              .otherwise(transform(sequence(lit(2), size(col("toks"))),
+                i => struct(element_at(col("toks"), i - 1).as("prev"),
+                  element_at(col("toks"), i).as("tok"))))).as("r"))
+          .select(col("r.prev").as("prev"), col("r.tok").as("tok"))
+        val cb = bi.groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+          .persistTracked()
+        val ctx = cb.groupBy("prev")
+          .agg(sum("cb").as("cv"), count(lit(1)).as("n1f"))
+        val cont = cb.groupBy("tok").agg(count(lit(1)).as("n1b"))
+        val nt = cb.agg(count(lit(1)).as("nt"))
+        val probe = cb.orderBy(col("cb").desc, col("prev"), col("tok"))
+          .limit(20)
+        probe.join(broadcast(ctx), "prev")
+          .join(broadcast(cont), "tok")
+          .crossJoin(broadcast(nt))
+          .select(col("prev"), col("tok"), col("cb").as("c_bigram"),
+            col("cv").as("c_context"), col("n1f").as("n1_fwd"),
+            col("n1b").as("n1_bwd"),
+            expr("""(greatest(4 * cb - 3, 0) * nt + 3 * n1f * n1b)
+              * 1000000 div (4 * cv * nt)""").as("pkn_ppm"),
+            expr("cb * 1000000 div cv").as("mle_ppm"))
+          .orderBy(col("c_bigram").desc, col("prev"), col("tok"))
+      },
+        Some(s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+              FROM documents),
+          bi AS (SELECT r.prev AS prev, r.tok AS tok FROM (
+              SELECT unnest(list_transform(range(2, len(toks) + 1),
+                i -> struct_pack(prev := toks[i-1], tok := toks[i]))) AS r
+              FROM tok WHERE len(toks) >= 2)),
+          cb AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+            FROM bi GROUP BY prev, tok),
+          ctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cv,
+              CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY prev),
+          cont AS (SELECT tok, CAST(count(*) AS BIGINT) AS n1b
+            FROM cb GROUP BY tok),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM cb),
+          probe AS (SELECT * FROM cb
+            ORDER BY cb DESC, prev, tok LIMIT 20)
+          SELECT p.prev, p.tok, p.cb AS c_bigram, ctx.cv AS c_context,
+            ctx.n1f AS n1_fwd, cont.n1b AS n1_bwd,
+            CAST((greatest(4 * p.cb - 3, 0) * nt.nt
+                + 3 * ctx.n1f * cont.n1b)
+              * 1000000 // (4 * ctx.cv * nt.nt) AS BIGINT) AS pkn_ppm,
+            CAST(p.cb * 1000000 // ctx.cv AS BIGINT) AS mle_ppm
+          FROM probe p JOIN ctx ON ctx.prev = p.prev
+          JOIN cont ON cont.tok = p.tok CROSS JOIN nt
+          ORDER BY c_bigram DESC, p.prev, p.tok""")),
+
+      // Isotonic calibration (exact PAVA) — the step BEYOND q193's
+      // reliability diagram: fit the best MONOTONE mapping from
+      // classifier score to empirical positive rate via the minimax
+      // identity iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) — provably
+      // the pool-adjacent-violators solution. Runs entirely on the
+      // ≤20-row score-bin frame (the corpus collapses to (n, Σy) per
+      // bin first), so the triple (j,i,k) enumeration is ≤20³ rows of
+      // PLAN, never data. Means compare as micro-truncated integers —
+      // a deterministic <1e-6 tie perturbation applied identically on
+      // both engines (exact rational compare would need cross-
+      // multiplied argmin; the truncated grid keeps the whole fit in
+      // BIGINT). iso_monotone must read 1 on every row — PAVA's
+      // defining invariant, violated by the raw means wherever the
+      // hash classifier's reliability curve wiggles.
+      ("q343_isotonic_calibration", (s: SparkSession, d: String) => {
+        val sc = classifierQuality(s, d, fastHash = false)
+          .select("doc_id", "score")
+        val lab = t(s, d, "documents").select(col("doc_id"),
+          when(TF.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L)
+            .as("label"))
+        val bins = sc.join(lab, "doc_id")
+          .withColumn("bin",
+            least(floor(col("score") * 20).cast("long"), lit(19L)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("label").as("sy"))
+        // ≤20-row frame: the unpartitioned windows and non-equi joins
+        // below never see corpus-sized data
+        val wr = Window.orderBy("bin")
+        val pref = bins
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("cn", sum("n").over(wr))
+          .withColumn("cs", sum("sy").over(wr))
+          .persistTracked()
+        val pj = pref.select(col("rn").as("rnj"),
+          (col("cn") - col("n")).as("cnj0"),
+          (col("cs") - col("sy")).as("csj0"))
+        val pk = pref.select(col("rn").as("rnk"), col("cn").as("cnk"),
+          col("cs").as("csk"))
+        val pairs = pk.join(broadcast(pj), col("rnj") <= col("rnk"))
+          .select(col("rnj"), col("rnk"),
+            expr("(csk - csj0) * 1000000 div (cnk - cnj0)")
+              .as("avg_micro"))
+        val grid = pref.select(col("rn").as("rni"), col("bin"),
+          col("n"), expr("sy * 1000000 div n").as("raw_micro"))
+        val iso = grid
+          .join(broadcast(pairs),
+            col("rnj") <= col("rni") && col("rnk") >= col("rni"))
+          .groupBy("rni", "bin", "n", "raw_micro", "rnj")
+          .agg(min("avg_micro").as("mn"))
+          .groupBy("rni", "bin", "n", "raw_micro")
+          .agg(max("mn").as("iso_micro"))
+        iso
+          .withColumn("iso_monotone",
+            when(col("iso_micro") >= coalesce(
+              lag("iso_micro", 1).over(Window.orderBy("bin")),
+              lit(Long.MinValue)), 1L).otherwise(0L))
+          .select(col("bin"), col("n").as("n_docs"), col("raw_micro"),
+            col("iso_micro"), col("iso_monotone"))
+          .orderBy("bin")
+      },
+        Some(s"""WITH $sqlHashClassifierCtes,
+          lab AS (SELECT doc_id, CASE WHEN $sqlQuality >= 0.5
+              THEN 1 ELSE 0 END AS label FROM documents),
+          bins AS (SELECT least(CAST(floor(sc.score * 20) AS BIGINT), 19)
+                AS bin,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(lab.label) AS BIGINT) AS sy
+            FROM sc JOIN lab ON lab.doc_id = sc.doc_id GROUP BY 1),
+          pref AS (SELECT bin, n, sy,
+              CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS rn,
+              CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+              CAST(sum(sy) OVER (ORDER BY bin) AS BIGINT) AS cs
+            FROM bins),
+          pairs AS (SELECT j.rn AS rnj, k.rn AS rnk,
+              CAST((k.cs - j.cs + j.sy) * 1000000
+                // (k.cn - j.cn + j.n) AS BIGINT) AS avg_micro
+            FROM pref j JOIN pref k ON j.rn <= k.rn),
+          mn AS (SELECT i.rn AS rni, p.rnj,
+              min(p.avg_micro) AS mn
+            FROM pref i JOIN pairs p
+              ON p.rnj <= i.rn AND p.rnk >= i.rn
+            GROUP BY i.rn, p.rnj),
+          iso AS (SELECT rni, CAST(max(mn) AS BIGINT) AS iso_micro
+            FROM mn GROUP BY rni)
+          SELECT pref.bin, pref.n AS n_docs,
+            CAST(pref.sy * 1000000 // pref.n AS BIGINT) AS raw_micro,
+            iso.iso_micro,
+            CAST(CASE WHEN iso.iso_micro >= coalesce(
+                lag(iso.iso_micro) OVER (ORDER BY pref.bin),
+                -9223372036854775807 - 1)
+              THEN 1 ELSE 0 END AS BIGINT) AS iso_monotone
+          FROM pref JOIN iso ON iso.rni = pref.rn ORDER BY pref.bin""")),
+
+      // Audio constellation fingerprinting — the Shazam scheme over the
+      // stub media frame's AUDIO slice (attachMedia modality arm:
+      // doc_id ≡ 1 mod 3): each token position is a "spectral frame"
+      // whose peak band is hash32 mod 1024 (a real decoder would emit
+      // FFT peak bins; everything downstream is representation-
+      // independent), and landmarks pair each anchor with the next 3
+      // peaks into keys (f1, f2, Δ). Retrieval is the landmark
+      // inverted index probed by 20-frame query snippets (every 10th
+      // audio doc, frames 10..29), votes grouped by (query, doc,
+      // OFFSET) — the offset-consistency trick that makes constellation
+      // matching robust: a true match's votes all land on one delta
+      // (here exactly 9), collisions scatter. Scale shape: the corpus
+      // landmark frame is built in ONE narrow pass (nested transform +
+      // flatten — no self-join on positions), the query side is tiny
+      // and broadcast, votes are a bounded rollup, and per-query top-2
+      // is a WindowGroupLimit.
+      ("q344_audio_fingerprint", (s: SparkSession, d: String) => {
+        def keysOf(fs: Column, n: Column): Column =
+          flatten(transform(sequence(lit(1), n - 1),
+            i => transform(sequence(lit(1), least(lit(3), n - i)),
+              dd => struct(i.as("i"),
+                (element_at(fs, i) * lit(4096L)
+                  + element_at(fs, i + dd) * lit(4L)
+                  + dd).as("key")))))
+        val audio = graft.ops.Par.ensure(
+          t(s, d, "documents").select("doc_id", "text"), "doc_id")
+          .filter(pmod(col("doc_id"), lit(3L)) === 1)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("fs", transform(col("toks"),
+            tk => pmod(TF.hash32(concat(lit("cf|"), tk)), lit(1024L))))
+          .select(col("doc_id"), col("fs"), size(col("fs")).as("n"))
+          .persistTracked()
+        val ck = audio.filter(col("n") >= 2)
+          .select(col("doc_id"), explode(keysOf(col("fs"), col("n")))
+            .as("r"))
+          .select(col("doc_id"), col("r.i").as("i"),
+            col("r.key").as("key"))
+        val qk = audio
+          .filter(pmod(col("doc_id"), lit(10L)) === 0 && col("n") >= 30)
+          .select(col("doc_id").as("qid"), slice(col("fs"), 10, 20)
+            .as("qfs"))
+          .select(col("qid"), explode(keysOf(col("qfs"), lit(20)))
+            .as("r"))
+          .select(col("qid"), col("r.i").as("j"), col("r.key").as("key"))
+        val votes = ck.join(broadcast(qk), "key")
+          .groupBy(col("qid"), col("doc_id"),
+            (col("i") - col("j")).as("delta"))
+          .agg(count(lit(1)).as("votes"))
+        val wq = Window.partitionBy("qid")
+          .orderBy(col("votes").desc, col("doc_id"), col("delta"))
+        val top2 = votes.withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 2).persistTracked()
+        top2.filter(col("rk") === 1)
+          .join(top2.filter(col("rk") === 2)
+            .select(col("qid"), col("votes").as("v2")), Seq("qid"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("doc_id") === col("qid"), 1L).otherwise(0L))
+              .as("n_self_match"),
+            sum(when(col("doc_id") === col("qid") && col("delta") === 9,
+              1L).otherwise(0L)).as("n_exact_offset"),
+            sum("votes").as("best_votes"),
+            sum(col("votes") - coalesce(col("v2"), lit(0L)))
+              .as("margin_votes"))
+      },
+        Some(s"""WITH aud AS (SELECT doc_id,
+              list_transform(${sqlTokens("text")},
+                tk -> ${sqlHash32("'cf|' || tk")} % 1024) AS fs
+            FROM documents WHERE doc_id % 3 = 1),
+          a2 AS (SELECT doc_id, fs, len(fs) AS n FROM aud),
+          ck AS (SELECT doc_id, r.i AS i, r.key AS key FROM (
+            SELECT doc_id, unnest(flatten(list_transform(range(1, n),
+              i -> list_transform(range(1, least(3, n - i) + 1),
+                d -> struct_pack(i := i,
+                  key := fs[i] * 4096 + fs[i + d] * 4 + d))))) AS r
+            FROM a2 WHERE n >= 2)),
+          q2 AS (SELECT doc_id AS qid, fs[10:29] AS qfs FROM a2
+            WHERE doc_id % 10 = 0 AND n >= 30),
+          qk AS (SELECT qid, r.i AS j, r.key AS key FROM (
+            SELECT qid, unnest(flatten(list_transform(range(1, 20),
+              i -> list_transform(range(1, least(3, 20 - i) + 1),
+                d -> struct_pack(i := i,
+                  key := qfs[i] * 4096 + qfs[i + d] * 4 + d))))) AS r
+            FROM q2)),
+          v AS (SELECT qk.qid, ck.doc_id, ck.i - qk.j AS delta,
+              CAST(count(*) AS BIGINT) AS votes
+            FROM ck JOIN qk ON qk.key = ck.key GROUP BY 1, 2, 3),
+          t2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY votes DESC, doc_id, delta) AS rk FROM v),
+          b AS (SELECT * FROM t2 WHERE rk = 1),
+          s2 AS (SELECT qid, votes AS v2 FROM t2 WHERE rk = 2)
+          SELECT CAST(count(*) AS BIGINT) AS n_queries,
+            CAST(sum(CASE WHEN b.doc_id = b.qid THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_self_match,
+            CAST(sum(CASE WHEN b.doc_id = b.qid AND b.delta = 9
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_offset,
+            CAST(sum(b.votes) AS BIGINT) AS best_votes,
+            CAST(sum(b.votes - coalesce(s2.v2, 0)) AS BIGINT)
+              AS margin_votes
+          FROM b LEFT JOIN s2 ON s2.qid = b.qid"""))
+    )
+  }
+
   lazy val all: Seq[Q] =
     relational ++ cachesSessions ++ probmethods ++ vector ++ textual ++
       extended ++ curation ++ temporal ++ training ++ roundTen ++
@@ -18198,7 +18464,8 @@ object Queries {
       roundElevenW22 ++ roundElevenW23 ++ roundElevenW24 ++ roundElevenW25 ++
       roundElevenW26 ++ roundElevenW27 ++ roundElevenW28 ++ roundElevenW29 ++
       roundElevenW30 ++ roundElevenW31 ++ roundElevenW32 ++ roundElevenW33 ++
-      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37 ++ roundElevenW38 ++ roundElevenW39 ++ roundElevenW40
+      roundElevenW34 ++ roundElevenW35 ++ roundElevenW36 ++ roundElevenW37 ++ roundElevenW38 ++ roundElevenW39 ++ roundElevenW40 ++
+      roundElevenW41
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, f, _) => n -> f }.toMap
