@@ -3,6 +3,31 @@ package graft
 /** Registry consistency: the driver contract depends on these invariants. */
 class QueriesSpec extends SparkSpec {
 
+  test("det3Sql/det4Sql generate exact integer determinants") {
+    // the q384 Cramer solver embeds this generated SQL verbatim in BOTH
+    // engines; pin it against a reference cofactor expansion
+    import org.apache.spark.sql.functions.expr
+    def ref(m: Array[Array[Long]]): Long = m.length match {
+      case 1 => m(0)(0)
+      case n =>
+        (0 until n).map { c =>
+          val minor = m.tail.map(row =>
+            row.zipWithIndex.filter(_._2 != c).map(_._1))
+          (if (c % 2 == 0) 1L else -1L) * m(0)(c) * ref(minor)
+        }.sum
+    }
+    val m3 = Array(Array(3L, -1L, 2L), Array(0L, 4L, -5L),
+      Array(7L, 1L, 1L))
+    val m4 = Array(Array(2L, 0L, -1L, 3L), Array(1L, 5L, 4L, -2L),
+      Array(0L, -3L, 1L, 1L), Array(6L, 2L, 0L, -4L))
+    def eval(sql: String): Long =
+      spark.range(1).select(expr(sql).cast("long")).head().getLong(0)
+    val g3 = Queries.det3Sql(m3.toSeq.map(_.toSeq.map(_.toString)))
+    val g4 = Queries.det4Sql(m4.toSeq.map(_.toSeq.map(_.toString)))
+    assert(eval(g3) == ref(m3))
+    assert(eval(g4) == ref(m4))
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = Queries.oracleSql.keySet -- Queries.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
