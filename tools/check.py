@@ -21,6 +21,48 @@ def row_key(row):
     # None-safe total order: Python 3 cannot compare None with str/float.
     return tuple((v is None, v) for v in row)
 
+# Types the driver's hash treats as drift relative to what Spark writes.
+# DuckDB silently widens un-CAST integer sum()/product chains to HUGEINT
+# (and some divisions to DECIMAL); Spark parquet never contains those, so
+# the driver's TYPE-AWARE hash mismatches even when every value is equal.
+# This is exactly how q304/q324 passed locally while failing the driver in
+# round 11 — the lint below makes that class of drift fail HERE.
+BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER",
+             "USMALLINT", "UTINYINT")
+
+def oracle_type_problems(exp):
+    """Columns of a DuckDB relation whose type can never round-trip a
+    Spark parquet hash compare. Relation binding is lazy — no execution."""
+    return [f"{c}: {t}" for c, t in zip(exp.columns, map(str, exp.types))
+            if any(b in str(t) for b in BAD_TYPES)]
+
+def lint(sf_dir, out_dir):
+    """Type-only pass: bind every oracle SQL (lazy, no execution) and fail
+    on any HUGEINT/DECIMAL/unsigned output column. Seconds, not minutes —
+    run after editing any oracle string."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    sf_base = os.path.basename(sf_dir.rstrip("/"))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        sql = sql.replace("/verify_fixtures/sf0.01/",
+                          f"/verify_fixtures/{sf_base}/")
+        try:
+            probs = oracle_type_problems(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if probs:
+            print(f"FAIL {name}: type drift {probs}")
+            n_fail += 1
+    print(f"\nlint: {len(oracle) - n_fail} clean / {n_fail} fail "
+          f"of {len(oracle)} oracles")
+    return 1 if n_fail else 0
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -48,6 +90,7 @@ def main(sf_dir, out_dir):
             continue
         try:
             exp = con.sql(sql)
+            bad_types = oracle_type_problems(exp)
             exp_cols = sorted(exp.columns)
             exp_df = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})")
             exp_rows = sorted(
@@ -57,7 +100,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle sql error: {str(e)[:300]}")
             n_fail += 1
             continue
-        if got_cols != exp_cols:
+        if bad_types:
+            print(f"FAIL {name}: oracle result type drift "
+                  f"(driver hash will mismatch): {bad_types}")
+            n_fail += 1
+        elif got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} vs {exp_cols}")
             n_fail += 1
         elif len(got_rows) != len(exp_rows):
@@ -74,4 +121,7 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
+    if "--lint" in sys.argv:
+        argv = [a for a in sys.argv if a != "--lint"]
+        sys.exit(lint(argv[1], argv[2]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
