@@ -128,6 +128,23 @@ object SearchEngine {
       .withColumn("query_vec", embedCol(col("model"), lit(query)))
   }
 
+  /** [[queryEmbeddings]] through any [[graft.core.Embedder]] — the
+    * production arm: the SAME provider that indexed the domain embeds the
+    * query string (`GetQueryEmbeddings`, `Searchdomain.cs:212-235`). The
+    * models-in-use list (U1) is tiny and bounded, so the provider call is
+    * one driver-side round-trip per model — exactly the reference server's
+    * query-time shape — and the resulting (model, query_vec) frame is the
+    * broadcast side of the scoring join, never a per-row UDF.
+    */
+  def queryEmbeddings(spark: SparkSession, domain: Domain, query: String,
+      embedder: graft.core.Embedder): DataFrame = {
+    import spark.implicits._
+    val models = domain.embeddings.select(col("model")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    models.map(m => (m, embedder.embed(m, query).toSeq))
+      .toDF("model", "query_vec")
+  }
+
   /** The search pipeline. `qEmb` has (model, query_vec) — always broadcast.
     * Returns (searchdomain, name, score) top-N descending; [[search]] is
     * the endpoint-shaped (name, score) projection, and the retained

@@ -130,6 +130,37 @@ class HttpEmbedderSpec extends SparkSpec {
     }
   }
 
+  test("index→search end-to-end through the HTTP provider equals the stub path") {
+    withServer(8) { base =>
+      val cfg = ProviderConfig(base, dim = 8, batchSize = 16)
+      val http = new HttpEmbedder(cfg)
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+      val models = Seq("ollama:bge-m3", "openai:text-embedding-3-small")
+
+      // the full production composition: buildDomain AND the query-time
+      // embedding both flow through the HTTP provider — no stub anywhere
+      // in the pipeline under test
+      val domain = SearchEngine.buildDomain(spark, docs, models, 8, "docs",
+        http, parallelPrefetch = true)
+      val qEmb = SearchEngine.queryEmbeddings(spark, domain,
+        "what is a graft query", http)
+      val got = SearchEngine.search(domain, qEmb, 10)
+        .collect().map(_.toSeq).toSeq
+
+      // reference arm: the same pipeline entirely on the stub
+      val sDomain = SearchEngine.buildDomain(spark, docs, models, 8)
+      val sQEmb = SearchEngine.queryEmbeddings(spark, sDomain,
+        "what is a graft query", 8)
+      val want = SearchEngine.search(sDomain, sQEmb, 10)
+        .collect().map(_.toSeq).toSeq
+
+      assert(got.size == 10)
+      assert(got == want)
+    }
+  }
+
   test("JSONPath interpreter covers both provider grammars") {
     val m = new ObjectMapper
     val body = m.readTree(
