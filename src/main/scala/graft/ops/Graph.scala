@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Observability for the cap-gated hybrid operators ([[ccIncremental]],
+    * [[pagerankInt]], [[bfsHops]]): counts which arm each invocation took,
+    * keyed `op:local` / `op:distributed`. The 10× scale soak
+    * (`tools/Scale`) reads these to PROVE — not assume — that above the
+    * 200k-edge cap the distributed branch runs; GraphSpec pins the arms
+    * value-equal, this pins which one executed.
+    */
+  val armCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def countArm(op: String, local: Boolean): Unit =
+    armCounts
+      .computeIfAbsent(s"$op:${if (local) "local" else "distributed"}",
+        _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+  def armSnapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    armCounts.asScala.map { case (k, v) => k -> v.get() }.toMap
+  }
+
   /** Connected components by HashMin label propagation WITH pointer-jumping
     * shortcuts: every node starts labelled with its own id; each round
     * every node takes (1) the min label among itself and its neighbours
@@ -214,6 +233,7 @@ object Graph {
     val superCC =
       try {
         val nEdges = superEdges.count()
+        countArm("ccIncremental", nEdges <= maxLocalEdges)
         if (nEdges <= maxLocalEdges) localCC(superEdges)
         else connectedComponents(superEdges, "sa", "sb", maxIter)
       } finally superEdges.unpersist()
@@ -256,6 +276,7 @@ object Graph {
       .persist()
     try {
       val nEdges = e.count()
+      countArm("pagerankInt", nEdges <= maxLocalEdges)
       if (nEdges <= maxLocalEdges) {
         val es = e.as[(Long, Long)].collect()
         val deg = es.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
@@ -380,6 +401,7 @@ object Graph {
       .persist()
     try {
       val nEdges = e.count()
+      countArm("bfsHops", nEdges <= maxLocalEdges)
       if (nEdges <= maxLocalEdges) {
         val adj = e.as[(Long, Long)].collect().groupBy(_._1)
           .map { case (s, xs) => s -> xs.map(_._2) }

@@ -1,7 +1,47 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Aggregates executor task metrics across a measured run — the numbers a
+  * 100 TB capacity plan actually needs (shuffle volume, spill, peak
+  * per-task execution memory), read from the same TaskMetrics the Spark UI
+  * shows. Snapshot-and-diff around each run; `peak` is reset per run.
+  */
+final class TaskMetricsListener extends SparkListener {
+  val shuffleRead = new LongAdder
+  val shuffleWrite = new LongAdder
+  val memSpill = new LongAdder
+  val diskSpill = new LongAdder
+  val input = new LongAdder
+  val tasks = new LongAdder
+  val peakTaskMem = new AtomicLong(0L)
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+      memSpill.add(m.memoryBytesSpilled)
+      diskSpill.add(m.diskBytesSpilled)
+      input.add(m.inputMetrics.bytesRead)
+      tasks.increment()
+      peakTaskMem.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+    }
+  }
+
+  def snapshot(): Map[String, Long] = Map(
+    "shuffle_read_b" -> shuffleRead.sum(),
+    "shuffle_write_b" -> shuffleWrite.sum(),
+    "mem_spill_b" -> memSpill.sum(),
+    "disk_spill_b" -> diskSpill.sum(),
+    "input_b" -> input.sum(),
+    "tasks" -> tasks.sum())
+}
 
 /** Scale-stress harness (VERDICT r6 #3): materialize a K× corpus from the
   * sf0.1 tables and time registered queries against it, so scale claims get
@@ -176,15 +216,42 @@ object Scale {
           .select(col("doc_id"), size(shingles(tokens(col("text")), 3)).as("n"))
       }))
 
+    // Per-run task-metrics + hybrid-arm accounting (round 12, VERDICT r11
+    // #4): every run prints one JSON line with wall seconds, aggregate
+    // shuffle read/write, spill, input bytes, task count, peak per-task
+    // execution memory, and which arm each cap-gated graph operator took —
+    // the measured numbers SCALE.md pins its 100 TB claims to.
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def fmtJson(m: Map[String, Long]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
     names.foreach { name =>
       val fn = graft.Queries.queries.get(name)
         .orElse(graft.Queries.benchOnly.toMap.get(name))
         .orElse(extra.get(name))
         .getOrElse(sys.error(s"unknown query $name"))
       (1 to reps).foreach { i =>
+        val before = metrics.snapshot()
+        metrics.peakTaskMem.set(0L)
+        val armsBefore = graft.ops.Graph.armSnapshot()
         val t0 = System.nanoTime()
         fn(spark, outDir).write.format("noop").mode("overwrite").save()
-        println(f"[scale] K=$copies $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val secs = (System.nanoTime() - t0) / 1e9
+        // listener events are delivered asynchronously; let the bus drain
+        // before the post-run snapshot
+        Thread.sleep(1500)
+        val after = metrics.snapshot()
+        val delta = after.map { case (k, v) => k -> (v - before(k)) }
+        val arms = graft.ops.Graph.armSnapshot()
+          .map { case (k, v) => k -> (v - armsBefore.getOrElse(k, 0L)) }
+          .filter(_._2 > 0)
+        println(f"""[scale] {"k":$copies,"query":"$name","run":$i,""" +
+          f""""sec":$secs%.3f,"peak_task_mem_b":${metrics.peakTaskMem.get},""" +
+          s""""metrics":${fmtJson(delta)},"arms":${
+            arms.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
+              .mkString("{", ",", "}")}}""")
         spark.catalog.clearCache()
         graft.ops.Caches.release()
         System.gc()
