@@ -70,8 +70,19 @@ object Bench {
     }
     // oracled registry + bench-only production-hash twins (Queries.benchOnly
     // — same dataflow, xxhash64 instead of the oracle-portable md5)
+    // optional tier filter (SPARK_GRAFT_TIER=core — SURVEY §2.13's fast
+    // subset) for local iteration; bench-only twins of core queries ride
+    // along. The driver never sets it, so BENCH_r{N} stays the full suite.
+    val tier = sys.env.get("SPARK_GRAFT_TIER").map {
+      case "core" => Queries.coreTier ++
+        (Queries.benchOnly.map(_._1) ++ benchOnlyNames)
+          .filter(n => Queries.coreTier.exists(_.drop(1).takeWhile(_.isDigit) ==
+            n.drop(1).takeWhile(_.isDigit)))
+      case other => sys.error(s"unknown SPARK_GRAFT_TIER '$other' (known: core)")
+    }
     (SparkEntry.queries.toSeq ++ Queries.benchOnly).sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && tier.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       // One timed rep. Cleanup runs INSIDE the rep boundary so every rep
       // starts from the same state: pipelines persist() shared

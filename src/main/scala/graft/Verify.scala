@@ -26,8 +26,15 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // optional tier filter for local iteration (SPARK_GRAFT_TIER=core runs
+    // the ~190-entry core tier — SURVEY §2.13); the driver never sets it
+    val tier = sys.env.get("SPARK_GRAFT_TIER").map {
+      case "core" => Queries.coreTier
+      case other => sys.error(s"unknown SPARK_GRAFT_TIER '$other' (known: core)")
+    }
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && tier.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
