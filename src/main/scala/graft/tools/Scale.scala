@@ -207,6 +207,26 @@ object Scale {
           sp.read.parquet(s"$dir/documents.parquet"), "doc_id")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
       }),
+      "pagerank_dist" -> ((sp, dir) => {
+        // q241's co-occurrence graph with the local cap forced to 0: the
+        // DISTRIBUTED pagerank arm measured on the scaled corpus. At 10×
+        // the graph itself is still catalog-sized (below the 200k cap —
+        // the designed shape), so without the override the soak could
+        // only ever observe the driver arm; GraphSpec pins the arms
+        // value-equal, this entry prices the distributed one.
+        val li = sp.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+        graft.ops.Graph.pagerankInt(edges, iters = 8, maxLocalEdges = 0L)
+          .orderBy(desc("pr"), asc("node")).limit(15)
+      }),
       "shingle_size" -> ((sp, dir) => {
         // same compute, scalar output: separates the shingle COMPUTE cost
         // from the cost of serializing the array<string> result
