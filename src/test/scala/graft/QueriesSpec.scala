@@ -73,6 +73,30 @@ class QueriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("core tier covers the pipeline story and stays inside the registry") {
+    val names = Queries.queries.keySet
+    val core = Queries.coreTier
+    assert(core.subsetOf(names))
+    // every §2 evidence / first-class LLM-pipeline id is core
+    names.filter(n => Queries.queryId(n) <= 148)
+      .foreach(n => assert(core.contains(n), s"$n should be core"))
+    // the pipeline-story consumers and the TPC-H canon are core
+    Seq("q155_cluster_maintenance", "q235_postings_artifact",
+      "q237_learning_curve", "q241_pagerank", "q309_delay_blame",
+      "q442_min_cost_supplier", "q446_surplus_suppliers")
+      .foreach(n => assert(core.contains(n), s"$n should be core"))
+    // the analytics long tail is NOT core (the tier is a real subset)
+    Seq("q239_cohort_retention", "q300_schema_merge", "q441_late_wald")
+      .foreach { n =>
+        assert(names.contains(n), s"$n missing from registry")
+        assert(!core.contains(n), s"$n should be extended")
+      }
+    assert(core.size >= 150 && core.size <= names.size / 2,
+      s"core tier drifted: ${core.size} of ${names.size}")
+    // freeze: the registry ends at q446
+    assert(names.map(Queries.queryId).max == 446)
+  }
+
   test("flagship entry() runs and returns rows with (name, score) schema") {
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
