@@ -433,4 +433,63 @@ object Graph {
       }
     } finally e.unpersist()
   }
+
+  /** HITS hubs/authorities over a bipartite edge list, all-integer ppm
+    * (the q327 contract): each round's raw score is an edge⋈score join +
+    * key rollup, normalized `raw·10⁶ div Σraw` with the 1-row total
+    * broadcast — int64-safe (raw ≤ maxdeg·10⁶, Σ ≤ |edges|·10⁶).
+    * `rounds` auth steps interleaved with `rounds − 1` hub steps, hubs
+    * seeded at 10⁶; returns the final (authCol, auth_ppm) frame.
+    *
+    * Scale shape, cap-gated like [[pagerankInt]]: score frames are
+    * node-sided, so below `broadcastNodeCap` (the larger of the two node
+    * cardinalities) they BROADCAST and the edge frame never shuffles —
+    * right for catalog-sized graphs. Above the cap a node-sized
+    * broadcast would grow with the graph (the r11 verdict caveat), so
+    * the per-round join runs as a plain shuffle hash join on the node
+    * key instead — the standard large-graph shape. Values are identical
+    * either way (GraphSpec pins the arms equal); [[armCounts]] records
+    * which arm ran (`hitsAuthPpm:local` = broadcast). Each round's score
+    * frame is localCheckpoint'ed so lineage does not grow with rounds;
+    * all intermediate blocks are freed before returning.
+    */
+  def hitsAuthPpm(edges: DataFrame, hubCol: String, authCol: String,
+      rounds: Int, broadcastNodeCap: Long = 2000000L): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1 (got $rounds)")
+    val e = edges.select(col(hubCol).cast("long").as("hub"),
+      col(authCol).cast("long").as("auth")).distinct().persist()
+    try {
+      val nNodes = math.max(e.select("hub").distinct().count(),
+        e.select("auth").distinct().count())
+      val useBroadcast = nNodes <= broadcastNodeCap
+      countArm("hitsAuthPpm", useBroadcast)
+      def side(df: DataFrame): DataFrame =
+        if (useBroadcast) broadcast(df) else df
+      val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def keep(df: DataFrame): DataFrame = {
+        val out = df.localCheckpoint(true); kept += out; out
+      }
+      def normalize(df: DataFrame, node: String): DataFrame = {
+        val tot = df.agg(sum("raw").as("tot"))
+        df.crossJoin(broadcast(tot))
+          .select(col(node), expr("raw * 1000000 div tot").as("score"))
+      }
+      def authStep(h: DataFrame): DataFrame = normalize(
+        e.join(side(h.withColumnRenamed("score", "hs")), "hub")
+          .groupBy("auth").agg(sum("hs").as("raw")), "auth")
+      def hubStep(a: DataFrame): DataFrame = normalize(
+        e.join(side(a.withColumnRenamed("score", "as_")), "auth")
+          .groupBy("hub").agg(sum("as_").as("raw")), "hub")
+      var h = e.select("hub").distinct().withColumn("score", lit(1000000L))
+      var a = keep(authStep(h))
+      for (_ <- 2 to rounds) {
+        h = keep(hubStep(a))
+        a = keep(authStep(h))
+      }
+      val out = a.select(col("auth").as(authCol), col("score").as("auth_ppm"))
+        .localCheckpoint(true)
+      kept.foreach(_.unpersist())
+      out
+    } finally e.unpersist()
+  }
 }

@@ -183,4 +183,27 @@ class GraphSpec extends SparkSpec {
     // the curve itself: 7 nodes/6 edges -> drops pendants -> the triangle
     assert(got.head == (0L, 7L, 6L) && got.last == (3L, 3L, 3L))
   }
+
+  test("HITS: broadcast arm equals the shuffle arm, and the universal " +
+      "authority wins") {
+    import spark.implicits._
+    // bipartite purchases: part 10 bought by every hub, part 11 by two,
+    // part 12 by one; hub 3 buys the most
+    val edges = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (2L, 11L), (3L, 11L),
+      (3L, 12L)).toDF("ck", "pk")
+    def run(cap: Long) =
+      Graph.hitsAuthPpm(edges, "ck", "pk", rounds = 3,
+          broadcastNodeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = Graph.armSnapshot().getOrElse("hitsAuthPpm:distributed", 0L)
+    val bcast = run(2000000L)
+    val shuf = run(0L) // force the shuffle arm on the same input
+    assert(bcast == shuf, s"broadcast arm != shuffle arm\n $bcast\n $shuf")
+    assert(Graph.armSnapshot()("hitsAuthPpm:distributed") == before + 1)
+    // authority ordering follows coverage; scores normalize to ~1e6 total
+    assert(bcast(10L) > bcast(11L) && bcast(11L) > bcast(12L))
+    assert(math.abs(bcast.values.sum - 1000000L) <= bcast.size)
+  }
 }
