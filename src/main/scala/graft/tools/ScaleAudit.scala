@@ -1,28 +1,39 @@
-// Unpartitioned-window scale audit.
+// Measured plan-growth audit (round 12; grew out of WindowAudit).
 //
-// A Window with an empty partitionSpec moves its whole input to ONE
-// partition (WindowExec warns "No Partition Defined"). That is fine over
-// a dim-bounded rollup (sources, days, buckets, k centroids) and fatal
-// over anything document-grained at 100 TB. Static inspection cannot
-// tell those apart — the grouping key's cardinality class is data, not
-// plan — so this tool MEASURES: run every registered query at two scale
-// factors with AQE off, find each WindowExec whose partitionSpec is
-// empty in the executed plan, read the rows that actually flowed into
-// it, and flag windows whose input grows with the scale factor.
+// Two plan shapes are invisible scale-killers at test SFs:
 //
-//   sbt -batch 'runMain graft.tools.WindowAudit'            # all queries
-//   sbt -batch 'runMain graft.tools.WindowAudit q131 q324'  # subset
+//  1. A Window with an empty partitionSpec moves its whole input to ONE
+//     task — fine over a dim-bounded rollup, fatal over anything
+//     document-grained at 100 TB.
+//  2. A BroadcastExchange whose build side GROWS with the corpus — fine
+//     for 1-row totals and catalog dims, fatal when a hinted broadcast
+//     rides a data-grained frame (every executor materializes it).
 //
-// Output: one line per (query, window) with rows at both SFs, the
-// growth ratio, and a verdict. `grep DATA-GRAINED` is the gate; rows
-// that stay flat (ratio ~1) are bounded by construction.
+// Static inspection cannot classify either (the cardinality class of a
+// key is data, not plan), so this tool MEASURES: run every registered
+// query at two scale factors with AQE off, locate each unpartitioned
+// WindowExec and each BroadcastExchangeExec in the executed plan, read
+// the rows (and broadcast bytes) that actually flowed through, and flag
+// the ones that grow with the scale factor.
+//
+//   sbt -batch 'runMain graft.tools.ScaleAudit'            # all queries
+//   sbt -batch 'runMain graft.tools.ScaleAudit q131 q324'  # subset
+//
+// Output: one `[windows]` line per (query, window) and one `[bcast]`
+// line per (query, exchange) with rows at both SFs, the growth ratio,
+// and a verdict. `grep DATA-GRAINED` is the gate; rows that stay flat
+// (ratio ~1) are bounded by construction. Broadcasts are flagged only
+// above a row floor: a dim that grows 10× but lands at 20k rows is
+// still a broadcast-sized dim — the floor approximates "would exceed a
+// sane broadcast budget at fleet scale".
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 
-object WindowAudit {
+object ScaleAudit {
   private def rowsInto(p: SparkPlan): Long = {
     // Nearest descendant metric that counts the window's input. A plain
     // numOutputRows walk would skate past metric-less Sort/Exchange/
@@ -50,6 +61,13 @@ object WindowAudit {
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] =
     p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
 
+  /** (rows, dataSize bytes) per broadcast exchange, in plan order. */
+  private def broadcasts(p: SparkPlan): Seq[(Long, Long)] =
+    p.collect { case b: BroadcastExchangeExec =>
+      (b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
+        b.metrics.get("dataSize").map(_.value).getOrElse(-1L))
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -75,20 +93,24 @@ object WindowAudit {
           sys.error(s"no registered query starts with '$a'")))
       } else graft.Queries.queries.keys.toSeq.sorted
 
-    var flagged = 0
+    // A broadcast is flagged when it grows with the corpus AND is past
+    // the floor where "it is a dim" stops being credible at fleet scale.
+    val bcastRowFloor = 100000L
+
+    var flaggedW = 0
+    var flaggedB = 0
     names.foreach { n =>
       try {
-        // rows into each unpartitioned window, per SF, in plan order
-        val perSf: Seq[Seq[Long]] = sfs.map { sf =>
+        val perSf: Seq[(Seq[Long], Seq[(Long, Long)])] = sfs.map { sf =>
           val df = graft.Queries.queries(n)(spark, sf)
           // Materialize THIS queryExecution's plan (df.write would build a
           // fresh execution whose metrics this tree never sees).
           val plan = df.queryExecution.executedPlan
           plan.execute().count()
-          unpartitionedWindows(plan).map(rowsInto)
+          (unpartitionedWindows(plan).map(rowsInto), broadcasts(plan))
         }
         spark.catalog.clearCache()
-        val (small, big) = (perSf.head, perSf.last)
+        val (small, big) = (perSf.head._1, perSf.last._1)
         big.indices.foreach { i =>
           val a = if (i < small.length) small(i) else -1L
           val b = big(i)
@@ -97,16 +119,29 @@ object WindowAudit {
           val verdict =
             if (a >= 0 && b > 3 * math.max(a, 1L) && b > 200) "DATA-GRAINED"
             else "bounded"
-          if (verdict != "bounded") flagged += 1
+          if (verdict != "bounded") flaggedW += 1
           println(f"[windows] $n%-28s w$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f $verdict")
         }
-        if (big.isEmpty) println(f"[windows] $n%-28s none")
+        val (bSmall, bBig) = (perSf.head._2, perSf.last._2)
+        bBig.indices.foreach { i =>
+          val (a, _) = if (i < bSmall.length) bSmall(i) else (-1L, -1L)
+          val (b, bytes) = bBig(i)
+          val ratio = if (a > 0) b.toDouble / a else Double.NaN
+          val mb = if (bytes >= 0) bytes / 1e6 else -1.0
+          val verdict =
+            if (a >= 0 && b > 3 * math.max(a, 1L) && b > bcastRowFloor)
+              "DATA-GRAINED"
+            else "bounded"
+          if (verdict != "bounded") flaggedB += 1
+          println(f"[bcast]   $n%-28s b$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f size=$mb%.1fMB $verdict")
+        }
       } catch {
         case e: Throwable =>
-          println(s"[windows] $n ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
+          println(s"[audit] $n ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    println(s"[windows] flagged: $flagged")
+    println(s"[windows] flagged: $flaggedW")
+    println(s"[bcast]   flagged: $flaggedB")
     spark.stop()
   }
 }
