@@ -68,6 +68,25 @@ object ScaleAudit {
         b.metrics.get("dataSize").map(_.value).getOrElse(-1L))
     }
 
+  /** Build-side rows of every nested-loop join (crossJoin compiles to
+    * BroadcastNestedLoopJoin) — each pairs EVERY stream row with EVERY
+    * build row, so any build side that grows with the corpus is a
+    * quadratic blow-up. The repo contract: builds are 1-row aggregates
+    * or bounded anchors. */
+  private def nestedLoops(p: SparkPlan): Seq[Long] =
+    p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        (j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          case _ => j.left
+        }) match {
+          case b => b.collectFirst {
+            case e: BroadcastExchangeExec =>
+              e.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+          }.getOrElse(-1L)
+        }
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -99,15 +118,17 @@ object ScaleAudit {
 
     var flaggedW = 0
     var flaggedB = 0
+    var flaggedC = 0
     names.foreach { n =>
       try {
-        val perSf: Seq[(Seq[Long], Seq[(Long, Long)])] = sfs.map { sf =>
+        val perSf: Seq[(Seq[Long], Seq[(Long, Long)], Seq[Long])] = sfs.map { sf =>
           val df = graft.Queries.queries(n)(spark, sf)
           // Materialize THIS queryExecution's plan (df.write would build a
           // fresh execution whose metrics this tree never sees).
           val plan = df.queryExecution.executedPlan
           plan.execute().count()
-          (unpartitionedWindows(plan).map(rowsInto), broadcasts(plan))
+          (unpartitionedWindows(plan).map(rowsInto), broadcasts(plan),
+            nestedLoops(plan))
         }
         spark.catalog.clearCache()
         val (small, big) = (perSf.head._1, perSf.last._1)
@@ -135,6 +156,18 @@ object ScaleAudit {
           if (verdict != "bounded") flaggedB += 1
           println(f"[bcast]   $n%-28s b$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f size=$mb%.1fMB $verdict")
         }
+        val (cSmall, cBig) = (perSf.head._3, perSf.last._3)
+        cBig.indices.foreach { i =>
+          val a = if (i < cSmall.length) cSmall(i) else -1L
+          val b = cBig(i)
+          val ratio = if (a > 0) b.toDouble / a else Double.NaN
+          // a nested-loop build that grows with the corpus is quadratic
+          val verdict =
+            if (a >= 0 && b > 3 * math.max(a, 1L) && b > 1000) "DATA-GRAINED"
+            else "bounded"
+          if (verdict != "bounded") flaggedC += 1
+          println(f"[cross]   $n%-28s c$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f $verdict")
+        }
       } catch {
         case e: Throwable =>
           println(s"[audit] $n ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -142,6 +175,7 @@ object ScaleAudit {
     }
     println(s"[windows] flagged: $flaggedW")
     println(s"[bcast]   flagged: $flaggedB")
+    println(s"[cross]   flagged: $flaggedC")
     spark.stop()
   }
 }
