@@ -59,7 +59,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // keep the oracle dump consistent with the dumped subset: a tier/only
+    // run would otherwise hand check.py 252 oracles with no parquet to
+    // compare against (the driver's full run is unaffected — no filters)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) =>
+        only.forall(_.contains(k)) && tier.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
