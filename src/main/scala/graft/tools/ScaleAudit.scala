@@ -68,6 +68,18 @@ object ScaleAudit {
         b.metrics.get("dataSize").map(_.value).getOrElse(-1L))
     }
 
+  /** Rows written through every shuffle exchange — a shuffle whose rows
+    * grow much FASTER than the data (ratio ≫ the 10× SF step) is a
+    * quadratic intermediate (candidate-pair explosion, unbanded
+    * self-join) even when the final result is small. */
+  private def shuffles(p: SparkPlan): Seq[Long] =
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics.get("numOutputRows").map(_.value)
+          .orElse(e.metrics.get("shuffleRecordsWritten").map(_.value))
+          .getOrElse(-1L)
+    }
+
   /** Build-side rows of every nested-loop join (crossJoin compiles to
     * BroadcastNestedLoopJoin) — each pairs EVERY stream row with EVERY
     * build row, so any build side that grows with the corpus is a
@@ -119,17 +131,19 @@ object ScaleAudit {
     var flaggedW = 0
     var flaggedB = 0
     var flaggedC = 0
+    var flaggedS = 0
     names.foreach { n =>
       try {
-        val perSf: Seq[(Seq[Long], Seq[(Long, Long)], Seq[Long])] = sfs.map { sf =>
-          val df = graft.Queries.queries(n)(spark, sf)
-          // Materialize THIS queryExecution's plan (df.write would build a
-          // fresh execution whose metrics this tree never sees).
-          val plan = df.queryExecution.executedPlan
-          plan.execute().count()
-          (unpartitionedWindows(plan).map(rowsInto), broadcasts(plan),
-            nestedLoops(plan))
-        }
+        val perSf: Seq[(Seq[Long], Seq[(Long, Long)], Seq[Long], Seq[Long])] =
+          sfs.map { sf =>
+            val df = graft.Queries.queries(n)(spark, sf)
+            // Materialize THIS queryExecution's plan (df.write would build
+            // a fresh execution whose metrics this tree never sees).
+            val plan = df.queryExecution.executedPlan
+            plan.execute().count()
+            (unpartitionedWindows(plan).map(rowsInto), broadcasts(plan),
+              nestedLoops(plan), shuffles(plan))
+          }
         spark.catalog.clearCache()
         val (small, big) = (perSf.head._1, perSf.last._1)
         big.indices.foreach { i =>
@@ -168,6 +182,25 @@ object ScaleAudit {
           if (verdict != "bounded") flaggedC += 1
           println(f"[cross]   $n%-28s c$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f $verdict")
         }
+        val (sSmall, sBig) = (perSf.head._4, perSf.last._4)
+        if (sSmall.length != sBig.length) {
+          // the planner picked different strategies at the two SFs
+          // (e.g. an un-hinted join crossing the broadcast threshold
+          // turns into an SMJ with extra exchanges) — positional ratios
+          // are meaningless then, and the flip itself is usually the
+          // DESIRED self-correction; report it for manual reading
+          println(f"[shuffle] $n%-28s plan-changed (${sSmall.length} -> ${sBig.length} exchanges) — strategy flip, inspect manually")
+        } else sBig.indices.foreach { i =>
+          val a = sSmall(i)
+          val b = sBig(i)
+          val ratio = if (a > 0) b.toDouble / a else Double.NaN
+          // the data step is 10x; >30x shuffle growth = super-linear
+          // intermediate (quadratic pair explosion), report only those
+          if (a >= 0 && b > 30 * math.max(a, 1L) && b > 100000) {
+            flaggedS += 1
+            println(f"[shuffle] $n%-28s s$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f SUPER-LINEAR")
+          }
+        }
       } catch {
         case e: Throwable =>
           println(s"[audit] $n ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -176,6 +209,7 @@ object ScaleAudit {
     println(s"[windows] flagged: $flaggedW")
     println(s"[bcast]   flagged: $flaggedB")
     println(s"[cross]   flagged: $flaggedC")
+    println(s"[shuffle] flagged: $flaggedS")
     spark.stop()
   }
 }
