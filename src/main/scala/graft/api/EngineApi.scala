@@ -331,6 +331,8 @@ object EngineApi {
     // verbatim, so rank 1 may be absent or duplicated); ties broken by
     // name via a window over the LISTING-sized candidate set (≈ one row
     // per query), never the cache table
+    // bcast-ok: one row per cached query — the query cache is LRU-capped
+    // (C1), never corpus-grained
     val minRank = cache.groupBy(col("query")).agg(min(col("rank")).as("__top_rank"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query")).orderBy(col("name"))

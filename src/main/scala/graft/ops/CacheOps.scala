@@ -80,6 +80,7 @@ object CacheOps {
     * the cache table itself never shuffles.
     */
   def invalidate(cache: DataFrame, changes: DataFrame, domainCol: String): DataFrame =
+    // bcast-ok: distinct searchdomain ids — the domain catalog is config-sized
     cache.join(broadcast(changes.select(col(domainCol)).distinct()),
       Seq(domainCol), "left_anti")
 

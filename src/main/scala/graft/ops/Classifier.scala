@@ -52,6 +52,7 @@ object Classifier {
       toksed.select(col("doc_id"), lit(nFeatures).as("f"), lit(1.0).as("x")))
   }
 
+  // bcast-ok: nFeatures+1 coefficient rows — model-sized, corpus-independent
   private def weightsDf(spark: org.apache.spark.sql.SparkSession,
       w: Array[Double]): DataFrame = {
     import spark.implicits._

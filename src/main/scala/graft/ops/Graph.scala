@@ -264,12 +264,15 @@ object Graph {
     * measured BEFORE any collect; at or below `maxLocalEdges` (a hard
     * driver-memory cap, ~16 B/edge) the rounds run as a driver loop over
     * primitive arrays, else each round is the standard distributed shape —
-    * edges ⋈ rank (rank side broadcast: the node set of a co-occurrence
-    * graph is catalog-sized) + one dst-keyed aggregate, chained lazily
-    * into a single job. GraphSpec pins both arms equal.
+    * edges ⋈ rank + one dst-keyed aggregate, chained lazily into a single
+    * job. The rank side is node-sized, so it is only broadcast below
+    * `broadcastNodeCap` (measured on the persisted node frame, the
+    * [[hitsAuthPpm]] gate — a forced hint would pin it at ANY size);
+    * above the cap the join shuffles. GraphSpec pins both arms equal.
     */
   def pagerankInt(edges: DataFrame, iters: Int,
-      maxLocalEdges: Long = 200000L): DataFrame = {
+      maxLocalEdges: Long = 200000L,
+      broadcastNodeCap: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -294,10 +297,15 @@ object Graph {
       } else {
         val nodes = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("node"), col("deg")).persist()
+        val useBroadcast = nodes.count() <= broadcastNodeCap
+        countArm("pagerankIntBcast", useBroadcast)
+        // bcast-ok: cap-gated — broadcast only below the measured node cap
+        def side(df: DataFrame): DataFrame =
+          if (useBroadcast) broadcast(df) else df
         var pr = nodes.withColumn("pr", lit(1000000L))
         for (_ <- 1 to iters) {
           val contrib = e
-            .join(broadcast(pr.select(col("node").as("src"),
+            .join(side(pr.select(col("node").as("src"),
               expr("pr div deg").as("c"))), "src")
             .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
           pr = nodes.join(contrib, Seq("node"), "left")
@@ -387,14 +395,17 @@ object Graph {
     * Hybrid execution, the [[pagerankInt]] pattern: edge count measured
     * BEFORE any collect; at or below `maxLocalEdges` the BFS is a driver
     * loop over an adjacency map, else each round is ONE edge ⋈ distance
-    * join (distance side broadcast — the node set of a co-occurrence
-    * graph is catalog-sized, never corpus-sized) + a min aggregate,
-    * persisted per round (each round reads its predecessor TWICE — expand
-    * + union — so unpersisted lineage doubles every iteration).
-    * GraphSpec pins both arms equal.
+    * join + a min aggregate, persisted per round (each round reads its
+    * predecessor TWICE — expand + union — so unpersisted lineage doubles
+    * every iteration). The distance side is node-sized (≤ 2·|E| + the
+    * source batch), so it is broadcast only when that bound stays under
+    * `broadcastNodeCap` — derived from the already-measured edge count,
+    * no extra job — and shuffle-joined above it. GraphSpec pins both
+    * arms equal.
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int,
-      maxLocalEdges: Long = 200000L): DataFrame = {
+      maxLocalEdges: Long = 200000L,
+      broadcastNodeCap: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -416,11 +427,19 @@ object Graph {
         }
         dist.toSeq.toDF("node", "dd")
       } else {
+        // dist never exceeds the reached node set: ≤ 2·nEdges endpoints
+        // plus the (caller-bounded) source batch — gate on that bound,
+        // measured from the edge count already in hand
+        val useBroadcast = 2 * nEdges <= broadcastNodeCap
+        countArm("bfsHopsBcast", useBroadcast)
+        // bcast-ok: cap-gated — broadcast only below the derived node cap
+        def side(df: DataFrame): DataFrame =
+          if (useBroadcast) broadcast(df) else df
         var dist = sources.select(col("node").cast("long"), lit(0L).as("dd"))
           .persist()
         val rounds0 = scala.collection.mutable.ArrayBuffer(dist)
         for (_ <- 1 to rounds) {
-          dist = e.join(broadcast(dist), e("src") === dist("node"))
+          dist = e.join(side(dist), e("src") === dist("node"))
             .select(col("dst").as("node"), (col("dd") + 1L).as("dd"))
             .unionByName(dist)
             .groupBy("node").agg(min("dd").as("dd"))
@@ -463,6 +482,7 @@ object Graph {
         e.select("auth").distinct().count())
       val useBroadcast = nNodes <= broadcastNodeCap
       countArm("hitsAuthPpm", useBroadcast)
+      // bcast-ok: cap-gated — broadcast only below the measured node cap
       def side(df: DataFrame): DataFrame =
         if (useBroadcast) broadcast(df) else df
       val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

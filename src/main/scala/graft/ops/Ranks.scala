@@ -51,14 +51,21 @@ object Ranks {
     * @param sums   (expression, outName) running sums, frame
     *               ROWS UNBOUNDED PRECEDING..CURRENT ROW (inclusive);
     *               derive exclusive variants as `out - expr`
-    * @param parts  range partitions (the per-key parallelism at scale)
+    * @param parts  range partitions (the per-key parallelism at scale);
+    *               ≤ 0 (the default) derives it from
+    *               `spark.sql.shuffle.partitions`, so the per-partition
+    *               share shrinks as the cluster grows (the q97
+    *               derived-bucket-count precedent) instead of pinning a
+    *               constant fan-out
     */
   def globalOrder(df: DataFrame, order: Seq[Column],
       rowNum: Option[String] = None, sums: Seq[(Column, String)] = Nil,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 0): DataFrame = {
     require(rowNum.nonEmpty || sums.nonEmpty, "nothing to compute")
+    val nParts = if (parts > 0) parts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = "__go_pid"
-    val ranged = df.repartitionByRange(parts, order: _*)
+    val ranged = df.repartitionByRange(nParts, order: _*)
       .withColumn(pid, spark_partition_id())
     val w = Window.partitionBy(pid).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -89,6 +96,7 @@ object Ranks {
         sum(s"__go_tsum$i").over(wp) - col(s"__go_tsum$i"))
     }
 
+    // bcast-ok: per-partition offsets — ≤ nParts rows by construction
     var out = local.join(broadcast(off.select(
       col(pid) +: col("__go_rnoff") +:
         sums.indices.map(i => col(s"__go_soff$i")): _*)), pid)

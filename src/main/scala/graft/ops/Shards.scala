@@ -84,7 +84,9 @@ object Shards {
         lit(1048576L)))
       .withColumn("off", coalesce(sum(col("bsz")).over(wBlk), lit(0L)))
       .select("epoch", "block", "off")
-    ranked.join(broadcast(offs), Seq("epoch", "block"))
+    // offs is (epoch × block)-grained and blocks grow linearly with the
+    // corpus — no forced hint; the size-estimate threshold governs
+    ranked.join(offs, Seq("epoch", "block"))
       .withColumn("pos", col("off") + col("rnk") - 1)
       .select(col(idCol), col("epoch"), col("block"), col("pos"))
   }

@@ -23,6 +23,17 @@ import graft.functions.VectorFunctions
   * k-means refinement would slot in without changing either dataflow.
   */
 object Ann {
+  // Broadcast-bound contracts for the parameters every search entry point
+  // shares (tools/hint_lint.py reads these):
+  // bcast-ok-param: queries — caller probe/training batch (API contract):
+  //   request-sized; corpus-scale query sets must gate via ivfSearch/
+  //   lshSearch and re-rank the pool (see reRank scaladoc)
+  // bcast-ok-param: queryVecs — MaxSim query token bag: batch × tokens-
+  //   per-query, request-sized (API contract)
+  // bcast-ok-param: centroids — fixed-k coarse quantizer (construction
+  //   constant, corpus-independent)
+  // bcast-ok-param: codebook — fixed m × ksub PQ codewords (construction
+  //   constant, corpus-independent)
 
   /** Assign every corpus vector to its nearest centroid (squared-L2, the
     * standard coarse quantizer). The centroid set is collapsed into ONE
@@ -132,6 +143,7 @@ object Ann {
     val probeSet =
       if (!probeHamming1) array(qBucket)
       else array(qBucket +: (1 to signBits).map(i => qBucket.bitwiseXOR(lit(1L << i))): _*)
+    // bcast-ok: query batch × (1 + signBits) probe buckets — batch-sized
     val qKeyed = queries.select(col("query_id"), col("qe"))
       .withColumn("bucket", explode(probeSet))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
@@ -333,9 +345,11 @@ object Ann {
       queries: DataFrame,
       k: Int,
       pool: Int): DataFrame = {
+    // bcast-ok: one binary-quantized row per query — batch-sized
     val qb = quantizeBinary(queries.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
       .select(col("vec_id").as("query_id"), col("blo").as("qlo"), col("bhi").as("qhi"))
     val wHam = Window.partitionBy("query_id").orderBy(asc("ham"), asc("vec_id"))
+    // bcast-ok: rank-limited to `pool` rows per query — batch × pool
     val candidates = binary
       .crossJoin(broadcast(qb))
       .withColumn("ham",
@@ -371,6 +385,7 @@ object Ann {
       k: Int,
       pool: Int): DataFrame = {
     val wPre = Window.partitionBy("query_id").orderBy(desc("psim"), asc("vec_id"))
+    // bcast-ok: rank-limited to `pool` rows per query — batch × pool
     val candidates = corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(queries.select(col("query_id"), col("qe"))))
       .withColumn("psim", round(VectorFunctions.cosine01(
@@ -441,6 +456,7 @@ object Ann {
   /** Codebook packed to ONE broadcastable row: subs[s].cb = the id-sorted
     * (code, cvec) array of subspace s — the same collapse ivfAssign uses so
     * assignment stays a narrow per-row fold, never a shuffle. */
+  // bcast-ok: one row per subquantizer (m rows) — construction constant
   private def pqPack(codebook: DataFrame): DataFrame =
     codebook.groupBy("sub")
       .agg(array_sort(collect_list(struct(col("code"), col("cvec")))).as("cb"))
@@ -606,6 +622,7 @@ object Ann {
   /** Per-query ADC lookup table: (query_id, qe, tab) where tab[sub*ksub +
     * code] = (partial dot of the query's sub-slice with the codeword,
     * codeword squared norm) — m × ksub entries, broadcastable. */
+  // bcast-ok: m × ksub ADC entries per query — batch × codebook-sized
   private def pqQueryTables(queries: DataFrame, codebook: DataFrame,
       dsub: Int, ksub: Int): DataFrame =
     queries.select(col("query_id"), col("qe"))
@@ -657,6 +674,7 @@ object Ann {
       queries: DataFrame, m: Int, dsub: Int, ksub: Int, k: Int, pool: Int,
       nprobe: Int): DataFrame = {
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("centroid_id"))
+    // bcast-ok: nprobe probed cells per query — batch × nprobe
     val cells = queries
       .crossJoin(broadcast(centroids))
       .withColumn("dist2", round(VectorFunctions.l2sq(col("qe"), col("cvec")), 6))
@@ -726,6 +744,7 @@ object Ann {
       k: Int,
       nprobe: Int): DataFrame = {
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("centroid_id"))
+    // bcast-ok: nprobe probed cells per query — batch × nprobe
     val cells = queries
       .crossJoin(broadcast(centroids))
       .withColumn("dist2", round(VectorFunctions.l2sq(col("qe"), col("cvec")), 6))

@@ -152,6 +152,8 @@ object SearchEngine {
     * (the attributes projection) without a name-only join fanning out
     * across domains that reuse entity names.
     */
+  // bcast-ok-param: qEmb — the per-request query-embedding batch (M query
+  // rows, API contract): request-sized, never corpus-grained
   def searchWithDomain(domain: Domain, qEmb: DataFrame, topN: Int): DataFrame = {
     // All intra-domain joins and groupings are keyed by (searchdomain, id):
     // a Domain may hold several searchdomains side by side (the catalog
@@ -271,6 +273,8 @@ object SearchEngine {
     out.toSeq.toDF("rnk", "vec_id", "relevance", "redundancy", "mmr")
   }
 
+  // bcast-ok-param: queries — caller probe batch (API contract); for
+  // corpus-scale query sets gate through Ann.ivfSearch/lshSearch instead
   def topKJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = corpus.as("c")
       .join(broadcast(queries.as("q")))

@@ -67,6 +67,8 @@ object Windowed {
     * l1_ppm on the same shard. An operator alerts when the deviation
     * climbs — BEFORE q155 folds the shard in.
     */
+  // bcast-ok-param: reference — (source × 10 length-buckets) reference
+  // histogram: catalog-sized, arity fixed by the bucketing expression
   def driftMonitor(docs: DataFrame, reference: DataFrame): DataFrame = {
     val hist = docs
       .withColumn("n_tok",

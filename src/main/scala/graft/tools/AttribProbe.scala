@@ -97,6 +97,7 @@ object CoverProbe {
       t0 = System.nanoTime
       val remaining = if (chosen.isEmpty) sh else sh.filter(!col("doc_id").isin(chosen: _*))
       val uncov = if (covered == null) remaining
+        // bcast-ok: shingles of the ≤5 chosen docs — bounded by the round cap
         else remaining.join(broadcast(covered), Seq("h"), "left_anti")
       val win = uncov.groupBy("doc_id").agg(count(lit(1)).as("gain"))
         .orderBy(desc("gain"), asc("doc_id")).limit(1).collect()(0)

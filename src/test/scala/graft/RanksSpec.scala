@@ -103,4 +103,22 @@ class RanksSpec extends SparkSpec {
       assert(wins.size <= 1, s"expected ≤1 bounded offsets window, got ${wins.size}")
     }
   }
+
+  test("default parts follows spark.sql.shuffle.partitions") {
+    Caches.scoped {
+      val df = data(200, 13L)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val out = Ranks.globalOrder(df, Seq(col("k1"), col("id")),
+          rowNum = Some("rn"), sums = Seq((col("v"), "cum")))
+        // values unchanged by the default-resolution path
+        assert(rows(out) === rows(naive(df)))
+        // the explicit-count range repartition is not AQE-coalesced, so the
+        // output keeps the conf-derived fan-out
+        assert(out.rdd.getNumPartitions === 7,
+          s"expected conf-derived 7 partitions, got ${out.rdd.getNumPartitions}")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
 }
