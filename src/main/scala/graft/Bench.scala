@@ -74,10 +74,15 @@ object Bench {
     // subset) for local iteration; bench-only twins of core queries ride
     // along. The driver never sets it, so BENCH_r{N} stays the full suite.
     val tier = sys.env.get("SPARK_GRAFT_TIER").map {
-      case "core" => Queries.coreTier ++
-        (Queries.benchOnly.map(_._1) ++ benchOnlyNames)
-          .filter(n => Queries.coreTier.exists(_.drop(1).takeWhile(_.isDigit) ==
-            n.drop(1).takeWhile(_.isDigit)))
+      case "core" => {
+        // match by parsed numeric id (Queries.queryId), not raw digit-prefix
+        // strings — string equality would silently admit any future
+        // bench-only name whose prefix happens to collide (ADVICE r12)
+        val coreIds = Queries.coreTier.map(Queries.queryId)
+        Queries.coreTier ++
+          (Queries.benchOnly.map(_._1) ++ benchOnlyNames)
+            .filter(n => coreIds.contains(Queries.queryId(n)))
+      }
       case other => sys.error(s"unknown SPARK_GRAFT_TIER '$other' (known: core)")
     }
     (SparkEntry.queries.toSeq ++ Queries.benchOnly).sortBy(_._1)

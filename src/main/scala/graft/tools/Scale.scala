@@ -259,9 +259,10 @@ object Scale {
         val t0 = System.nanoTime()
         fn(spark, outDir).write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
-        // listener events are delivered asynchronously; let the bus drain
-        // before the post-run snapshot
-        Thread.sleep(1500)
+        // listener events are delivered asynchronously; drain the bus
+        // deterministically before the post-run snapshot (a fixed sleep
+        // attributed late TaskEnd events to the next run on loaded hosts)
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 30000L)
         val after = metrics.snapshot()
         val delta = after.map { case (k, v) => k -> (v - before(k)) }
         val arms = graft.ops.Graph.armSnapshot()

@@ -146,8 +146,15 @@ object ScaleAudit {
           }
         spark.catalog.clearCache()
         val (small, big) = (perSf.head._1, perSf.last._1)
-        big.indices.foreach { i =>
-          val a = if (i < small.length) small(i) else -1L
+        // Positional pairing is only sound when both SFs produced the
+        // same operator count — otherwise the static planner picked
+        // different strategies and index-aligned ratios are meaningless
+        // (a missing lo-side entry would silently read as "bounded").
+        // Same escape the shuffle category always had.
+        if (small.length != big.length) {
+          println(f"[windows] $n%-28s plan-changed (${small.length} -> ${big.length} windows) — inspect manually")
+        } else big.indices.foreach { i =>
+          val a = small(i)
           val b = big(i)
           val ratio = if (a > 0) b.toDouble / a else Double.NaN
           // Grown with the corpus (and past rollup size) = data-grained.
@@ -158,8 +165,10 @@ object ScaleAudit {
           println(f"[windows] $n%-28s w$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f $verdict")
         }
         val (bSmall, bBig) = (perSf.head._2, perSf.last._2)
-        bBig.indices.foreach { i =>
-          val (a, _) = if (i < bSmall.length) bSmall(i) else (-1L, -1L)
+        if (bSmall.length != bBig.length) {
+          println(f"[bcast]   $n%-28s plan-changed (${bSmall.length} -> ${bBig.length} broadcasts) — inspect manually")
+        } else bBig.indices.foreach { i =>
+          val (a, _) = bSmall(i)
           val (b, bytes) = bBig(i)
           val ratio = if (a > 0) b.toDouble / a else Double.NaN
           val mb = if (bytes >= 0) bytes / 1e6 else -1.0
@@ -171,8 +180,10 @@ object ScaleAudit {
           println(f"[bcast]   $n%-28s b$i rows(lo)=$a%-8d rows(hi)=$b%-8d ratio=$ratio%.1f size=$mb%.1fMB $verdict")
         }
         val (cSmall, cBig) = (perSf.head._3, perSf.last._3)
-        cBig.indices.foreach { i =>
-          val a = if (i < cSmall.length) cSmall(i) else -1L
+        if (cSmall.length != cBig.length) {
+          println(f"[cross]   $n%-28s plan-changed (${cSmall.length} -> ${cBig.length} nested-loop builds) — inspect manually")
+        } else cBig.indices.foreach { i =>
+          val a = cSmall(i)
           val b = cBig(i)
           val ratio = if (a > 0) b.toDouble / a else Double.NaN
           // a nested-loop build that grows with the corpus is quadratic
