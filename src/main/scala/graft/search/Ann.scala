@@ -78,10 +78,29 @@ object Ann {
 
   /** Deterministic coarse-centroid pick: every vector whose id is a multiple
     * of `step` (sampling stand-in for k-means; same dataflow either way).
+    *
+    * A PINNED step makes the centroid count n/step — linear in the corpus —
+    * so assignment degrades to O(n²/step): fine for small oracle fixtures,
+    * a measured 43× wall blow-up at the K=100 soak decade (SCALE.md r13).
+    * Scale callers use [[sqrtCentroids]].
     */
   def sampleCentroids(corpus: DataFrame, step: Int): DataFrame =
     corpus.filter(pmod(col("vec_id"), lit(step)) === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+
+  /** Corpus-adaptive deterministic coarse pick: the step is derived so the
+    * centroid count tracks √n — the standard IVF quantizer sizing, which
+    * balances assignment O(n·√n) against probe-cell size O(√n) and keeps
+    * the broadcast centroid payload √n-small. step = max(1, ⌊n/⌈√n⌉⌋),
+    * exact and oracle-expressible (DuckDB: `vec_id % (SELECT
+    * greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) ...)`).
+    * The count is one scalar job over the (already narrow) corpus frame.
+    */
+  def sqrtCentroids(corpus: DataFrame): DataFrame = {
+    val n = corpus.count()
+    val k = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    sampleCentroids(corpus, math.max(1L, n / k).toInt)
+  }
 
   /** Lloyd refinement of the coarse centroids, pure DataFrame ops: assign
     * → per-dimension mean per cell → repeat. Each iteration is one
