@@ -83,7 +83,8 @@ class QueriesSpec extends SparkSpec {
     // the pipeline-story consumers and the TPC-H canon are core
     Seq("q155_cluster_maintenance", "q235_postings_artifact",
       "q237_learning_curve", "q241_pagerank", "q309_delay_blame",
-      "q442_min_cost_supplier", "q446_surplus_suppliers")
+      "q442_min_cost_supplier", "q446_surplus_suppliers",
+      "q447_large_volume_customers", "q448_order_count_distribution")
       .foreach(n => assert(core.contains(n), s"$n should be core"))
     // the analytics long tail is NOT core (the tier is a real subset)
     Seq("q239_cohort_retention", "q300_schema_merge", "q441_late_wald")
@@ -93,8 +94,9 @@ class QueriesSpec extends SparkSpec {
       }
     assert(core.size >= 150 && core.size <= names.size / 2,
       s"core tier drifted: ${core.size} of ${names.size}")
-    // freeze: the registry ends at q446
-    assert(names.map(Queries.queryId).max == 446)
+    // freeze: the registry ends at q448 (q447/q448 admitted in round 13
+    // under the relational-canon clause, SURVEY §2.13)
+    assert(names.map(Queries.queryId).max == 448)
   }
 
   test("flagship entry() runs and returns rows with (name, score) schema") {
