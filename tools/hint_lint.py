@@ -70,6 +70,7 @@ BOUNDED_KEYS = {
     "ch",           # channel index (fixed small range)
     "pos",          # subvector position (fixed PQ m)
     "r_name", "n_name",  # region/nation names (5 / 25)
+    "o_orderpriority",   # orders priority enum (5 values, schema-fixed)
     "qb",           # quality bucket (fixed bucketing arity)
     "hb",           # hash bucket (fixed modulus)
     "fid",          # feature id (fixed feature inventory)
@@ -164,7 +165,7 @@ def find_def(lines, site_line, ident):
     """Nearest preceding `val ident =` or `def ident(...) =`; returns
     (rhs_text, annotation) or (None, None)."""
     vpat = re.compile(r"^\s*(?:lazy\s+)?val\s+" + re.escape(ident) + r"\s*(?::[^=]+)?=")
-    dpat = re.compile(r"^\s*(?:private\s+)?def\s+" + re.escape(ident) + r"\s*[\(\[:]")
+    dpat = re.compile(r"^\s*(?:private\s+)?def\s+" + re.escape(ident) + r"\s*(?:[\(\[:]|=)")
 
     def found(i):
         rhs = statement_rhs(lines, i)
@@ -192,6 +193,8 @@ EMPTY_GROUP = re.compile(r"\.groupBy\(\s*\)")
 LIMIT_K = re.compile(r"\.limit\(|TakeOrdered")
 CATALOG = re.compile(r'"(nation|region)"')
 RANGE_LIT = re.compile(r"\.range\(\s*-?\d{1,6}[\s,)L]|(?<![\w.])range\(\s*-?\d{1,6}[\s,)L]")
+# exploded literal sequence(lit(a), lit(b)) — arity fixed by the literals
+SEQ_RANGE = re.compile(r"sequence\(\s*lit\(-?\d+L?\)\s*,\s*lit\(-?\d+L?\)")
 # literal Seq only counts when it actually becomes the frame (.toDF /
 # createDataFrame) — a bare Seq("k") join-key list must NOT certify
 SEQ_LIT = re.compile(
@@ -248,11 +251,20 @@ def classify_text(text):
         return "ONE_ROW_AGG"
     if ONE_ROW.search(text) and not GROUPED.search(text):
         return "ONE_ROW_AGG"
+    # two-stage rollup ending in a GLOBAL agg: in a linear chain every
+    # grouped head consumes exactly one .agg(...), so more aggs than
+    # grouped heads means the final stage is global -> 1 row out.
+    # Restricted to join-free text: a join could embed ANOTHER frame's
+    # agg and break the 1:1 pairing argument.
+    if (len(re.findall(r"\.agg\(", text)) > len(GROUP_HEAD.findall(text))
+            and not re.search(r"\.(join|crossJoin|union\w*)\(", text)):
+        return "ONE_ROW_AGG"
     if grouped_by_bounded(text):
         return "GROUPED_KEY"
     if CATALOG.search(text):
         return "FIXED_CATALOG"
-    if RANGE_LIT.search(text) or SEQ_LIT.search(text) or LOCAL_TODF.search(text):
+    if RANGE_LIT.search(text) or SEQ_LIT.search(text) or LOCAL_TODF.search(text) \
+            or SEQ_RANGE.search(text):
         return "FIXED_CATALOG"
     if LITERAL_KEY.search(text):
         return "LITERAL_KEY"
@@ -296,11 +308,50 @@ def classify(lines, lineno, arg, depth=4):
     return bucket, None
 
 
+def find_cross_sites(path, lines):
+    """Un-broadcast `.crossJoin(arg)` sites: (lineno, receiver, arg, ann).
+    Sites whose arg is wrapped in broadcast(...) are already covered by
+    the broadcast census (the wrap IS the classified site)."""
+    for idx, raw in enumerate(lines):
+        code = strip_comments(raw)
+        for m in re.finditer(r"\.crossJoin\(", code):
+            blob = code[m.start():]
+            k = idx + 1
+            while blob.count("(") > blob.count(")") and k < min(idx + 14, len(lines)):
+                blob += "\n" + strip_comments(lines[k])
+                k += 1
+            arg = balanced_arg(blob, blob.find("(")).strip()
+            if re.match(r"broadcast\(", arg):
+                continue
+            # receiver: the statement text up to this .crossJoin — walk
+            # back while lines are continuations (start with '.') so a
+            # chained 1-row receiver (x.agg(...).crossJoin(a).crossJoin(b))
+            # classifies as a whole; plus the last bare identifier as a
+            # resolvable fallback
+            back = idx
+            while back > 0 and re.match(r"\s*\.", lines[back].lstrip()[:1] and lines[back]) \
+                    and re.match(r"\s*[.)]", lines[back]):
+                back -= 1
+            recv_text = "\n".join(
+                strip_comments(x) for x in lines[back:idx]) + "\n" + code[: m.start()]
+            recv = None
+            rm = re.search(r"(?<![\w.])([A-Za-z_][\w]*)\s*$", code[: m.start()])
+            if rm:
+                recv = rm.group(1)
+            ann = None
+            for j in range(max(0, idx - 2), min(len(lines), idx + 2)):
+                am = ANNOT.search(lines[j])
+                if am:
+                    ann = am.group(1).strip()
+            yield idx + 1, recv, recv_text, arg, ann
+
+
 def main():
     out_json = None
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
     sites = []
+    cross_sites = []
     for path in scala_files(SRC):
         with open(path) as f:
             lines = f.read().splitlines()
@@ -331,22 +382,64 @@ def main():
                 "bucket": bucket,
                 "reason": reason,
             })
+        # crossJoin pass: a BroadcastNestedLoopJoin builds the SMALLER
+        # side whichever position it sits in, so the site passes when
+        # EITHER the argument or the receiver is provably bounded.
+        for lineno, recv, recv_text, arg, ann in find_cross_sites(path, lines):
+            bucket, reason = classify(lines, lineno, arg)
+            side = "arg"
+            if bucket is None and not re.search(
+                    r"\.(join|crossJoin|union\w*)\(", recv_text):
+                # a join inside the chain could splice in another frame's
+                # grain, so the chain-text shortcut is join-free only
+                bucket = classify_text(recv_text)
+                if bucket:
+                    side = "receiver-chain"
+            if bucket is None and recv:
+                bucket, reason = classify(lines, lineno, recv)
+                side = "receiver"
+            if bucket is None and ann:
+                bucket, reason, side = "ANNOTATED", ann, "annotation"
+            if bucket is None:
+                hm = HEAD_ID.match(arg)
+                if hm and hm.group(1) in param_anns:
+                    bucket, reason, side = "ANNOTATED", param_anns[hm.group(1)], "param"
+            if bucket is None:
+                bucket, side = "OTHER", "-"
+            cross_sites.append({
+                "site": f"{rel}:{lineno}",
+                "arg": re.sub(r"\s+", " ", arg)[:90],
+                "receiver": recv,
+                "bucket": bucket,
+                "bounded_side": side,
+                "reason": reason,
+            })
     counts = {}
     for s in sites:
         counts[s["bucket"]] = counts.get(s["bucket"], 0) + 1
+    ccounts = {}
+    for s in cross_sites:
+        ccounts[s["bucket"]] = ccounts.get(s["bucket"], 0) + 1
     report = {"total": len(sites), "counts": counts,
               "other": [s for s in sites if s["bucket"] == "OTHER"],
-              "sites": sites}
+              "sites": sites,
+              "cross_total": len(cross_sites), "cross_counts": ccounts,
+              "cross_other": [s for s in cross_sites if s["bucket"] == "OTHER"],
+              "cross_sites": cross_sites}
     if out_json:
         with open(out_json, "w") as f:
             json.dump(report, f, indent=1)
     print(f"broadcast sites: {len(sites)}  buckets: {counts}")
+    print(f"crossJoin sites (un-broadcast): {len(cross_sites)}  buckets: {ccounts}")
     for s in report["other"]:
         print(f"  OTHER {s['site']}  broadcast({s['arg']})")
-    if report["other"]:
-        print(f"FAIL: {len(report['other'])} unclassified broadcast hints")
+    for s in report["cross_other"]:
+        print(f"  OTHER {s['site']}  {s['receiver']}.crossJoin({s['arg']})")
+    bad = len(report["other"]) + len(report["cross_other"])
+    if bad:
+        print(f"FAIL: {bad} unclassified broadcast/crossJoin build sides")
         return 1
-    print("PASS: every broadcast() site is provably bounded or annotated")
+    print("PASS: every broadcast() and crossJoin() site is provably bounded or annotated")
     return 0
 
 
