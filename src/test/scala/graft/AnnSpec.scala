@@ -43,6 +43,28 @@ class AnnSpec extends SparkSpec {
     assert(cellSizes * 5 < embs.count() * 0.5)
   }
 
+  test("sqrtCentroids sizes the quantizer as ~sqrt(n) and serves sanely") {
+    // the r13 scale law: centroid count k = n/step with step = ⌊n/⌈√n⌉⌋,
+    // so k ∈ [⌈√n⌉, 2·⌈√n⌉) — sublinear by construction (a pinned step
+    // made k linear in n and assignment quadratic; SCALE.md r13)
+    val n = embs.count()
+    val root = math.ceil(math.sqrt(n.toDouble)).toLong
+    val cents = Ann.sqrtCentroids(embs)
+    val k = cents.count()
+    assert(k >= root && k < 2 * root,
+      s"quantizer size $k outside [√n, 2√n) = [$root, ${2 * root}) for n=$n")
+    // same dataflow as the pinned-step form: assignment covers the corpus
+    // and serving returns a full, exact-ranked top-k per query
+    val assigned = Ann.ivfAssign(embs, cents)
+    assert(assigned.count() === n)
+    val got = Ann.ivfSearch(assigned, cents, queries, k = 10, nprobe = 3)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(got.size === queries.count(),
+      s"expected a result group per query, got ${got.size}")
+    assert(got.values.forall(_.size == 10))
+  }
+
   test("IVF assignment is shuffle-free: no exchange between corpus scan and argmin") {
     // round-4 rewrite: packed broadcast centroid array + per-row argmin
     // fold — the corpus side must carry NO Exchange (the round-3 form
