@@ -75,13 +75,15 @@ object Bench {
     // along. The driver never sets it, so BENCH_r{N} stays the full suite.
     val tier = sys.env.get("SPARK_GRAFT_TIER").map {
       case "core" => {
-        // match by parsed numeric id (Queries.queryId), not raw digit-prefix
-        // strings — string equality would silently admit any future
-        // bench-only name whose prefix happens to collide (ADVICE r12)
+        // match by parsed numeric id (Queries.queryIdOpt), not raw
+        // digit-prefix strings — string equality would silently admit any
+        // future bench-only name whose prefix happens to collide (ADVICE
+        // r12); a name with NO numeric id is simply non-matching instead
+        // of a NumberFormatException (ADVICE r13)
         val coreIds = Queries.coreTier.map(Queries.queryId)
         Queries.coreTier ++
           (Queries.benchOnly.map(_._1) ++ benchOnlyNames)
-            .filter(n => coreIds.contains(Queries.queryId(n)))
+            .filter(n => Queries.queryIdOpt(n).exists(coreIds.contains))
       }
       case other => sys.error(s"unknown SPARK_GRAFT_TIER '$other' (known: core)")
     }
@@ -210,10 +212,27 @@ object Bench {
       s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
     // Subset runs (SPARK_GRAFT_ONLY) are local iteration — don't clobber
     // the complete record with a 1-entry file.
-    if (only.isEmpty)
+    if (only.isEmpty && tier.isEmpty) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"), full)
       catch { case _: Throwable => () }
+      // Round-stamped twin (VERDICT r13 #5): bench_full.json is clobbered
+      // by every full run — the driver re-benches after the round's last
+      // commit, so history never held the exact artifact the gates cite.
+      // Stamp the CURRENT round (1 + the highest committed BENCH_r{N});
+      // later rounds write a different name, so each round's artifact
+      // freezes once its round closes.
+      try {
+        val rnd = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+            .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .maxOption.map(_ + 1)
+        rnd.foreach { n =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"bench_r$n%02d.json"), full)
+        }
+      } catch { case _: Throwable => () }
+    }
     println(line)
     spark.stop()
   }

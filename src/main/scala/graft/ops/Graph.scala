@@ -299,8 +299,8 @@ object Graph {
           .select(col("src").as("node"), col("deg")).persist()
         val useBroadcast = nodes.count() <= broadcastNodeCap
         countArm("pagerankIntBcast", useBroadcast)
-        // bcast-ok: cap-gated — broadcast only below the measured node cap
         def side(df: DataFrame): DataFrame =
+          // bcast-ok: cap-gated — broadcast only below the measured node cap
           if (useBroadcast) broadcast(df) else df
         var pr = nodes.withColumn("pr", lit(1000000L))
         for (_ <- 1 to iters) {
@@ -398,10 +398,10 @@ object Graph {
     * join + a min aggregate, persisted per round (each round reads its
     * predecessor TWICE — expand + union — so unpersisted lineage doubles
     * every iteration). The distance side is node-sized (≤ 2·|E| + the
-    * source batch), so it is broadcast only when that bound stays under
-    * `broadcastNodeCap` — derived from the already-measured edge count,
-    * no extra job — and shuffle-joined above it. GraphSpec pins both
-    * arms equal.
+    * source batch), so it is broadcast only when that MEASURED bound —
+    * the edge count already in hand plus one cheap count of the source
+    * batch — stays under `broadcastNodeCap`, and shuffle-joined above
+    * it. GraphSpec pins both arms equal.
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int,
       maxLocalEdges: Long = 200000L,
@@ -428,12 +428,15 @@ object Graph {
         dist.toSeq.toDF("node", "dd")
       } else {
         // dist never exceeds the reached node set: ≤ 2·nEdges endpoints
-        // plus the (caller-bounded) source batch — gate on that bound,
-        // measured from the edge count already in hand
-        val useBroadcast = 2 * nEdges <= broadcastNodeCap
+        // plus the source batch — gate on the MEASURED sum of both (ADVICE
+        // r13: gating on 2·nEdges alone left a large source set with a
+        // small edge list force-broadcast at any size; the source count is
+        // one cheap job over the batch frame, paid only in this arm)
+        val nSources = sources.count()
+        val useBroadcast = 2 * nEdges + nSources <= broadcastNodeCap
         countArm("bfsHopsBcast", useBroadcast)
-        // bcast-ok: cap-gated — broadcast only below the derived node cap
         def side(df: DataFrame): DataFrame =
+          // bcast-ok: cap-gated — broadcast only below the derived node cap
           if (useBroadcast) broadcast(df) else df
         var dist = sources.select(col("node").cast("long"), lit(0L).as("dd"))
           .persist()
@@ -482,8 +485,8 @@ object Graph {
         e.select("auth").distinct().count())
       val useBroadcast = nNodes <= broadcastNodeCap
       countArm("hitsAuthPpm", useBroadcast)
-      // bcast-ok: cap-gated — broadcast only below the measured node cap
       def side(df: DataFrame): DataFrame =
+        // bcast-ok: cap-gated — broadcast only below the measured node cap
         if (useBroadcast) broadcast(df) else df
       val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def keep(df: DataFrame): DataFrame = {

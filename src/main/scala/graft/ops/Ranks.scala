@@ -52,18 +52,30 @@ object Ranks {
     *               ROWS UNBOUNDED PRECEDING..CURRENT ROW (inclusive);
     *               derive exclusive variants as `out - expr`
     * @param parts  range partitions (the per-key parallelism at scale);
-    *               ≤ 0 (the default) derives it from
-    *               `spark.sql.shuffle.partitions`, so the per-partition
-    *               share shrinks as the cluster grows (the q97
-    *               derived-bucket-count precedent) instead of pinning a
-    *               constant fan-out
+    *               ≤ 0 (the default) derives it from the plan's SIZE
+    *               ESTIMATE — ⌈sizeInBytes / maxPartitionBytes⌉ clamped
+    *               to [1, spark.sql.shuffle.partitions] — so a tiny
+    *               histogram frame pays a 1–2-way exchange while a
+    *               corpus-grained frame fans out to the full conf (ADVICE
+    *               r13: a conf-only default made every 20-row histogram
+    *               pay the conf-wide range exchange and the plan shape
+    *               session-dependent; the estimate is the same plan-time
+    *               statistic the broadcast threshold already governs by).
+    *               Unknown/huge estimates clamp to the conf — the r13
+    *               conf-derived behavior.
     */
   def globalOrder(df: DataFrame, order: Seq[Column],
       rowNum: Option[String] = None, sums: Seq[(Column, String)] = Nil,
       parts: Int = 0): DataFrame = {
     require(rowNum.nonEmpty || sums.nonEmpty, "nothing to compute")
+    val conf = df.sparkSession.sessionState.conf
     val nParts = if (parts > 0) parts
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else {
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val per = BigInt(math.max(1L, conf.filesMaxPartitionBytes))
+        ((est + per - 1) / per)
+          .min(BigInt(conf.numShufflePartitions)).max(BigInt(1)).toInt
+      }
     val pid = "__go_pid"
     val ranged = df.repartitionByRange(nParts, order: _*)
       .withColumn(pid, spark_partition_id())

@@ -30,8 +30,14 @@ object Ann {
   //   lshSearch and re-rank the pool (see reRank scaladoc)
   // bcast-ok-param: queryVecs — MaxSim query token bag: batch × tokens-
   //   per-query, request-sized (API contract)
-  // bcast-ok-param: centroids — fixed-k coarse quantizer (construction
-  //   constant, corpus-independent)
+  // bcast-sqrt-param: centroids — √n-grained coarse quantizer: scale
+  //   callers size it via sqrtCentroids (k ∈ [√n, 2√n)), so the frame
+  //   GROWS with the corpus but sub-linearly — the standard IVF design
+  //   (FAISS replicates the coarse quantizer to every worker): ≈ 316k
+  //   rows / 0.3–1 GB at 10¹¹ vectors (d = 256–768 fp32). Fixed-k
+  //   callers (q114's frozen ≤ 10-row slice) sit below the bound a
+  //   fortiori. Formerly annotated "construction constant" — factually
+  //   wrong after the r13 sqrtCentroids migration (VERDICT r13 #2).
   // bcast-ok-param: codebook — fixed m × ksub PQ codewords (construction
   //   constant, corpus-independent)
 
@@ -69,6 +75,10 @@ object Ann {
           .otherwise(acc)
       })
     corpus.select(col("vec_id"), col("embedding"))
+      // ONE row by construction, but its array payload is the whole
+      // centroid set — √n × d floats under the sqrtCentroids contract
+      // (≈ 0.3–1 GB at 10¹¹ vectors), same sub-linear bound as the
+      // bcast-sqrt-param above
       .crossJoin(broadcast(packed))
       .select(col("vec_id"), col("embedding"),
         best.getField("centroid_id").as("centroid_id"),
@@ -95,6 +105,16 @@ object Ann {
     * exact and oracle-expressible (DuckDB: `vec_id % (SELECT
     * greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) ...)`).
     * The count is one scalar job over the (already narrow) corpus frame.
+    *
+    * PRECONDITION: `vec_id` must be dense and 0-based on the frame passed
+    * in (the k ∈ [√n, 2√n) contract derives the step from count(*) and
+    * picks multiples of it — on a FILTERED corpus, e.g. a `vec_id >= K`
+    * slice, the surviving multiples would under-fill or skew the
+    * quantizer while any √n-bound annotation upstream still claimed the
+    * contract). Every current call site passes the full embeddings table;
+    * a slice caller must pre-reindex (`row_number() - 1` over vec_id) or
+    * pick centroids by its own rule. AnnSpec pins the contract on the
+    * dense-id shape.
     */
   def sqrtCentroids(corpus: DataFrame): DataFrame = {
     val n = corpus.count()
@@ -693,8 +713,9 @@ object Ann {
       queries: DataFrame, m: Int, dsub: Int, ksub: Int, k: Int, pool: Int,
       nprobe: Int): DataFrame = {
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("centroid_id"))
-    // bcast-ok: nprobe probed cells per query — batch × nprobe
     val cells = queries
+      // the hinted frame here is the √n-grained centroid table (the
+      // file-level bcast-sqrt-param contract), NOT the derived cells
       .crossJoin(broadcast(centroids))
       .withColumn("dist2", round(VectorFunctions.l2sq(col("qe"), col("cvec")), 6))
       .withColumn("rn", row_number().over(wCell))
@@ -706,6 +727,7 @@ object Ann {
     // partition filter — then ADC-score the survivors
     val gated = assigned.select(col("vec_id"), col("centroid_id"))
       .join(encoded, "vec_id")
+      // bcast-ok: nprobe probed cells per query — batch × nprobe rows
       .join(broadcast(cells), "centroid_id")
       .select(col("query_id"), col("vec_id"), col("codes"))
     pqSearchGated(gated, codebook, corpus, queries, m, dsub, ksub, k, pool)
@@ -763,8 +785,9 @@ object Ann {
       k: Int,
       nprobe: Int): DataFrame = {
     val wCell = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("centroid_id"))
-    // bcast-ok: nprobe probed cells per query — batch × nprobe
     val cells = queries
+      // the hinted frame here is the √n-grained centroid table (the
+      // file-level bcast-sqrt-param contract), NOT the derived cells
       .crossJoin(broadcast(centroids))
       .withColumn("dist2", round(VectorFunctions.l2sq(col("qe"), col("cvec")), 6))
       .withColumn("rn", row_number().over(wCell))
@@ -776,6 +799,7 @@ object Ann {
     // written partitioned by centroid_id).
     val wRank = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     assigned
+      // bcast-ok: nprobe probed cells per query — batch × nprobe rows
       .join(broadcast(cells), "centroid_id")
       .withColumn("sim", round(VectorFunctions.cosine01(col("embedding"), col("qe")), 6))
       .withColumn("rnk", row_number().over(wRank).cast("long"))

@@ -62,24 +62,19 @@ final class TaskMetricsListener extends SparkListener {
   * Usage: Scale <copies> <reps> <query...>   (writes target/scale<K>/)
   */
 object Scale {
-  def main(args: Array[String]): Unit = {
-    val copies = args.headOption.map(_.toInt).getOrElse(10)
-    val reps = if (args.length > 1) args(1).toInt else 3
-    val names = if (args.length > 2) args.drop(2).toSeq
-      else Seq("q45_dedup_minhash", "q78_dup_clusters", "q63_pack_sequences",
-        "q65_search_flagship")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** Materialize the K-copy scaled corpus under target/scale<K> and
+    * return its path. Extracted (round 14) so the streaming state-bound
+    * soak ([[StreamScale]]) shares the EXACT corpus construction the
+    * batch soak documents — shifted copies, horizontal key scaling,
+    * shingle-disjoint suffixing. `only` restricts the tables written
+    * (empty = all); headroom assertions still run for whatever is
+    * written.
+    */
+  def materialize(spark: SparkSession, sfDir: String, copies: Int,
+      only: Set[String] = Set.empty): String = {
+    import spark.implicits._
     val outDir = s"target/scale$copies"
+    def wanted(t: String): Boolean = only.isEmpty || only.contains(t)
 
     // ADVICE r7: the per-copy id shifts silently collide (corrupting the
     // scaling measurement with no error) if the base dir — which is
@@ -95,14 +90,18 @@ object Scale {
             "shifted copies would collide; use a smaller base or raise the shifts")
       }
     }
-    assertIdHeadroom("documents", "doc_id", 100000L)
-    assertIdHeadroom("embeddings", "vec_id", 100000L)
-    assertIdHeadroom("embeddings", "label", 1000L)
-    assertIdHeadroom("events", "event_id", 10000000L)
-    assertIdHeadroom("events", "user_id", 100000L)
+    if (wanted("documents")) assertIdHeadroom("documents", "doc_id", 100000L)
+    if (wanted("embeddings")) {
+      assertIdHeadroom("embeddings", "vec_id", 100000L)
+      assertIdHeadroom("embeddings", "label", 1000L)
+    }
+    if (wanted("events")) {
+      assertIdHeadroom("events", "event_id", 10000000L)
+      assertIdHeadroom("events", "user_id", 100000L)
+    }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until copies).map { i =>
+    if (wanted("documents")) (0 until copies).map { i =>
       val text = if (i == 0) col("text")
         else regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1‿cp$i"))
       // source scales HORIZONTALLY like events' user_id: each copy brings
@@ -122,46 +121,50 @@ object Scale {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until copies).map { i =>
-      emb.select((col("vec_id") + lit(i * 100000L)).as("vec_id"),
-        col("embedding"), (col("label") + lit(i * 1000)).as("label"))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (wanted("embeddings")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until copies).map { i =>
+        emb.select((col("vec_id") + lit(i * 100000L)).as("vec_id"),
+          col("embedding"), (col("label") + lit(i * 1000)).as("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
     // events scale HORIZONTALLY: copies shift user_id (and event_id), so
     // key cardinality grows K× while per-user event density — and with it
     // every as-of window and range-join candidate set — stays constant.
     // That matches a real event stream growing by new users; shifting ts
     // instead would grow per-key history and measure a different thing.
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    (0 until copies).map { i =>
-      ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
-        col("ts"), (col("user_id") + lit(i * 100000L)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (wanted("events")) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until copies).map { i =>
+        ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i * 100000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
 
     // relational star-schema tables scale horizontally too: each copy
     // shifts its PKs AND the matching FKs by the same amount, so every
     // copy is a self-consistent sub-schema (an FK audit sees K× the
     // children and the same orphan structure). nation/region are
     // enumeration tables — verbatim, FKs to them unshifted.
-    assertIdHeadroom("orders", "o_orderkey", 1000000L)
-    assertIdHeadroom("customer", "c_custkey", 1000000L)
-    assertIdHeadroom("supplier", "s_suppkey", 1000000L)
-    assertIdHeadroom("part", "p_partkey", 1000000L)
-    def scaleRel(table: String, shifts: Map[String, Long]): Unit = {
-      val base = spark.read.parquet(s"$sfDir/$table.parquet")
-      (0 until copies).map { i =>
-        shifts.foldLeft(base) { case (df, (c, m)) =>
-          df.withColumn(c, col(c) + lit(i * m))
+    def scaleRel(table: String, shifts: Map[String, Long]): Unit =
+      if (wanted(table)) {
+        shifts.headOption.foreach { case (pk, m) =>
+          assertIdHeadroom(table, pk, m)
         }
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-    }
+        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        (0 until copies).map { i =>
+          shifts.foldLeft(base) { case (df, (c, m)) =>
+            df.withColumn(c, col(c) + lit(i * m))
+          }
+        }.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      }
     scaleRel("orders", Map("o_orderkey" -> 1000000L, "o_custkey" -> 1000000L))
     scaleRel("customer", Map("c_custkey" -> 1000000L))
     scaleRel("supplier", Map("s_suppkey" -> 1000000L))
@@ -169,9 +172,31 @@ object Scale {
     scaleRel("lineitem", Map("l_orderkey" -> 1000000L,
       "l_partkey" -> 1000000L, "l_suppkey" -> 1000000L))
     Seq("nation", "region").foreach { tb =>
-      spark.read.parquet(s"$sfDir/$tb.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$tb.parquet")
+      if (wanted(tb))
+        spark.read.parquet(s"$sfDir/$tb.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$tb.parquet")
     }
+    outDir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("q45_dedup_minhash", "q78_dup_clusters", "q63_pack_sequences",
+        "q65_search_flagship")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outDir = materialize(spark, sfDir, copies)
 
     // hash-stage microbenchmarks: the tokenize→shingle→hash map stage of
     // the minhash pipeline in isolation (no banding/join/verify), so the
@@ -226,6 +251,23 @@ object Scale {
           .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
         graft.ops.Graph.pagerankInt(edges, iters = 8, maxLocalEdges = 0L)
           .orderBy(desc("pr"), asc("node")).limit(15)
+      }),
+      "q45_pair_count" -> ((sp, dir) => {
+        // q45's exact corpus recipe (Queries.nearDupCorpus: every doc +
+        // a near-copy at id+10M / text+" zzz") through lshTuning at q45's
+        // (bands=4, rows=3) config: ONE row carrying the measured LSH
+        // candidate-pair count + verified-pair count, so SCALE.md's
+        // "shuffle tracks candidates, linear by construction" claim is a
+        // measured curve across K, not an inference from bytes (VERDICT
+        // r13 #6)
+        val docs = sp.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(docs
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(col("text"), lit(" zzz"))))
+        graft.ops.Dedup.lshTuning(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 12, threshold = 0.5,
+          configs = Seq((4, 3)))
       }),
       "shingle_size" -> ((sp, dir) => {
         // same compute, scalar output: separates the shingle COMPUTE cost

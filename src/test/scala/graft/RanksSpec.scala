@@ -104,21 +104,34 @@ class RanksSpec extends SparkSpec {
     }
   }
 
-  test("default parts follows spark.sql.shuffle.partitions") {
+  test("default parts is estimate-derived and clamped to [1, conf]") {
     Caches.scoped {
       val df = data(200, 13L)
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "7")
+        // a ~few-KB local frame under the default 128 MB per-partition
+        // budget: the tiny-histogram callers' shape — NOT the conf-wide
+        // range exchange (ADVICE r13), and value-identical either way
         val out = Ranks.globalOrder(df, Seq(col("k1"), col("id")),
           rowNum = Some("rn"), sums = Seq((col("v"), "cum")))
-        // values unchanged by the default-resolution path
         assert(rows(out) === rows(naive(df)))
-        // the explicit-count range repartition is not AQE-coalesced, so the
-        // output keeps the conf-derived fan-out
-        assert(out.rdd.getNumPartitions === 7,
-          s"expected conf-derived 7 partitions, got ${out.rdd.getNumPartitions}")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert(out.rdd.getNumPartitions < 7,
+          s"expected estimate-derived small fan-out, got ${out.rdd.getNumPartitions}")
+        // force the per-partition budget below the frame's estimate: the
+        // derived count grows past the conf and must CLAMP to it (the
+        // corpus-grained callers' shape — full conf-wide parallelism)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128")
+        val wide = Ranks.globalOrder(df, Seq(col("k1"), col("id")),
+          rowNum = Some("rn"), sums = Seq((col("v"), "cum")))
+        assert(rows(wide) === rows(naive(df)))
+        assert(wide.rdd.getNumPartitions === 7,
+          s"expected conf clamp at 7, got ${wide.rdd.getNumPartitions}")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+      }
     }
   }
 }

@@ -1,0 +1,84 @@
+// Planted-defect + positive-control fixture for tools/hint_lint.py
+// --selftest (VERDICT r13 #1: the gate had never been observed to fail,
+// so OTHER = 0 could rot into a vacuous truth).
+//
+// NOT compiled (lives outside src/) and NOT part of the census (the
+// census walks src/main/scala only). Every broadcast / un-broadcast
+// crossJoin site line carries an `// expect: <BUCKET>` marker; the
+// selftest classifies this file exactly as it would main source and
+// asserts EVERY marker — including the planted OTHERs — matches, and
+// that no unmarked site exists.
+package graft.fixtures
+
+import org.apache.spark.sql.functions._
+
+object SelftestHints {
+  def t(s: SparkSession, d: String, n: String): DataFrame =
+    s.read.parquet(s"$d/$n.parquet")
+
+  // bcast-ok-param: queries — caller probe batch (API contract), request-sized
+  // bcast-sqrt-param: centroids — √n-grained coarse quantizer (sqrtCentroids sizing, sub-linear)
+  def probe(corpus: DataFrame, queries: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.join(broadcast(queries), "query_id") // expect: ANNOTATED
+      .join(broadcast(centroids), "centroid_id") // expect: SQRT_BOUNDED
+
+  def controls(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val big = spark.read.parquet(s"$dir/lineitem.parquet")
+    val small = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+
+    // ---- positive controls: each MUST land in its structural bucket ----
+    val tot = docs.agg(sum(col("v")).as("t"))
+    val p01 = docs.crossJoin(broadcast(tot)) // expect: ONE_ROW_AGG
+    val p02 = docs.join(broadcast(tot.select(col("t"))), "t") // expect: ONE_ROW_AGG
+    val twoStage = docs.groupBy("token").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("tc"))
+    val p03 = docs.crossJoin(broadcast(twoStage)) // expect: ONE_ROW_AGG
+    val p04 = docs.join(broadcast(docs.orderBy(desc("v")).limit(10)), "k") // expect: LIMIT_K
+    val p05 = docs.join(broadcast(big.join(docs, "k").limit(3)), "k") // expect: LIMIT_K
+    val nat = t(spark, dir, "nation")
+    val reg = t(spark, dir, "region")
+    val p06 = docs.join(broadcast(nat), "n_nationkey") // expect: FIXED_CATALOG
+    val lut = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val p07 = docs.join(broadcast(lut), "k") // expect: FIXED_CATALOG
+    val p08 = docs.join(broadcast(spark.range(16).select(col("id"))), "id") // expect: FIXED_CATALOG
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val p09 = docs.join(broadcast(byLang), "lang") // expect: GROUPED_KEY
+    val p10 = docs.join(broadcast(docs.select(col("source")).distinct()), "source") // expect: GROUPED_KEY
+    val p11 = docs.join(broadcast(docs.filter(col("doc_id") === 7)), "doc_id") // expect: LITERAL_KEY
+    val prod = nat.join(reg, "r_regionkey")
+    val p12 = docs.join(broadcast(prod), "n_nationkey") // expect: PRODUCT
+    def ring(n: Int): DataFrame = {
+      val rows = for (i <- 0 until n; v <- 0 until 16)
+        yield (i.toLong, v.toLong)
+      rows.toDF("node", "v")
+    }
+    val p13 = docs.join(broadcast(ring(8)), "node") // expect: FIXED_CATALOG
+    // bcast-sqrt: √n-grained quantizer (sqrtCentroids contract, sub-linear)
+    val p14 = docs.join(broadcast(centsUnresolvable), "centroid_id") // expect: SQRT_BOUNDED
+
+    // annotation binding: the comment certifies the NEXT site only — the
+    // adjacent second site must NOT inherit it (ADVICE r13 poaching fix)
+    // bcast-ok: fixture control — a stated reason for exactly one site
+    val p15 = docs.join(broadcast(unboundedA), "k") // expect: ANNOTATED
+    val p16 = docs.join(broadcast(unboundedB), "k") // expect: OTHER
+
+    // ---- planted defects: each MUST bucket OTHER (gate must bite) ----
+    val d01 = docs.join(broadcast(customer), "c_custkey") // expect: OTHER
+    val tokenRollup = docs.groupBy("token").agg(count(lit(1)).as("c"))
+    val d02 = docs.join(broadcast(tokenRollup), "token") // expect: OTHER
+    val d03 = docs.join(broadcast(big.join(small.limit(5))), "k") // expect: OTHER
+    val vj = big.join(small.limit(5))
+    val d04 = docs.join(broadcast(vj), "k") // expect: OTHER
+    val lateUnbounded = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .groupBy("token").agg(sum("c").as("s"))
+    val d05 = docs.join(broadcast(lateUnbounded), "token") // expect: OTHER
+
+    // ---- un-broadcast crossJoin build sides (the nested-loop census) ----
+    val c01 = docs.crossJoin(tot) // expect: ONE_ROW_AGG
+    val c02 = tot.crossJoin(big) // expect: ONE_ROW_AGG
+    val c03 = docs.crossJoin(big) // expect: OTHER
+    docs
+  }
+}
