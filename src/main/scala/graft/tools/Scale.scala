@@ -265,9 +265,17 @@ object Scale {
         val corpus = docs.unionByName(docs
           .withColumn("doc_id", col("doc_id") + 10000000L)
           .withColumn("text", concat(col("text"), lit(" zzz"))))
-        graft.ops.Dedup.lshTuning(corpus, "doc_id", "text",
+        val rep = graft.ops.Dedup.lshTuning(corpus, "doc_id", "text",
           shingleK = 3, numHashes = 12, threshold = 0.5,
           configs = Seq((4, 3)))
+        val r = rep.collect()(0)
+        // the measured counts ARE the datapoint — print them (the timed
+        // noop write re-reads the persisted candidate stage)
+        println(s"""[pairs] {"k":$copies,"n_candidates":${
+          r.getAs[Long]("n_candidates")},"n_true":${
+          r.getAs[Long]("n_true")},"precision_permille":${
+          r.getAs[Long]("precision_permille")}}""")
+        rep
       }),
       "shingle_size" -> ((sp, dir) => {
         // same compute, scalar output: separates the shingle COMPUTE cost

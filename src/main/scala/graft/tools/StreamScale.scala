@@ -120,8 +120,20 @@ object StreamScale {
     }
 
     if (ops("gap_sessions")) {
-      val nEv = spark.read.parquet(s"$dir/events.parquet").count()
-      val ev = stream("events", 4)
+      // replay in EVENT-TIME order (range-repartition by ts, one ascending
+      // time slice per file): an unordered replay advances the watermark
+      // past most of the corpus after the first batches and the soak
+      // would measure late-drop filtering, not session-state tracking —
+      // ordered arrival is also what a real ingest feed looks like
+      val ordered = s"$dir/events-ordered.parquet"
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(32, col("ts"))
+        .write.mode("overwrite").parquet(ordered)
+      val nEv = spark.read.parquet(ordered).count()
+      val sch = spark.read.parquet(ordered).schema
+      val ev = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(ordered)
         .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
       val q = graft.streaming.Sessions.gapSessions(
           ev, "ts", "user_id", gapNs = 3600L * 1000000000L,
