@@ -60,6 +60,42 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val diag = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // Host-noise calibration (round 14): every round's total has shifted
+    // a few percent on "the documented noisy-neighbor host", asserted
+    // from per-query wobble patterns. Measure it instead: a fixed
+    // deterministic CPU spin (single-thread, and one spin per core) at
+    // suite start AND end. Round-over-round, a total shift that tracks
+    // the calibration ratio is host-state; one that doesn't is a real
+    // change. The spin is pure register arithmetic — no allocation, no
+    // JIT-dependent calls — so it prices CPU availability/frequency, not
+    // the JVM.
+    @volatile var blackhole = 0L
+    def spin(iters: Long): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < iters) {
+        x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL
+        i += 1
+      }
+      blackhole ^= x
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrate(): (Double, Double) = {
+      spin(50000000L) // JIT warm
+      val single = spin(500000000L)
+      val n = Runtime.getRuntime.availableProcessors()
+      val times = new Array[Double](n)
+      val threads = (0 until n).map { i =>
+        new Thread(() => { times(i) = spin(500000000L) })
+      }
+      val t0 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val allCores = (System.nanoTime() - t0) / 1e9
+      (math.rint(single * 1000) / 1000, math.rint(allCores * 1000) / 1000)
+    }
+    val (calibSingle0, calibMt0) = calibrate()
     // total stop-the-world GC time across all collectors — the delta over a
     // timed rep tells suite-state debt (a predecessor's garbage collected
     // inside MY window) apart from the query's own cost
@@ -197,10 +233,13 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    val (calibSingle1, calibMt1) = calibrate()
+    val calib = s"""{"single_s":[$calibSingle0,$calibSingle1],""" +
+      s""""all_cores_s":[$calibMt0,$calibMt1]}"""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"calibration":$calib,"sf":${jstr(sfDir)}}"""
     // Complete machine-readable artifact (VERDICT r10 #2): the driver's
     // BENCH_r{N}.json has truncated the stdout tail (60 of 153 entries at
     // r10), so the harness itself writes every entry — plus run metadata
@@ -209,6 +248,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${timings.size},""" +
       s""""env":{"cpus":${jstr(cpus)},"sf_dir":${jstr(sfDir)},"reps":"min-of-reps; per-rep detail in target/bench_diag.txt"},""" +
+      s""""calibration":$calib,""" +
       s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
     // Subset runs (SPARK_GRAFT_ONLY) are local iteration — don't clobber
     // the complete record with a 1-entry file.

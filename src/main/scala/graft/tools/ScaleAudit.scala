@@ -222,6 +222,9 @@ object ScaleAudit {
     // past the 100k floor at the hi SF)
     ("probe_bcast", (s: SparkSession, d: String) =>
       s.read.parquet(s"$d/lineitem.parquet")
+        // lint-exempt: PLANTED selftest defect — this broadcast is
+        // required to be unbounded so the runtime audit can be watched
+        // to flag it; never copy this pattern into real operators
         .join(broadcast(s.read.parquet(s"$d/orders.parquet")),
           col("l_orderkey") === col("o_orderkey")),
       "bcast"),
@@ -229,6 +232,8 @@ object ScaleAudit {
     ("probe_cross", (s: SparkSession, d: String) => {
       val ids = s.read.parquet(s"$d/documents.parquet").select(col("doc_id"))
       ids.select(col("doc_id").as("a_id"))
+        // lint-exempt: PLANTED selftest defect — deliberately growing
+        // nested-loop build for the runtime audit to flag
         .crossJoin(ids.select(col("doc_id").as("b_id")))
         .groupBy("a_id").agg(count(lit(1)).as("n"))
     }, "cross"),

@@ -64,7 +64,25 @@ object SelftestHints {
     val p15 = docs.join(broadcast(unboundedA), "k") // expect: ANNOTATED
     val p16 = docs.join(broadcast(unboundedB), "k") // expect: OTHER
 
+    val p17 = docs.join(broadcast(nat.unionByName(reg)), "n_nationkey") // expect: PRODUCT
+    val byPmod = docs.groupBy(pmod(col("doc_id"), lit(16)).as("hb"))
+      .agg(count(lit(1)).as("c"))
+    val p18 = docs.join(broadcast(byPmod), "hb") // expect: GROUPED_KEY
+    val p19 = docs.join(broadcast(docs.filter(col("doc_id").isin(1, 2, 3))), "doc_id") // expect: LITERAL_KEY
+    val p20 = docs.crossJoin(broadcast(docs.join(big, "k").agg(sum(col("v")).as("t")))) // expect: ONE_ROW_AGG
+    // bcast-sqrt: √n quantizer (sqrtCentroids contract) — sub-linear
+    val cents2 = unresolvableQuantizer(docs)
+    val p21 = docs.join(broadcast(cents2), "centroid_id") // expect: SQRT_BOUNDED
+
     // ---- planted defects: each MUST bucket OTHER (gate must bite) ----
+    // a stale annotation separated from its def by a code line must NOT
+    // certify (definition binding uses the same contiguous-block rule)
+    // bcast-ok: stale comment that no longer sits on its definition
+    val filler = docs.count()
+    val orphan = bigUnresolvable
+    val d06 = docs.join(broadcast(orphan), "k") // expect: OTHER
+    val lateGrow = docs.orderBy(desc("v")).limit(10).join(big, "k")
+    val d07 = docs.join(broadcast(lateGrow), "k") // expect: OTHER
     val d01 = docs.join(broadcast(customer), "c_custkey") // expect: OTHER
     val tokenRollup = docs.groupBy("token").agg(count(lit(1)).as("c"))
     val d02 = docs.join(broadcast(tokenRollup), "token") // expect: OTHER
@@ -74,6 +92,10 @@ object SelftestHints {
     val lateUnbounded = docs.groupBy("lang").agg(count(lit(1)).as("c"))
       .groupBy("token").agg(sum("c").as("s"))
     val d05 = docs.join(broadcast(lateUnbounded), "token") // expect: OTHER
+
+    // lint-exempt: fixture control — the deliberate-defect marker buckets
+    // EXEMPT (visible, reasoned) instead of OTHER
+    val p22 = docs.join(broadcast(bigUnresolvable2), "k") // expect: EXEMPT
 
     // ---- un-broadcast crossJoin build sides (the nested-loop census) ----
     val c01 = docs.crossJoin(tot) // expect: ONE_ROW_AGG

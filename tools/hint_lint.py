@@ -26,6 +26,10 @@ be provably bounded by construction, bucketed as one of
                  definition — the reason must state WHY the frame cannot
                  grow with the corpus (fixed k, cap-gated, quantile cuts,
                  API contract)
+  EXEMPT         `// lint-exempt: <reason>` — a DELIBERATELY unbounded
+                 site (ScaleAudit's planted selftest probes, which must
+                 stay flaggable at runtime); reported in the census with
+                 its reason, never to be used on real operators
   OTHER          unclassified -> LINT FAILURE
 
 Soundness rules used when resolving (round-14 hardening, ADVICE r13):
@@ -69,6 +73,13 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 ANNOT = re.compile(r"bcast-ok:\s*(.+?)(?:\*/)?\s*$")
 SQRT_ANNOT = re.compile(r"bcast-sqrt:\s*(.+?)(?:\*/)?\s*$")
+# deliberate-defect exemption (round 14): ScaleAudit's planted selftest
+# probes are REQUIRED to be unbounded — they exist so the runtime audit
+# can be watched to fail. The marker buckets them EXEMPT (visible in the
+# census with the stated reason) instead of OTHER; it must never be used
+# to wave through real code, which is why the bucket is reported, not
+# silently dropped.
+EXEMPT_ANNOT = re.compile(r"lint-exempt:\s*(.+?)(?:\*/)?\s*$")
 
 # File-wide parameter certification: `// bcast-ok-param: <ident> — <reason>`
 # anywhere in a file certifies every broadcast whose argument HEAD is that
@@ -247,6 +258,9 @@ def bound_annotation(lines, idx):
         sm = SQRT_ANNOT.search(line)
         if sm:
             return "sqrt", sm.group(1).strip()
+        em = EXEMPT_ANNOT.search(line)
+        if em:
+            return "exempt", em.group(1).strip()
         am = ANNOT.search(line)
         if am:
             return "ok", am.group(1).strip()
@@ -307,7 +321,9 @@ def find_def(lines, site_line, ident):
     return None, (None, None)
 
 
-CATALOG = re.compile(r'"(nation|region)"')
+# the enum tables by registry name OR by direct parquet path — both are
+# the same 25/5-row frames
+CATALOG = re.compile(r'"(nation|region)"|/(nation|region)\.parquet')
 RANGE_LIT = re.compile(r"\.range\(\s*-?\d{1,6}[\s,)L]|(?<![\w.])range\(\s*-?\d{1,6}[\s,)L]")
 # exploded literal sequence(lit(a), lit(b)) — arity fixed by the literals
 SEQ_RANGE = re.compile(r"sequence\(\s*lit\(-?\d+L?\)\s*,\s*lit\(-?\d+L?\)")
@@ -438,10 +454,20 @@ def classify_text(text, resolve=None, depth=4):
         if b is None:
             return None
         parts.append(b)
+    global _last_product_parts
+    _last_product_parts = " x ".join(parts)
     return "PRODUCT"
 
 
+# display-only: the component buckets of the most recent PRODUCT proof,
+# surfaced as the census `reason` so an auditor can see WHAT was bounded
+# (nested PRODUCTs overwrite — the outermost caller reads it last-wins)
+_last_product_parts = None
+
+
 HEAD_ID = re.compile(r"^([A-Za-z_][\w]*)\s*(?:\.|$|\()")
+
+ANN_BUCKETS = {"sqrt": "SQRT_BOUNDED", "exempt": "EXEMPT"}
 
 
 def classify(lines, lineno, arg, depth=4):
@@ -456,6 +482,8 @@ def classify(lines, lineno, arg, depth=4):
         return b
 
     bucket = classify_text(arg, resolve, depth)
+    if bucket == "PRODUCT" and _last_product_parts:
+        return bucket, _last_product_parts
     if bucket:
         return bucket, reason_box[0]
     return classify_ident(lines, lineno, arg, depth)
@@ -602,7 +630,7 @@ def lint_file(path, lines, rel):
     for lineno, arg, ann_kind, ann in find_sites(path, lines):
         bucket, reason = classify(lines, lineno, arg)
         if bucket is None and ann:
-            bucket = "SQRT_BOUNDED" if ann_kind == "sqrt" else "ANNOTATED"
+            bucket = ANN_BUCKETS.get(ann_kind, "ANNOTATED")
             reason = ann
         if bucket is None:
             pb, pr = param_lookup(arg)
@@ -633,7 +661,7 @@ def lint_file(path, lines, rel):
             bucket, reason = classify(lines, lineno, recv)
             side = "receiver"
         if bucket is None and ann:
-            bucket = "SQRT_BOUNDED" if ann_kind == "sqrt" else "ANNOTATED"
+            bucket = ANN_BUCKETS.get(ann_kind, "ANNOTATED")
             reason, side = ann, "annotation"
         if bucket is None:
             pb, pr = param_lookup(arg)
