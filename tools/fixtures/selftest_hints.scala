@@ -92,10 +92,23 @@ object SelftestHints {
     val lateUnbounded = docs.groupBy("lang").agg(count(lit(1)).as("c"))
       .groupBy("token").agg(sum("c").as("s"))
     val d05 = docs.join(broadcast(lateUnbounded), "token") // expect: OTHER
+    // a generator AFTER the bounding op re-grows the frame: a bounded-key
+    // rollup packing corpus text into arrays then exploding them back out
+    val d08 = docs.crossJoin(broadcast(docs.groupBy("lang") // expect: OTHER
+      .agg(collect_list(col("text")).as("ts"))
+      .select(explode(col("ts")).as("t"))))
+    val packed = docs.groupBy("lang").agg(collect_list(col("text")).as("ts"))
+    val d09 = docs.crossJoin(broadcast(packed.select(explode(col("ts")).as("t")))) // expect: OTHER
 
     // lint-exempt: fixture control — the deliberate-defect marker buckets
     // EXEMPT (visible, reasoned) instead of OTHER
     val p22 = docs.join(broadcast(bigUnresolvable2), "k") // expect: EXEMPT
+    // generators BEFORE the bounding op are fine (the agg re-bounds)...
+    val p23 = docs.crossJoin(broadcast(docs.select(explode(col("toks")).as("t")) // expect: ONE_ROW_AGG
+      .agg(count(lit(1)).as("n"))))
+    // ...and exploding a LITERAL sequence keeps a literal arity
+    val p24 = docs.join(broadcast(docs // expect: FIXED_CATALOG
+      .select(explode(sequence(lit(0L), lit(12L))).as("by")).distinct()), "by")
 
     // ---- un-broadcast crossJoin build sides (the nested-loop census) ----
     val c01 = docs.crossJoin(tot) // expect: ONE_ROW_AGG

@@ -362,12 +362,32 @@ def bounded_group_args(argtext):
     return all(n in BOUNDED_KEYS for n in flat)
 
 
+# generator expressions multiply rows by DATA-sized array lengths — a
+# select/withColumn/selectExpr is only row-preserving when it carries
+# none, so a generator AFTER a bounding op re-grows the frame. Exploding
+# a literal sequence keeps a literal arity and stays bounded.
+EXPLODE = re.compile(r"(?<![\w.])(?:pos)?explode(?:_outer)?\s*\(|(?<![\w.])inline(?:_outer)?\s*\(")
+
+
+def explode_unbounded(argtext):
+    return bool(EXPLODE.search(argtext)) and not SEQ_RANGE.search(argtext)
+
+
 def classify_calls(calls, text):
     """Bounding verdict from a depth-0 call sequence KNOWN to be grow-free
     (callers split on GROW first): LIMIT_K / ONE_ROW_AGG / GROUPED_KEY /
-    None. The LAST grouped head governs GROUPED_KEY."""
+    None. The LAST grouped head governs GROUPED_KEY, and a non-literal
+    generator (explode/inline) AFTER the bounding op voids the bound
+    (round 14 — `select` preserves rows only without generators)."""
     names = [c[0] for c in calls]
-    if "limit" in names or "TakeOrdered" in text:
+
+    def bounded_after(bidx):
+        return not any(explode_unbounded(c[2]) for c in calls[bidx + 1:])
+
+    if "limit" in names:
+        bidx = max(i for i, n in enumerate(names) if n == "limit")
+        return "LIMIT_K" if bounded_after(bidx) else None
+    if "TakeOrdered" in text:
         return "LIMIT_K"
     grouped = [(i, c) for i, c in enumerate(calls)
                if c[0] in ("groupBy", "rollup", "cube") and c[2].strip()]
@@ -376,16 +396,21 @@ def classify_calls(calls, text):
         # in a grow-free linear chain every grouped head consumes exactly
         # one .agg(...), so more aggs than grouped heads means the final
         # stage is global -> 1 row out
-        return "ONE_ROW_AGG"
+        bidx = max(i for i, n in enumerate(names) if n == "agg")
+        return "ONE_ROW_AGG" if bounded_after(bidx) else None
     if grouped and n_agg >= 1:
-        # the LAST grouped head's key set governs the output arity
+        # the LAST grouped head's key set governs the output arity; its
+        # consuming .agg is the first agg after it
         if bounded_group_args(grouped[-1][1][2]):
-            return "GROUPED_KEY"
+            gi = grouped[-1][0]
+            aggs_after = [i for i, n in enumerate(names) if n == "agg" and i > gi]
+            bidx = aggs_after[0] if aggs_after else gi
+            return "GROUPED_KEY" if bounded_after(bidx) else None
     # .select(<bounded keys>).distinct() — the last such pair governs
     for i in range(len(calls) - 1, 0, -1):
         if calls[i][0] == "distinct" and calls[i - 1][0] == "select" \
                 and bounded_group_args(calls[i - 1][2]):
-            return "GROUPED_KEY"
+            return "GROUPED_KEY" if bounded_after(i) else None
     return None
 
 
@@ -416,6 +441,10 @@ def classify_text(text, resolve=None, depth=4):
         # against nested grows too (a join inside a helper call argument)
         if re.search(r"\.(join|crossJoin|union\w*)\(", text):
             return None
+        # a non-literal generator voids text-pattern bounds (the pattern
+        # cannot prove it precedes the bounding construct)
+        if explode_unbounded(text):
+            return None
         if CATALOG.search(text):
             return "FIXED_CATALOG"
         if RANGE_LIT.search(text) or SEQ_LIT.search(text) \
@@ -441,6 +470,10 @@ def classify_text(text, resolve=None, depth=4):
     # recursively, so its own calls need no vetting here.
     if any(c[0] not in GROW and c[0] not in NONGROW
            for c in calls[grow_ix[0]:]):
+        return None
+    # a non-literal generator anywhere in the grow chain multiplies the
+    # product bound by data-sized array lengths
+    if any(explode_unbounded(c[2]) for c in calls[grow_ix[0]:]):
         return None
     if resolve is None or depth <= 0:
         return None
@@ -551,8 +584,12 @@ def classify_ident(lines, lineno, arg, depth):
     # tail must be only non-growing method calls (or a bare identifier /
     # zero-arg local def call) for the head's bound to transfer; only the
     # DEPTH-0 chain is vetted — nested calls are Column expressions inside
-    # a non-growing method's argument, not frame transformers
-    tail_ok = all(meth in NONGROW for meth, _, _ in depth0_calls(rest))
+    # a non-growing method's argument, not frame transformers. A generator
+    # (explode/inline) inside any tail call re-grows the frame, so it
+    # blocks the transfer (round 14).
+    tail_calls = depth0_calls(rest)
+    tail_ok = all(meth in NONGROW for meth, _, _ in tail_calls) \
+        and not any(explode_unbounded(a) for _, _, a in tail_calls)
     if rest.strip() not in ("", "()") and not tail_ok:
         return None, None
     rhs, (ann_kind, def_ann) = find_def(lines, lineno, head)
@@ -621,8 +658,9 @@ def lint_file(path, lines, rel):
     def param_lookup(arg):
         hm = HEAD_ID.match(arg)
         if hm and hm.group(1) in param_anns:
-            tail_ok = all(meth in NONGROW
-                          for meth, _, _ in depth0_calls(arg[hm.end(1):]))
+            tcalls = depth0_calls(arg[hm.end(1):])
+            tail_ok = all(meth in NONGROW for meth, _, _ in tcalls) \
+                and not any(explode_unbounded(a) for _, _, a in tcalls)
             if tail_ok:
                 return param_anns[hm.group(1)]
         return None, None
