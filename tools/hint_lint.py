@@ -29,7 +29,9 @@ be provably bounded by construction, bucketed as one of
   EXEMPT         `// lint-exempt: <reason>` — a DELIBERATELY unbounded
                  site (ScaleAudit's planted selftest probes, which must
                  stay flaggable at runtime); reported in the census with
-                 its reason, never to be used on real operators
+                 its reason. SCOPED: the marker only works under
+                 graft/tools/ (and the selftest fixtures) — anywhere
+                 else it is itself a lint failure
   OTHER          unclassified -> LINT FAILURE
 
 Soundness rules used when resolving (round-14 hardening, ADVICE r13):
@@ -665,11 +667,20 @@ def lint_file(path, lines, rel):
                 return param_anns[hm.group(1)]
         return None, None
 
+    # the deliberate-defect exemption is scoped to the audit tooling
+    # (and the selftest fixtures): a lint-exempt marker anywhere else is
+    # itself a lint failure, so it cannot wave through operator code
+    exempt_allowed = "graft/tools/" in path.replace(os.sep, "/") \
+        or os.path.normpath(FIXTURES) in os.path.normpath(path)
+
     for lineno, arg, ann_kind, ann in find_sites(path, lines):
         bucket, reason = classify(lines, lineno, arg)
         if bucket is None and ann:
-            bucket = ANN_BUCKETS.get(ann_kind, "ANNOTATED")
-            reason = ann
+            if ann_kind == "exempt" and not exempt_allowed:
+                bucket, reason = "OTHER", "lint-exempt outside graft/tools -- not allowed"
+            else:
+                bucket = ANN_BUCKETS.get(ann_kind, "ANNOTATED")
+                reason = ann
         if bucket is None:
             pb, pr = param_lookup(arg)
             if pb:
@@ -699,8 +710,12 @@ def lint_file(path, lines, rel):
             bucket, reason = classify(lines, lineno, recv)
             side = "receiver"
         if bucket is None and ann:
-            bucket = ANN_BUCKETS.get(ann_kind, "ANNOTATED")
-            reason, side = ann, "annotation"
+            if ann_kind == "exempt" and not exempt_allowed:
+                bucket, reason, side = "OTHER", \
+                    "lint-exempt outside graft/tools -- not allowed", "-"
+            else:
+                bucket = ANN_BUCKETS.get(ann_kind, "ANNOTATED")
+                reason, side = ann, "annotation"
         if bucket is None:
             pb, pr = param_lookup(arg)
             if pb:
