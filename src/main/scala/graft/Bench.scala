@@ -82,7 +82,11 @@ object Bench {
       blackhole ^= x
       (System.nanoTime() - t0) / 1e9
     }
-    def calibrate(): (Double, Double) = {
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // (single_s, all_cores_wall_s, slowest_core_s): the per-core max
+    // prices the worst neighbor-induced skew a task would see, beyond
+    // what the wall span alone shows
+    def calibrate(): (Double, Double, Double) = {
       spin(50000000L) // JIT warm
       val single = spin(500000000L)
       val n = Runtime.getRuntime.availableProcessors()
@@ -93,9 +97,8 @@ object Bench {
       val t0 = System.nanoTime()
       threads.foreach(_.start()); threads.foreach(_.join())
       val allCores = (System.nanoTime() - t0) / 1e9
-      (math.rint(single * 1000) / 1000, math.rint(allCores * 1000) / 1000)
+      (r3(single), r3(allCores), r3(times.max))
     }
-    val (calibSingle0, calibMt0) = calibrate()
     // total stop-the-world GC time across all collectors — the delta over a
     // timed rep tells suite-state debt (a predecessor's garbage collected
     // inside MY window) apart from the query's own cost
@@ -123,6 +126,12 @@ object Bench {
       }
       case other => sys.error(s"unknown SPARK_GRAFT_TIER '$other' (known: core)")
     }
+    // calibration only matters for the full-suite artifacts the rounds
+    // compare; don't tax SPARK_GRAFT_ONLY / tier dev iterations with
+    // ~4 s of fixed spin (review r14)
+    val calibrated = only.isEmpty && tier.isEmpty
+    val (calibSingle0, calibMt0, calibMax0) =
+      if (calibrated) calibrate() else (0.0, 0.0, 0.0)
     (SparkEntry.queries.toSeq ++ Queries.benchOnly).sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(_.contains(name)) && tier.forall(_.contains(name)) }
@@ -233,13 +242,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val (calibSingle1, calibMt1) = calibrate()
-    val calib = s"""{"single_s":[$calibSingle0,$calibSingle1],""" +
-      s""""all_cores_s":[$calibMt0,$calibMt1]}"""
+    val calibField =
+      if (calibrated) {
+        val (calibSingle1, calibMt1, calibMax1) = calibrate()
+        s""""calibration":{"single_s":[$calibSingle0,$calibSingle1],""" +
+          s""""all_cores_s":[$calibMt0,$calibMt1],""" +
+          s""""slowest_core_s":[$calibMax0,$calibMax1]},"""
+      } else ""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"calibration":$calib,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,$calibField"sf":${jstr(sfDir)}}"""
     // Complete machine-readable artifact (VERDICT r10 #2): the driver's
     // BENCH_r{N}.json has truncated the stdout tail (60 of 153 entries at
     // r10), so the harness itself writes every entry — plus run metadata
@@ -248,7 +261,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${timings.size},""" +
       s""""env":{"cpus":${jstr(cpus)},"sf_dir":${jstr(sfDir)},"reps":"min-of-reps; per-rep detail in target/bench_diag.txt"},""" +
-      s""""calibration":$calib,""" +
+      calibField +
       s""""queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
     // Subset runs (SPARK_GRAFT_ONLY) are local iteration — don't clobber
     // the complete record with a 1-entry file.

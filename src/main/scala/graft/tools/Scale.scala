@@ -153,9 +153,12 @@ object Scale {
     // enumeration tables — verbatim, FKs to them unshifted.
     def scaleRel(table: String, shifts: Map[String, Long]): Unit =
       if (wanted(table)) {
-        shifts.headOption.foreach { case (pk, m) =>
-          assertIdHeadroom(table, pk, m)
-        }
+        // assert EVERY shifted column's headroom, not just the PK: with a
+        // table subset (`only`) the cross-table PK assert that used to
+        // stand in for an FK's domain may be skipped, and an over-range
+        // FK collides silently — the exact ADVICE-r7 failure class the
+        // assertions exist to prevent (review r14)
+        shifts.foreach { case (c, m) => assertIdHeadroom(table, c, m) }
         val base = spark.read.parquet(s"$sfDir/$table.parquet")
         (0 until copies).map { i =>
           shifts.foldLeft(base) { case (df, (c, m)) =>

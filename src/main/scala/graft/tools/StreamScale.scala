@@ -47,7 +47,13 @@ object StreamScale {
       inputRows: Long): Unit = {
     q.processAllAvailable()
     q.stop()
-    val progs = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    // keep zero-input batches whose state operator still did work: the
+    // event-time-timeout eviction the gap-session contract names can
+    // fire on a no-data micro-batch, and dropping it would hide the
+    // rows_removed evidence (review r14)
+    val progs = q.recentProgress.toSeq.filter(p =>
+      p.numInputRows > 0 || p.stateOperators.exists(so =>
+        so.numRowsRemoved > 0 || so.numRowsUpdated > 0))
     var maxRows = 0L
     var maxBytes = 0L
     progs.foreach { p =>
@@ -72,10 +78,17 @@ object StreamScale {
       "bytes_per_row" -> (if (maxRows > 0) maxBytes / maxRows else -1L))))
   }
 
+  private val KnownOps = Set("dedup_detect", "gap_sessions", "drift_monitor")
+
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
-    val ops = if (args.length > 1) args.drop(1).toSet
-      else Set("dedup_detect", "gap_sessions", "drift_monitor")
+    val ops = if (args.length > 1) args.drop(1).toSet else KnownOps
+    // a typo'd op name must fail loudly, not produce a vacuously
+    // "passing" soak that ran nothing (review r14; the Bench tier
+    // handling precedent)
+    require((ops -- KnownOps).isEmpty,
+      s"unknown ops: ${(ops -- KnownOps).toSeq.sorted.mkString(",")} " +
+        s"(known: ${KnownOps.toSeq.sorted.mkString(",")})")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -124,17 +137,44 @@ object StreamScale {
       // time slice per file): an unordered replay advances the watermark
       // past most of the corpus after the first batches and the soak
       // would measure late-drop filtering, not session-state tracking —
-      // ordered arrival is also what a real ingest feed looks like
+      // ordered arrival is also what a real ingest feed looks like.
+      // FileStreamSource orders files by MODIFICATION TIME, which for a
+      // parallel write is task-finish order, uncorrelated with the ts
+      // range (review r14) — so after writing, stamp ascending mtimes in
+      // part-file order (range partition i = the i-th ts slice, and part
+      // file names are partition-ordered), making source order = event
+      // time order deterministically.
       val ordered = s"$dir/events-ordered.parquet"
       spark.read.parquet(s"$dir/events.parquet")
         .repartitionByRange(32, col("ts"))
         .write.mode("overwrite").parquet(ordered)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(ordered))
+      val sortedParts = try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally listing.close()
+      sortedParts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
       val nEv = spark.read.parquet(ordered).count()
       val sch = spark.read.parquet(ordered).schema
+      // the driver has shipped events.ts both as TIMESTAMP(MICROS)
+      // (reads as a timestamp type) and TIMESTAMP(NANOS) (reads as an
+      // epoch-ns LONG under the nanosAsLong flag this session sets);
+      // cast(long -> timestamp) would interpret ns as SECONDS, so branch
+      // on the physical schema like Queries.eventsNs does (review r14)
+      val tsExpr = sch("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("ts") / lit(1000000000L)).cast("timestamp")
+        case _ => col("ts").cast("timestamp")
+      }
       val ev = spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", 4)
         .parquet(ordered)
-        .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+        .select(tsExpr.as("ts"), col("user_id"))
       val q = graft.streaming.Sessions.gapSessions(
           ev, "ts", "user_id", gapNs = 3600L * 1000000000L,
           lateness = "1 hour")

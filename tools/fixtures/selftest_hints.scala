@@ -49,12 +49,12 @@ object SelftestHints {
     val p11 = docs.join(broadcast(docs.filter(col("doc_id") === 7)), "doc_id") // expect: LITERAL_KEY
     val prod = nat.join(reg, "r_regionkey")
     val p12 = docs.join(broadcast(prod), "n_nationkey") // expect: PRODUCT
-    def ring(n: Int): DataFrame = {
-      val rows = for (i <- 0 until n; v <- 0 until 16)
+    def ring(): DataFrame = {
+      val rows = for (i <- 0 until 8; v <- 0 until 16)
         yield (i.toLong, v.toLong)
       rows.toDF("node", "v")
     }
-    val p13 = docs.join(broadcast(ring(8)), "node") // expect: FIXED_CATALOG
+    val p13 = docs.join(broadcast(ring()), "node") // expect: FIXED_CATALOG
     // bcast-sqrt: √n-grained quantizer (sqrtCentroids contract, sub-linear)
     val p14 = docs.join(broadcast(centsUnresolvable), "centroid_id") // expect: SQRT_BOUNDED
 
@@ -99,6 +99,14 @@ object SelftestHints {
       .select(explode(col("ts")).as("t"))))
     val packed = docs.groupBy("lang").agg(collect_list(col("text")).as("ts"))
     val d09 = docs.crossJoin(broadcast(packed.select(explode(col("ts")).as("t")))) // expect: OTHER
+    // a comprehension whose bound is an identifier may be corpus-derived —
+    // only LITERAL-range comprehensions certify as local collections
+    val nBig = 123456789
+    def corpusRing(): DataFrame = {
+      val rows = for (i <- 0 until nBig) yield i.toLong
+      rows.toDF("i")
+    }
+    val d10 = docs.join(broadcast(corpusRing()), "i") // expect: OTHER
 
     // lint-exempt: fixture control — the deliberate-defect marker buckets
     // EXEMPT (visible, reasoned) instead of OTHER

@@ -46,8 +46,9 @@ Soundness rules used when resolving (round-14 hardening, ADVICE r13):
   - the LAST grouped head governs GROUPED_KEY (an early bounded groupBy
     followed by a corpus-keyed one no longer certifies);
   - annotations BIND to their site: trailing on the broadcast line, or
-    on one of the 2 lines above with no other broadcast/crossJoin site
-    in between (one comment can no longer certify an adjacent site);
+    anywhere in the CONTIGUOUS comment-only block directly above it — a
+    code line breaks adjacency, and comment lines cannot host other
+    sites, so one comment can no longer certify an adjacent site;
   - identifier args resolve through `val` chains (depth 4) in-file;
   - local `def` helper calls resolve to the def body (depth 1);
   - row-count-non-increasing tails (.select/.filter/.where/.as/.alias/
@@ -246,9 +247,6 @@ def statement_rhs(lines, i):
     return buf
 
 
-SITE_TOKEN = re.compile(r"(?<![\w.])broadcast\(|\.crossJoin\(")
-
-
 def bound_annotation(lines, idx):
     """The annotation certifying the site on 0-based line `idx`, or
     (None, None). BINDING (ADVICE r13): trailing on the site line, or on
@@ -274,7 +272,8 @@ def bound_annotation(lines, idx):
     # walk up the CONTIGUOUS comment block directly above the site — a
     # code line breaks adjacency (the comment would describe that line,
     # not us; comment-only lines cannot themselves be sites, so no other
-    # site can sit between the marker and this one)
+    # site can sit between the marker and this one). The block may be
+    # arbitrarily tall: the binding guarantee is adjacency, not distance.
     j = idx - 1
     while j >= 0 and not strip_comments(lines[j]).strip() \
             and lines[j].strip():
@@ -304,8 +303,8 @@ def find_sites(path, lines):
 def find_def(lines, site_line, ident):
     """Nearest preceding `val ident =` or `def ident(...) =`; returns
     (rhs_text, (annotation_kind, reason)). Definition annotations bind
-    the same way as site annotations: trailing on the def line or on the
-    2 comment lines immediately above it."""
+    the same way as site annotations: trailing on the def line or in the
+    contiguous comment block immediately above it."""
     vpat = re.compile(r"^\s*(?:lazy\s+)?val\s+" + re.escape(ident) + r"\s*(?::[^=]+)?=")
     dpat = re.compile(r"^\s*(?:private\s+)?def\s+" + re.escape(ident) + r"\s*(?:[\(\[:]|=)")
 
@@ -337,10 +336,14 @@ SEQ_LIT = re.compile(
 # .toDF over a LOCAL Scala collection (comprehension yield / .toSeq) — a
 # driver-side literal table; bare df.toDF("a","b") renames do NOT match
 LOCAL_TODF = re.compile(r"yield[\s\S]{0,200}\.toDF\(|\.toSeq\s*\n?\s*\.toDF\(")
-# a bare driver-side comprehension (val rows = for (...) yield ...): a
-# local Scala collection, bounded by construction (the .toDF may sit in a
-# LATER statement once block bodies resolve statement-by-statement)
-LOCAL_FOR = re.compile(r"^\s*for\s*\([^)]*<-[\s\S]*?\)\s*yield\b")
+# a bare driver-side comprehension (val rows = for (...) yield ...) over
+# LITERAL ranges only: every generator must be `x <- NUM until/to NUM` —
+# a comprehension whose bound is an identifier could be corpus-derived
+# (val n = df.count().toInt) and is NOT certified (review r14); such
+# sites need an annotation stating the bound (the q301 ring is one)
+LOCAL_FOR = re.compile(
+    r"^\s*for\s*\(\s*(?:[A-Za-z_]\w*\s*<-\s*\d+\s+(?:until|to)\s+\d+\s*;?\s*)+\)"
+    r"\s*yield\b")
 
 
 def bounded_group_args(argtext):
