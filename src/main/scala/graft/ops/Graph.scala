@@ -431,9 +431,12 @@ object Graph {
         // plus the source batch — gate on the MEASURED sum of both (ADVICE
         // r13: gating on 2·nEdges alone left a large source set with a
         // small edge list force-broadcast at any size; the source count is
-        // one cheap job over the batch frame, paid only in this arm)
-        val nSources = sources.count()
-        val useBroadcast = 2 * nEdges + nSources <= broadcastNodeCap
+        // one cheap job over the batch frame, paid only in this arm).
+        // && short-circuits: when 2·nEdges alone already exceeds the cap
+        // the outcome cannot flip, so the source-count job is skipped
+        // (ADVICE r14 — it was paid unconditionally).
+        val useBroadcast = 2 * nEdges <= broadcastNodeCap &&
+          2 * nEdges + sources.count() <= broadcastNodeCap
         countArm("bfsHopsBcast", useBroadcast)
         def side(df: DataFrame): DataFrame =
           // bcast-ok: cap-gated — broadcast only below the derived node cap

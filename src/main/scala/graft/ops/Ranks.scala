@@ -73,8 +73,15 @@ object Ranks {
       else {
         val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
         val per = BigInt(math.max(1L, conf.filesMaxPartitionBytes))
-        ((est + per - 1) / per)
+        val n = ((est + per - 1) / per)
           .min(BigInt(conf.numShufflePartitions)).max(BigInt(1)).toInt
+        // diagnosis hook (VERDICT r14 #1): surface the estimate-derived
+        // fan-out so a bench triage can see whether a frame collapsed to
+        // a 1–2-way exchange; zero-cost unless the env var is set
+        if (sys.env.contains("SPARK_GRAFT_RANKS_DEBUG"))
+          println(s"[ranks] globalOrder est=$est bytes -> nParts=$n " +
+            s"(cap ${conf.numShufflePartitions})")
+        n
       }
     val pid = "__go_pid"
     val ranged = df.repartitionByRange(nParts, order: _*)

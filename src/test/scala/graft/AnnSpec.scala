@@ -65,6 +65,26 @@ class AnnSpec extends SparkSpec {
     assert(got.values.forall(_.size == 10))
   }
 
+  test("sqrtCentroids REJECTS a non-dense corpus (enforced precondition, r15)") {
+    // the step derivation picks multiples of ⌊n/⌈√n⌉⌋ among surviving
+    // vec_ids — on a filtered slice the quantizer silently under-fills
+    // or skews while upstream SQRT_BOUNDED annotations still claim the
+    // contract; since r15 the dense-0-based check rides the existing
+    // count job and a slice caller fails loudly instead
+    val slice = embs.filter(col("vec_id") >= 100)
+    val ex = intercept[IllegalArgumentException] { Ann.sqrtCentroids(slice) }
+    assert(ex.getMessage.contains("dense 0-based vec_id"))
+    // a reindexed slice (the documented remedy) is accepted
+    val reindexed = slice.withColumn("vec_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("vec_id")).cast("long") - 1)
+    val k = Ann.sqrtCentroids(reindexed).count()
+    val root = math.ceil(math.sqrt(reindexed.count().toDouble)).toLong
+    assert(k >= root && k < 2 * root)
+    // empty corpus: vacuously dense, no throw
+    assert(Ann.sqrtCentroids(embs.filter(col("vec_id") < 0)).count() === 0L)
+  }
+
   test("IVF assignment is shuffle-free: no exchange between corpus scan and argmin") {
     // round-4 rewrite: packed broadcast centroid array + per-row argmin
     // fold — the corpus side must carry NO Exchange (the round-3 form

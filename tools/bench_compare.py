@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Calibration-normalized bench comparator (VERDICT r14 #7).
+
+Every round's total has shifted a few percent with host load, and every
+round's verdict has re-litigated noise-vs-regression by hand. Since r14
+the bench artifact embeds its own host calibration (a deterministic CPU
+spin at suite start and end, single-thread and one-per-core); this tool
+reads two COMPLETE bench artifacts (the repo-root `bench_full.json` /
+`bench_r{N}.json` written by graft.Bench — NOT the driver's truncated
+BENCH_r{N}.json stdout wrappers) and emits the calibration-adjusted
+comparison so "is this real?" is one command:
+
+  python3 tools/bench_compare.py OLD.json NEW.json [--base 0.8] [--top 15]
+  python3 tools/bench_compare.py git:HEAD~1:bench_r14.json bench_r15.json
+
+- the calibration ratio is mean(new spins)/mean(old spins), computed per
+  spin kind; the ALL-CORES spin is the normalizer for suite totals (the
+  suite runs 32-way, so contention prices in the same way), the
+  single-thread spin is reported for context;
+- adjusted ratio = raw ratio / all-cores calibration ratio — a total
+  shift that tracks the calibration is host-state, one that doesn't is a
+  change signature;
+- per-query: median raw + adjusted ratios over shared entries, and the
+  worst adjusted ratios among entries with old-base >= --base seconds
+  (sub-base entries are scheduling-floor noise by the repo's own gotcha);
+- artifacts without a calibration block (pre-r14) fall back to raw with
+  a visible warning.
+
+Exit code: 0 always (a comparator, not a gate — the 2x gate stays the
+driver's).
+"""
+import json
+import statistics
+import subprocess
+import sys
+
+
+def load(spec):
+    """A complete bench artifact from a path or git:REV:path spec."""
+    if spec.startswith("git:"):
+        _, rev, path = spec.split(":", 2)
+        raw = subprocess.run(["git", "show", f"{rev}:{path}"],
+                             capture_output=True, text=True, check=True).stdout
+        d = json.loads(raw)
+    else:
+        with open(spec) as f:
+            d = json.load(f)
+    if "queries" not in d or "value" not in d:
+        sys.exit(f"{spec}: not a complete bench artifact (need value+queries; "
+                 "the driver's BENCH_r{N}.json wrappers are truncated — use "
+                 "bench_full.json / bench_r{N}.json or a git: spec of one)")
+    return d
+
+
+def calib_ratio(old, new, kind):
+    co, cn = old.get("calibration"), new.get("calibration")
+    if not co or not cn or kind not in co or kind not in cn:
+        return None
+    mo, mn = statistics.mean(co[kind]), statistics.mean(cn[kind])
+    return mn / mo if mo > 0 else None
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: a for a in sys.argv[1:] if a.startswith("--")}
+
+    def opt(name, default):
+        raw = opts.get(f"--{name}")
+        if raw is None:
+            return default
+        return float(raw.split("=", 1)[1]) if "=" in raw else default
+
+    if len(args) != 2:
+        sys.exit("usage: bench_compare.py OLD NEW [--base=0.8] [--top=15] "
+                 "(OLD/NEW: artifact path or git:REV:path)")
+    base_floor, top_n = opt("base", 0.8), int(opt("top", 15))
+    old, new = load(args[0]), load(args[1])
+
+    cr_all = calib_ratio(old, new, "all_cores_s")
+    cr_one = calib_ratio(old, new, "single_s")
+    norm = cr_all if cr_all else 1.0
+    raw_ratio = new["value"] / old["value"]
+
+    print(f"old: {args[0]}  total {old['value']:.1f}s  "
+          f"n={len(old['queries'])}  calib={old.get('calibration')}")
+    print(f"new: {args[1]}  total {new['value']:.1f}s  "
+          f"n={len(new['queries'])}  calib={new.get('calibration')}")
+    if cr_all is None:
+        print("WARNING: calibration missing in one artifact (pre-r14?) — "
+              "ratios below are RAW, not host-normalized")
+    else:
+        print(f"calibration ratio new/old: all-cores {cr_all:.3f}  "
+              f"single {cr_one:.3f}" if cr_one else
+              f"calibration ratio new/old: all-cores {cr_all:.3f}")
+    print(f"total ratio: raw {raw_ratio:.3f}  "
+          f"adjusted {raw_ratio / norm:.3f}  (normalizer: all-cores spin)")
+
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    only_old = set(old["queries"]) - set(new["queries"])
+    only_new = set(new["queries"]) - set(old["queries"])
+    if only_old or only_new:
+        print(f"entries only in old: {sorted(only_old)[:8]}{'...' if len(only_old) > 8 else ''}")
+        print(f"entries only in new: {sorted(only_new)[:8]}{'...' if len(only_new) > 8 else ''}")
+    ratios = {q: new["queries"][q] / old["queries"][q]
+              for q in shared if old["queries"][q] > 0}
+    med = statistics.median(ratios.values())
+    print(f"per-query over {len(ratios)} shared entries: "
+          f"median raw {med:.3f}  median adjusted {med / norm:.3f}")
+
+    sig = [(q, r / norm, old["queries"][q], new["queries"][q])
+           for q, r in ratios.items() if old["queries"][q] >= base_floor]
+    sig.sort(key=lambda t: -t[1])
+    n15 = sum(1 for _, r, _, _ in sig if r > 1.5)
+    n20 = sum(1 for _, r, _, _ in sig if r > 2.0)
+    print(f"entries with old-base >= {base_floor}s: {len(sig)}; "
+          f"adjusted >1.5x: {n15}; adjusted >2.0x: {n20}")
+    print(f"worst {min(top_n, len(sig))} adjusted (base >= {base_floor}s):")
+    for q, r, ob, nb in sig[:top_n]:
+        print(f"  {q:42s} {ob:7.2f}s -> {nb:7.2f}s  adj {r:5.2f}x")
+    best = sorted(sig, key=lambda t: t[1])[:5]
+    print("best 5 adjusted (same floor):")
+    for q, r, ob, nb in best:
+        print(f"  {q:42s} {ob:7.2f}s -> {nb:7.2f}s  adj {r:5.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,13 @@ object SelftestHints {
       rows.toDF("i")
     }
     val d10 = docs.join(broadcast(corpusRing()), "i") // expect: OTHER
+    // a corpus-derived .limit argument is data-sized — LIMIT_K certifies
+    // only INTEGER-CONSTANT limits (literal, literal arithmetic, or an
+    // in-file val tracing to one); anything else needs an annotation
+    // (ADVICE r14 — .limit(df.count().toInt/2) used to bucket LIMIT_K)
+    val half = docs.count().toInt / 2
+    val d11 = docs.join(broadcast(docs.orderBy(desc("v")).limit(half)), "k") // expect: OTHER
+    val d12 = docs.join(broadcast(big.limit(small.count().toInt)), "k") // expect: OTHER
 
     // lint-exempt: fixture control — the deliberate-defect marker buckets
     // EXEMPT (visible, reasoned) instead of OTHER
@@ -117,6 +124,11 @@ object SelftestHints {
     // ...and exploding a LITERAL sequence keeps a literal arity
     val p24 = docs.join(broadcast(docs // expect: FIXED_CATALOG
       .select(explode(sequence(lit(0L), lit(12L))).as("by")).distinct()), "by")
+    // constant-limit positive controls: literal arithmetic through the
+    // whitelisted numeric wrappers, and a val tracing to an int constant
+    val p25 = docs.join(broadcast(docs.limit(math.max(4 * 8, 16))), "k") // expect: LIMIT_K
+    val fixedK = 50
+    val p26 = docs.join(broadcast(docs.orderBy(desc("v")).limit(fixedK)), "k") // expect: LIMIT_K
 
     // ---- un-broadcast crossJoin build sides (the nested-loop census) ----
     val c01 = docs.crossJoin(tot) // expect: ONE_ROW_AGG

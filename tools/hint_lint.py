@@ -249,11 +249,12 @@ def statement_rhs(lines, i):
 
 def bound_annotation(lines, idx):
     """The annotation certifying the site on 0-based line `idx`, or
-    (None, None). BINDING (ADVICE r13): trailing on the site line, or on
-    one of the 2 lines above provided (a) no OTHER broadcast/crossJoin
-    site line sits between the comment and this site and (b) the comment
-    line is not itself an earlier site's line (its annotation belongs to
-    that site). Returns (kind, reason) with kind in {ok, sqrt}."""
+    (None, None). BINDING (ADVICE r13, docstring corrected r15 to match
+    the implementation): trailing on the site line, or anywhere in the
+    CONTIGUOUS comment-only block directly above it (arbitrarily tall —
+    a code line breaks adjacency), provided the comment line is not
+    itself an earlier site's line (its annotation belongs to that site).
+    Returns (kind, reason) with kind in {ok, sqrt, exempt}."""
     def ann_of(line):
         sm = SQRT_ANNOT.search(line)
         if sm:
@@ -378,7 +379,27 @@ def explode_unbounded(argtext):
     return bool(EXPLODE.search(argtext)) and not SEQ_RANGE.search(argtext)
 
 
-def classify_calls(calls, text):
+# A .limit(...) certifies LIMIT_K only when its argument is provably a
+# CONSTANT (ADVICE r14): an integer literal / literal arithmetic,
+# optionally through math.max|min|abs|ceil|floor and .toInt/.toLong, or
+# an identifier the caller's int-resolver traces to such a constant
+# in-file. A corpus-derived limit (.limit(df.count().toInt / 2)) is
+# data-sized — bucketing it LIMIT_K would contradict the lint's
+# corpus-independence claim (and the literal-only rule LOCAL_FOR already
+# applies to comprehensions); such sites need an annotation.
+INT_CONST = re.compile(r"^[\d\s_+\-*/%(),.L]*\d[\d\s_+\-*/%(),.L]*$")
+INT_STRIP = re.compile(r"math\.(?:max|min|abs|ceil|floor)\b|\.toInt\b|\.toLong\b")
+
+
+def const_int_text(t):
+    t = INT_STRIP.sub("", (t or "")).strip()
+    # after stripping the whitelisted numeric wrappers, only digits and
+    # arithmetic punctuation may remain ('.' only as part of a numeric
+    # literal — any residual identifier char fails the match)
+    return bool(INT_CONST.match(t)) and not re.search(r"[A-Za-z_]", t.replace("L", ""))
+
+
+def classify_calls(calls, text, int_resolve=None):
     """Bounding verdict from a depth-0 call sequence KNOWN to be grow-free
     (callers split on GROW first): LIMIT_K / ONE_ROW_AGG / GROUPED_KEY /
     None. The LAST grouped head governs GROUPED_KEY, and a non-literal
@@ -391,6 +412,9 @@ def classify_calls(calls, text):
 
     if "limit" in names:
         bidx = max(i for i, n in enumerate(names) if n == "limit")
+        larg = calls[bidx][2]
+        if not (const_int_text(larg) or (int_resolve and int_resolve(larg))):
+            return None
         return "LIMIT_K" if bounded_after(bidx) else None
     if "TakeOrdered" in text:
         return "LIMIT_K"
@@ -419,11 +443,12 @@ def classify_calls(calls, text):
     return None
 
 
-def classify_text(text, resolve=None, depth=4):
+def classify_text(text, resolve=None, depth=4, int_resolve=None):
     """Chain-aware bounding classification of an expression text.
     `resolve` classifies a sub-segment (identifier resolution etc.) for
     the PRODUCT rule; without it, grow-containing chains whose tail is
-    unbounded return None."""
+    unbounded return None. `int_resolve` traces a .limit argument
+    identifier to an in-file integer constant (LIMIT_K, ADVICE r14)."""
     if text is None:
         return None
     text = text.strip()
@@ -433,11 +458,11 @@ def classify_text(text, resolve=None, depth=4):
         inner = balanced_arg(text, text.find("("))
         after = text[text.find("(") + len(inner) + 2:]
         if not after.strip():
-            return classify_text(inner.strip(), resolve, depth)
+            return classify_text(inner.strip(), resolve, depth, int_resolve)
     calls = depth0_calls(text)
     grow_ix = [i for i, c in enumerate(calls) if c[0] in GROW]
     if not grow_ix:
-        bucket = classify_calls(calls, text)
+        bucket = classify_calls(calls, text, int_resolve)
         if bucket:
             return bucket
         # catalog / literal-frame / literal-key patterns look INSIDE call
@@ -464,7 +489,7 @@ def classify_text(text, resolve=None, depth=4):
     # (sound regardless of what precedes — limit/global-agg/bounded-key
     # heads cap the OUTPUT arity independent of input size)
     tail = calls[grow_ix[-1] + 1:]
-    bucket = classify_calls(tail, "")
+    bucket = classify_calls(tail, "", int_resolve)
     if bucket:
         return bucket
     # Rule B (PRODUCT): head segment and every grow argument each bounded
@@ -486,7 +511,7 @@ def classify_text(text, resolve=None, depth=4):
     segments = [head] + [first_toplevel_arg(calls[i][2]).strip() for i in grow_ix]
     parts = []
     for seg in segments:
-        b = classify_text(seg, resolve, depth - 1)
+        b = classify_text(seg, resolve, depth - 1, int_resolve)
         if b is None:
             b = resolve(seg, depth - 1)
         if b is None:
@@ -519,7 +544,21 @@ def classify(lines, lineno, arg, depth=4):
             reason_box[0] = r
         return b
 
-    bucket = classify_text(arg, resolve, depth)
+    def int_resolve(argtext, d=2):
+        # a bare identifier .limit arg resolves through its in-file val
+        # (one hop per depth) to an integer constant; anything else —
+        # parameters, corpus-derived counts — needs an annotation
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*$", argtext or "")
+        if not m or d <= 0:
+            return False
+        rhs, _ = find_def(lines, lineno, m.group(1))
+        if rhs is None:
+            return False
+        body = re.sub(r"^\s*(?:lazy\s+)?(?:private\s+)?(?:val|def)\s+[\w]+[^=]*=",
+                      "", rhs, count=1).strip()
+        return const_int_text(body) or int_resolve(body, d - 1)
+
+    bucket = classify_text(arg, resolve, depth, int_resolve)
     if bucket == "PRODUCT" and _last_product_parts:
         return bucket, _last_product_parts
     if bucket:
