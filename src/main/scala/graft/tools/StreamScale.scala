@@ -87,13 +87,13 @@ object StreamScale {
       // on-disk SST footprint (where the corpus-linear band table
       // actually lives under the mitigation) is a custom metric
       val rocks = so.map(_.customMetrics).map { cm =>
-        Seq("rocksdbSstFileSize", "rocksdbTotalMemoryUsage")
+        Seq("rocksdbSstFileSize", "rocksdbPinnedBlocksMemoryUsage")
           .flatMap(k0 => Option(cm.get(k0)).map(v => k0 -> (v: Any)))
       }.getOrElse(Nil)
       rocks.foreach {
         case ("rocksdbSstFileSize", v: java.lang.Long) =>
           maxSst = math.max(maxSst, v.longValue())
-        case ("rocksdbTotalMemoryUsage", v: java.lang.Long) =>
+        case ("rocksdbPinnedBlocksMemoryUsage", v: java.lang.Long) =>
           maxRocksMem = math.max(maxRocksMem, v.longValue())
         case _ => ()
       }
@@ -112,7 +112,7 @@ object StreamScale {
       "peak_state_bytes" -> maxBytes,
       "bytes_per_row" -> (if (maxRows > 0) maxBytes / maxRows else -1L)) ++
       (if (maxSst >= 0 || maxRocksMem >= 0)
-        Seq("peak_sst_bytes" -> maxSst, "peak_rocksdb_mem_bytes" -> maxRocksMem)
+        Seq("peak_sst_bytes" -> maxSst, "peak_rocksdb_pinned_mem_bytes" -> maxRocksMem)
       else Nil)))
   }
 
@@ -218,7 +218,9 @@ object StreamScale {
     def tsAsNanos(sch: org.apache.spark.sql.types.StructType) =
       sch("ts").dataType match {
         case org.apache.spark.sql.types.LongType => col("ts")
-        case _ => unix_micros(col("ts")) * lit(1000L)
+        // TIMESTAMP_NTZ needs the tz-cast first (identity under the UTC
+        // session timezone this harness sets); unix_micros is TZ-only
+        case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
       }
 
     if (ops("gap_sessions")) {
