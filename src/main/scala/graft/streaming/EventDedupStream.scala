@@ -9,16 +9,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (user, type, value) key occurred within `windowNs` of the IMMEDIATELY
   * PRECEDING event on that key (the batch side's one `lag` over a
   * key-partitioned window). State per key is a single long (the last seen
-  * timestamp), so state size is O(|active keys|), independent of event
-  * volume — the cheapest stateful-streaming shape there is. Within a
+  * timestamp) — the cheapest per-key payload there is — but the KEY SET
+  * is whatever (user, type, value) cardinality the feed carries: on a
+  * high-cardinality-value feed keys track the stream (measured: ≈1 state
+  * row per event on the synthetic corpus at K=1/10/100, flat ~326 B/key —
+  * SCALE.md §round 15), which is exactly why a production deployment
+  * MUST evict idle keys with a processing-time timeout ≫ windowNs (a
+  * retry window of seconds never needs last-week's keys). Within a
   * micro-batch, rows are applied in (ts, event_id) order so the flags are
   * deterministic and equal to the batch lag regardless of how the batch
   * splits; across batches the stream assumes per-key arrival in event-time
   * order (the at-the-source placement this operator is for — an
   * out-of-order deployment would put a watermark + sort ahead of it).
   * StreamingSpec pins the streamed flag set == the batch lag computation
-  * on the same events. A production deployment would evict idle keys with
-  * a processing-time timeout ≫ windowNs; the spec path keeps NoTimeout so
+  * on the same events; the spec and soak paths keep NoTimeout so
   * equality with batch is exact.
   */
 object EventDedupStream {

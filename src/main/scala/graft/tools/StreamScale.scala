@@ -39,6 +39,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    (same time range, K× docs per window) must leave state rows AND
   *    bytes FLAT — the strongest bound of the family (constant, not
   *    corpus-tracking).
+  *  - `EventDedupStream.detect` (round 15) — one long per (user, type,
+  *    value) key. The CLAIMED bound is O(|active keys|); this soak
+  *    measures what "active keys" means on a real feed: the synthetic
+  *    events' `value` is high-cardinality, so keys ≈ distinct triples
+  *    track the stream — the honest trade the scaladoc's
+  *    processing-time-timeout deployment note exists for, now priced
+  *    like DedupStream's band table (flat bytes/key, corpus-linear
+  *    rows).
+  *  - `BurstStream.detect` (round 15) — trailing ≤24 closed hours + one
+  *    open hour per EVENT-TYPE key: |types| state rows at any volume.
+  *    event_type is a 6-value enum that horizontal K-scaling does NOT
+  *    grow, so rows must read 6 at every K — constant, like
+  *    trendingTokens.
   *  - `dedup_detect_rocksdb` (round 15, VERDICT r14 #4) — the SAME
   *    DedupStream.detect soak with the RocksDB state-store provider:
   *    the band-key state table (the documented corpus-linear honest
@@ -117,7 +130,8 @@ object StreamScale {
   }
 
   private val DefaultOps = Set("dedup_detect", "gap_sessions",
-    "drift_monitor", "asof_enrich", "trending_tokens")
+    "drift_monitor", "asof_enrich", "trending_tokens", "event_dedup",
+    "burst_detect")
   // the RocksDB mitigation run is opt-in: it reconfigures the session's
   // state-store provider, so it runs alone (or last) by explicit request
   private val KnownOps = DefaultOps + "dedup_detect_rocksdb"
@@ -287,6 +301,35 @@ object StreamScale {
         .option("checkpointLocation", ck("trend"))
         .start()
       drain("trending_tokens", copies, q, nDocs)
+    }
+
+    if (ops("event_dedup")) {
+      val nEv = spark.read.parquet(orderedEvents).count()
+      val sch = spark.read.parquet(orderedEvents).schema
+      val ev = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(orderedEvents)
+        .select(col("event_id"), tsAsNanos(sch).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val q = graft.streaming.EventDedupStream.detect(ev)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("evdedup"))
+        .start()
+      drain("event_dedup", copies, q, nEv)
+    }
+
+    if (ops("burst_detect")) {
+      val nEv = spark.read.parquet(orderedEvents).count()
+      val sch = spark.read.parquet(orderedEvents).schema
+      val ev = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(orderedEvents)
+        .select(col("event_type"), tsAsNanos(sch).as("ts"))
+      val q = graft.streaming.BurstStream.detect(ev)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("burst"))
+        .start()
+      drain("burst_detect", copies, q, nEv)
     }
 
     if (ops("dedup_detect_rocksdb")) {

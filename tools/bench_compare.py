@@ -13,10 +13,12 @@ comparison so "is this real?" is one command:
   python3 tools/bench_compare.py OLD.json NEW.json [--base 0.8] [--top 15]
   python3 tools/bench_compare.py git:HEAD~1:bench_r14.json bench_r15.json
 
-- the calibration ratio is mean(new spins)/mean(old spins), computed per
-  spin kind; the ALL-CORES spin is the normalizer for suite totals (the
-  suite runs 32-way, so contention prices in the same way), the
-  single-thread spin is reported for context;
+- the calibration ratio is min(new spins)/min(old spins), computed per
+  spin kind (min, not mean: a load burst hitting one spin would swing
+  the whole adjustment — the min is each run's least-contended floor);
+  the ALL-CORES spin is the normalizer for suite totals (the suite runs
+  32-way, so contention prices in the same way), the single-thread spin
+  is reported for context;
 - adjusted ratio = raw ratio / all-cores calibration ratio — a total
   shift that tracks the calibration is host-state, one that doesn't is a
   change signature;
@@ -53,10 +55,15 @@ def load(spec):
 
 
 def calib_ratio(old, new, kind):
+    # MIN of the start/end spins, not the mean: a transient load burst
+    # coinciding with one spin (observed: an end spin reading 1.79 s vs
+    # 0.99 s at start in the same run) would otherwise swing the whole
+    # adjustment; the min is each run's least-contended floor, which is
+    # what the two runs share when host state is comparable
     co, cn = old.get("calibration"), new.get("calibration")
     if not co or not cn or kind not in co or kind not in cn:
         return None
-    mo, mn = statistics.mean(co[kind]), statistics.mean(cn[kind])
+    mo, mn = min(co[kind]), min(cn[kind])
     return mn / mo if mo > 0 else None
 
 
@@ -124,4 +131,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # downstream `| head` closed the pipe
+        pass
