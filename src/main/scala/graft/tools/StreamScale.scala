@@ -52,6 +52,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    event_type is a 6-value enum that horizontal K-scaling does NOT
   *    grow, so rows must read 6 at every K — constant, like
   *    trendingTokens.
+  *  - `ScdStream.intervals` / `PitCountStream.features` (round 15) —
+  *    one open run / one counter long per user: rows must track user
+  *    cardinality (K×), bytes/key flat and tiny.
+  *  - `AttributionStream.pairs` (round 15) — the one NATIVE
+  *    stream-stream interval join of the tier: state is Spark's
+  *    watermark-bounded symmetric join buffers, so rows must track the
+  *    in-horizon tail of both feeds (evicted as the watermark advances
+  *    — rows_removed > 0 is the evidence), never the replayed total.
+  *  - `SearchStream.topK` (round 15) — the strongest claim of all:
+  *    NO retained state by construction (the group fold never calls
+  *    state.update); the trace must show state_rows = 0 at every K
+  *    while queries stream against the static corpus.
   *  - `dedup_detect_rocksdb` (round 15, VERDICT r14 #4) — the SAME
   *    DedupStream.detect soak with the RocksDB state-store provider:
   *    the band-key state table (the documented corpus-linear honest
@@ -131,7 +143,8 @@ object StreamScale {
 
   private val DefaultOps = Set("dedup_detect", "gap_sessions",
     "drift_monitor", "asof_enrich", "trending_tokens", "event_dedup",
-    "burst_detect")
+    "burst_detect", "scd_intervals", "pit_count", "attribution",
+    "search_topk")
   // the RocksDB mitigation run is opt-in: it reconfigures the session's
   // state-store provider, so it runs alone (or last) by explicit request
   private val KnownOps = DefaultOps + "dedup_detect_rocksdb"
@@ -156,9 +169,11 @@ object StreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the soak only streams documents + events; skip the relational tables
+    // the soak only streams documents + events (+ embeddings when the
+    // query-serving op asks); skip the relational tables
     val dir = Scale.materialize(spark, sfDir, copies,
-      only = Set("documents", "events"))
+      only = Set("documents", "events") ++
+        (if (ops("search_topk")) Set("embeddings") else Set.empty))
     def ck(op: String): String = {
       val p = java.nio.file.Paths.get(s"target/stream-scale$copies/ck-$op")
       if (java.nio.file.Files.exists(p)) {
@@ -330,6 +345,78 @@ object StreamScale {
         .option("checkpointLocation", ck("burst"))
         .start()
       drain("burst_detect", copies, q, nEv)
+    }
+
+    if (ops("scd_intervals")) {
+      val nEv = spark.read.parquet(orderedEvents).count()
+      val sch = spark.read.parquet(orderedEvents).schema
+      val ev = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(orderedEvents)
+        .select(col("user_id"), tsAsNanos(sch).as("ts"),
+          col("event_id"), col("event_type"))
+      val q = graft.streaming.ScdStream.intervals(ev)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("scd"))
+        .start()
+      drain("scd_intervals", copies, q, nEv)
+    }
+
+    if (ops("pit_count")) {
+      val nEv = spark.read.parquet(orderedEvents).count()
+      val sch = spark.read.parquet(orderedEvents).schema
+      val ev = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(orderedEvents)
+        .select(col("user_id"), tsAsNanos(sch).as("ts"),
+          (col("event_type") === "purchase").as("is_label"),
+          col("event_id").as("id"))
+      val q = graft.streaming.PitCountStream.features(ev)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("pit"))
+        .start()
+      drain("pit_count", copies, q, nEv)
+    }
+
+    if (ops("attribution")) {
+      // two live feeds from the same ordered replay: the watermark-bounded
+      // symmetric join state must hold only each side's in-horizon tail
+      val nEv = spark.read.parquet(orderedEvents).count()
+      val sch = spark.read.parquet(orderedEvents).schema
+      def evStream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(orderedEvents)
+      val clicks = evStream.filter(col("event_type") === "click")
+        .select(col("user_id"), tsAsTimestamp(sch).as("c_ts"),
+          col("event_type").as("channel"))
+      val purchases = evStream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tsAsTimestamp(sch).as("p_ts"),
+          (col("value") * 100).cast("long").as("cents"))
+      val q = graft.streaming.AttributionStream.pairs(
+          clicks, purchases, horizonSec = 3600L)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("attr"))
+        .start()
+      drain("attribution", copies, q, nEv)
+    }
+
+    if (ops("search_topk")) {
+      // query stream = the K-scaled embeddings; corpus = the UNSCALED
+      // base table (the static side of the stream-static join) — the
+      // claim under test is zero retained state however many queries flow
+      val nQ = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val qsch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val queries = spark.readStream.schema(qsch)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val q = graft.streaming.SearchStream.topK(queries, corpus, k = 10)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("searchtopk"))
+        .start()
+      drain("search_topk", copies, q, nQ)
     }
 
     if (ops("dedup_detect_rocksdb")) {
