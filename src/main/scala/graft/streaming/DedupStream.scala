@@ -114,6 +114,63 @@ object DedupStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(threshold, maxPerBand))
   }
 
+  private[graft] def updateWindowed(threshold: Double, maxPerBand: Int,
+      window: String)(
+      band: String,
+      rows: Iterator[Banded],
+      state: GroupState[BandState]): Iterator[DupHit] = {
+    if (state.hasTimedOut) {
+      // one reconciliation window with no arrivals on this band: the
+      // periodic batch run owns this history now — drop it
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = update(threshold, maxPerBand)(band, rows, state)
+      state.setTimeoutDuration(window)
+      out
+    }
+  }
+
+  /** [[detect]] with the RECONCILIATION-WINDOW state bound — the second
+    * mitigation SCALE.md names for the band table's corpus-linear total
+    * (the first, the RocksDB provider, moves it to disk; this one bounds
+    * it). Band state carries a processing-time timeout of `window`, the
+    * period of the batch `minhashIncremental` maintenance run: a band
+    * key idle for one full window is DROPPED, because the reconciliation
+    * run that defines the window has already folded its history into the
+    * persisted shingle index. The stream therefore flags pairs whose
+    * members arrive within a window of each other; a pair straddling a
+    * boundary is MISSED by the stream BY CONTRACT and caught by the next
+    * [[graft.ops.Dedup.minhashIncrementalFromIndex]] run against the
+    * pre-boundary index — StreamingSpec pins both halves (within-window
+    * equality with [[detect]], and the straddling pair's recovery by the
+    * batch run). State is bounded by (keys active within one window) ×
+    * maxPerBand signatures — for a fixed window and arrival rate a
+    * CONSTANT, not a corpus total.
+    *
+    * Deployment note: run under a PACED trigger
+    * (`Trigger.ProcessingTime(...)`, interval ≪ window). Processing-time
+    * timeouts make Spark schedule no-data batches to fire expirations;
+    * under the default `Trigger(0)` those batches run back-to-back — a
+    * busy loop that also starves test harnesses' `processAllAvailable`
+    * (observed live; the spec drives the fold through TestGroupState
+    * instead).
+    */
+  def detectWindowed(docs: DataFrame,
+                     shingleK: Int = 3,
+                     numHashes: Int = 12,
+                     bands: Int = 4,
+                     threshold: Double = 0.5,
+                     maxPerBand: Int = 64,
+                     window: String = "10 minutes"): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    banded(docs, shingleK, numHashes, bands)
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        updateWindowed(threshold, maxPerBand, window))
+  }
+
   /** Continuous per-source MinHash sketch — the streaming form of
     * [[graft.ops.Dedup.sourceSketch]] (q108's governance view maintained
     * at ingest). Per-doc signatures ride the scan (narrow, same fused

@@ -382,6 +382,83 @@ class StreamingSpec extends SparkSpec {
     assert(probed == Seq(AsOfStream.Enriched(7L, "k", 20L, None, None)))
   }
 
+  test("windowed near-dup: within-window == unwindowed; eviction drops the straddling pair; reconciliation batch recovers it") {
+    // driven through TestGroupState, not a live query: ProcessingTimeTimeout
+    // under the default Trigger(0) busy-loops no-data batches and
+    // processAllAvailable never settles (observed live; the operator's
+    // scaladoc mandates a paced trigger in deployment)
+    import graft.streaming.DedupStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((1L, base), (2L, s"$base zzz"), (10L, base),
+      (3L, "completely different content about database query optimization topics"))
+    val bandedRows = DedupStream.banded(
+        corpus.toDF("doc_id", "text"), shingleK = 3, numHashes = 12, bands = 4)
+      .collect().groupBy(_.band)
+
+    def fresh(timeout: GroupStateTimeout) =
+      TestGroupState.create[DedupStream.BandState](
+        Optional.empty[DedupStream.BandState], timeout,
+        1000L, Optional.empty[Long], hasTimedOut = false)
+
+    // (a) within one window the windowed fold IS the unwindowed fold:
+    // identical hits per band on identical inputs — and both equal the
+    // batch LSH pair set when unioned across bands
+    val plainHits = bandedRows.values.flatMap { rows =>
+      DedupStream.update(0.5, 64)("b", rows.sortBy(_.docId).iterator,
+        fresh(GroupStateTimeout.NoTimeout))
+    }.map(h => (h.docA, h.docB)).toSet
+    val windowedHits = bandedRows.values.flatMap { rows =>
+      DedupStream.updateWindowed(0.5, 64, "10 minutes")("b",
+        rows.sortBy(_.docId).iterator,
+        fresh(GroupStateTimeout.ProcessingTimeTimeout))
+    }.map(h => (h.docA, h.docB)).toSet
+    assert(windowedHits == plainHits, s"$windowedHits != $plainHits")
+    val batchPairs = graft.ops.Dedup.minhashLsh(
+        corpus.toDF("doc_id", "text"),
+        "doc_id", "text", shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(windowedHits == batchPairs, s"stream $windowedHits != batch $batchPairs")
+    // the window is armed: the same fold under NoTimeout throws on
+    // setTimeoutDuration, proving updateWindowed really arms it
+    intercept[UnsupportedOperationException] {
+      DedupStream.updateWindowed(0.5, 64, "10 minutes")("b",
+        bandedRows.values.head.iterator, fresh(GroupStateTimeout.NoTimeout)).toList
+    }
+
+    // (b) the reconciliation boundary: a band key idle for one window
+    // times out -> state REMOVED, nothing emitted
+    val expired = TestGroupState.create[DedupStream.BandState](
+      Optional.of(DedupStream.BandState(
+        Vector(1L -> Vector.fill(12)(42L)), 0L)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val onTimeout = DedupStream.updateWindowed(0.5, 64, "10 minutes")("b",
+      Iterator.empty, expired).toList
+    assert(onTimeout.isEmpty && expired.isRemoved,
+      "timeout must drop the band state and emit nothing")
+
+    // (c) the straddling duplicate arriving AFTER eviction sees empty
+    // band state -> no stream hit BY CONTRACT...
+    val postEvict = bandedRows.values.flatMap { rows =>
+      DedupStream.updateWindowed(0.5, 64, "10 minutes")("b",
+        rows.filter(_.docId == 10L).iterator,
+        fresh(GroupStateTimeout.ProcessingTimeTimeout))
+    }
+    assert(postEvict.isEmpty, s"evicted band must not flag: $postEvict")
+    // ...and the batch minhashIncremental run against the pre-boundary
+    // corpus recovers exactly that pair — the reconciliation contract
+    val reconciled = graft.ops.Dedup.minhashIncremental(
+        Seq((1L, base), (2L, s"$base zzz")).toDF("doc_id", "text"),
+        Seq((10L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", shingleK = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reconciled.contains((1L, 10L)) && reconciled.contains((2L, 10L)),
+      s"reconciliation batch must recover the straddling pairs: $reconciled")
+  }
+
   test("streaming near-dup flags arrivals against prior batches, same buckets as batch LSH") {
     import graft.streaming.DedupStream
     import spark.implicits._
