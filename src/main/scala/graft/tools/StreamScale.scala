@@ -91,6 +91,41 @@ object StreamScale {
       inputRows: Long): Unit = {
     q.processAllAvailable()
     q.stop()
+    report(name, k, q, inputRows)
+  }
+
+  /** Drain for PROCESSING-TIME-TIMEOUT queries: `processAllAvailable`
+    * starves under timeout-scheduled no-data batches (the detectWindowed
+    * scaladoc finding), so poll progress until the full input is
+    * consumed, then let `settleMs` of paced empty batches fire the
+    * remaining expirations before stopping. Input accounting accumulates
+    * per batchId (the recentProgress ring could otherwise rotate data
+    * batches out under a long settle).
+    */
+  private def drainPaced(name: String, k: Int, q: StreamingQuery,
+      inputRows: Long, settleMs: Long): Unit = {
+    val seen = scala.collection.mutable.Map[Long, Long]()
+    def consumed: Long = {
+      q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+      seen.values.sum
+    }
+    val deadline = System.nanoTime() + 30L * 60 * 1000000000L
+    while (consumed < inputRows && q.isActive && System.nanoTime() < deadline)
+      Thread.sleep(300)
+    Thread.sleep(settleMs)
+    // stop in the idle gap right after a batch commits (a stop landing
+    // mid-commit logs a spurious CANNOT_COMMIT from the stream thread)
+    val lastId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val stopBy = System.nanoTime() + 5L * 1000000000L
+    while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) == lastId &&
+        q.isActive && System.nanoTime() < stopBy)
+      Thread.sleep(50)
+    q.stop()
+    report(name, k, q, inputRows)
+  }
+
+  private def report(name: String, k: Int, q: StreamingQuery,
+      inputRows: Long): Unit = {
     // keep zero-input batches whose state operator still did work: the
     // event-time-timeout eviction the gap-session contract names can
     // fire on a no-data micro-batch, and dropping it would hide the
@@ -145,9 +180,11 @@ object StreamScale {
     "drift_monitor", "asof_enrich", "trending_tokens", "event_dedup",
     "burst_detect", "scd_intervals", "pit_count", "attribution",
     "search_topk")
-  // the RocksDB mitigation run is opt-in: it reconfigures the session's
-  // state-store provider, so it runs alone (or last) by explicit request
-  private val KnownOps = DefaultOps + "dedup_detect_rocksdb"
+  // opt-in ops: rocksdb reconfigures the session's state-store provider
+  // (runs alone or last by explicit request); windowed runs wall-clock
+  // paced (a ~1 min soak of mostly waiting, not a data-rate measurement)
+  private val KnownOps = DefaultOps + "dedup_detect_rocksdb" +
+    "dedup_detect_windowed"
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -417,6 +454,23 @@ object StreamScale {
         .option("checkpointLocation", ck("searchtopk"))
         .start()
       drain("search_topk", copies, q, nQ)
+    }
+
+    if (ops("dedup_detect_windowed")) {
+      // the reconciliation-window mitigation under a PACED trigger (the
+      // operator's deployment contract): the same corpus that drives the
+      // unwindowed detect's corpus-linear state must PLATEAU at
+      // keys-active-per-window and visibly evict (rows_removed > 0 on
+      // the settle batches after input exhausts)
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val q = graft.streaming.DedupStream.detectWindowed(
+          stream("documents", 2), shingleK = 3, numHashes = 12, bands = 4,
+          window = "8 seconds")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck("dedup-win"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      drainPaced("dedup_detect_windowed", copies, q, nDocs, settleMs = 12000L)
     }
 
     if (ops("dedup_detect_rocksdb")) {
