@@ -272,24 +272,25 @@ object Bench {
       // Round-stamped twin (VERDICT r13 #5): bench_full.json is clobbered
       // by every full run — the driver re-benches after the round's last
       // commit, so history never held the exact artifact the gates cite.
-      // Round source: SPARK_GRAFT_ROUND when set (ADVICE r14 — the
-      // heuristic mislabels a post-commit run as the NEXT round),
-      // otherwise 1 + the highest committed BENCH_r{N}. WRITE-ONCE
-      // (VERDICT r14 #2): a run whose derived name already exists leaves
-      // the existing artifact untouched — the round's FIRST full run is
-      // the canonical one, and a driver re-run after the round's commit
-      // can never clobber it.
+      // The stamp is EXPLICIT-ONLY (SPARK_GRAFT_ROUND; review r15): any
+      // derive-the-round heuristic mislabels a post-commit re-run as the
+      // NEXT round (ADVICE r14) and, combined with write-once, would
+      // pre-claim that round's artifact with the wrong code — so an
+      // env-less full run only refreshes bench_full.json and says how to
+      // stamp. WRITE-ONCE (VERDICT r14 #2): an existing stamped artifact
+      // is never overwritten — the round's FIRST stamped run is
+      // canonical; superseding it means deleting the file first (a
+      // visible git operation).
       try {
-        val rnd = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
-          .orElse(Option(new java.io.File(".").listFiles()).toSeq.flatten
-            .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
-              .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-            .maxOption.map(_ + 1))
-        rnd.foreach { n =>
-          val p = java.nio.file.Paths.get(f"bench_r$n%02d.json")
-          if (!java.nio.file.Files.exists(p))
-            java.nio.file.Files.writeString(p, full)
-          else println(s"bench: $p exists; round artifact is write-once, not overwritten")
+        sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption) match {
+          case Some(n) =>
+            val p = java.nio.file.Paths.get(f"bench_r$n%02d.json")
+            if (!java.nio.file.Files.exists(p))
+              java.nio.file.Files.writeString(p, full)
+            else println(s"bench: $p exists; round artifact is write-once, not overwritten")
+          case None =>
+            println("bench: SPARK_GRAFT_ROUND unset - bench_full.json " +
+              "refreshed, no round artifact stamped (set the env to freeze one)")
         }
       } catch { case _: Throwable => () }
     }

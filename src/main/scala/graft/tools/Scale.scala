@@ -92,7 +92,8 @@ object Scale {
     }
     if (wanted("documents")) assertIdHeadroom("documents", "doc_id", 100000L)
     if (wanted("embeddings")) {
-      assertIdHeadroom("embeddings", "vec_id", 100000L)
+      // vec_id needs no headroom: copies shift by the exact base count
+      // (density-preserving, asserted at the write below)
       assertIdHeadroom("embeddings", "label", 1000L)
     }
     if (wanted("events")) {
@@ -123,8 +124,21 @@ object Scale {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     if (wanted("embeddings")) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // vec_id shifts by the EXACT base count, not a fixed stride: the
+      // ANN quantizer contract (Ann.sqrtCentroids, ENFORCED since r15)
+      // requires dense 0-based ids, and a strided shift would make every
+      // K>1 soak corpus non-dense and throw — review r15; density of the
+      // base itself is asserted below (headroom asserts don't cover it)
+      val nBase = emb.count()
+      val idr = emb.agg(min(col("vec_id").cast("long")),
+        max(col("vec_id").cast("long"))).first()
+      require(nBase == 0L ||
+        (idr.getLong(0) == 0L && idr.getLong(1) == nBase - 1L),
+        s"$sfDir/embeddings.parquet: vec_id not dense 0-based " +
+          s"(n=$nBase span [${idr.get(0)},${idr.get(1)}]) — dense shifts " +
+          "would collide")
       (0 until copies).map { i =>
-        emb.select((col("vec_id") + lit(i * 100000L)).as("vec_id"),
+        emb.select((col("vec_id") + lit(i * nBase)).as("vec_id"),
           col("embedding"), (col("label") + lit(i * 1000)).as("label"))
       }.reduce(_ unionByName _)
         .repartition(32)

@@ -73,10 +73,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    (rocksdb custom metrics) so heap-vs-disk is measured, not argued.
   *
   * Usage: sbt 'runMain graft.tools.StreamScale <K> [ops...]'
-  * (ops default: dedup_detect gap_sessions drift_monitor asof_enrich
-  * trending_tokens; dedup_detect_rocksdb is opt-in — run it explicitly
-  * when measuring the mitigation). Emits one `[stream-scale]` JSON line
-  * per micro-batch and one `[stream-total]` summary per (op, K).
+  * Default ops = ALL ELEVEN stateful twins ([[DefaultOps]] — the one
+  * authoritative list; search_topk adds embeddings to the materialized
+  * set). Opt-in by explicit name: dedup_detect_rocksdb (reconfigures
+  * the session's state-store provider for its block) and
+  * dedup_detect_windowed (wall-clock-paced — mostly waiting, not a
+  * data-rate measurement). Emits one `[stream-scale]` JSON line per
+  * micro-batch and one `[stream-total]` summary per (op, K).
   */
 object StreamScale {
   private def jmap(m: Seq[(String, Any)]): String =
@@ -112,6 +115,12 @@ object StreamScale {
     val deadline = System.nanoTime() + 30L * 60 * 1000000000L
     while (consumed < inputRows && q.isActive && System.nanoTime() < deadline)
       Thread.sleep(300)
+    // a dead query must FAIL the soak, not produce a vacuously passing
+    // report (review r15 — drain's processAllAvailable rethrows, this
+    // poll loop has to do it explicitly); same for a deadline overrun
+    q.exception.foreach(e => throw e)
+    require(consumed >= inputRows,
+      s"$name: query went inactive/deadline after $consumed of $inputRows rows")
     Thread.sleep(settleMs)
     // stop in the idle gap right after a batch commits (a stop landing
     // mid-commit logs a spurious CANNOT_COMMIT from the stream thread)
@@ -270,19 +279,27 @@ object StreamScale {
       }
       ordered
     }
+    // shared by every ordered-events consumer (review r15: seven blocks
+    // each re-read the count/schema and rebuilt the same readStream)
+    lazy val orderedSchema: org.apache.spark.sql.types.StructType =
+      spark.read.parquet(orderedEvents).schema
+    lazy val nOrderedEvents: Long = spark.read.parquet(orderedEvents).count()
+    def orderedStream: DataFrame = spark.readStream.schema(orderedSchema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(orderedEvents)
     // the driver has shipped events.ts both as TIMESTAMP(MICROS)
     // (reads as a timestamp type) and TIMESTAMP(NANOS) (reads as an
     // epoch-ns LONG under the nanosAsLong flag this session sets);
     // cast(long -> timestamp) would interpret ns as SECONDS, so branch
     // on the physical schema like Queries.eventsNs does (review r14)
-    def tsAsTimestamp(sch: org.apache.spark.sql.types.StructType) =
-      sch("ts").dataType match {
+    def tsAsTimestamp =
+      orderedSchema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           (col("ts") / lit(1000000000L)).cast("timestamp")
         case _ => col("ts").cast("timestamp")
       }
-    def tsAsNanos(sch: org.apache.spark.sql.types.StructType) =
-      sch("ts").dataType match {
+    def tsAsNanos =
+      orderedSchema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => col("ts")
         // TIMESTAMP_NTZ needs the tz-cast first (identity under the UTC
         // session timezone this harness sets); unix_micros is TZ-only
@@ -290,19 +307,15 @@ object StreamScale {
       }
 
     if (ops("gap_sessions")) {
-      val nEv = spark.read.parquet(orderedEvents).count()
-      val sch = spark.read.parquet(orderedEvents).schema
-      val ev = spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(orderedEvents)
-        .select(tsAsTimestamp(sch).as("ts"), col("user_id"))
+      val ev = orderedStream
+        .select(tsAsTimestamp.as("ts"), col("user_id"))
       val q = graft.streaming.Sessions.gapSessions(
           ev, "ts", "user_id", gapNs = 3600L * 1000000000L,
           lateness = "1 hour")
         .writeStream.format("noop")
         .option("checkpointLocation", ck("gap"))
         .start()
-      drain("gap_sessions", copies, q, nEv)
+      drain("gap_sessions", copies, q, nOrderedEvents)
     }
 
     if (ops("asof_enrich")) {
@@ -314,13 +327,9 @@ object StreamScale {
       // replayed (the per-batch trace must plateau once the replay
       // advances past one horizon)
       import spark.implicits._
-      val nEv = spark.read.parquet(orderedEvents).count()
-      val sch = spark.read.parquet(orderedEvents).schema
-      def evStream = spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(orderedEvents)
+      def evStream = orderedStream
         .select(col("user_id").cast("string").as("key"),
-          tsAsNanos(sch).as("ts"), col("event_type"),
+          tsAsNanos.as("ts"), col("event_type"),
           col("value"), col("event_id"))
       val ticks = evStream.filter(col("event_type") === "purchase")
         .select(col("key"), col("ts"), col("value"))
@@ -333,7 +342,7 @@ object StreamScale {
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("asof"))
         .start()
-      drain("asof_enrich", copies, q, nEv)
+      drain("asof_enrich", copies, q, nOrderedEvents)
     }
 
     if (ops("trending_tokens")) {
@@ -356,85 +365,64 @@ object StreamScale {
     }
 
     if (ops("event_dedup")) {
-      val nEv = spark.read.parquet(orderedEvents).count()
-      val sch = spark.read.parquet(orderedEvents).schema
-      val ev = spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(orderedEvents)
-        .select(col("event_id"), tsAsNanos(sch).as("ts"),
+      val ev = orderedStream
+        .select(col("event_id"), tsAsNanos.as("ts"),
           col("user_id"), col("event_type"), col("value"))
       val q = graft.streaming.EventDedupStream.detect(ev)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("evdedup"))
         .start()
-      drain("event_dedup", copies, q, nEv)
+      drain("event_dedup", copies, q, nOrderedEvents)
     }
 
     if (ops("burst_detect")) {
-      val nEv = spark.read.parquet(orderedEvents).count()
-      val sch = spark.read.parquet(orderedEvents).schema
-      val ev = spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(orderedEvents)
-        .select(col("event_type"), tsAsNanos(sch).as("ts"))
+      val ev = orderedStream
+        .select(col("event_type"), tsAsNanos.as("ts"))
       val q = graft.streaming.BurstStream.detect(ev)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("burst"))
         .start()
-      drain("burst_detect", copies, q, nEv)
+      drain("burst_detect", copies, q, nOrderedEvents)
     }
 
     if (ops("scd_intervals")) {
-      val nEv = spark.read.parquet(orderedEvents).count()
-      val sch = spark.read.parquet(orderedEvents).schema
-      val ev = spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(orderedEvents)
-        .select(col("user_id"), tsAsNanos(sch).as("ts"),
+      val ev = orderedStream
+        .select(col("user_id"), tsAsNanos.as("ts"),
           col("event_id"), col("event_type"))
       val q = graft.streaming.ScdStream.intervals(ev)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("scd"))
         .start()
-      drain("scd_intervals", copies, q, nEv)
+      drain("scd_intervals", copies, q, nOrderedEvents)
     }
 
     if (ops("pit_count")) {
-      val nEv = spark.read.parquet(orderedEvents).count()
-      val sch = spark.read.parquet(orderedEvents).schema
-      val ev = spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(orderedEvents)
-        .select(col("user_id"), tsAsNanos(sch).as("ts"),
+      val ev = orderedStream
+        .select(col("user_id"), tsAsNanos.as("ts"),
           (col("event_type") === "purchase").as("is_label"),
           col("event_id").as("id"))
       val q = graft.streaming.PitCountStream.features(ev)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("pit"))
         .start()
-      drain("pit_count", copies, q, nEv)
+      drain("pit_count", copies, q, nOrderedEvents)
     }
 
     if (ops("attribution")) {
       // two live feeds from the same ordered replay: the watermark-bounded
       // symmetric join state must hold only each side's in-horizon tail
-      val nEv = spark.read.parquet(orderedEvents).count()
-      val sch = spark.read.parquet(orderedEvents).schema
-      def evStream = spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(orderedEvents)
-      val clicks = evStream.filter(col("event_type") === "click")
-        .select(col("user_id"), tsAsTimestamp(sch).as("c_ts"),
+      val clicks = orderedStream.filter(col("event_type") === "click")
+        .select(col("user_id"), tsAsTimestamp.as("c_ts"),
           col("event_type").as("channel"))
-      val purchases = evStream.filter(col("event_type") === "purchase")
-        .select(col("user_id"), tsAsTimestamp(sch).as("p_ts"),
+      val purchases = orderedStream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tsAsTimestamp.as("p_ts"),
           (col("value") * 100).cast("long").as("cents"))
       val q = graft.streaming.AttributionStream.pairs(
           clicks, purchases, horizonSec = 3600L)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("attr"))
         .start()
-      drain("attribution", copies, q, nEv)
+      drain("attribution", copies, q, nOrderedEvents)
     }
 
     if (ops("search_topk")) {
@@ -477,17 +465,28 @@ object StreamScale {
       // the named 100 TB mitigation for the band table's corpus-linear
       // state (VERDICT r14 #4): same detect soak, state in RocksDB —
       // on-disk SST files + bounded block cache instead of an in-heap
-      // map. Session-conf change is why this op is opt-in and runs last:
-      // queries started after it would inherit the provider.
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // map. The provider is a session conf read at query START, so it
+      // is set for exactly this block and RESTORED in a finally (review
+      // r15: `ops` is a Set — source order, not arg order, decides which
+      // block runs first, and a later op would silently inherit the
+      // provider, making its memory numbers incomparable to the
+      // HDFS-backed baseline the soak documents).
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-      val q = graft.streaming.DedupStream.detect(
-          stream("documents", 4), shingleK = 3, numHashes = 12, bands = 4)
-        .writeStream.format("noop")
-        .option("checkpointLocation", ck("dedup-rocks"))
-        .start()
-      drain("dedup_detect_rocksdb", copies, q, nDocs)
+      try {
+        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val q = graft.streaming.DedupStream.detect(
+            stream("documents", 4), shingleK = 3, numHashes = 12, bands = 4)
+          .writeStream.format("noop")
+          .option("checkpointLocation", ck("dedup-rocks"))
+          .start()
+        drain("dedup_detect_rocksdb", copies, q, nDocs)
+      } finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
     }
 
     if (ops("drift_monitor")) {

@@ -68,19 +68,26 @@ def calib_ratio(old, new, kind):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0]: a for a in sys.argv[1:] if a.startswith("--")}
-
-    def opt(name, default):
-        raw = opts.get(f"--{name}")
-        if raw is None:
-            return default
-        return float(raw.split("=", 1)[1]) if "=" in raw else default
-
+    # accept both --name=value and --name value (review r15: the
+    # docstring showed the space form while the parser only took '=')
+    args, opts = [], {}
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a[2:].split("=", 1)
+            else:
+                k, v = a[2:], next(it, None)
+                if v is None:
+                    sys.exit(f"--{k} needs a value")
+            opts[k] = v
+        else:
+            args.append(a)
     if len(args) != 2:
-        sys.exit("usage: bench_compare.py OLD NEW [--base=0.8] [--top=15] "
+        sys.exit("usage: bench_compare.py OLD NEW [--base 0.8] [--top 15] "
                  "(OLD/NEW: artifact path or git:REV:path)")
-    base_floor, top_n = opt("base", 0.8), int(opt("top", 15))
+    base_floor = float(opts.get("base", 0.8))
+    top_n = int(opts.get("top", 15))
     old, new = load(args[0]), load(args[1])
 
     cr_all = calib_ratio(old, new, "all_cores_s")
@@ -110,6 +117,9 @@ def main():
         print(f"entries only in new: {sorted(only_new)[:8]}{'...' if len(only_new) > 8 else ''}")
     ratios = {q: new["queries"][q] / old["queries"][q]
               for q in shared if old["queries"][q] > 0}
+    if not ratios:
+        sys.exit("no comparable query entries (zero shared names with a "
+                 "nonzero old timing) - are these artifacts from the same suite?")
     med = statistics.median(ratios.values())
     print(f"per-query over {len(ratios)} shared entries: "
           f"median raw {med:.3f}  median adjusted {med / norm:.3f}")
