@@ -72,4 +72,52 @@ object EventDedupStream {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(windowNs))
   }
+
+  private[graft] def updateEvicting(windowNs: Long, idle: String)(
+      key: (Long, String, Double),
+      rows: Iterator[Ev],
+      state: GroupState[KeyState]): Iterator[Flagged] = {
+    if (state.hasTimedOut) {
+      // the key sat idle past the eviction horizon: anything arriving
+      // later is, by the horizon ≫ windowNs argument, not a retry of
+      // what we dropped
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = update(windowNs)(key, rows, state)
+      state.setTimeoutDuration(idle)
+      out
+    }
+  }
+
+  /** [[detect]] with the STRUCTURAL mitigation applied (the measured
+    * reality above: keys track the stream on a high-cardinality feed, so
+    * an unevicted key set is corpus-linear — SCALE.md §round 15): keys
+    * idle longer than `idle` are dropped via processing-time timeout.
+    * Sound whenever `idle` ≫ windowNs converted to wall-clock lag: a
+    * retry window of seconds never needs a key that has been silent for
+    * minutes, so eviction can only forget pairs that were already
+    * outside the window. State becomes keys-active-per-idle-horizon —
+    * bounded by arrival rate, not stream length (the detectWindowed
+    * argument, per-key instead of per-band). Same deployment note as
+    * detectWindowed: run under a PACED trigger; processing-time
+    * timeouts busy-loop no-data batches under Trigger(0). Spec-pinned
+    * via TestGroupState (non-timed-out parity with [[detect]]'s fold,
+    * timeout removal, post-eviction re-arrival flagged fresh).
+    */
+  def detectEvicting(events: DataFrame, windowNs: Long = 60000000000L,
+      idle: String = "10 minutes"): Dataset[Flagged] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_id").as("eventId"), col("ts"),
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("value"))
+      .as[Ev]
+      // same -0.0 normalization as detect (the key must match its twin)
+      .groupByKey(e => (e.userId, e.eventType,
+        if (e.value == 0.0) 0.0 else e.value))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        updateEvicting(windowNs, idle))
+  }
 }

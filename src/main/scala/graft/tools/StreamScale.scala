@@ -190,10 +190,11 @@ object StreamScale {
     "burst_detect", "scd_intervals", "pit_count", "attribution",
     "search_topk")
   // opt-in ops: rocksdb reconfigures the session's state-store provider
-  // (runs alone or last by explicit request); windowed runs wall-clock
-  // paced (a ~1 min soak of mostly waiting, not a data-rate measurement)
+  // (runs alone or last by explicit request); the two *_evicting/
+  // *_windowed mitigation soaks run wall-clock paced (~1 min of mostly
+  // waiting, not a data-rate measurement)
   private val KnownOps = DefaultOps + "dedup_detect_rocksdb" +
-    "dedup_detect_windowed"
+    "dedup_detect_windowed" + "event_dedup_evicting"
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -459,6 +460,24 @@ object StreamScale {
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
         .start()
       drainPaced("dedup_detect_windowed", copies, q, nDocs, settleMs = 12000L)
+    }
+
+    if (ops("event_dedup_evicting")) {
+      // the retry-key honest trade's STRUCTURAL mitigation under a paced
+      // trigger: the unevicted twin's state is exactly corpus-linear
+      // (9.99M keys at K=100); with an idle horizon the state must
+      // PLATEAU at keys-active-per-horizon and drain to 0 on the settle
+      val ev = orderedStream
+        .select(col("event_id"), tsAsNanos.as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val q = graft.streaming.EventDedupStream.detectEvicting(
+          ev, idle = "8 seconds")
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("evdedup-evict"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      drainPaced("event_dedup_evicting", copies, q, nOrderedEvents,
+        settleMs = 12000L)
     }
 
     if (ops("dedup_detect_rocksdb")) {

@@ -944,6 +944,58 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("evicting retry dedup: parity with the unevicted fold; timeout drops the key; re-arrival flags fresh") {
+    // TestGroupState-driven (the detectWindowed precedent: processing-
+    // time timeouts busy-loop under Trigger(0), so live-stream drains
+    // don't settle in a spec)
+    import graft.streaming.EventDedupStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val sec = 1000000000L
+    val key = (1L, "click", 1.0)
+    val evs = Seq(
+      EventDedupStream.Ev(1L, 0L, 1L, "click", 1.0),
+      EventDedupStream.Ev(2L, 10L * sec, 1L, "click", 1.0),
+      EventDedupStream.Ev(3L, 230L * sec, 1L, "click", 1.0))
+
+    def fresh(t: GroupStateTimeout) =
+      TestGroupState.create[EventDedupStream.KeyState](
+        Optional.empty[EventDedupStream.KeyState], t,
+        1000L, Optional.empty[Long], hasTimedOut = false)
+
+    // (a) non-timed-out parity: identical flags to the unevicted fold,
+    // and the eviction horizon is really armed (NoTimeout state throws)
+    val plain = EventDedupStream.update(60L * sec)(
+      key, evs.iterator, fresh(GroupStateTimeout.NoTimeout)).toSeq
+    val evicting = EventDedupStream.updateEvicting(60L * sec, "10 minutes")(
+      key, evs.iterator, fresh(GroupStateTimeout.ProcessingTimeTimeout)).toSeq
+    assert(evicting == plain)
+    assert(plain.map(f => f.eventId -> f.dup) ==
+      Seq(1L -> false, 2L -> true, 3L -> false))
+    intercept[UnsupportedOperationException] {
+      EventDedupStream.updateEvicting(60L * sec, "10 minutes")(
+        key, evs.iterator, fresh(GroupStateTimeout.NoTimeout)).toList
+    }
+
+    // (b) an idle key times out: state removed, nothing emitted
+    val expired = TestGroupState.create[EventDedupStream.KeyState](
+      Optional.of(EventDedupStream.KeyState(230L * sec)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    assert(EventDedupStream.updateEvicting(60L * sec, "10 minutes")(
+      key, Iterator.empty, expired).isEmpty && expired.isRemoved)
+
+    // (c) a post-eviction arrival sees empty state -> flagged FRESH even
+    // if its ts sits within windowNs of the evicted last-seen: the
+    // idle >> windowNs contract is exactly what makes that impossible in
+    // a correctly configured deployment (wall-clock idle implies the
+    // event-time gap), and the fresh flag is the safe direction
+    val after = EventDedupStream.updateEvicting(60L * sec, "10 minutes")(
+      key, Iterator(EventDedupStream.Ev(9L, 250L * sec, 1L, "click", 1.0)),
+      fresh(GroupStateTimeout.ProcessingTimeTimeout)).toSeq
+    assert(after.map(f => f.eventId -> f.dup) == Seq(9L -> false))
+  }
+
   test("native dropDuplicatesWithinWatermark equals batch first-occurrence " +
       "dedup on the retry key") {
     import spark.implicits._
