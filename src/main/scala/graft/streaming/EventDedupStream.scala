@@ -52,7 +52,17 @@ object EventDedupStream {
   }
 
   /** Continuous retry flags over a streaming (event_id, ts, user_id,
-    * event_type, value) frame; `ts` is epoch-ns.
+    * event_type, value) frame; `ts` is epoch-ns — the UNBOUNDED-STATE
+    * form: one long per key, but the KEY set tracks the stream on a
+    * high-cardinality feed (measured: ≈1 key/event, 9.99M keys / 2.92 GB
+    * in-heap at K=100 — SCALE.md §round 15). **Production default is
+    * [[detectEvicting]]**, which drops keys idle longer than `idle`
+    * (sound whenever idle ≫ the retry window — state becomes
+    * keys-active-per-horizon, bounded by arrival rate; soaked: plateaus
+    * and drains to 0, SCALE.md §round 15/16). Use THIS form only for
+    * bounded replays or exact batch-parity checks (the spec/soak paths),
+    * or pair it with the RocksDB state-store provider to keep the key
+    * table off-heap.
     */
   def detect(events: DataFrame, windowNs: Long = 60000000000L): Dataset[Flagged] = {
     import events.sparkSession.implicits._

@@ -75,10 +75,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Usage: sbt 'runMain graft.tools.StreamScale <K> [ops...]'
   * Default ops = ALL ELEVEN stateful twins ([[DefaultOps]] — the one
   * authoritative list; search_topk adds embeddings to the materialized
-  * set). Opt-in by explicit name: dedup_detect_rocksdb (reconfigures
-  * the session's state-store provider for its block) and
-  * dedup_detect_windowed (wall-clock-paced — mostly waiting, not a
-  * data-rate measurement). Emits one `[stream-scale]` JSON line per
+  * set). Opt-in by explicit name: dedup_detect_rocksdb /
+  * event_dedup_rocksdb (reconfigure the session's state-store provider
+  * for their block) and dedup_detect_windowed / event_dedup_evicting
+  * (wall-clock-paced — mostly waiting, not a data-rate measurement;
+  * knob via SPARK_GRAFT_STREAM_WINDOW_SEC / SPARK_GRAFT_STREAM_IDLE_SEC
+  * for the state-law arms). Emits one `[stream-scale]` JSON line per
   * micro-batch and one `[stream-total]` summary per (op, K).
   */
 object StreamScale {
@@ -122,6 +124,10 @@ object StreamScale {
     require(consumed >= inputRows,
       s"$name: query went inactive/deadline after $consumed of $inputRows rows")
     Thread.sleep(settleMs)
+    // a query dying DURING the settle (while timeout expirations fire)
+    // must also fail the soak, not report with missing eviction batches
+    // (ADVICE r15) — re-check after the settle and after the stop-gap wait
+    q.exception.foreach(e => throw e)
     // stop in the idle gap right after a batch commits (a stop landing
     // mid-commit logs a spurious CANNOT_COMMIT from the stream thread)
     val lastId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
@@ -129,6 +135,7 @@ object StreamScale {
     while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) == lastId &&
         q.isActive && System.nanoTime() < stopBy)
       Thread.sleep(50)
+    q.exception.foreach(e => throw e)
     q.stop()
     report(name, k, q, inputRows)
   }
@@ -159,10 +166,14 @@ object StreamScale {
         Seq("rocksdbSstFileSize", "rocksdbPinnedBlocksMemoryUsage")
           .flatMap(k0 => Option(cm.get(k0)).map(v => k0 -> (v: Any)))
       }.getOrElse(Nil)
+      // match any boxed numeric, not java.lang.Long specifically: a
+      // provider reporting these as a different Number subtype would
+      // otherwise leave the summary peaks at -1 while the per-batch line
+      // still printed raw values — an inconsistent report (ADVICE r15)
       rocks.foreach {
-        case ("rocksdbSstFileSize", v: java.lang.Long) =>
+        case ("rocksdbSstFileSize", v: java.lang.Number) =>
           maxSst = math.max(maxSst, v.longValue())
-        case ("rocksdbPinnedBlocksMemoryUsage", v: java.lang.Long) =>
+        case ("rocksdbPinnedBlocksMemoryUsage", v: java.lang.Number) =>
           maxRocksMem = math.max(maxRocksMem, v.longValue())
         case _ => ()
       }
@@ -189,12 +200,17 @@ object StreamScale {
     "drift_monitor", "asof_enrich", "trending_tokens", "event_dedup",
     "burst_detect", "scd_intervals", "pit_count", "attribution",
     "search_topk")
-  // opt-in ops: rocksdb reconfigures the session's state-store provider
-  // (runs alone or last by explicit request); the two *_evicting/
-  // *_windowed mitigation soaks run wall-clock paced (~1 min of mostly
-  // waiting, not a data-rate measurement)
+  // opt-in ops: the *_rocksdb twins reconfigure the session's
+  // state-store provider (run alone or last by explicit request); the
+  // *_evicting/*_windowed mitigation soaks run wall-clock paced (~1 min
+  // of mostly waiting, not a data-rate measurement). The mitigation
+  // knobs are env-tunable so the state-law arms (VERDICT r15 #2: state
+  // ∝ window × rate needs the WINDOW axis varied too) are one command:
+  // SPARK_GRAFT_STREAM_WINDOW_SEC (detectWindowed's reconciliation
+  // window) and SPARK_GRAFT_STREAM_IDLE_SEC (detectEvicting's idle
+  // horizon), both default 8.
   private val KnownOps = DefaultOps + "dedup_detect_rocksdb" +
-    "dedup_detect_windowed" + "event_dedup_evicting"
+    "event_dedup_rocksdb" + "dedup_detect_windowed" + "event_dedup_evicting"
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -445,21 +461,28 @@ object StreamScale {
       drain("search_topk", copies, q, nQ)
     }
 
+    // mitigation-knob arms (VERDICT r15 #2): the settle must outlast the
+    // knob so the terminal drain is observed — 1.5× the horizon + 4 s
+    def knobSec(env: String): Long =
+      sys.env.get(env).map(_.toLong).filter(_ > 0).getOrElse(8L)
+
     if (ops("dedup_detect_windowed")) {
       // the reconciliation-window mitigation under a PACED trigger (the
       // operator's deployment contract): the same corpus that drives the
       // unwindowed detect's corpus-linear state must PLATEAU at
       // keys-active-per-window and visibly evict (rows_removed > 0 on
       // the settle batches after input exhausts)
+      val winSec = knobSec("SPARK_GRAFT_STREAM_WINDOW_SEC")
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val q = graft.streaming.DedupStream.detectWindowed(
           stream("documents", 2), shingleK = 3, numHashes = 12, bands = 4,
-          window = "8 seconds")
+          window = s"$winSec seconds")
         .writeStream.format("noop")
         .option("checkpointLocation", ck("dedup-win"))
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
         .start()
-      drainPaced("dedup_detect_windowed", copies, q, nDocs, settleMs = 12000L)
+      drainPaced(s"dedup_detect_windowed_w$winSec", copies, q, nDocs,
+        settleMs = winSec * 1500L + 4000L)
     }
 
     if (ops("event_dedup_evicting")) {
@@ -467,45 +490,65 @@ object StreamScale {
       // trigger: the unevicted twin's state is exactly corpus-linear
       // (9.99M keys at K=100); with an idle horizon the state must
       // PLATEAU at keys-active-per-horizon and drain to 0 on the settle
+      val idleSec = knobSec("SPARK_GRAFT_STREAM_IDLE_SEC")
       val ev = orderedStream
         .select(col("event_id"), tsAsNanos.as("ts"),
           col("user_id"), col("event_type"), col("value"))
       val q = graft.streaming.EventDedupStream.detectEvicting(
-          ev, idle = "8 seconds")
+          ev, idle = s"$idleSec seconds")
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("evdedup-evict"))
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
         .start()
-      drainPaced("event_dedup_evicting", copies, q, nOrderedEvents,
-        settleMs = 12000L)
+      drainPaced(s"event_dedup_evicting_i$idleSec", copies, q, nOrderedEvents,
+        settleMs = idleSec * 1500L + 4000L)
     }
 
-    if (ops("dedup_detect_rocksdb")) {
-      // the named 100 TB mitigation for the band table's corpus-linear
-      // state (VERDICT r14 #4): same detect soak, state in RocksDB —
-      // on-disk SST files + bounded block cache instead of an in-heap
-      // map. The provider is a session conf read at query START, so it
-      // is set for exactly this block and RESTORED in a finally (review
-      // r15: `ops` is a Set — source order, not arg order, decides which
-      // block runs first, and a later op would silently inherit the
-      // provider, making its memory numbers incomparable to the
-      // HDFS-backed baseline the soak documents).
+    // RocksDB-provider arms: the provider is a session conf read at
+    // query START, so it is set for exactly the given block and RESTORED
+    // in a finally (review r15: `ops` is a Set — source order, not arg
+    // order, decides which block runs first, and a later op would
+    // silently inherit the provider, making its memory numbers
+    // incomparable to the HDFS-backed baselines the soaks document).
+    def withRocksDb(body: => Unit): Unit = {
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val prevProv = spark.conf.getOption(provKey)
       spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-        val q = graft.streaming.DedupStream.detect(
-            stream("documents", 4), shingleK = 3, numHashes = 12, bands = 4)
-          .writeStream.format("noop")
-          .option("checkpointLocation", ck("dedup-rocks"))
-          .start()
-        drain("dedup_detect_rocksdb", copies, q, nDocs)
-      } finally prevProv match {
+      try body
+      finally prevProv match {
         case Some(v) => spark.conf.set(provKey, v)
         case None => spark.conf.unset(provKey)
       }
+    }
+
+    if (ops("dedup_detect_rocksdb")) withRocksDb {
+      // the named 100 TB mitigation for the band table's corpus-linear
+      // state (VERDICT r14 #4): same detect soak, state in RocksDB —
+      // on-disk SST files + bounded block cache instead of an in-heap map
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val q = graft.streaming.DedupStream.detect(
+          stream("documents", 4), shingleK = 3, numHashes = 12, bands = 4)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck("dedup-rocks"))
+        .start()
+      drain("dedup_detect_rocksdb", copies, q, nDocs)
+    }
+
+    if (ops("event_dedup_rocksdb")) withRocksDb {
+      // the retry-key trade's RocksDB arm (VERDICT r15 #3): event_dedup's
+      // key set is exactly corpus-linear (9.99M keys / 2.92 GB in-heap at
+      // K=100 — SCALE.md), the regime the band-table soak demonstrated
+      // the provider for; this arm measures the same SST/pinned split on
+      // the retry-key table instead of asserting it transfers
+      val ev = orderedStream
+        .select(col("event_id"), tsAsNanos.as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val q = graft.streaming.EventDedupStream.detect(ev)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ck("evdedup-rocks"))
+        .start()
+      drain("event_dedup_rocksdb", copies, q, nOrderedEvents)
     }
 
     if (ops("drift_monitor")) {

@@ -83,6 +83,14 @@ class AnnSpec extends SparkSpec {
     assert(k >= root && k < 2 * root)
     // empty corpus: vacuously dense, no throw
     assert(Ann.sqrtCentroids(embs.filter(col("vec_id") < 0)).count() === 0L)
+    // duplicated ids (ADVICE r15): drop id 2, duplicate id 1 — count, min
+    // AND max all match the dense shape (min=0, max=n-1), so the r15
+    // min/max form alone passed this corpus while the step-multiple pick
+    // was skewed; the distinct count on the same aggregate must reject it
+    val dup = embs.filter(col("vec_id") =!= 2)
+      .union(embs.filter(col("vec_id") === 1))
+    val exDup = intercept[IllegalArgumentException] { Ann.sqrtCentroids(dup) }
+    assert(exDup.getMessage.contains("distinct"))
   }
 
   test("IVF assignment is shuffle-free: no exchange between corpus scan and argmin") {

@@ -12,6 +12,10 @@ comparison so "is this real?" is one command:
 
   python3 tools/bench_compare.py OLD.json NEW.json [--base 0.8] [--top 15]
   python3 tools/bench_compare.py git:HEAD~1:bench_r14.json bench_r15.json
+  python3 tools/bench_compare.py OLD NEW --isolate-cmd 1.3   # emit the
+      # one SPARK_GRAFT_ONLY re-run command covering every entry whose
+      # adjusted ratio exceeds the given threshold (the q127 settling
+      # ritual, made mechanical — VERDICT r15 #5)
 
 - the calibration ratio is min(new spins)/min(old spins), computed per
   spin kind (min, not mean: a load burst hitting one spin would swing
@@ -138,6 +142,23 @@ def main():
     print("best 5 adjusted (same floor):")
     for q, r, ob, nb in best:
         print(f"  {q:42s} {ob:7.2f}s -> {nb:7.2f}s  adj {r:5.2f}x")
+
+    if "isolate-cmd" in opts:
+        # the settling ritual as one copy-pasteable command: an isolated
+        # SPARK_GRAFT_ONLY pass over every >threshold adjusted entry
+        # (base-floored — sub-base entries are scheduling noise)
+        thr = float(opts["isolate-cmd"])
+        names = sorted(q for q, r, _, _ in sig if r > thr)
+        if not names:
+            print(f"isolate: no entries with adjusted > {thr}x "
+                  f"(base >= {base_floor}s) - nothing to settle")
+        else:
+            sf = new.get("env", {}).get("sf_dir", "/root/testdata/sf0.1")
+            print(f"isolate: {len(names)} entries with adjusted > {thr}x; "
+                  "settle with:")
+            print(f"  SPARK_GRAFT_ONLY={','.join(names)} "
+                  f"SPARK_GRAFT_SF_DIR={sf} SPARK_GRAFT_CPUS=32 "
+                  "sbt -batch 'runMain graft.Bench'")
 
 
 if __name__ == "__main__":
