@@ -25,11 +25,16 @@ object Verify {
     // ≤`parts`-row class (ops/Ranks.scala offsets pass + catalog-sized
     // frames — ScaleAudit's measured sweep: 0 data-grained). Saturated,
     // the channel detects nothing: a NEW data-grained global window
-    // would drown invisibly. So count them — the total prints at the end
-    // of every run, and when SPARK_GRAFT_WINDOW_CENSUS=<n> is set (the
-    // recertification ritual) a drift from the expected census FAILS the
-    // run, making the warning log a detector again without touching
-    // hundreds of benign bounded-window sites.
+    // would drown invisibly. So count them — PER QUERY: the raw line
+    // count is nondeterministic (±1.5% run-to-run: planning calls
+    // requiredChildDistribution a variable number of times), but whether
+    // a given query plans ANY unpartitioned window is a plan-shape
+    // boolean. The per-query census (names + count) prints at the end of
+    // every run and dumps to outDir/window_census.txt; when
+    // SPARK_GRAFT_WINDOW_CENSUS=<nQueries> is set (the recertification
+    // ritual) a drift from the expected query count FAILS the run,
+    // making the warning log a detector again without touching hundreds
+    // of benign bounded-window sites.
     val windowWarnings = new java.util.concurrent.atomic.AtomicLong
     locally {
       import org.apache.logging.log4j.{Level, LogManager}
@@ -58,10 +63,12 @@ object Verify {
       case "core" => Queries.coreTier
       case other => sys.error(s"unknown SPARK_GRAFT_TIER '$other' (known: core)")
     }
+    val windowQueries = scala.collection.mutable.TreeMap[String, Long]()
     SparkEntry.queries
       .filter { case (name, _) =>
         only.forall(_.contains(name)) && tier.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val before = windowWarnings.get()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -71,6 +78,8 @@ object Verify {
         spark.catalog.clearCache()
         // free checkpoint blocks clearCache does not cover (Graph CC)
         graft.ops.Caches.release()
+        val d = windowWarnings.get() - before
+        if (d > 0) windowQueries(name) = d
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -94,14 +103,18 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    println(s"[verify] window_warnings=${windowWarnings.get()}")
-    sys.env.get("SPARK_GRAFT_WINDOW_CENSUS").flatMap(_.toLongOption)
+    println(s"[verify] window_warnings=${windowWarnings.get()} " +
+      s"window_queries=${windowQueries.size}")
+    Files.writeString(Paths.get(s"$outDir/window_census.txt"),
+      windowQueries.map { case (n, d) => s"$n $d" }.mkString("", "\n", "\n"))
+    sys.env.get("SPARK_GRAFT_WINDOW_CENSUS").flatMap(_.toIntOption)
       .foreach { expected =>
-        require(windowWarnings.get() == expected,
-          s"window-warning census drift: counted ${windowWarnings.get()}, " +
-            s"expected $expected — a new unpartitioned window entered (or " +
-            "left) the plans; audit it (ScaleAudit flags data-grained " +
-            "ones) and re-stamp the census in NOTES")
+        require(windowQueries.size == expected,
+          s"window-warning census drift: ${windowQueries.size} queries " +
+            s"emitted the warning, expected $expected — a new " +
+            "unpartitioned window entered (or left) some query's plan; " +
+            s"diff $outDir/window_census.txt against the last stamped " +
+            "run (ScaleAudit flags data-grained ones), then re-stamp")
       }
   }
 }
