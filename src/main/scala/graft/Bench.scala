@@ -132,10 +132,37 @@ object Bench {
     val calibrated = only.isEmpty && tier.isEmpty
     val (calibSingle0, calibMt0, calibMax0) =
       if (calibrated) calibrate() else (0.0, 0.0, 0.0)
+    // Load PROFILE (round 16): the start/end spins bracket the suite but
+    // cannot see a mid-run load burst — r16's full run ended with the
+    // end spin 20% above the start one and every mid-run query slightly
+    // inflated, re-opening the same "noise or regression?" triage the
+    // calibration exists to close. So sample the SAME all-cores spin
+    // kernel (1/5 length, ~0.2 s idle) whenever ≥30 s of suite time has
+    // passed since the last sample, and record each query's start offset
+    // — bench_compare normalizes per-query by the nearest profile
+    // samples of the two runs instead of one global ratio. ~17 samples /
+    // ~4 s per full suite; subset runs skip it like the calibration.
+    val suiteT0 = System.nanoTime()
+    val loadProfile = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val queryOffsets = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def quickAllCores(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val threads = (0 until n).map(_ => new Thread(() => { spin(100000000L); () }))
+      val t0 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     (SparkEntry.queries.toSeq ++ Queries.benchOnly).sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(_.contains(name)) && tier.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      locally {
+        val elapsed = (System.nanoTime() - suiteT0) / 1e9
+        queryOffsets(name) = r3(elapsed)
+        if (calibrated &&
+            (loadProfile.isEmpty || elapsed - loadProfile.last._1 >= 30.0))
+          loadProfile += ((r3(elapsed), r3(quickAllCores())))
+      }
       // One timed rep. Cleanup runs INSIDE the rep boundary so every rep
       // starts from the same state: pipelines persist() shared
       // intermediates; drop them so later reps/queries are measured cold,
@@ -245,9 +272,14 @@ object Bench {
     val calibField =
       if (calibrated) {
         val (calibSingle1, calibMt1, calibMax1) = calibrate()
+        val lp = loadProfile.map { case (t, s) => s"[$t,$s]" }
+          .mkString("[", ",", "]")
+        val qo = queryOffsets.map { case (k, v) => s"${jstr(k)}:$v" }
+          .mkString("{", ",", "}")
         s""""calibration":{"single_s":[$calibSingle0,$calibSingle1],""" +
           s""""all_cores_s":[$calibMt0,$calibMt1],""" +
-          s""""slowest_core_s":[$calibMax0,$calibMax1]},"""
+          s""""slowest_core_s":[$calibMax0,$calibMax1]},""" +
+          s""""load_profile":$lp,"query_offsets":$qo,"""
       } else ""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

@@ -58,6 +58,34 @@ def load(spec):
     return d
 
 
+def profile_normalizer(old, new):
+    """Per-query load normalizer from the r16+ in-run load profile.
+
+    The start/end spins bracket the suite; a mid-run load burst is
+    invisible to them (observed: an end spin 20% above start with every
+    mid-run query slightly inflated). Full runs since r16 sample the
+    all-cores spin every ~30 s and record each query's start offset, so
+    each query can be normalized by the NEAREST-IN-TIME spin pair of the
+    two runs rather than one global ratio. Returns f(query)->ratio or
+    None when either artifact predates the profile.
+    """
+    po, pn = old.get("load_profile"), new.get("load_profile")
+    oo, on = old.get("query_offsets"), new.get("query_offsets")
+    if not (po and pn and oo and on):
+        return None
+
+    def at(profile, t):
+        return min(profile, key=lambda p: abs(p[0] - t))[1]
+
+    def norm(q):
+        if q not in oo or q not in on:
+            return None
+        base = at(po, oo[q])
+        return at(pn, on[q]) / base if base > 0 else None
+
+    return norm
+
+
 def calib_ratio(old, new, kind):
     # MIN of the start/end spins, not the mean: a transient load burst
     # coinciding with one spin (observed: an end spin reading 1.79 s vs
@@ -128,7 +156,34 @@ def main():
     print(f"per-query over {len(ratios)} shared entries: "
           f"median raw {med:.3f}  median adjusted {med / norm:.3f}")
 
-    sig = [(q, r / norm, old["queries"][q], new["queries"][q])
+    # per-query normalizer: the in-run load profile (r16+) when both
+    # artifacts carry one, else the global all-cores ratio for every query
+    pnorm = profile_normalizer(old, new)
+
+    def adj(q, r):
+        # CLAMPED profile adjustment: the local spin ratio may only move
+        # a query's ratio TOWARD parity, never past it or away from it.
+        # Plain division both over-corrects (a planted 120 s burst made
+        # spins swing 2.8x while the co-scheduled queries slowed only
+        # ~1.5x, so raw/spin read 0.7) and manufactures phantom flags
+        # (a parity query next to a faster-spin window read "1.82x") —
+        # measured live while validating the feature. Clamp semantics =
+        # "absorb exactly as much of the deviation as local load can
+        # explain": a flag survives only its load-unexplained part, and
+        # parity is never turned into a flag.
+        n = pnorm(q) if pnorm else None
+        if n:
+            return r / min(max(n, min(1.0, r)), max(1.0, r))
+        return r / norm
+
+    if pnorm:
+        pmed = statistics.median(adj(q, r) for q, r in ratios.items())
+        print("per-query normalizer: IN-RUN LOAD PROFILE, clamped to "
+              f"parity (old {len(old['load_profile'])} / new "
+              f"{len(new['load_profile'])} spin samples); "
+              f"profile-adjusted median {pmed:.3f}")
+
+    sig = [(q, adj(q, r), old["queries"][q], new["queries"][q])
            for q, r in ratios.items() if old["queries"][q] >= base_floor]
     sig.sort(key=lambda t: -t[1])
     n15 = sum(1 for _, r, _, _ in sig if r > 1.5)
