@@ -86,6 +86,49 @@ def profile_normalizer(old, new):
     return norm
 
 
+def clamped(r, n):
+    """Load-explained part of ratio r removed, clamped to parity.
+
+    n is the local spin ratio (new/old host cost at this query's suite
+    position). It may move r only TOWARD 1.0, never past it (a burst
+    cannot turn a slowdown into a speedup) and never away from it (a
+    faster-spin window cannot turn parity into a flag). Measured basis:
+    a planted 120 s burst swung spins 2.8x while co-scheduled queries
+    slowed ~1.5x, so unclamped division read 0.7x there and 1.8x on a
+    parity query elsewhere.
+    """
+    return r / min(max(n, min(1.0, r)), max(1.0, r))
+
+
+def selftest():
+    cases = [
+        # (raw ratio, local spin ratio, expected adjusted, why)
+        (1.6, 2.0, 1.0, "burst-window flag fully load-explained"),
+        (1.0, 0.5, 1.0, "faster-spin window must not invent a flag"),
+        (1.0, 2.0, 1.0, "slower-spin window must not invent a speedup"),
+        (3.0, 1.5, 2.0, "genuine regression keeps its load-unexplained part"),
+        (0.4, 0.5, 0.8, "load-driven speedup mostly absorbed"),
+        (0.5, 1.0, 0.5, "clean speedup untouched"),
+        (2.0, 1.0, 2.0, "clean regression untouched"),
+    ]
+    bad = [(r, n, e, got, why) for r, n, e, why in cases
+           if abs((got := clamped(r, n)) - e) > 1e-9]
+    # nearest-sample lookup: 64 s offset must read the 60 s sample
+    prof = [[0, 0.2], [30, 0.4], [60, 0.2]]
+    o = {"load_profile": prof, "query_offsets": {"qa": 64}}
+    n2 = {"load_profile": [[0, 0.2], [30, 0.2], [60, 0.3]],
+          "query_offsets": {"qa": 64}}
+    pr = profile_normalizer(o, n2)("qa")
+    if abs(pr - 1.5) > 1e-9:
+        bad.append(("nearest-sample", 64, 1.5, pr, "60s sample pair"))
+    for r, n, e, got, why in bad:
+        print(f"SELFTEST FAIL: raw={r} spin={n} expected {e} got {got} ({why})")
+    if bad:
+        sys.exit(1)
+    print(f"SELFTEST PASS: {len(cases) + 1} clamp/lookup expectations hold")
+    sys.exit(0)
+
+
 def calib_ratio(old, new, kind):
     # MIN of the start/end spins, not the mean: a transient load burst
     # coinciding with one spin (observed: an end spin reading 1.79 s vs
@@ -102,6 +145,8 @@ def calib_ratio(old, new, kind):
 def main():
     # accept both --name=value and --name value (review r15: the
     # docstring showed the space form while the parser only took '=')
+    if "--selftest" in sys.argv[1:]:
+        selftest()
     args, opts = [], {}
     it = iter(sys.argv[1:])
     for a in it:
@@ -172,9 +217,7 @@ def main():
         # explain": a flag survives only its load-unexplained part, and
         # parity is never turned into a flag.
         n = pnorm(q) if pnorm else None
-        if n:
-            return r / min(max(n, min(1.0, r)), max(1.0, r))
-        return r / norm
+        return clamped(r, n) if n else r / norm
 
     if pnorm:
         pmed = statistics.median(adj(q, r) for q, r in ratios.items())
