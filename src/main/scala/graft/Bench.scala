@@ -140,8 +140,10 @@ object Bench {
     // kernel (1/5 length, ~0.2 s idle) whenever ≥30 s of suite time has
     // passed since the last sample, and record each query's start offset
     // — bench_compare normalizes per-query by the nearest profile
-    // samples of the two runs instead of one global ratio. ~17 samples /
-    // ~4 s per full suite; subset runs skip it like the calibration.
+    // samples of the two runs instead of one global ratio. ~35 samples /
+    // ~10 s per full suite (suite WALL time exceeds the summed timings —
+    // reps + cleanup — so more samples land than total/30 suggests);
+    // subset runs skip it like the calibration.
     val suiteT0 = System.nanoTime()
     val loadProfile = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     val queryOffsets = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -105,16 +105,39 @@ object Verify {
     spark.stop()
     println(s"[verify] window_warnings=${windowWarnings.get()} " +
       s"window_queries=${windowQueries.size}")
-    Files.writeString(Paths.get(s"$outDir/window_census.txt"),
-      windowQueries.map { case (n, d) => s"$n $d" }.mkString("", "\n", "\n"))
-    sys.env.get("SPARK_GRAFT_WINDOW_CENSUS").flatMap(_.toIntOption)
-      .foreach { expected =>
-        require(windowQueries.size == expected,
-          s"window-warning census drift: ${windowQueries.size} queries " +
-            s"emitted the warning, expected $expected — a new " +
-            "unpartitioned window entered (or left) some query's plan; " +
-            s"diff $outDir/window_census.txt against the last stamped " +
-            "run (ScaleAudit flags data-grained ones), then re-stamp")
+    // census file only for FULL runs (the Bench artifact-gating rule): a
+    // subset iteration would clobber the list the drift message says to
+    // diff against (review r16)
+    if (only.isEmpty && tier.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/window_census.txt"),
+        windowQueries.map { case (n, d) => s"$n $d" }.mkString("", "\n", "\n"))
+    sys.env.get("SPARK_GRAFT_WINDOW_CENSUS").foreach { raw =>
+      // an unparseable value must not silently disable the gate (review
+      // r16; the StreamScale unknown-op / Bench unknown-tier precedent)
+      val expected = raw.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_WINDOW_CENSUS must be an integer query count, got '$raw'"))
+      require(windowQueries.size == expected,
+        s"window-warning census drift: ${windowQueries.size} queries " +
+          s"emitted the warning, expected $expected — a new " +
+          "unpartitioned window entered (or left) some query's plan; " +
+          s"diff $outDir/window_census.txt against tools/window_census.txt " +
+          "(ScaleAudit flags data-grained ones), then re-stamp")
+      // the count alone would pass a SWAP (one query loses its bounded
+      // window while another gains a data-grained one — exactly the event
+      // the detector exists for); when the stamped name list is present,
+      // require set equality and report the names (review r16)
+      val stamped = Paths.get("tools/window_census.txt")
+      if (Files.exists(stamped)) {
+        import scala.jdk.CollectionConverters._
+        val want = Files.readAllLines(stamped).asScala
+          .map(_.trim).filter(_.nonEmpty).toSet
+        val got = windowQueries.keySet.toSet
+        require(got == want,
+          "window-warning census drift (same count, different queries): " +
+            s"gained ${(got -- want).toSeq.sorted.mkString(",")} " +
+            s"lost ${(want -- got).toSeq.sorted.mkString(",")} — " +
+            "audit the gained ones, then re-stamp tools/window_census.txt")
       }
+    }
   }
 }

@@ -322,6 +322,12 @@ object StreamScale {
         // session timezone this harness sets); unix_micros is TZ-only
         case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
       }
+    // shared by the three event_dedup* arms: ONE projection, so the arms
+    // stay comparable if the operator's input contract changes (review
+    // r16 — the r15 orderedSchema consolidation, finished)
+    def eventCols: DataFrame = orderedStream
+      .select(col("event_id"), tsAsNanos.as("ts"),
+        col("user_id"), col("event_type"), col("value"))
 
     if (ops("gap_sessions")) {
       val ev = orderedStream
@@ -382,10 +388,7 @@ object StreamScale {
     }
 
     if (ops("event_dedup")) {
-      val ev = orderedStream
-        .select(col("event_id"), tsAsNanos.as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-      val q = graft.streaming.EventDedupStream.detect(ev)
+      val q = graft.streaming.EventDedupStream.detect(eventCols)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("evdedup"))
         .start()
@@ -462,9 +465,17 @@ object StreamScale {
     }
 
     // mitigation-knob arms (VERDICT r15 #2): the settle must outlast the
-    // knob so the terminal drain is observed — 1.5× the horizon + 4 s
+    // knob so the terminal drain is observed — 1.5× the horizon + 4 s.
+    // A nonpositive/garbage knob fails loudly (review r16: silently
+    // falling back to 8 would duplicate an arm of the state-law sweep
+    // while claiming to measure a different one)
     def knobSec(env: String): Long =
-      sys.env.get(env).map(_.toLong).filter(_ > 0).getOrElse(8L)
+      sys.env.get(env).map { v =>
+        val n = v.toLongOption.getOrElse(
+          sys.error(s"$env must be a positive integer of seconds, got '$v'"))
+        require(n > 0, s"$env must be positive, got $n")
+        n
+      }.getOrElse(8L)
 
     if (ops("dedup_detect_windowed")) {
       // the reconciliation-window mitigation under a PACED trigger (the
@@ -491,11 +502,8 @@ object StreamScale {
       // (9.99M keys at K=100); with an idle horizon the state must
       // PLATEAU at keys-active-per-horizon and drain to 0 on the settle
       val idleSec = knobSec("SPARK_GRAFT_STREAM_IDLE_SEC")
-      val ev = orderedStream
-        .select(col("event_id"), tsAsNanos.as("ts"),
-          col("user_id"), col("event_type"), col("value"))
       val q = graft.streaming.EventDedupStream.detectEvicting(
-          ev, idle = s"$idleSec seconds")
+          eventCols, idle = s"$idleSec seconds")
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("evdedup-evict"))
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
@@ -541,10 +549,7 @@ object StreamScale {
       // K=100 — SCALE.md), the regime the band-table soak demonstrated
       // the provider for; this arm measures the same SST/pinned split on
       // the retry-key table instead of asserting it transfers
-      val ev = orderedStream
-        .select(col("event_id"), tsAsNanos.as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-      val q = graft.streaming.EventDedupStream.detect(ev)
+      val q = graft.streaming.EventDedupStream.detect(eventCols)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ck("evdedup-rocks"))
         .start()

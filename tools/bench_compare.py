@@ -225,6 +225,13 @@ def main():
               f"parity (old {len(old['load_profile'])} / new "
               f"{len(new['load_profile'])} spin samples); "
               f"profile-adjusted median {pmed:.3f}")
+    else:
+        # visible fallback (review r16: bench_r16.json itself predates the
+        # profile — a silent fallback would let the operator believe the
+        # clamped per-query normalization was active)
+        print("NOTE: load profile missing in at least one artifact "
+              "(pre-r16 full run?) — per-query ratios below use the "
+              "GLOBAL all-cores normalizer only")
 
     sig = [(q, adj(q, r), old["queries"][q], new["queries"][q])
            for q, r in ratios.items() if old["queries"][q] >= base_floor]
