@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Census-file parse: FIRST whitespace-delimited token per line, so a
+    * verbatim copy of the per-run dump re-stamps cleanly even if the dump
+    * ever carries trailing fields again (ADVICE r16: the r16 dump wrote
+    * `name count` lines while the gate compared whole lines — a copy
+    * re-stamp made every query report as both gained and lost). */
+  private[graft] def censusNames(lines: Seq[String]): Set[String] =
+    lines.map(_.trim).filter(_.nonEmpty).map(_.split("\\s+")(0)).toSet
+
+  /** Name-set drift between the run's census and the stamped one; None =
+    * in sync, Some(msg) = the gained/lost detail for the gate message. */
+  private[graft] def censusDrift(got: Set[String],
+      stamped: Set[String]): Option[String] =
+    if (got == stamped) None
+    else Some(s"gained ${(got -- stamped).toSeq.sorted.mkString(",")} " +
+      s"lost ${(stamped -- got).toSeq.sorted.mkString(",")}")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,15 +123,27 @@ object Verify {
       s"window_queries=${windowQueries.size}")
     // census file only for FULL runs (the Bench artifact-gating rule): a
     // subset iteration would clobber the list the drift message says to
-    // diff against (review r16)
+    // diff against (review r16). NAMES ONLY — same format as the stamped
+    // file, so `diff` is meaningful and a drift re-stamp is a verbatim
+    // copy (ADVICE r16: the r16 `name count` dump diffed 100% against the
+    // names-only stamp); per-query counts wobble ±1.5% run-to-run anyway
+    // and the gate is the plan-shape boolean, not the count
     if (only.isEmpty && tier.isEmpty)
       Files.writeString(Paths.get(s"$outDir/window_census.txt"),
-        windowQueries.map { case (n, d) => s"$n $d" }.mkString("", "\n", "\n"))
+        windowQueries.keys.mkString("", "\n", "\n"))
     sys.env.get("SPARK_GRAFT_WINDOW_CENSUS").foreach { raw =>
       // an unparseable value must not silently disable the gate (review
       // r16; the StreamScale unknown-op / Bench unknown-tier precedent)
       val expected = raw.toIntOption.getOrElse(sys.error(
         s"SPARK_GRAFT_WINDOW_CENSUS must be an integer query count, got '$raw'"))
+      // a subset run never emits the full census — gating one would fail
+      // spuriously and point at a census file the run deliberately did
+      // not write (ADVICE r16); fail the COMBINATION loudly rather than
+      // silently skipping the gate the operator asked for
+      if (only.nonEmpty || tier.nonEmpty) sys.error(
+        "SPARK_GRAFT_WINDOW_CENSUS is a full-run gate — unset it or drop " +
+          "SPARK_GRAFT_ONLY/SPARK_GRAFT_TIER (a subset never emits all " +
+          s"$expected census queries)")
       require(windowQueries.size == expected,
         s"window-warning census drift: ${windowQueries.size} queries " +
           s"emitted the warning, expected $expected — a new " +
@@ -124,19 +152,24 @@ object Verify {
           "(ScaleAudit flags data-grained ones), then re-stamp")
       // the count alone would pass a SWAP (one query loses its bounded
       // window while another gains a data-grained one — exactly the event
-      // the detector exists for); when the stamped name list is present,
-      // require set equality and report the names (review r16)
-      val stamped = Paths.get("tools/window_census.txt")
-      if (Files.exists(stamped)) {
+      // the detector exists for); require set equality against the
+      // stamped name list and report the names (review r16)
+      val stamped = sys.env.get("SPARK_GRAFT_CENSUS_FILE")
+        .map(Paths.get(_)).getOrElse(Paths.get("tools/window_census.txt"))
+      // a missing stamp must FAIL a gated run, not silently skip the
+      // swap-detecting half — run from a non-root cwd the relative path
+      // never exists, which was exactly the blind spot (ADVICE r16)
+      if (!Files.exists(stamped)) sys.error(
+        s"SPARK_GRAFT_WINDOW_CENSUS is set but the stamped census " +
+          s"'$stamped' is missing — run from the repo root or point " +
+          "SPARK_GRAFT_CENSUS_FILE at tools/window_census.txt")
+      locally {
         import scala.jdk.CollectionConverters._
-        val want = Files.readAllLines(stamped).asScala
-          .map(_.trim).filter(_.nonEmpty).toSet
-        val got = windowQueries.keySet.toSet
-        require(got == want,
+        val want = censusNames(Files.readAllLines(stamped).asScala.toSeq)
+        censusDrift(windowQueries.keySet.toSet, want).foreach(d => sys.error(
           "window-warning census drift (same count, different queries): " +
-            s"gained ${(got -- want).toSeq.sorted.mkString(",")} " +
-            s"lost ${(want -- got).toSeq.sorted.mkString(",")} — " +
-            "audit the gained ones, then re-stamp tools/window_census.txt")
+            s"$d — audit the gained ones, then re-stamp " +
+            s"tools/window_census.txt (cp $outDir/window_census.txt)"))
       }
     }
   }

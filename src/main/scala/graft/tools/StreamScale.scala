@@ -524,9 +524,25 @@ object StreamScale {
       spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try body
-      finally prevProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
+      finally {
+        // quiesce BEFORE leaving the block (review r16, SCALE.md §r16's
+        // "cosmetic" post-stop IO-error lines): q.stop() returns once the
+        // stream thread dies, but the loaded RocksDB providers keep a
+        // background maintenance task (snapshot upload + native
+        // compaction) that races the working-dir cleanup at session
+        // shutdown and logs IO errors AFTER the soak report. Order is
+        // stop (done inside body's drain) → await no active streams →
+        // StateStore.stop() (synchronously halts the maintenance task and
+        // closes every loaded provider, deleting its working dir on the
+        // caller's thread) → restore the provider conf.
+        val waitBy = System.nanoTime() + 30L * 1000000000L
+        while (spark.streams.active.nonEmpty && System.nanoTime() < waitBy)
+          Thread.sleep(100)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None => spark.conf.unset(provKey)
+        }
       }
     }
 

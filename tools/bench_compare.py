@@ -100,6 +100,21 @@ def clamped(r, n):
     return r / min(max(n, min(1.0, r)), max(1.0, r))
 
 
+def profile_adjust(r, n, g):
+    """Profile-path adjustment: global calibration first, clamp residual.
+
+    g is the global all-cores calib ratio (each run's min-spin floor —
+    the PERSISTENT host-speed difference); n the local spin ratio at
+    this query's suite position. Dividing r by g prices the persistent
+    difference exactly like the pre-profile normalizer, so a regression
+    measured on a uniformly faster host is not under-flagged (ADVICE
+    r16: raw 1.2x with spins uniformly at 0.8x must read 1.5x, not
+    1.2x). Only the RESIDUAL local deviation n/g — the transient burst
+    component the profile exists to catch — is clamped to parity.
+    """
+    return clamped(r / g, n / g)
+
+
 def selftest():
     cases = [
         # (raw ratio, local spin ratio, expected adjusted, why)
@@ -121,11 +136,24 @@ def selftest():
     pr = profile_normalizer(o, n2)("qa")
     if abs(pr - 1.5) > 1e-9:
         bad.append(("nearest-sample", 64, 1.5, pr, "60s sample pair"))
+    # profile-path composition: global calib prices persistent host-speed
+    # differences; only the residual local deviation is parity-clamped
+    pcases = [
+        # (raw ratio, local spin ratio, global calib ratio, expected, why)
+        (1.2, 0.8, 0.8, 1.5, "uniformly faster host scales the flag"),
+        (1.5, 1.5, 1.5, 1.0, "uniformly slower host fully explains parity"),
+        (1.6, 2.0, 1.0, 1.0, "local burst on a same-speed host absorbed"),
+        (2.0, 1.0, 1.0, 2.0, "clean regression untouched"),
+        (3.0, 3.0, 1.5, 1.0, "persistent 1.5x + burst residual both absorbed"),
+    ]
+    bad += [(r, (n, g), e, got, why) for r, n, g, e, why in pcases
+            if abs((got := profile_adjust(r, n, g)) - e) > 1e-9]
     for r, n, e, got, why in bad:
         print(f"SELFTEST FAIL: raw={r} spin={n} expected {e} got {got} ({why})")
     if bad:
         sys.exit(1)
-    print(f"SELFTEST PASS: {len(cases) + 1} clamp/lookup expectations hold")
+    print(f"SELFTEST PASS: {len(cases) + 1 + len(pcases)} "
+          "clamp/lookup/profile expectations hold")
     sys.exit(0)
 
 
@@ -206,23 +234,27 @@ def main():
     pnorm = profile_normalizer(old, new)
 
     def adj(q, r):
-        # CLAMPED profile adjustment: the local spin ratio may only move
-        # a query's ratio TOWARD parity, never past it or away from it.
-        # Plain division both over-corrects (a planted 120 s burst made
-        # spins swing 2.8x while the co-scheduled queries slowed only
-        # ~1.5x, so raw/spin read 0.7) and manufactures phantom flags
-        # (a parity query next to a faster-spin window read "1.82x") —
-        # measured live while validating the feature. Clamp semantics =
-        # "absorb exactly as much of the deviation as local load can
-        # explain": a flag survives only its load-unexplained part, and
-        # parity is never turned into a flag.
+        # Profile path: global calib ratio FIRST (persistent host-speed
+        # difference prices in exactly like the pre-profile normalizer —
+        # ADVICE r16), then the residual local spin deviation CLAMPED to
+        # parity: it may only move a query's ratio TOWARD parity, never
+        # past it or away from it. Plain division of the local ratio both
+        # over-corrects (a planted 120 s burst made spins swing 2.8x while
+        # the co-scheduled queries slowed only ~1.5x, so raw/spin read
+        # 0.7) and manufactures phantom flags (a parity query next to a
+        # faster-spin window read "1.82x") — measured live while
+        # validating the feature. Clamp semantics = "absorb exactly as
+        # much of the deviation as TRANSIENT local load can explain": a
+        # flag survives only its load-unexplained part, and parity is
+        # never turned into a flag.
         n = pnorm(q) if pnorm else None
-        return clamped(r, n) if n else r / norm
+        return profile_adjust(r, n, norm) if n else r / norm
 
     if pnorm:
         pmed = statistics.median(adj(q, r) for q, r in ratios.items())
-        print("per-query normalizer: IN-RUN LOAD PROFILE, clamped to "
-              f"parity (old {len(old['load_profile'])} / new "
+        print("per-query normalizer: IN-RUN LOAD PROFILE — global calib "
+              "first, residual clamped to parity (old "
+              f"{len(old['load_profile'])} / new "
               f"{len(new['load_profile'])} spin samples); "
               f"profile-adjusted median {pmed:.3f}")
     else:
