@@ -45,7 +45,7 @@ object Verify {
     // count is nondeterministic (±1.5% run-to-run: planning calls
     // requiredChildDistribution a variable number of times), but whether
     // a given query plans ANY unpartitioned window is a plan-shape
-    // boolean. The per-query census (names + count) prints at the end of
+    // boolean. The per-query census (names) prints at the end of
     // every run and dumps to outDir/window_census.txt; when
     // SPARK_GRAFT_WINDOW_CENSUS=<nQueries> is set (the recertification
     // ritual) a drift from the expected query count FAILS the run,
