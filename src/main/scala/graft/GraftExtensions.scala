@@ -85,7 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""),
+        new ExpressionInfo("graft", null, name, usage,
+          "", "", "", "", "", "", "built-in"),
         // arity-checked: a wrong argument count from SQL must surface as a
         // clean AnalysisException, not an IndexOutOfBoundsException
         es => {

@@ -63,7 +63,7 @@ object TemporalJoin {
       .select(Seq(col(key), col(time), col("__side")) ++ lExtra.map(col) :+
         last(col("__pay"), ignoreNulls = true).over(w).as("__pay"): _*)
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.map(col).toIndexedSeq ++
         payload.map(c => col("__pay").getField(c).as(c)): _*)
   }
 
