@@ -89,10 +89,13 @@ def profile_normalizer(old, new):
 def clamped(r, n):
     """Load-explained part of ratio r removed, clamped to parity.
 
-    n is the local spin ratio (new/old host cost at this query's suite
-    position). It may move r only TOWARD 1.0, never past it (a burst
-    cannot turn a slowdown into a speedup) and never away from it (a
-    faster-spin window cannot turn parity into a flag). Measured basis:
+    n is the TRANSIENT local spin deviation (on the profile path the
+    caller has already divided both r and n by the global calib ratio,
+    so n here is the residual burst component, not the persistent
+    host-speed difference). It may move r only TOWARD 1.0, never past
+    it (a burst cannot turn a slowdown into a speedup) and never away
+    from it (a faster-spin window cannot turn parity into a flag).
+    Measured basis:
     a planted 120 s burst swung spins 2.8x while co-scheduled queries
     slowed ~1.5x, so unclamped division read 0.7x there and 1.8x on a
     parity query elsewhere.
