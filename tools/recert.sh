@@ -20,15 +20,24 @@
 # stamped name list) — re-stamping after an audited plan change does not
 # require editing this script. Bench timing runs are deliberately NOT
 # here: they are a comparator workflow (bench_compare.py), not a gate.
+#
+# RECERT_ONLY="gate1 gate2" runs just the named gates (iteration aid —
+# e.g. RECERT_ONLY=verify_sf0.001 after a census re-stamp; also how the
+# table's FAIL path is demonstrated cheaply). Default = every gate; the
+# round's final-tree certification must be a no-RECERT_ONLY run.
 set -u
 cd "$(dirname "$0")/.."
 
 CENSUS=$(grep -c . tools/window_census.txt)
+only=${RECERT_ONLY:-}
 names=()
 codes=()
 
 run() { # run <name> <cmd...>
   local name=$1; shift
+  if [ -n "$only" ]; then
+    case " $only " in *" $name "*) ;; *) return 0;; esac
+  fi
   echo "=== [$name] $*"
   "$@" </dev/null
   local rc=$?
@@ -54,6 +63,12 @@ run benchcmp_self python3 tools/bench_compare.py --selftest
 run scaleaudit_self sbt -batch "runMain graft.tools.ScaleAudit --selftest"
 
 echo
+# a typo'd RECERT_ONLY must not produce a vacuously green table (the
+# StreamScale unknown-op precedent)
+if [ ${#names[@]} -eq 0 ]; then
+  echo "== RECERT: no gate matched RECERT_ONLY='$only' =="
+  exit 2
+fi
 echo "== RECERT (census=$CENSUS queries) =="
 fail=0
 for i in "${!names[@]}"; do
