@@ -76,7 +76,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Default ops = ALL ELEVEN stateful twins ([[DefaultOps]] — the one
   * authoritative list; search_topk adds embeddings to the materialized
   * set). Opt-in by explicit name: dedup_detect_rocksdb /
-  * event_dedup_rocksdb (reconfigure the session's state-store provider
+  * event_dedup_rocksdb / gap_sessions_rocksdb (reconfigure the
+  * session's state-store provider
   * for their block) and dedup_detect_windowed / event_dedup_evicting
   * (wall-clock-paced — mostly waiting, not a data-rate measurement;
   * knob via SPARK_GRAFT_STREAM_WINDOW_SEC / SPARK_GRAFT_STREAM_IDLE_SEC
@@ -210,7 +211,8 @@ object StreamScale {
   // window) and SPARK_GRAFT_STREAM_IDLE_SEC (detectEvicting's idle
   // horizon), both default 8.
   private val KnownOps = DefaultOps + "dedup_detect_rocksdb" +
-    "event_dedup_rocksdb" + "dedup_detect_windowed" + "event_dedup_evicting"
+    "event_dedup_rocksdb" + "gap_sessions_rocksdb" +
+    "dedup_detect_windowed" + "event_dedup_evicting"
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -538,6 +540,15 @@ object StreamScale {
         val waitBy = System.nanoTime() + 30L * 1000000000L
         while (spark.streams.active.nonEmpty && System.nanoTime() < waitBy)
           Thread.sleep(100)
+        // a timed-out drain must not silently convert into cascading
+        // provider-closed errors under a live stream (ADVICE r17): name
+        // the hung streams so the log points at the drain, not the stop
+        if (spark.streams.active.nonEmpty)
+          System.err.println(
+            "WARNING: quiesce wait (30 s) timed out with " +
+              s"${spark.streams.active.length} stream(s) still active " +
+              s"(${spark.streams.active.map(_.name).mkString(", ")}); " +
+              "StateStore.stop() will close providers under a live stream")
         org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         prevProv match {
           case Some(v) => spark.conf.set(provKey, v)
@@ -557,6 +568,25 @@ object StreamScale {
         .option("checkpointLocation", ck("dedup-rocks"))
         .start()
       drain("dedup_detect_rocksdb", copies, q, nDocs)
+    }
+
+    if (ops("gap_sessions_rocksdb")) withRocksDb {
+      // the THIRD stateful family's RocksDB arm (VERDICT r17 #6): gap
+      // sessions hold one OpenSession row per user inside the watermark
+      // horizon — user-cardinality state, the smallest of the three
+      // families but the only one soaked exclusively in-heap through
+      // r17. Same op as the gap_sessions baseline so the keys/SST/
+      // pinned-bytes table lands beside the r15 band-table and r16
+      // retry-key rows in SCALE.md.
+      val ev = orderedStream
+        .select(tsAsTimestamp.as("ts"), col("user_id"))
+      val q = graft.streaming.Sessions.gapSessions(
+          ev, "ts", "user_id", gapNs = 3600L * 1000000000L,
+          lateness = "1 hour")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck("gap-rocks"))
+        .start()
+      drain("gap_sessions_rocksdb", copies, q, nOrderedEvents)
     }
 
     if (ops("event_dedup_rocksdb")) withRocksDb {
