@@ -484,8 +484,11 @@ object Graph {
     val e = edges.select(col(hubCol).cast("long").as("hub"),
       col(authCol).cast("long").as("auth")).distinct().persist()
     try {
-      val nNodes = math.max(e.select("hub").distinct().count(),
-        e.select("auth").distinct().count())
+      // one job for both node cardinalities instead of two distinct
+      // counts (r18, guide §1.2: fewer passes) — same values, same gate
+      val nRow = e.agg(countDistinct(col("hub")),
+        countDistinct(col("auth"))).head()
+      val nNodes = math.max(nRow.getLong(0), nRow.getLong(1))
       val useBroadcast = nNodes <= broadcastNodeCap
       countArm("hitsAuthPpm", useBroadcast)
       def side(df: DataFrame): DataFrame =
@@ -506,10 +509,13 @@ object Graph {
       def hubStep(a: DataFrame): DataFrame = normalize(
         e.join(side(a.withColumnRenamed("score", "as_")), "auth")
           .groupBy("hub").agg(sum("as_").as("raw")), "hub")
-      var h = e.select("hub").distinct().withColumn("score", lit(1000000L))
-      var a = keep(authStep(h))
+      // first auth step folded closed: every hub scores the constant 10⁶,
+      // so Σ hs per auth == 10⁶ · indegree — the same values the generic
+      // join computes, without the join (r18, guide §1.2)
+      var a = keep(normalize(
+        e.groupBy("auth").agg((count(lit(1)) * 1000000L).as("raw")), "auth"))
       for (_ <- 2 to rounds) {
-        h = keep(hubStep(a))
+        val h = keep(hubStep(a))
         a = keep(authStep(h))
       }
       val out = a.select(col("auth").as(authCol), col("score").as("auth_ppm"))
