@@ -71,12 +71,20 @@ object Classifier {
     val spark = feats.sparkSession
     var w = Array.fill(nFeatures + 1)(0.0)
     (1 to iters).foreach { _ =>
-      val resid = feats
-        .join(broadcast(weightsDf(spark, w)), "f")
-        .groupBy("doc_id").agg(sum(col("w") * col("x")).as("z"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(lit(-scale) * col("z"))) - col("y")).as("r"))
+      // All-zero weights (every first step) fold closed: z = Σ 0·x = 0.0
+      // exactly, so σ(−scale·0) = 1/(1+exp(0)) = 0.5 exactly and the
+      // whole margin pass (feature⋈weights join + doc rollup) drops from
+      // the step's plan (guide §1.2) — the identical fold the unrolled
+      // SQL oracles apply to their it=1 CTE.
+      val resid =
+        if (w.forall(_ == 0.0))
+          labels.select(col("doc_id"), (lit(0.5) - col("y")).as("r"))
+        else feats
+          .join(broadcast(weightsDf(spark, w)), "f")
+          .groupBy("doc_id").agg(sum(col("w") * col("x")).as("z"))
+          .join(labels, "doc_id")
+          .select(col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(lit(-scale) * col("z"))) - col("y")).as("r"))
       val grads = feats.join(resid, "doc_id")
         .groupBy("f").agg(round(sum(col("r") * col("x")), roundAt).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
