@@ -343,48 +343,78 @@ object Graph {
       aCol: String,
       bCol: String,
       k: Int,
-      rounds: Int): Seq[(Long, Long, Long)] = {
+      rounds: Int,
+      maxLocalEdges: Long = 200000L): Seq[(Long, Long, Long)] = {
     require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0 (got $k, $rounds)")
-    val sc = edges.sparkSession.sparkContext
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
     val e = edges.select(
       col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
-      val out = df.localCheckpoint()
-      val ids = out.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-      }.toSet
-      (out, ids)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    def stats(ed: DataFrame): (Long, Long) = {
-      val row = ed.agg(countDistinct(col("a")), count(lit(1))).head()
-      (row.getLong(0), row.getLong(1) / 2)
-    }
-    var (cur, blocks) = ckpt(sym)
-    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    // Hybrid, the [[bfsHops]]/[[pagerankInt]] pattern: the peel is
+    // `rounds` driver-synced (degree rollup + two semi-joins +
+    // localCheckpoint + stats) job chains whose data is edge-bounded —
+    // at or below the measured `maxLocalEdges` cap the whole trace is a
+    // driver fold over one collected symmetric edge list (the per-round
+    // scheduling floor, not the data, dominates there); above the cap
+    // the distributed peel below is unchanged. Arm-equality spec-pinned.
+    val symP = sym.persist()
     try {
-      trace += { val (n, ed) = stats(cur); (0L, n, ed) }
-      for (r <- 1 to rounds) {
-        val keep = cur.groupBy("a").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select("a")
-        val (next, nextBlocks) = ckpt(cur
-          .join(keep, Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi"))
-        // take ownership of the new round's blocks BEFORE any further
-        // action: if stats(next) throws, the finally must free THESE,
-        // not just the previous round's
-        val prevBlocks = blocks
-        cur = next
-        blocks = nextBlocks
-        trace += { val (n, ed) = stats(next); (r.toLong, n, ed) }
-        free(prevBlocks)
+      val nSym = symP.count()
+      countArm("kcoreTrace", nSym <= maxLocalEdges)
+      if (nSym <= maxLocalEdges) {
+        import spark.implicits._
+        var cur = symP.as[(Long, Long)].collect()
+        def stat(r: Int): (Long, Long, Long) =
+          (r.toLong, cur.map(_._1).distinct.length.toLong,
+            cur.length / 2L)
+        val trace = scala.collection.mutable.ArrayBuffer(stat(0))
+        for (r <- 1 to rounds) {
+          val deg = cur.groupBy(_._1).map { case (n, es) => n -> es.length }
+          val keep = deg.filter(_._2 >= k).keySet
+          cur = cur.filter(p => keep(p._1) && keep(p._2))
+          trace += stat(r)
+        }
+        trace.toSeq
+      } else {
+        def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+          val out = df.localCheckpoint()
+          val ids = out.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+          }.toSet
+          (out, ids)
+        }
+        def free(ids: Set[Int]): Unit =
+          ids.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        def stats(ed: DataFrame): (Long, Long) = {
+          val row = ed.agg(countDistinct(col("a")), count(lit(1))).head()
+          (row.getLong(0), row.getLong(1) / 2)
+        }
+        var (cur, blocks) = ckpt(symP)
+        val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        try {
+          trace += { val (n, ed) = stats(cur); (0L, n, ed) }
+          for (r <- 1 to rounds) {
+            val keep = cur.groupBy("a").agg(count(lit(1)).as("deg"))
+              .filter(col("deg") >= k).select("a")
+            val (next, nextBlocks) = ckpt(cur
+              .join(keep, Seq("a"), "left_semi")
+              .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi"))
+            // take ownership of the new round's blocks BEFORE any further
+            // action: if stats(next) throws, the finally must free THESE,
+            // not just the previous round's
+            val prevBlocks = blocks
+            cur = next
+            blocks = nextBlocks
+            trace += { val (n, ed) = stats(next); (r.toLong, n, ed) }
+            free(prevBlocks)
+          }
+        } finally free(blocks)
+        trace.toSeq
       }
-    } finally free(blocks)
-    trace.toSeq
+    } finally symP.unpersist(blocking = false)
   }
 
   /** Multi-source BFS hop distances: `rounds` fixed frontier-expansion

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -375,15 +375,21 @@ object Ann {
     * Pure built-in HOFs (no UDF); rides the scan at index-build time.
     * Input needs (vec_id, embedding); returns (vec_id, blo, bhi).
     */
-  def quantizeBinary(corpus: DataFrame): DataFrame = {
-    // pow(2,i) is exact in double for i <= 31, so the cast is lossless
-    def half(off: Int) =
-      aggregate(
-        zip_with(slice(col("embedding"), off + 1, 32), sequence(lit(0), lit(31)),
-          (x, i) => when(x > lit(0.0f), pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-        lit(0L), (a, b) => a + b)
-    corpus.select(col("vec_id"), half(0).as("blo"), half(32).as("bhi"))
-  }
+  /** One packed 32-bit sign half of a 64-dim embedding, as a column —
+    * exposed so callers fusing several quantization tiers into one scan
+    * projection (q199) share the exact expression [[quantizeBinary]]
+    * evaluates. pow(2,i) is exact in double for i <= 31, so the cast is
+    * lossless. */
+  def binaryHalf(emb: Column, off: Int): Column =
+    aggregate(
+      zip_with(slice(emb, off + 1, 32), sequence(lit(0), lit(31)),
+        (x, i) => when(x > lit(0.0f), pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  def quantizeBinary(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"),
+      binaryHalf(col("embedding"), 0).as("blo"),
+      binaryHalf(col("embedding"), 32).as("bhi"))
 
   /** Two-stage binary-scan search: stage 1 ranks the whole corpus by
     * packed-word Hamming distance to the query's sign bits (codegen

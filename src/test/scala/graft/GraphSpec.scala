@@ -184,6 +184,21 @@ class GraphSpec extends SparkSpec {
     assert(got.head == (0L, 7L, 6L) && got.last == (3L, 3L, 3L))
   }
 
+  test("k-core trace: driver arm equals the distributed arm, and the " +
+      "driver arm is the one the cap selected") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L)).toDF("a", "b")
+    def run(maxLocal: Long) =
+      Graph.kcoreTrace(edges, "a", "b", k = 2, rounds = 3,
+        maxLocalEdges = maxLocal)
+    val before = Graph.armSnapshot().getOrElse("kcoreTrace:local", 0L)
+    val local = run(200000L) // 12 symmetric edges -> driver arm
+    val dist = run(0L)       // force the distributed arm on the same input
+    assert(local == dist, s"driver arm != distributed arm\n $local\n $dist")
+    assert(Graph.armSnapshot()("kcoreTrace:local") == before + 1)
+  }
+
   test("HITS: broadcast arm equals the shuffle arm, and the universal " +
       "authority wins") {
     import spark.implicits._
