@@ -515,9 +515,16 @@ object Graph {
       col(authCol).cast("long").as("auth")).distinct().persist()
     try {
       // one job for both node cardinalities instead of two distinct
-      // counts (r18, guide §1.2: fewer passes) — same values, same gate
+      // counts (r18, guide §1.2: fewer passes). countDistinct ignores
+      // NULL keys where the old select().distinct().count() counted one
+      // (ADVICE r18) — a null endpoint would also silently drop from
+      // every join round below, so the no-null-key invariant is enforced
+      // at the door, folded into the SAME gate job as a third aggregate.
       val nRow = e.agg(countDistinct(col("hub")),
-        countDistinct(col("auth"))).head()
+        countDistinct(col("auth")),
+        count(when(col("hub").isNull || col("auth").isNull, 1))).head()
+      require(nRow.getLong(2) == 0L,
+        s"hitsAuthPpm: ${nRow.getLong(2)} edges carry null hub/auth keys")
       val nNodes = math.max(nRow.getLong(0), nRow.getLong(1))
       val useBroadcast = nNodes <= broadcastNodeCap
       countArm("hitsAuthPpm", useBroadcast)
